@@ -1,0 +1,73 @@
+"""Scalar Column helpers — the reference's scalar-function surface
+(SURVEY.md §2.8, F1-F11) expressed as Catalyst column expressions.
+
+Everything here stays JVM-side (whole-stage codegen); no Python UDFs.
+Reference citations are to ``/root/reference/src/main/scala/com/amazonaws/emr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+# Determinism conventions (FIXTURES.md §4): DOUBLE aggregates are
+# rounded to 4 decimals and emitted as DECIMAL(38,4); timestamps are
+# emitted as formatted UTC strings.
+_DEC4 = DecimalType(38, 4)
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def dec4(col: Column | str) -> Column:
+    """Normalize a DOUBLE aggregate for oracle comparison."""
+    return F.round(F.col(col) if isinstance(col, str) else col, 4).cast(_DEC4)
+
+
+def fmt_ts(col: Column | str) -> Column:
+    """Normalize a TIMESTAMP for oracle comparison (UTC string)."""
+    return F.date_format(col, TS_FMT)
+
+
+# F1 — host extraction regex (TrinoJmxRest.scala:66, TrinoJmxEmr.scala:80).
+HOST_PATTERN = ".*//(.*):.*"
+
+
+def host_from_uri(col: Column | str) -> Column:
+    return F.regexp_extract(col, HOST_PATTERN, 1)
+
+
+# F2 — case-insensitive string equality (Workers.scala:109-111,155,250-251).
+def ci_eq(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.lower(a) == F.lower(b)
+
+
+# F4 — step-scaling clamp arithmetic (scaling/algo/StepScalingAlgorithm.scala:21-26):
+#   expand(running, required) = min(max(running + stepExpand, required), maxCapacity)
+#   shrink(running)           = max(running - stepShrink, minCapacity)
+def step_expand(running: Column, required: Column, step: int, max_capacity: int) -> Column:
+    return F.least(F.greatest(running + F.lit(step), required), F.lit(max_capacity))
+
+
+def step_shrink(running: Column, step: int, min_capacity: int) -> Column:
+    return F.greatest(running - F.lit(step), F.lit(min_capacity))
+
+
+# F5 — sign dispatch on (running - count) (cluster/Workers.scala:170-190):
+# positive delta => SHRINK, negative => EXPAND, zero => NONE.
+def sign_dispatch(running: Column, count: Column) -> Column:
+    delta = running - count
+    return (
+        F.when(delta > 0, F.lit("SHRINK"))
+        .when(delta < 0, F.lit("EXPAND"))
+        .otherwise(F.lit("NONE"))
+    )
+
+
+# F6 — uniform integer distribution (cluster/Workers.scala:231-238):
+# distribute(value, groups)[i] = value/groups + 1 if i < value%groups else value/groups
+# (0-based position i; Scala integer division).
+def distribute_alloc(idx: Column, value: Column, groups: Column) -> Column:
+    q = F.floor(value / groups)
+    return (q + F.when(idx < value % groups, F.lit(1)).otherwise(F.lit(0))).cast("bigint")

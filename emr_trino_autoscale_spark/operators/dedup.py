@@ -1,0 +1,139 @@
+"""Deduplication operators (X1/X2 + training-data extensions).
+
+All variants are single-shuffle plans over the ``documents`` table:
+compute a per-document signature JVM-side (no Python), then group on
+the signature. At 100 TB the signature groupBy is the only exchange;
+skewed signatures (boilerplate dups) are handled by AQE skew-join /
+two-phase partial aggregation, and signatures are fixed-width hashes so
+shuffle rows are tiny regardless of document size.
+
+Deterministic by construction: hash functions are md5/xxhash64/crc32
+(stable across runs and engines), no sampled permutations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1 — exact duplicate clusters on the content hash, keeping the
+    minimum id as canonical. ``sha2``/``md5`` of the raw text; group on
+    the digest, never on the full text (shuffle width)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array column (split on single space —
+    deterministic, matches the oracle's string_split semantics)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))  # 1-based start positions
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(text_col: str = "text", k: int = 3) -> Column:
+    """X2 — deterministic 1-permutation MinHash: the lexicographic min of
+    the md5 digests of the document's k-shingles. Documents sharing any
+    min-shingle collide into the same candidate bucket (the band-join
+    step of MinHash+LSH with b=1, r=1 — deterministic, no sampled
+    permutations, so the oracle can replay it)."""
+    return F.array_min(F.transform(shingles(text_col, k), F.md5))
+
+
+def near_dup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """X2 — near-duplicate candidate clusters via the minhash signature."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col), minhash_signature(text_col, k).alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+def simhash64(text_col: str = "text") -> Column:
+    """SimHash over word tokens with xxhash64 (deterministic).
+
+    Per token: 64-bit hash; per bit: +1 if set else -1; sign of the sum
+    gives the fingerprint bit. Expressed entirely with built-in
+    higher-order array functions — no UDF, fully codegen'd.
+    """
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(mask: Column):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    result = F.lit(0).cast("long")
+    for b in range(64):
+        # bit 63 is the long sign bit — two's-complement literal
+        mask_val = (1 << b) if b < 63 else -(1 << 63)
+        mask = F.lit(mask_val).cast("long")
+        # per bit: sum(+1 if set else -1) over tokens; sign -> bit
+        vote = F.aggregate(hashes, F.lit(0), voter(mask))
+        result = result.bitwiseOR(
+            F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return result
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs.
+
+    Scale path: explode shingle -> (shingle, id) inverted index, self-join
+    on shingle to get co-occurrence counts (only docs sharing >= 1
+    shingle ever meet — no quadratic cross join), then
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The join key is an md5 digest,
+    so the exchange is narrow; AQE splits skewed boilerplate shingles.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+        )
+        .select("id", F.md5("shingle").alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
+    )

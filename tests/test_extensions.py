@@ -1,0 +1,151 @@
+"""Unit tests for the training-data extension surface (X1-X6):
+dedup variants, similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from emr_trino_autoscale_spark.operators import dedup, multimodal, similarity, text
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    d = docs(spark, ["a b c", "a b c", "x y z"])
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(d).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_near_dup_clusters_catch_shared_min_shingle(spark):
+    # doc0 and doc1 share all shingles except one; doc2 is disjoint.
+    d = docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely different text with no overlap at all",
+        ],
+    )
+    out = dedup.near_dup_clusters(d)
+    clusters = {r["keep_id"]: r["cluster_size"] for r in out.collect()}
+    assert clusters.get(0) == 2  # doc0+doc1 collide on the min shingle
+    assert clusters.get(2) == 1
+
+
+def test_simhash_similar_texts_close(spark):
+    d = docs(
+        spark,
+        [
+            "spark is a distributed compute engine for big data",
+            "spark is a distributed compute engine for huge data",
+            "bananas oranges apples pears grapes melons kiwis",
+        ],
+    )
+    rows = d.select("doc_id", dedup.simhash64().alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(h[0], h[1]) < hamming(h[0], h[2])
+    assert hamming(h[0], h[0]) == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    d = docs(
+        spark,
+        [
+            "a b c d e f g h",
+            "a b c d e f g x",
+            "p q r s t u v w",
+        ],
+    )
+    out = dedup.ngram_jaccard_pairs(d, threshold=0.3).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (0, 1) in pairs and len(pairs) == 1
+    assert 0.4 < pairs[(0, 1)] < 0.9
+
+
+def vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(spark):
+    corpus = vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(corpus, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]
+    assert float(out[0]["cosine"]) > 0.99
+
+
+def test_lsh_topk_self_consistent(spark):
+    # LSH candidates are a subset of brute-force; the nearest neighbor
+    # (same bucket by construction for near-identical vectors) survives.
+    corpus = vecs(
+        spark,
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+        + [(100, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.lsh_topk(corpus, q, k=3, dim=8).collect()
+    assert any(r["neighbor_id"] == 100 for r in out)
+
+
+def test_text_quality_and_language(spark):
+    d = docs(
+        spark,
+        [
+            "the cat is on the mat and the dog is in the house",
+            "der hund ist gross und die katze ist klein",
+            "!!! ??? ... ;;; :::",
+        ],
+    )
+    rows = d.select(
+        "doc_id",
+        text.language_id().alias("lang"),
+        text.quality_score().alias("q"),
+        text.token_count().alias("n_tok"),
+        text.bpe_ish_token_count().alias("n_bpe"),
+        text.fingerprint64().alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["lang"] == "en"
+    assert by_id[1]["lang"] == "de"
+    assert by_id[2]["lang"] == "und"
+    assert by_id[0]["q"] > by_id[2]["q"]
+    assert by_id[0]["n_tok"] == 13
+    assert by_id[2]["n_bpe"] >= 12  # every punct char is a piece
+    assert isinstance(by_id[0]["fp"], int)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert r["n_bytes"] > 0
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first

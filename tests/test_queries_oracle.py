@@ -1,0 +1,42 @@
+"""t2 mirror: every declared query (SURVEY.md §2.11) must match its
+DuckDB oracle on the smoke-scale synthetics — the same comparison the
+driver runs at sf0.01 (row count + column names + order-insensitive
+canonical values)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from emr_trino_autoscale_spark.io import TABLES
+from emr_trino_autoscale_spark.queries import ORACLE, QUERIES
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import rows_to_canon
+
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    srows = [tuple(r) for r in sdf.collect()]
+    drel = duck.sql(ORACLE[name])
+    drows = drel.fetchall()
+
+    assert sorted(sdf.columns) == sorted(drel.columns)
+    assert len(srows) == len(drows)
+    assert rows_to_canon(sdf.columns, srows) == rows_to_canon(drel.columns, drows)
