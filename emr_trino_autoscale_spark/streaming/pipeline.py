@@ -1,0 +1,104 @@
+"""Live-loop assembly (SURVEY.md §3): the reference's three Akka timers
+as Structured Streaming queries sharing the batch operators.
+
+Entry point 1 (15 s collect tick)  -> snapshot source -> parse -> node_cpu
+Entry point 2 (15 s evaluate tick) -> windowed aggregates -> decision
+                                      cascade (keyed state) -> action sink
+Entry point 3 (30 s refresh tick)  -> task-state stream -> suspension state
+
+The builders take any DataFrame (static or streaming) where possible;
+``attach_*`` helpers wire triggers/state for live mode. Tests drive
+them with file sources + ``processAllAvailable()`` (synchronous), so
+the identical plan is exercised without wall-clock waits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.scaling import StepPolicy, IG_POLICY
+from .stateful import (
+    COOLDOWN_STATE_SCHEMA,
+    DECISION_SCHEMA,
+    SUSPEND_STATE_SCHEMA,
+    TASK_STATE_SCHEMA,
+    make_cooldown_processor,
+    suspension_processor,
+)
+
+COLLECT_TRIGGER = "15 seconds"  # TrinoAutoscaler.scala:24-27
+EVALUATE_TRIGGER = "15 seconds"  # TrinoAutoscaler.scala:29-32
+REFRESH_TRIGGER = "30 seconds"  # cluster/Workers.scala:43
+WATERMARK = "1 minute"  # engine addition (SURVEY §2.5 W8): reference
+# polls wall-clock so late data cannot exist; a distributed collector
+# can deliver late — rows later than this are dropped (documented deviation).
+
+
+def sliding_node_avg(node_cpu: DataFrame, window: str = "1 minute", slide: str = "15 seconds") -> DataFrame:
+    """Streaming twin of the 1-minute store average (W2/A2): event-time
+    sliding window instead of the last-4-rows buffer."""
+    return (
+        node_cpu.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window, slide).alias("win"), "node")
+        .agg(F.avg("process_cpu_load").alias("avg_value"), F.count("*").alias("n_points"))
+        .select(F.col("win.end").alias("tick"), "node", "avg_value", "n_points")
+    )
+
+
+def decisions_stream(
+    eval_ticks: DataFrame, policy: StepPolicy = IG_POLICY
+) -> DataFrame:
+    """D3 with real keyed state: one decision row per evaluation tick,
+    cooldown clock carried in applyInPandasWithState."""
+    return eval_ticks.groupBy("cluster_id").applyInPandasWithState(
+        make_cooldown_processor(policy),
+        outputStructType=DECISION_SCHEMA,
+        stateStructType=COOLDOWN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def task_state_stream(refresh_ticks: DataFrame) -> DataFrame:
+    """D6 with keyed suspension state per task group."""
+    return refresh_ticks.groupBy("task_id").applyInPandasWithState(
+        suspension_processor,
+        outputStructType=TASK_STATE_SCHEMA,
+        stateStructType=SUSPEND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "12 hours") -> DataFrame:
+    """Streaming-native sessionization twin of operators.events.sessionize
+    (X5). Boundary rule differs at exact-gap equality (session_window
+    merges on strict <, the lag form on <=) — the oracle contract is the
+    lag form; this one exists for live mode."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def attach_decision_query(decisions: DataFrame, sink_fn, checkpoint: str, trigger: str = EVALUATE_TRIGGER):
+    """Wire the decision stream to an idempotent foreachBatch sink with
+    the reference's evaluation cadence."""
+    return (
+        decisions.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger)
+        .outputMode("append")
+    )

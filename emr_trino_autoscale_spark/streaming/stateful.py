@@ -1,0 +1,211 @@
+"""Keyed-state twins of the reference's mutable clocks (SURVEY.md §2.5
+W5/W6, §2.9 D3/D6).
+
+The reference holds three pieces of mutable state in a single JVM:
+
+* ``scalingLastOpTimeMs`` — the cooldown clock
+  (scaling/ScalingManager.scala:24), reset when a resize is OBSERVED in
+  progress (:33), not when an action is issued;
+* per-group ``lastSuspendedTimeMs`` carried across refreshes
+  (cluster/Workers.scala:256-262);
+* last-requested capacity used for request dedup (ScalingManager.scala:88).
+
+Here each becomes explicit keyed state in ``applyInPandasWithState``
+(key = cluster id / task-group id), so the same decision cascade runs
+over a live stream with bounded state. The processors are pure
+per-group functions of (rows, previous state) — no wall clock, no
+globals — so they are unit-testable in batch via ``applyInPandas``
+with an injected initial state (see tests/test_stateful.py).
+
+Scale note: state size is O(#groups) (<= 48 per cluster —
+Config.scala:93-94), trivially partitionable by cluster id; the shuffle
+is on the state key only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+COOLDOWN_MS = 2 * 60 * 1000  # ScalingManager.scala:21
+SUSPENSION_MS = 10 * 60 * 1000  # Workers.scala:35
+
+# Input rows: one evaluation tick per (cluster) key.
+EVAL_INPUT_SCHEMA = StructType(
+    [
+        StructField("cluster_id", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("is_idle", BooleanType()),
+        StructField("is_resizing", BooleanType()),
+        StructField("required", IntegerType()),
+        StructField("running", IntegerType()),
+        StructField("requested", IntegerType()),
+        StructField("verdict", StringType()),  # D1 output for this tick
+    ]
+)
+
+DECISION_SCHEMA = StructType(
+    [
+        StructField("cluster_id", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("action", StringType()),
+        StructField("capacity", IntegerType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+COOLDOWN_STATE_SCHEMA = StructType([StructField("last_op_ms", LongType())])
+
+
+def _plan(verdict: str, running: int, required: int, policy) -> tuple[str, int]:
+    """Pure-python mirror of operators.scaling.plan_action (D2), used
+    inside the stateful processor (per-key rows are tiny — <= 48 groups)."""
+    expand = min(max(running + policy.step_expand, required), policy.max_capacity)
+    shrink = max(running - policy.step_shrink, policy.min_capacity)
+    if verdict == "EXPAND":
+        return "EXPAND", expand
+    if verdict == "SHRINK":
+        return "SHRINK", shrink
+    if 0 < required < running:  # ScalingAlgorithm.scala:18 quirk
+        return "EXPAND", expand
+    return "NONE", running
+
+
+def decision_cascade_rows(
+    rows: pd.DataFrame, last_op_ms: int, policy
+) -> tuple[list[dict], int]:
+    """D3 — the priority cascade (ScalingManager.scala:26-46) over a
+    chronologically sorted micro-batch of evaluation ticks for one key.
+
+    Returns (decisions, new_last_op_ms). Order of precedence per tick:
+    idle -> shrink-to-min (bypasses cooldown); resizing -> skip AND
+    reset the cooldown clock; required > running -> expand-to-required
+    (bypasses cooldown); else evaluate D2 only if the cooldown elapsed.
+    """
+    out: list[dict] = []
+    for r in rows.sort_values("ts_ms").itertuples(index=False):
+        ts = int(r.ts_ms)
+        if bool(r.is_idle):
+            action, capacity, reason = "SHRINK", policy.min_capacity, "idle"
+        elif bool(r.is_resizing):
+            last_op_ms = ts  # ScalingManager.scala:33 — observed resize resets clock
+            action, capacity, reason = "NONE", int(r.running), "resizing"
+        elif int(r.required) > int(r.running):
+            action, capacity, reason = "EXPAND", int(r.required), "required_workers"
+        elif ts - last_op_ms > COOLDOWN_MS:
+            action, capacity = _plan(str(r.verdict), int(r.running), int(r.required), policy)
+            reason = "evaluated"
+        else:
+            action, capacity, reason = "NONE", int(r.running), "cooldown"
+        out.append(
+            {
+                "cluster_id": r.cluster_id,
+                "ts_ms": ts,
+                "action": action,
+                "capacity": capacity,
+                "reason": reason,
+            }
+        )
+    return out, last_op_ms
+
+
+def make_cooldown_processor(policy):
+    """applyInPandasWithState processor for the decision cascade."""
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        (last_op_ms,) = state.get() if state.exists else (0,)
+        decisions: list[dict] = []
+        for pdf in pdfs:
+            batch, last_op_ms = decision_cascade_rows(pdf, last_op_ms, policy)
+            decisions.extend(batch)
+        state.update((last_op_ms,))
+        yield pd.DataFrame(decisions, columns=[f.name for f in DECISION_SCHEMA.fields])
+
+    return process
+
+
+# --- suspension carry-forward twin (D6/W6) --------------------------------
+
+REFRESH_INPUT_SCHEMA = StructType(
+    [
+        StructField("task_id", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("status", StringType()),
+        StructField("running", IntegerType()),
+        StructField("requested", IntegerType()),
+    ]
+)
+
+TASK_STATE_SCHEMA = StructType(
+    [
+        StructField("task_id", StringType()),
+        StructField("ts_ms", LongType()),
+        StructField("status", StringType()),
+        StructField("is_resizing", BooleanType()),
+        StructField("is_suspended", BooleanType()),
+        StructField("is_excluded", BooleanType()),
+        StructField("running", IntegerType()),
+        StructField("requested", IntegerType()),
+        StructField("heal_capacity", IntegerType()),  # resize re-issued for SUSPENDED
+    ]
+)
+
+SUSPEND_STATE_SCHEMA = StructType([StructField("last_suspended_ms", LongType())])
+
+
+def refresh_rows(
+    rows: pd.DataFrame, last_suspended_ms: int
+) -> tuple[list[dict], int]:
+    """D6 — task-state refresh with suspension healing
+    (cluster/Workers.scala:241-279). Preserves the reference ordering:
+    ``isExcluded`` is computed from the PREVIOUS refresh's suspension
+    time before the current one overwrites it; suspended groups get
+    their current capacity re-issued (heal_capacity)."""
+    out: list[dict] = []
+    for r in rows.sort_values("ts_ms").itertuples(index=False):
+        ts = int(r.ts_ms)
+        status = str(r.status)
+        is_resizing = status.lower() == "resizing"
+        is_suspended = status.lower() == "suspended"
+        prev = last_suspended_ms
+        if is_suspended:
+            last_suspended_ms = ts
+        is_excluded = not (ts - prev > SUSPENSION_MS)  # Workers.scala:261
+        out.append(
+            {
+                "task_id": r.task_id,
+                "ts_ms": ts,
+                "status": status,
+                "is_resizing": is_resizing,
+                "is_suspended": is_suspended,
+                "is_excluded": is_excluded,
+                "running": int(r.running),
+                "requested": int(r.requested),
+                "heal_capacity": int(r.running) if is_suspended else -1,
+            }
+        )
+    return out, last_suspended_ms
+
+
+def suspension_processor(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state
+) -> Iterator[pd.DataFrame]:
+    (last_ms,) = state.get() if state.exists else (0,)
+    rows: list[dict] = []
+    for pdf in pdfs:
+        batch, last_ms = refresh_rows(pdf, last_ms)
+        rows.extend(batch)
+    state.update((last_ms,))
+    yield pd.DataFrame(rows, columns=[f.name for f in TASK_STATE_SCHEMA.fields])

@@ -1,0 +1,187 @@
+"""Scenario tests for the stateful tier (SURVEY.md §5.2): the decision
+cascade's cooldown quirks and suspension healing, both as pure-python
+per-key logic and as a real Structured Streaming query with keyed state."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from emr_trino_autoscale_spark.operators.scaling import IG_POLICY
+from emr_trino_autoscale_spark.streaming import pipeline, sinks, stateful
+
+MIN_ = 60_000  # ms
+
+
+def ticks(rows):
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "cluster_id", "ts_ms", "is_idle", "is_resizing",
+            "required", "running", "requested", "verdict",
+        ],
+    )
+
+
+# Scenario: cooldown suppression + reset-on-observed-resize
+# (ScalingManager.scala:26-46 — the clock resets when a resize is
+# OBSERVED, not when an action is issued).
+def test_cascade_cooldown_and_reset():
+    rows = ticks(
+        [
+            ("c", 10 * MIN_, False, False, 0, 10, 10, "EXPAND"),   # evaluated -> EXPAND
+            ("c", 10 * MIN_ + 15_000, False, False, 0, 10, 10, "EXPAND"),  # still evaluated (issuing does NOT reset clock)
+            ("c", 11 * MIN_, False, True, 0, 10, 10, "EXPAND"),    # resizing observed -> skip + reset clock
+            ("c", 12 * MIN_, False, False, 0, 15, 15, "SHRINK"),   # 1 min after reset -> cooldown
+            ("c", 13 * MIN_ + 1, False, False, 0, 15, 15, "SHRINK"),  # > 2 min -> evaluated
+        ]
+    )
+    out, last = stateful.decision_cascade_rows(rows, 0, IG_POLICY)
+    assert [d["reason"] for d in out] == [
+        "evaluated", "evaluated", "resizing", "cooldown", "evaluated"
+    ]
+    assert [d["action"] for d in out] == ["EXPAND", "EXPAND", "NONE", "NONE", "SHRINK"]
+    assert out[0]["capacity"] == 15 and out[-1]["capacity"] == 12
+    assert last == 11 * MIN_
+
+
+# Scenario: idle and required-workers bypass the cooldown
+# (ScalingManager.scala:28-36).
+def test_cascade_bypasses():
+    rows = ticks(
+        [
+            ("c", 1 * MIN_, False, False, 0, 10, 10, "EXPAND"),  # within cooldown of t=0? last=0 -> 60000-0 < 2min -> cooldown
+            ("c", 1 * MIN_ + 1, True, False, 0, 10, 10, "EXPAND"),  # idle bypasses
+            ("c", 1 * MIN_ + 2, False, False, 12, 10, 10, "NONE"),  # required bypasses
+        ]
+    )
+    out, _ = stateful.decision_cascade_rows(rows, 0, IG_POLICY)
+    assert [d["reason"] for d in out] == ["cooldown", "idle", "required_workers"]
+    assert out[1]["action"] == "SHRINK" and out[1]["capacity"] == IG_POLICY.min_capacity
+    assert out[2]["action"] == "EXPAND" and out[2]["capacity"] == 12
+
+
+# Scenario: suspension -> exclusion -> heal (Workers.scala:256-277).
+def test_suspension_refresh():
+    rows = pd.DataFrame(
+        [
+            ("g1", 0, "RUNNING", 5, 5),
+            ("g1", 1 * MIN_, "SUSPENDED", 5, 5),     # prev=0 -> not excluded yet; heal fires
+            ("g1", 2 * MIN_, "RUNNING", 5, 5),       # within 10 min of suspension -> excluded
+            ("g1", 20 * MIN_, "RUNNING", 5, 5),      # window elapsed -> not excluded
+        ],
+        columns=["task_id", "ts_ms", "status", "running", "requested"],
+    )
+    out, last = stateful.refresh_rows(rows, 0)
+    assert [r["is_excluded"] for r in out] == [True, True, True, False]
+    # note: tick 0 has prev=0 -> 0-0 <= 10min -> excluded (reference
+    # quirk: a fresh process treats epoch-0 state as "just suspended"
+    # until 10 minutes of wall clock pass — Workers.scala:261 verbatim)
+    assert out[1]["heal_capacity"] == 5
+    assert [r["heal_capacity"] for r in out] == [-1, 5, -1, -1]
+    assert last == 1 * MIN_
+
+
+# End-to-end: the same processors under a real streaming query with
+# keyed state and an idempotent foreachBatch action sink.
+@pytest.mark.slow
+def test_streaming_decision_pipeline(spark, tmp_path):
+    src = tmp_path / "src"
+    chk = tmp_path / "chk"
+    out = tmp_path / "out"
+    rows = ticks(
+        [
+            ("c1", 10 * MIN_, False, False, 0, 10, 10, "EXPAND"),
+            ("c1", 13 * MIN_, False, False, 0, 15, 15, "SHRINK"),
+            ("c2", 10 * MIN_, True, False, 0, 8, 8, "NONE"),
+        ]
+    )
+    spark.createDataFrame(rows, schema=stateful.EVAL_INPUT_SCHEMA).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(stateful.EVAL_INPUT_SCHEMA)
+        .parquet(str(src))
+    )
+    decisions = pipeline.decisions_stream(stream)
+    q = (
+        decisions.writeStream.foreachBatch(sinks.resize_action_sink(str(out)))
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(str(out / "actions_out"))
+    actions = {(r["cluster_id"], r["ts_ms"]): r["action"] for r in got.collect()}
+    # c1: both ticks evaluated (clock starts at 0); c2 idle-shrinks.
+    assert actions[("c1", 10 * MIN_)] == "EXPAND"
+    assert actions[("c1", 13 * MIN_)] == "SHRINK"
+    assert actions[("c2", 10 * MIN_)] == "SHRINK"
+    # idempotence: re-appending the same decisions is a no-op
+    sink = sinks.resize_action_sink(str(out))
+    sink(spark.read.parquet(str(out / "actions_out")).drop("epoch_id", "reason", "capacity")
+         if False else spark.createDataFrame(
+             [("c1", 10 * MIN_, "EXPAND", 15, "evaluated")],
+             ["cluster_id", "ts_ms", "action", "capacity", "reason"],
+         ), 99)
+    assert spark.read.parquet(str(out / "actions_out")).count() == 3
+
+
+@pytest.mark.slow
+def test_streaming_task_state(spark, tmp_path):
+    src = tmp_path / "src"
+    chk = tmp_path / "chk"
+    rows = pd.DataFrame(
+        [
+            ("g1", 0, "RUNNING", 5, 5),
+            ("g1", 1 * MIN_, "SUSPENDED", 5, 5),
+            ("g2", 0, "RESIZING", 3, 4),
+        ],
+        columns=["task_id", "ts_ms", "status", "running", "requested"],
+    )
+    spark.createDataFrame(rows, schema=stateful.REFRESH_INPUT_SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(stateful.REFRESH_INPUT_SCHEMA).parquet(str(src))
+    states = pipeline.task_state_stream(stream)
+    q = (
+        states.writeStream.format("memory")
+        .queryName("task_state_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["task_id"], r["ts_ms"]): r for r in spark.sql("select * from task_state_test").collect()}
+    assert got[("g1", 1 * MIN_)]["is_suspended"] is True
+    assert got[("g1", 1 * MIN_)]["heal_capacity"] == 5
+    assert got[("g2", 0)]["is_resizing"] is True
+
+
+def test_sources_parse(spark):
+    raw = spark.createDataFrame(
+        [
+            ("t1", "n1", '{"attributes": [{"name": "CpuLoad", "value": "0.5"}, {"name": "AvailableProcessors", "value": "8"}]}'),
+            ("t1", "n2", "not json at all"),
+        ],
+        ["ts", "node", "payload"],
+    )
+    from emr_trino_autoscale_spark.sources import parse_node_cpu, parse_node_registry
+
+    rows = {r["node"]: r for r in parse_node_cpu(raw).collect()}
+    assert rows["n1"]["cpu_load"] == 0.5
+    assert rows["n1"]["available_processors"] == 8
+    assert rows["n1"]["system_cpu_load"] == 0.0  # missing -> default 0
+    assert rows["n2"]["cpu_load"] == 0.0  # failed fetch -> zeros, row kept
+
+    reg = spark.createDataFrame(
+        [
+            ("t1", '{"id": "i-1", "uri": "http://10.0.0.5:8889", "nodeRole": "WORKER", "nodeState": "ACTIVE"}'),
+            ("t1", '{"id": "i-2", "uri": "bogus", "nodeRole": "worker", "nodeState": "active"}'),
+            ("t1", '{"id": "i-3", "uri": "http://10.0.0.6:8889", "nodeRole": "coordinator", "nodeState": "active"}'),
+        ],
+        ["ts", "payload"],
+    )
+    hosts = [r["host"] for r in parse_node_registry(reg).collect()]
+    assert hosts == ["10.0.0.5"]
