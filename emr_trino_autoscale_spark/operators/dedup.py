@@ -97,6 +97,41 @@ def simhash64(text_col: str = "text") -> Column:
     return result
 
 
+def simhash16_md5(text_col: str = "text") -> Column:
+    """16-bit SimHash with md5-nibble votes — the oracle-replayable twin
+    of :func:`simhash64` (md5 is identical across engines; xxhash64 is
+    Spark-specific). Bit b is set iff the majority of token digests have
+    hex nibble b >= '8' (i.e. the nibble's high bit set).
+    """
+    hashes = F.transform(F.split(F.col(text_col), " "), F.md5)
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1) >= F.lit("8"), 1
+        ).otherwise(-1)
+
+    sig = F.lit(0)
+    for b in range(16):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
+    return sig.cast("int")
+
+
+def simhash_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash near-dup clusters: exact-signature grouping (Hamming
+    radius 0; banded Hamming-neighbor joins are the radius>0 extension)."""
+    return (
+        df.select(F.col(id_col), simhash16_md5(text_col).alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -113,7 +148,8 @@ def ngram_jaccard_pairs(
     so the exchange is narrow; AQE splits skewed boilerplate shingles.
     """
     sh = (
-        df.select(
+        df.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
         )

@@ -94,6 +94,38 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def binary_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Typed metadata extraction over an opaque binary column via
+    Arrow-batched ``mapInPandas`` — the exact plumbing a real decode
+    step rides on (schema declared up front, per-batch pure function,
+    payload column pruned away in the output)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("first_byte", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "first_byte": [
+                        int(p[0]) if p is not None and len(p) > 0 else None
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def synthetic_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fixture generator for tests (payload = id bytes)."""
     return spark.range(n).select(

@@ -91,6 +91,164 @@ def brute_force_topk(
     )
 
 
+def md5_sign_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 — computed once at
+    plan-build time and embedded as literals (the moral equivalent of a
+    broadcast model table). Reproducible anywhere md5 exists, so the
+    DuckDB oracle replays the exact same buckets."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}-{j}".encode()).hexdigest()[0] >= "8" else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bucket_literal(vec: Column, planes: list[list[float]]) -> Column:
+    """SRP bucket id from literal hyperplanes. The projection is rounded
+    to 6 decimals before the sign test so engine-specific fp summation
+    order can't flip a boundary bit."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        comps = F.array(*[F.lit(x) for x in plane])
+        s = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(F.round(s, 6) > 0, F.lit(1 << p)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_topk_literal(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """X3 scale path, oracle-replayable form — approximate top-k where
+    only candidates sharing the query's SRP bucket are scored. At 100 TB
+    the corpus shuffles once on the (tiny, int) bucket id; queries
+    broadcast; the quadratic scan becomes a bucket-equi join."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+        srp_bucket_literal(F.col("__v"), planes).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(query_id_col),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+        srp_bucket_literal(F.col("__v"), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    centroid_id_col: str = "c_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every corpus vector to its nearest
+    centroid (broadcast the centroid table — it is small by
+    construction), then a query probes only its own centroid's inverted
+    list. One corpus shuffle on the centroid id; scoring is bucket-local.
+    Assignment ties break on centroid id, scores round to 4 decimals
+    with neighbor-id tie-break (reproducible across engines)."""
+    cents = with_norm(centroids, vec_col).select(
+        F.col(centroid_id_col), F.col("__v").alias("ce"), F.col("__norm").alias("cen")
+    )
+
+    def assign(df: DataFrame, keep: list[str]) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "__sim", F.round(cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")), 6)
+        )
+        w = Window.partitionBy(*keep).orderBy(
+            F.col("__sim").desc(), F.col(centroid_id_col).asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keep, "__v", "__norm", F.col(centroid_id_col).alias("assigned"))
+        )
+
+    c = assign(
+        with_norm(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "__v", "__norm"),
+        ["neighbor_id"],
+    ).select("neighbor_id", F.col("__v").alias("cv"), F.col("__norm").alias("cn"), "assigned")
+    q = assign(
+        with_norm(queries, vec_col).select(F.col(query_id_col), "__v", "__norm"),
+        [query_id_col],
+    ).select(query_id_col, F.col("__v").alias("qv"), F.col("__norm").alias("qn"), "assigned")
+    scored = (
+        c.join(F.broadcast(q), on="assigned")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .select(query_id_col, "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (the correctness baseline;
+    the LSH/IVF buckets above are the 100 TB path — same scoring, the
+    candidate set shrinks from n² to bucket-local)."""
+    n = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("__norm").alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id (deterministic).
 

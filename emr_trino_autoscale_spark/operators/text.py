@@ -104,6 +104,27 @@ def fingerprint64(text_col: str = "text", window: int = 8) -> Column:
     )
 
 
+def fingerprint60_md5(text_col: str = "text", window: int = 8) -> Column:
+    """Oracle-replayable rolling fingerprint: 60-bit ints from the md5 of
+    each ``window``-token gram, XOR-folded. Same shape as
+    :func:`fingerprint64` but built on md5 (portable across engines;
+    xxhash64 is Spark-specific). 15 hex chars keep the value < 2^60, so
+    it is exact in any signed 64-bit integer."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, window))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return F.aggregate(
+        grams, F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h)
+    )
+
+
 def doc_stats(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("lang", "source"),

@@ -902,6 +902,442 @@ FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx
 
 
 # ---------------------------------------------------------------------------
+# Q26-Q37 — second extension wave: the training-data-pipeline surface
+# (BASELINE.json north_star) beyond the Q21-Q25 minimum. Same contract:
+# every query has a DuckDB oracle; md5 replaces xxhash64 wherever the
+# oracle must replay a hash (xxhash64 variants stay in operators/ as the
+# scale path and are pytest-covered).
+
+
+# Q26 — SimHash near-dup clusters (md5-nibble votes, 16-bit).
+
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_clusters(d).orderBy("sig")
+
+
+Q26_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(16), b ->
+           CASE WHEN len(list_filter(hs, h -> substr(h, b + 1, 1) >= '8')) * 2
+                     - len(hs) > 0
+                THEN 1 << b ELSE 0 END)) AS INTEGER) AS sig
+  FROM h)
+SELECT sig, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM s GROUP BY sig ORDER BY sig
+"""
+
+
+# Q27 — n-gram Jaccard near-dup pairs via inverted shingle index
+# (no quadratic cross join: docs only meet through a shared shingle).
+
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", "n_common", "sz_a", "sz_b", dec4("jaccard").alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+Q27_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+s AS (SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS sh
+      FROM f),
+sz AS (SELECT id, COUNT(*) AS sz FROM s GROUP BY id),
+i AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, n_common, x.sz AS sz_a, y.sz AS sz_b,
+       {_dec4('n_common / (x.sz + y.sz - n_common)')} AS jaccard
+FROM i JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+WHERE n_common / (x.sz + y.sz - n_common) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# Q28 — exact embedding-cosine near-dup pairs (the correctness baseline
+# for X2's embedding variant; Q29/Q30 are the bucketed scale paths).
+
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+
+
+Q28_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM n a, n b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+# Q29 — LSH-bucketed approximate top-k (SRP hyperplanes embedded as
+# literals on BOTH sides so the oracle replays the exact buckets).
+
+_PLANES = similarity.md5_sign_planes(n_planes=8, dim=64)
+
+
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.lsh_topk_literal(e, queries, _PLANES, k=5).orderBy(
+        "q_id", "rank"
+    )
+
+
+def _planes_sql_literal() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]" for plane in _PLANES
+    )
+    return f"[{rows}]"
+
+
+Q29_SQL = f"""
+WITH pl AS (SELECT {_planes_sql_literal()} AS planes),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+             CAST(list_sum(list_transform(range(8), p ->
+               CASE WHEN ROUND(list_inner_product(v, planes[p + 1]), 6) > 0
+                    THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+      FROM e, pl),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+p AS (SELECT q_id, n.vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, n.v) / (qn * n.nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q JOIN n USING (bucket) WHERE n.vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# Q30 — IVF-style ANN: coarse-quantize to the nearest of 8 centroids
+# (centroids = a fixed id set, the deterministic stand-in for k-means),
+# probe only the query's inverted list.
+
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") >= 8)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(e, cents, queries, k=5).orderBy("q_id", "rank")
+
+
+Q30_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS c_id, v AS ce, nrm AS cen FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, nrm, c_id AS assigned,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_inner_product(v, ce) / (nrm * cen), 6) DESC, c_id) AS rn
+  FROM n, c),
+a AS (SELECT vec_id, v, nrm, assigned FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, assigned FROM a
+      WHERE vec_id % 50 = 0 AND vec_id >= 8),
+p AS (SELECT q_id, a.vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, a.v) / (qn * a.nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q JOIN a USING (assigned) WHERE a.vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# Q31 — language-ID heuristic + quality scoring, aggregated by guess.
+
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        text.language_id("text").alias("guessed"),
+        text.quality_score("text").alias("q"),
+    )
+    return (
+        scored.groupBy("guessed")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("lang") == F.col("guessed")).cast("bigint")).alias("n_label_match"),
+            dec4(F.sum("q")).alias("sum_quality"),
+        )
+        .orderBy("guessed")
+    )
+
+
+Q31_SQL = f"""
+WITH s AS (
+  SELECT lang,
+         string_split(lower(text), ' ') AS lt,
+         string_split(text, ' ') AS toks,
+         text
+  FROM documents),
+g AS (
+  SELECT lang,
+         len(list_filter(lt, t -> t IN ('the','and','of','is'))) AS en,
+         len(list_filter(lt, t -> t IN ('der','die','und','ist'))) AS de,
+         len(list_filter(lt, t -> t IN ('le','la','et','est'))) AS fr,
+         len(list_filter(lt, t -> t IN ('el','los','y','es'))) AS es,
+         len(toks) AS n_tok,
+         len(list_filter(lt, t -> t IN
+           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+         length(text) AS n_char
+  FROM s),
+v AS (
+  SELECT lang,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS guessed,
+         (least(n_tok / 100.0, 1.0)
+          + least(n_stop / greatest(n_tok, 1) * 5.0, 1.0)
+          + greatest(1.0 - n_punct / greatest(n_char, 1) * 5.0, 0.0)) / 3.0 AS q
+  FROM g)
+SELECT guessed, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lang = guessed THEN 1 ELSE 0 END) AS BIGINT) AS n_label_match,
+       {_dec4('SUM(q)')} AS sum_quality
+FROM v GROUP BY guessed ORDER BY guessed
+"""
+
+
+# Q32 — per-document fingerprint + BPE-ish token count.
+
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.bpe_ish_token_count("text").alias("bpe_tokens"),
+        text.token_count("text").alias("ws_tokens"),
+        text.fingerprint60_md5("text", window=8).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+Q32_SQL = r"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS bpe_tokens,
+       CAST(len(toks) AS BIGINT) AS ws_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, greatest(len(toks) - 7, 1) + 1),
+             i -> CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15)
+                       AS BIGINT))),
+         (a, b) -> xor(a, b)) AS fingerprint
+FROM t ORDER BY doc_id
+"""
+
+
+# Q33 — rollup (grouping sets) over documents: per (lang, source),
+# per lang, and grand total, with grouping flags.
+
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "g_lang",
+            "g_source",
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source", "g_lang", "g_source")
+    )
+
+
+Q33_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+       CAST(GROUPING(source) AS INTEGER) AS g_source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY lang, source, g_lang, g_source
+"""
+
+
+# Q34 — as-of join: each click event picks up the latest prior-or-equal
+# purchase (per user). Implemented as the union-and-carry-forward window
+# (one shuffle on user_id, no range explosion — the scalable as-of form;
+# purchases sort before clicks at equal ts, ties among purchases resolve
+# to the highest event_id).
+
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("pts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "last_pv", F.last("pv", ignorenulls=True).over(w)
+    ).withColumn("last_pts", F.last("pts", ignorenulls=True).over(w))
+    return (
+        joined.filter(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            fmt_ts("ts").alias("click_ts"),
+            dec4("last_pv").alias("last_purchase_value"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_pts"))
+            .cast("bigint")
+            .alias("lag_sec"),
+        )
+        .orderBy("click_id")
+    )
+
+
+Q34_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv,
+         CASE WHEN event_type = 'purchase' THEN ts END AS pts
+  FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (
+  SELECT *, LAST_VALUE(pv IGNORE NULLS) OVER win AS last_pv,
+            LAST_VALUE(pts IGNORE NULLS) OVER win AS last_pts
+  FROM base
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_click, event_id
+                 ROWS UNBOUNDED PRECEDING))
+SELECT event_id AS click_id, user_id, {_fmt('ts')} AS click_ts,
+       {_dec4('last_pv')} AS last_purchase_value,
+       CAST(date_diff('second', last_pts, ts) AS BIGINT) AS lag_sec
+FROM w WHERE is_click = 1 ORDER BY click_id
+"""
+
+
+# Q35 — exact interpolated percentiles per event_type.
+
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.percentile("value", 0.5).alias("p50_raw"),
+            F.percentile("value", 0.9).alias("p90_raw"),
+        )
+        .select(
+            "event_type",
+            "n",
+            dec4("p50_raw").alias("p50"),
+            dec4("p90_raw").alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q35_SQL = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('quantile_cont(value, 0.5)')} AS p50,
+       {_dec4('quantile_cont(value, 0.9)')} AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# Q36 — top-3 orders per market segment (broadcast dim join + ranking
+# window; row_number with a total tie-break for determinism).
+
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "rnk",
+            F.col("o_orderkey").alias("order_key"),
+            dec4("o_totalprice").alias("total_price"),
+        )
+        .orderBy("segment", "rnk")
+    )
+
+
+Q36_SQL = f"""
+WITH r AS (
+  SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+              ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT segment, rnk, o_orderkey AS order_key,
+       {_dec4('o_totalprice')} AS total_price
+FROM r WHERE rnk <= 3 ORDER BY segment, rnk
+"""
+
+
+# Q37 — multimodal plumbing: opaque binary column -> typed metadata via
+# Arrow-batched mapInPandas (X6; decode itself is stubbed, the Spark
+# plumbing — schema, batching, column pruning — is the product).
+
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return multimodal.binary_meta(d, payload_col="payload", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+Q37_SQL = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN strlen(text) > 0 THEN ascii(text) END AS INTEGER) AS first_byte
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
@@ -929,6 +1365,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_cosine_topk": q23,
     "q24_token_stats": q24,
     "q25_sessionize": q25,
+    "q26_simhash_clusters": q26,
+    "q27_ngram_jaccard_pairs": q27,
+    "q28_embedding_near_dup": q28,
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q34_asof_join": q34,
+    "q35_percentiles": q35,
+    "q36_topk_per_segment": q36,
+    "q37_multimodal_meta": q37,
 }
 
 ORACLE: dict[str, str] = {
@@ -957,4 +1405,16 @@ ORACLE: dict[str, str] = {
     "q23_cosine_topk": Q23_SQL,
     "q24_token_stats": Q24_SQL,
     "q25_sessionize": Q25_SQL,
+    "q26_simhash_clusters": Q26_SQL,
+    "q27_ngram_jaccard_pairs": Q27_SQL,
+    "q28_embedding_near_dup": Q28_SQL,
+    "q29_lsh_topk": Q29_SQL,
+    "q30_ivf_topk": Q30_SQL,
+    "q31_langid_quality": Q31_SQL,
+    "q32_fingerprint_tokens": Q32_SQL,
+    "q33_rollup_stats": Q33_SQL,
+    "q34_asof_join": Q34_SQL,
+    "q35_percentiles": Q35_SQL,
+    "q36_topk_per_segment": Q36_SQL,
+    "q37_multimodal_meta": Q37_SQL,
 }

@@ -136,6 +136,87 @@ def test_text_quality_and_language(spark):
     assert isinstance(by_id[0]["fp"], int)
 
 
+def test_simhash16_md5_groups_identical_texts(spark):
+    d = docs(spark, ["a b c d", "a b c d", "totally different words here"])
+    out = dedup.simhash_clusters(d)
+    clusters = {r["keep_id"]: r["cluster_size"] for r in out.collect()}
+    assert clusters.get(0) == 2
+    rows = d.select(dedup.simhash16_md5().alias("s")).collect()
+    assert all(0 <= r["s"] < (1 << 16) for r in rows)
+
+
+def test_lsh_topk_literal_matches_brute_force_in_bucket(spark):
+    planes = similarity.md5_sign_planes(n_planes=4, dim=8)
+    corpus = vecs(
+        spark,
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+        + [(100, [1.0, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.lsh_topk_literal(corpus, q, planes, k=3).collect()
+    # near-identical vector lands in the same bucket and ranks first
+    assert out and out[0]["neighbor_id"] == 100
+
+
+def test_ivf_topk_probes_assigned_bucket(spark):
+    corpus = vecs(
+        spark,
+        [
+            (0, [1.0, 0.0]),   # centroid A
+            (1, [0.0, 1.0]),   # centroid B
+            (10, [0.9, 0.1]),  # near A
+            (11, [0.95, 0.05]),
+            (20, [0.1, 0.9]),  # near B
+        ],
+    )
+    cents = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    q = corpus.filter(F.col("vec_id") == 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.ivf_topk(corpus, cents, q, k=5).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 11 in ids and 0 in ids  # same inverted list
+    assert 20 not in ids and 1 not in ids  # other bucket never scored
+
+
+def test_embedding_near_dup_pairs(spark):
+    corpus = vecs(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
+    )
+    out = similarity.near_dup_pairs(corpus, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+def test_fingerprint60_md5_portable_and_shift_sensitive(spark):
+    d = docs(
+        spark,
+        [
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+            "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",
+        ],
+    )
+    rows = d.select("doc_id", text.fingerprint60_md5().alias("fp")).collect()
+    fp = {r["doc_id"]: r["fp"] for r in rows}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+    assert all(0 <= v < (1 << 60) for v in fp.values())
+
+
+def test_binary_meta_mapinpandas(spark):
+    d = docs(spark, ["hello world", "x"]).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    rows = {r["doc_id"]: r for r in multimodal.binary_meta(d, id_col="doc_id").collect()}
+    assert rows[0]["n_bytes"] == 11 and rows[0]["first_byte"] == ord("h")
+    assert rows[1]["n_bytes"] == 1 and rows[1]["first_byte"] == ord("x")
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=12)
     feats = multimodal.extract_features(media)
