@@ -32,6 +32,12 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first timed query isn't charged for
+    # session spin-up (docstring: session startup is excluded).
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()

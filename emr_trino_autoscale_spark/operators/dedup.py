@@ -13,7 +13,7 @@ Deterministic by construction: hash functions are md5/xxhash64/crc32
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -32,18 +32,27 @@ def exact_dedup(
     )
 
 
-def shingles(text_col: str = "text", k: int = 3) -> Column:
-    """Word k-shingles as an array column (split on single space —
-    deterministic, matches the oracle's string_split semantics)."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - F.lit(k - 1))  # 1-based start positions
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles from a *materialized* token-array column.
+
+    The token array MUST be a named column, not an inline ``split(...)``
+    expression: expressions referenced inside a higher-order-function
+    lambda are re-evaluated per element access (no common-subexpression
+    elimination inside lambdas), which turns one split per row into one
+    split per (position x k) — measured 7x slower at sf0.1."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))  # 1-based starts
     return F.transform(
         idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Word k-shingles as an array column (split on single space —
+    deterministic, matches the oracle's string_split semantics).
+    Prefer :func:`shingles_of` over a materialized token column in
+    operator code (see its performance note)."""
+    return shingles_of(F.split(F.col(text_col), " "), k)
 
 
 def minhash_signature(text_col: str = "text", k: int = 3) -> Column:
@@ -59,10 +68,15 @@ def near_dup_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """X2 — near-duplicate candidate clusters via the minhash signature."""
-    toks = F.split(F.col(text_col), " ")
     return (
-        df.filter(F.size(toks) >= k)
-        .select(F.col(id_col), minhash_signature(text_col, k).alias("sig"))
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col),
+            F.array_min(
+                F.transform(shingles_of(F.col("__toks"), k), F.md5)
+            ).alias("sig"),
+        )
         .groupBy("sig")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -148,10 +162,11 @@ def ngram_jaccard_pairs(
     so the exchange is narrow; AQE splits skewed boilerplate shingles.
     """
     sh = (
-        df.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
         .select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles(text_col, k))).alias("shingle"),
+            F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("shingle"),
         )
         .select("id", F.md5("shingle").alias("sh"))
     )
@@ -166,6 +181,91 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
         inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with PPJoin-style prefix filtering —
+    the scalable form of :func:`ngram_jaccard_pairs`.
+
+    The naive inverted-index join blows up on boilerplate shingles (a
+    shingle in f documents emits f^2 candidate rows). Prefix filtering
+    removes the hot keys *losslessly*: order every document's shingle
+    set by ascending global document frequency (rare first; ties by
+    digest) and index only the first |d| - ceil(t*|d|) + 1 shingles. Any
+    pair with Jaccard >= t must collide on at least one prefix shingle
+    (pigeonhole on the shared total order), and prefixes consist of rare
+    shingles, so no join key is hot. Candidates are then verified
+    exactly against the full shingle sets (``array_intersect``).
+
+    Scale: two shuffles of the narrow (id, digest) index + one
+    candidate-key shuffle, all skew-free; the verify join moves only
+    candidate ids plus the packed shingle arrays.
+    """
+    docs = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(shingles_of(F.col("__toks"), k), F.md5)
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    # The shingle index feeds three plan branches (inverted index + both
+    # verify sides); Spark has no common-subplan elimination across
+    # branches, so persist the narrow (id, sh, sz) projection instead of
+    # recomputing the md5 shingling three times. MEMORY_AND_DISK: spills
+    # rather than fails when the corpus outgrows executor memory.
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = docs.select("id", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    pref = (
+        ex.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "s", "sz")
+    )
+    # candidate join; the PPJoin length filter rides along for free:
+    # J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so pairs outside the
+    # size band are dropped before the distinct/verify.
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),

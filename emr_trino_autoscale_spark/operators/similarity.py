@@ -249,6 +249,89 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine via blocked GEMM — the scalable form of
+    :func:`near_dup_pairs`.
+
+    Rows are hashed into ``n_blocks`` blocks and replicated once per
+    partner block, so every block pair (i <= j) materializes on exactly
+    one task, where a single NumPy matmul scores the whole tile
+    (Arrow-batched ``applyInPandas``; BLAS beats per-pair higher-order
+    functions by ~2 orders of magnitude). Exactness is preserved — only
+    the candidate *routing* changes, every pair is still scored.
+
+    Scale: shuffle volume is n_rows x n_blocks (the standard sqrt(P)
+    replication of distributed all-pairs); pick n_blocks so a block's
+    matrix fits executor memory (n/n_blocks x dim doubles). The UDF
+    pre-filters at threshold - 1e-6; the exact >= threshold cut happens
+    after Spark-side 4-decimal rounding, identical to the baseline op.
+    """
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    repl = base.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("p"),
+    ).select(
+        "id",
+        "v",
+        "blk",
+        F.least("blk", "p").alias("ba"),
+        F.greatest("blk", "p").alias("bb"),
+    )
+
+    pre_cut = threshold - 1e-6
+
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ba, bb = int(key[0]), int(key[1])
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        blks = pdf["blk"].to_numpy()[order]
+        m = np.asarray([list(x) for x in pdf["v"].to_numpy()[order]], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        m = m / norms[:, None]
+        if ba == bb:
+            sims = m @ m.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+        else:
+            la, lb = blks == ba, blks == bb
+            sims = m[la] @ m[lb].T
+            ia, ib = np.nonzero(sims >= pre_cut)
+            a_ids, b_ids = ids[la][ia], ids[lb][ib]
+            lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+            return pd.DataFrame(
+                {"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]}
+            )
+        keep = sims[ia, ib] >= pre_cut
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sims[ia, ib][keep]}
+        )
+
+    pairs = repl.groupBy("ba", "bb").applyInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )
+    return (
+        pairs.withColumn("cosine", F.round("cosine", 4).cast("decimal(38,4)"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id (deterministic).
 

@@ -87,11 +87,18 @@ def language_id(text_col: str = "text") -> Column:
     )
 
 
-def fingerprint64(text_col: str = "text", window: int = 8) -> Column:
+def fingerprint64(
+    text_col: str = "text", window: int = 8, toks: Column | None = None
+) -> Column:
     """Rolling-hash document fingerprint: xxhash64 of each ``window``-gram
     of tokens, folded with XOR — order-insensitive fold of order-sensitive
-    grams, so it is stable yet content-shift-sensitive."""
-    toks = F.split(F.col(text_col), " ")
+    grams, so it is stable yet content-shift-sensitive.
+
+    Pass ``toks`` as a materialized token-array *column* in hot paths —
+    an inline split is re-evaluated per gram inside the lambda (see
+    dedup.shingles_of)."""
+    if toks is None:
+        toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
@@ -104,13 +111,17 @@ def fingerprint64(text_col: str = "text", window: int = 8) -> Column:
     )
 
 
-def fingerprint60_md5(text_col: str = "text", window: int = 8) -> Column:
+def fingerprint60_md5(
+    text_col: str = "text", window: int = 8, toks: Column | None = None
+) -> Column:
     """Oracle-replayable rolling fingerprint: 60-bit ints from the md5 of
     each ``window``-token gram, XOR-folded. Same shape as
     :func:`fingerprint64` but built on md5 (portable across engines;
     xxhash64 is Spark-specific). 15 hex chars keep the value < 2^60, so
-    it is exact in any signed 64-bit integer."""
-    toks = F.split(F.col(text_col), " ")
+    it is exact in any signed 64-bit integer. Pass ``toks`` as a
+    materialized column in hot paths (see :func:`fingerprint64`)."""
+    if toks is None:
+        toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),

@@ -938,7 +938,7 @@ FROM s GROUP BY sig ORDER BY sig
 
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs_prefix(d, k=3, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", "n_common", "sz_a", "sz_b", dec4("jaccard").alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -967,7 +967,7 @@ ORDER BY id_a, id_b
 
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(e, threshold=0.4).orderBy("id_a", "id_b")
+    return similarity.near_dup_pairs_blocked(e, threshold=0.4).orderBy("id_a", "id_b")
 
 
 Q28_SQL = """
@@ -1124,12 +1124,14 @@ FROM v GROUP BY guessed ORDER BY guessed
 # Q32 — per-document fingerprint + BPE-ish token count.
 
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split(F.col("text"), " ")
+    )
     return d.select(
         "doc_id",
         text.bpe_ish_token_count("text").alias("bpe_tokens"),
-        text.token_count("text").alias("ws_tokens"),
-        text.fingerprint60_md5("text", window=8).alias("fingerprint"),
+        F.size("__toks").cast("bigint").alias("ws_tokens"),
+        text.fingerprint60_md5(toks=F.col("__toks"), window=8).alias("fingerprint"),
     ).orderBy("doc_id")
 
 

@@ -192,6 +192,49 @@ def test_embedding_near_dup_pairs(spark):
     assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
 
 
+def test_blocked_pairs_match_baseline(spark):
+    # blocked GEMM must return exactly the same pairs as the quadratic
+    # baseline (routing changes, scoring doesn't)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    corpus = vecs(spark, rows)
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs(corpus, threshold=0.5).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs_blocked(
+            corpus, threshold=0.5, n_blocks=4
+        ).collect()
+    }
+    assert base == blocked and len(base) > 0
+
+
+def test_prefix_jaccard_matches_baseline(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "an utterly different document about spark shuffles",
+        "an utterly different document about spark shuffles",  # exact dup
+        "one more unrelated line of text with many words",
+    ]
+    d = docs(spark, texts)
+    base = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.4).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs_prefix(d, threshold=0.4).collect()
+    }
+    assert base == pref and (2, 3) in pref
+
+
 def test_fingerprint60_md5_portable_and_shift_sensitive(spark):
     d = docs(
         spark,
