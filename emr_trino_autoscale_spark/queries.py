@@ -1340,6 +1340,177 @@ FROM documents ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q38-Q42 — join/aggregation/window/UDF families the reference lacks and
+# SURVEY §2.3/§2.4/§2.10 declares as engine-provided: full outer join,
+# interval (range) join, distinct aggregation, range-frame windows, and
+# the Arrow scalar-UDF surface.
+
+
+# Q38 — full outer join: daily order counts vs daily event counts on a
+# shared calendar key (nulls where either side has no activity).
+
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    return (
+        o.join(e, "d", "full_outer")
+        .select(
+            F.date_format(F.col("d"), "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            "n_events",
+        )
+        .orderBy("day")
+    )
+
+
+Q38_SQL = """
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY 1),
+e AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1)
+SELECT strftime(COALESCE(o.d, e.d), '%Y-%m-%d') AS day, n_orders, n_events
+FROM o FULL OUTER JOIN e USING (d) ORDER BY day
+"""
+
+
+# Q39 — interval/range join: order activity windows
+# [o_orderdate, o_orderdate + 30 days] overlapped against a quarter
+# grid. The grid is tiny -> broadcast non-equi join (the Spark plan for
+# range joins against a small interval table).
+
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    grid = (
+        o.select(F.date_trunc("quarter", "o_orderdate").alias("q_start"))
+        .distinct()
+        .withColumn("q_end", F.expr("q_start + INTERVAL 3 MONTH"))
+    )
+    return (
+        o.withColumn("w_end", F.expr("o_orderdate + INTERVAL 30 DAY"))
+        .join(
+            F.broadcast(grid),
+            (F.col("o_orderdate") < F.col("q_end")) & (F.col("w_end") >= F.col("q_start")),
+        )
+        .groupBy(F.date_format("q_start", "yyyy-MM-dd").alias("quarter"))
+        .agg(F.count("*").cast("bigint").alias("n_active_orders"))
+        .orderBy("quarter")
+    )
+
+
+Q39_SQL = """
+WITH grid AS (
+  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS q_start,
+         date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS q_end
+  FROM orders)
+SELECT strftime(q_start, '%Y-%m-%d') AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_active_orders
+FROM orders JOIN grid
+  ON o_orderdate < q_end AND o_orderdate + INTERVAL 30 DAY >= q_start
+GROUP BY 1 ORDER BY quarter
+"""
+
+
+# Q40 — distinct aggregation (Expand-based plan): per order priority,
+# distinct customers and distinct order days alongside plain counts.
+
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.countDistinct(F.to_date("o_orderdate")).cast("bigint").alias("n_days"),
+            dec4(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+Q40_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+       {_dec4('SUM(o_totalprice)')} AS sum_price
+FROM orders GROUP BY 1 ORDER BY priority
+"""
+
+
+# Q41 — range-frame window (event-time range, not row count): per event,
+# the sum of the user's values in the trailing hour. RANGE frames bound
+# by a time delta are the streaming-compatible form of the ring buffer.
+
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts").alias("ts_str"),
+            dec4(F.sum("value").over(w)).alias("trailing_hour_sum"),
+            F.count("*").over(w).cast("bigint").alias("trailing_hour_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+Q41_SQL = f"""
+SELECT event_id, user_id, {_fmt('ts')} AS ts_str,
+       {_dec4('SUM(value) OVER w')} AS trailing_hour_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# Q42 — Arrow scalar pandas UDF surface: vectorized per-string metric
+# computed in Python (the sanctioned slow path — Series in, Series out,
+# one Arrow batch at a time; compare mapInPandas in Q37).
+
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.arrow_udfs import vowel_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(vowel_count("text")).cast("bigint").alias("total_vowels"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q42_SQL = """
+SELECT lang,
+       CAST(SUM(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))) AS BIGINT)
+         AS total_vowels,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
@@ -1379,6 +1550,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_percentiles": q35,
     "q36_topk_per_segment": q36,
     "q37_multimodal_meta": q37,
+    "q38_full_outer_calendar": q38,
+    "q39_interval_join": q39,
+    "q40_distinct_aggs": q40,
+    "q41_range_window": q41,
+    "q42_pandas_udf_vowels": q42,
 }
 
 ORACLE: dict[str, str] = {
@@ -1419,4 +1595,9 @@ ORACLE: dict[str, str] = {
     "q35_percentiles": Q35_SQL,
     "q36_topk_per_segment": Q36_SQL,
     "q37_multimodal_meta": Q37_SQL,
+    "q38_full_outer_calendar": Q38_SQL,
+    "q39_interval_join": Q39_SQL,
+    "q40_distinct_aggs": Q40_SQL,
+    "q41_range_window": Q41_SQL,
+    "q42_pandas_udf_vowels": Q42_SQL,
 }
