@@ -1510,6 +1510,90 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+# Q43 — approximate sketches (HyperLogLog++ ndv, quantile sketch).
+# NO oracle entry: sketch internals are engine-specific, so the driver
+# records the weaker rows-only check. Exact twins are Q40 (ndv) and Q35
+# (percentiles); pytest bounds the sketch error against them.
+
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_p50"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("priority")
+    )
+
+
+# Q44 — pivot (long -> wide): per-user event-type counts as columns.
+# Explicit pivot value list (deterministic schema; never inferred).
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .select(
+            "user_id",
+            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
+        )
+        .orderBy("user_id")
+    )
+
+
+Q44_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# Q45 — map-typed columns in-plan: per-user map of event_type -> summed
+# value, filtered with map_filter, re-exploded to rows (S4's pivot family
+# plus Spark's map function surface; the map is plan-internal, the
+# output is deterministic rows).
+
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("sv")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "sv")))
+        ).alias("m")
+    )
+    big = as_map.select(
+        "user_id",
+        F.explode(
+            F.map_filter("m", lambda _k, v: v > 100.0)
+        ).alias("event_type", "sv_raw"),
+    )
+    return big.select(
+        "user_id", "event_type", dec4("sv_raw").alias("sum_value")
+    ).orderBy("user_id", "event_type")
+
+
+Q45_SQL = f"""
+SELECT user_id, event_type, {_dec4('SUM(value)')} AS sum_value
+FROM events GROUP BY user_id, event_type
+HAVING SUM(value) > 100.0
+ORDER BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1555,6 +1639,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_distinct_aggs": q40,
     "q41_range_window": q41,
     "q42_pandas_udf_vowels": q42,
+    "q43_approx_sketches": q43,
+    "q44_pivot_counts": q44,
+    "q45_map_roundtrip": q45,
 }
 
 ORACLE: dict[str, str] = {
@@ -1600,4 +1687,8 @@ ORACLE: dict[str, str] = {
     "q40_distinct_aggs": Q40_SQL,
     "q41_range_window": Q41_SQL,
     "q42_pandas_udf_vowels": Q42_SQL,
+    # q43 intentionally absent: sketch output is engine-specific (driver
+    # records the rows-only check); exact twins are q35/q40.
+    "q44_pivot_counts": Q44_SQL,
+    "q45_map_roundtrip": Q45_SQL,
 }

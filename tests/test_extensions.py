@@ -260,6 +260,21 @@ def test_binary_meta_mapinpandas(spark):
     assert rows[1]["n_bytes"] == 1 and rows[1]["first_byte"] == ord("x")
 
 
+def test_approx_sketches_bounded_error(spark, sf_dir):
+    from emr_trino_autoscale_spark.queries import QUERIES
+
+    approx = {
+        r["priority"]: r
+        for r in QUERIES["q43_approx_sketches"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["priority"]: r for r in QUERIES["q40_distinct_aggs"](spark, sf_dir).collect()
+    }
+    for p, a in approx.items():
+        nd = exact[p]["n_customers"]
+        assert abs(a["approx_customers"] - nd) <= max(3, 0.1 * nd)
+
+
 def test_multimodal_feature_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=12)
     feats = multimodal.extract_features(media)
