@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the arithmetic operators whose
+contracts are algebraic: allocation conservation, clamp bounds, session
+assignment, hash ranges. Each example runs ONE Spark job over a batch of
+generated rows (hypothesis drives the data, Spark evaluates in bulk)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from emr_trino_autoscale_spark.functions import distribute_alloc, step_expand, step_shrink
+from emr_trino_autoscale_spark.operators import dedup, events as ev_ops
+
+SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@given(
+    cases=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 48)), min_size=1, max_size=20
+    )
+)
+@settings(**SETTINGS)
+def test_distribute_conserves_and_balances(spark, cases):
+    rows = [
+        (ci, v, g, i) for ci, (v, g) in enumerate(cases) for i in range(g)
+    ]
+    df = spark.createDataFrame(rows, "case long, value long, groups long, idx long")
+    out = df.select(
+        "case",
+        "value",
+        "groups",
+        distribute_alloc(F.col("idx"), F.col("value"), F.col("groups")).alias("alloc"),
+    ).collect()
+    per_case: dict[int, list] = {}
+    for r in out:
+        per_case.setdefault(r["case"], []).append(r)
+    for ci, (v, g) in enumerate(cases):
+        allocs = [r["alloc"] for r in per_case[ci]]
+        assert sum(allocs) == v                      # conservation
+        assert max(allocs) - min(allocs) <= 1        # balance
+        assert sorted(allocs, reverse=True) == allocs or len(set(allocs)) == 1
+
+
+@given(
+    cases=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 100)), min_size=1, max_size=50
+    ),
+    step=st.integers(1, 40),
+    min_cap=st.integers(0, 10),
+    max_cap=st.integers(10, 200),
+)
+@settings(**SETTINGS)
+def test_step_clamps_bounded(spark, cases, step, min_cap, max_cap):
+    df = spark.createDataFrame(cases, "running int, required int")
+    out = df.select(
+        "running",
+        "required",
+        step_expand(F.col("running"), F.col("required"), step, max_cap).alias("e"),
+        step_shrink(F.col("running"), step, min_cap).alias("s"),
+    ).collect()
+    for r in out:
+        # expand: never exceeds the cap; reaches at least the smaller of
+        # (required, cap); monotone in running
+        assert r["e"] <= max_cap
+        assert r["e"] >= min(r["required"], max_cap)
+        assert r["e"] >= min(r["running"], max_cap)
+        # shrink: never below the floor, never above running (unless floored)
+        assert r["s"] >= min_cap
+        assert r["s"] <= max(r["running"], min_cap)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100_000)),  # (user, ts_sec)
+        min_size=1,
+        max_size=60,
+    ),
+    gap_min=st.integers(1, 120),
+)
+@settings(**SETTINGS)
+def test_sessionize_assignment(spark, events, gap_min):
+    rows = [
+        (i, u, f"1970-01-02 00:00:00", ts) for i, (u, ts) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, pad string, sec long").select(
+        "event_id", "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    out = ev_ops.sessionize(df, f"{gap_min} minutes").collect()
+    assert len(out) == len(events)  # every event keeps exactly one row
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap = gap_min * 60
+    for rows_u in by_user.values():
+        rows_u.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows_u, rows_u[1:]):
+            delta = (b["ts"] - a["ts"]).total_seconds()
+            if b["session_idx"] == a["session_idx"]:
+                assert delta <= gap       # within session: gap respected
+            else:
+                assert b["session_idx"] == a["session_idx"] + 1
+                assert delta > gap        # new session only after a true gap
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdef "), min_size=1, max_size=40
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_hash_ranges_and_determinism(spark, texts):
+    from emr_trino_autoscale_spark.operators.text import fingerprint60_md5
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id",
+        "text",
+        dedup.simhash16_md5().alias("sim"),
+        fingerprint60_md5().alias("fp"),
+    ).collect()
+    by_text: dict[str, tuple] = {}
+    for r in out:
+        assert 0 <= r["sim"] < (1 << 16)
+        assert 0 <= r["fp"] < (1 << 60)
+        key = (r["sim"], r["fp"])
+        if r["text"] in by_text:
+            assert by_text[r["text"]] == key  # same text -> same signatures
+        by_text[r["text"]] = key
