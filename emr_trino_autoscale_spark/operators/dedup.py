@@ -146,6 +146,68 @@ def simhash_clusters(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via band-joins.
+
+    The 16-bit signature splits into ``n_bands`` bands; by pigeonhole,
+    two signatures within Hamming distance < n_bands share at least one
+    identical band, so the candidate join is band-equi (narrow int keys,
+    no quadratic scan). Candidates are then verified exactly with
+    ``bit_count(xor)``. Exact for ``max_hamming < n_bands``.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("exactness requires max_hamming < n_bands")
+    bits = 16 // n_bands
+    sigs = df.select(F.col(id_col).alias("id"), simhash16_md5(text_col).alias("sig"))
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "sig_a", "sig_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1603,6 +1603,78 @@ ORDER BY user_id, event_type
 """
 
 
+# Q46 — classic fact-fact-dim aggregation join: lineitem x orders
+# (shuffle join on the fact keys) x customer (broadcast), revenue per
+# market segment per order year.
+
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            dec4(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            ).alias("revenue"),
+        )
+        .orderBy("segment", "order_year")
+    )
+
+
+Q46_SQL = f"""
+SELECT c_mktsegment AS segment,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {_dec4('SUM(l_extendedprice * (1.0 - l_discount))')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 ORDER BY segment, order_year
+"""
+
+
+# Q47 — SimHash Hamming-radius pairs via band-join (the radius>0
+# extension of Q26; band-equi candidates + exact bit_count verify).
+
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(d, max_hamming=2, n_bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+Q47_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+  FROM documents),
+s AS (
+  SELECT doc_id AS id,
+         CAST(list_sum(list_transform(range(16), b ->
+           CASE WHEN len(list_filter(hs, h -> substr(h, b + 1, 1) >= '8')) * 2
+                     - len(hs) > 0
+                THEN 1 << b ELSE 0 END)) AS INTEGER) AS sig
+  FROM h),
+banded AS (
+  SELECT id, sig, band, (sig >> (band * 4)) & 15 AS key
+  FROM s, (SELECT unnest(range(4)) AS band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+SELECT id_a, id_b, sig_a, sig_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1651,6 +1723,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_approx_sketches": q43,
     "q44_pivot_counts": q44,
     "q45_map_roundtrip": q45,
+    "q46_revenue_join": q46,
+    "q47_simhash_hamming": q47,
 }
 
 ORACLE: dict[str, str] = {
@@ -1700,4 +1774,6 @@ ORACLE: dict[str, str] = {
     # records the rows-only check); exact twins are q35/q40.
     "q44_pivot_counts": Q44_SQL,
     "q45_map_roundtrip": Q45_SQL,
+    "q46_revenue_join": Q46_SQL,
+    "q47_simhash_hamming": Q47_SQL,
 }

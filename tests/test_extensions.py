@@ -57,6 +57,19 @@ def test_simhash_similar_texts_close(spark):
     assert hamming(h[0], h[0]) == 0
 
 
+def test_simhash_hamming_pairs(spark):
+    d = docs(spark, ["a b c d e", "a b c d e", "zz yy xx ww vv"])
+    out = dedup.simhash_hamming_pairs(d, max_hamming=0)
+    pairs = [(r["id_a"], r["id_b"], r["hamming"]) for r in out.collect()]
+    assert (0, 1, 0) in pairs  # identical docs at distance 0
+    assert not any({a, b} == {0, 2} for a, b, _ in pairs)
+    try:
+        dedup.simhash_hamming_pairs(d, max_hamming=4, n_bands=4)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_ngram_jaccard_pairs(spark):
     d = docs(
         spark,
