@@ -111,13 +111,15 @@ def simhash64(text_col: str = "text") -> Column:
     return result
 
 
-def simhash16_md5(text_col: str = "text") -> Column:
-    """16-bit SimHash with md5-nibble votes — the oracle-replayable twin
-    of :func:`simhash64` (md5 is identical across engines; xxhash64 is
-    Spark-specific). Bit b is set iff the majority of token digests have
-    hex nibble b >= '8' (i.e. the nibble's high bit set).
-    """
-    hashes = F.transform(F.split(F.col(text_col), " "), F.md5)
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash from a *materialized* array<string> column of md5
+    token digests. Bit b is set iff the majority of digests have hex
+    nibble b >= '8' (the nibble's high bit).
+
+    ``hashes`` MUST be a named column: each of the 16 per-bit votes is a
+    separate ``F.aggregate`` over it, and an inline expression would be
+    recomputed 16 times (no CSE inside lambda bodies — see
+    :func:`shingles_of`)."""
 
     def bit_vote(b: int):
         return lambda acc, h: acc + F.when(
@@ -131,13 +133,51 @@ def simhash16_md5(text_col: str = "text") -> Column:
     return sig.cast("int")
 
 
+def simhash16_md5(text_col: str = "text") -> Column:
+    """Column-expression form of :func:`simhash16_from_hashes` (md5 is
+    identical across engines, so the oracle replays it; xxhash64 is the
+    Spark-only production twin, :func:`simhash64`). For hot paths prefer
+    materializing the digest array and calling simhash16_from_hashes."""
+    return simhash16_from_hashes(F.transform(F.split(F.col(text_col), " "), F.md5))
+
+
+def md5_long_hashes(text_col: str = "text") -> Column:
+    """array<long>: 60-bit integer form of each token's md5 digest."""
+    return F.transform(
+        F.split(F.col(text_col), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def simhash_from_long_hashes(hashes: Column, n_bits: int = 32) -> Column:
+    """n-bit SimHash (n <= 60) from a *materialized* array<long> column
+    of integer token digests (:func:`md5_long_hashes`) — per-bit votes
+    are integer shifts, and the digest array must be a named column or
+    every one of the n_bits aggregates recomputes the md5s (no CSE
+    inside lambdas)."""
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+
+    def bit_vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(b))
+        sig = sig + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
+    return sig
+
+
 def simhash_clusters(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """SimHash near-dup clusters: exact-signature grouping (Hamming
-    radius 0; banded Hamming-neighbor joins are the radius>0 extension)."""
+    radius 0; :func:`simhash_hamming_pairs` is the radius>0 extension)."""
     return (
-        df.select(F.col(id_col), simhash16_md5(text_col).alias("sig"))
+        df.withColumn("__hs", F.transform(F.split(F.col(text_col), " "), F.md5))
+        .select(F.col(id_col), simhash16_from_hashes(F.col("__hs")).alias("sig"))
         .groupBy("sig")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -152,19 +192,28 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 2,
     n_bands: int = 4,
+    n_bits: int = 32,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius, via band-joins.
 
-    The 16-bit signature splits into ``n_bands`` bands; by pigeonhole,
-    two signatures within Hamming distance < n_bands share at least one
-    identical band, so the candidate join is band-equi (narrow int keys,
-    no quadratic scan). Candidates are then verified exactly with
-    ``bit_count(xor)``. Exact for ``max_hamming < n_bands``.
+    The ``n_bits`` signature splits into ``n_bands`` bands; by
+    pigeonhole, two signatures within Hamming distance < n_bands share
+    at least one identical band, so the candidate join is band-equi
+    (narrow int keys, no quadratic scan). Candidates are then verified
+    exactly with ``bit_count(xor)``. Exact for ``max_hamming < n_bands``.
+
+    Band width sizes the candidate volume: with b-bit bands, a random
+    corpus spreads each band over 2^b keys, so the join fan-out is
+    ~n²·n_bands/2^b — 8-bit bands (n_bits=32, n_bands=4) keep buckets
+    small where 4-bit bands degrade toward quadratic.
     """
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands")
-    bits = 16 // n_bands
-    sigs = df.select(F.col(id_col).alias("id"), simhash16_md5(text_col).alias("sig"))
+    bits = n_bits // n_bands
+    sigs = df.withColumn("__hs", md5_long_hashes(text_col)).select(
+        F.col(id_col).alias("id"),
+        simhash_from_long_hashes(F.col("__hs"), n_bits).alias("sig"),
+    )
     banded = sigs.select(
         "id",
         "sig",

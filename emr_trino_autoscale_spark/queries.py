@@ -1652,17 +1652,18 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q47_SQL = """
 WITH h AS (
   SELECT doc_id,
-         list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         list_transform(string_split(text, ' '),
+           t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
   FROM documents),
 s AS (
   SELECT doc_id AS id,
-         CAST(list_sum(list_transform(range(16), b ->
-           CASE WHEN len(list_filter(hs, h -> substr(h, b + 1, 1) >= '8')) * 2
+         CAST(list_sum(list_transform(range(32), b ->
+           CASE WHEN len(list_filter(hs, h -> ((h >> b) & 1) = 1)) * 2
                      - len(hs) > 0
-                THEN 1 << b ELSE 0 END)) AS INTEGER) AS sig
+                THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sig
   FROM h),
 banded AS (
-  SELECT id, sig, band, (sig >> (band * 4)) & 15 AS key
+  SELECT id, sig, band, (sig >> (band * 8)) & 255 AS key
   FROM s, (SELECT unnest(range(4)) AS band)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
