@@ -93,6 +93,25 @@ def session_windows(events: DataFrame, gap: str = "12 hours") -> DataFrame:
     )
 
 
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for a document-ingest pipeline (X1 live
+    twin): content-hash the text, then ``dropDuplicatesWithinWatermark``
+    so state stays bounded by the watermark horizon instead of growing
+    with the corpus (the batch form — Q21 — dedups globally; a 100 TB
+    ingest stream cannot hold global hash state, so duplicates are
+    suppressed within the late-data window and the periodic batch
+    compaction removes the rest)."""
+    hashed = docs.withColumn("__text_hash", F.md5(F.col(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["__text_hash"]
+    )
+
+
 def attach_decision_query(decisions: DataFrame, sink_fn, checkpoint: str, trigger: str = EVALUATE_TRIGGER):
     """Wire the decision stream to an idempotent foreachBatch sink with
     the reference's evaluation cadence."""

@@ -159,6 +159,37 @@ def test_streaming_task_state(spark, tmp_path):
     assert got[("g2", 0)]["is_resizing"] is True
 
 
+@pytest.mark.slow
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "src"
+    chk = tmp_path / "chk"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "same text"),
+        (2, base + dt.timedelta(seconds=30), "same text"),      # dup in window
+        (3, base + dt.timedelta(seconds=60), "other text"),
+        (4, base + dt.timedelta(seconds=90), "same text"),      # still in window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select text, count(*) n from dedup_stream_test group by text").collect()
+    counts = {r["text"]: r["n"] for r in got}
+    assert counts == {"same text": 1, "other text": 1}
+
+
 def test_sources_parse(spark):
     raw = spark.createDataFrame(
         [
