@@ -1676,6 +1676,48 @@ ORDER BY id_a, id_b
 """
 
 
+# Q48 — deterministic train/val/test split: md5-derived bucket per doc
+# (stable across runs, engines, and cluster sizes — the reproducible
+# alternative to rand()-based sampling for training-data pipelines),
+# stratification audited per lang.
+
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+Q48_SQL = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           AS bucket
+  FROM documents)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1726,6 +1768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_map_roundtrip": q45,
     "q46_revenue_join": q46,
     "q47_simhash_hamming": q47,
+    "q48_train_test_split": q48,
 }
 
 ORACLE: dict[str, str] = {
@@ -1777,4 +1820,5 @@ ORACLE: dict[str, str] = {
     "q45_map_roundtrip": Q45_SQL,
     "q46_revenue_join": Q46_SQL,
     "q47_simhash_hamming": Q47_SQL,
+    "q48_train_test_split": Q48_SQL,
 }
