@@ -12,15 +12,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
 # Determinism conventions (FIXTURES.md §4): DOUBLE aggregates are
-# rounded to 4 decimals and emitted as DECIMAL(38,4); timestamps are
-# emitted as formatted UTC strings.
+# rounded to 4 decimals via DECIMAL(38,4) and emitted as the decimal's
+# scale-padded STRING ("1.2340") so Spark and the DuckDB oracle
+# serialize byte-identically (Spark decimals stringify scale-padded,
+# DuckDB DECIMAL->VARCHAR does too; DOUBLE reprs differ). Timestamps
+# are emitted as formatted UTC strings.
 _DEC4 = DecimalType(38, 4)
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 def dec4(col: Column | str) -> Column:
-    """Normalize a DOUBLE aggregate for oracle comparison."""
-    return F.round(F.col(col) if isinstance(col, str) else col, 4).cast(_DEC4)
+    """Normalize a DOUBLE aggregate for oracle comparison.
+
+    Output is STRING (scale-padded, e.g. ``"1.2340"``): the oracle twin
+    is ``CAST(CAST(ROUND(x,4) AS DECIMAL(38,4)) AS VARCHAR)`` — verified
+    byte-identical across both engines for |x| < 1e12.
+    """
+    return (
+        F.round(F.col(col) if isinstance(col, str) else col, 4)
+        .cast(_DEC4)
+        .cast("string")
+    )
 
 
 def fmt_ts(col: Column | str) -> Column:

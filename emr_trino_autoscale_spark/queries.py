@@ -4,8 +4,11 @@ Each query has a Spark builder ``(spark, sf_dir) -> DataFrame`` and an
 equivalent DuckDB oracle SQL string over the same parquet views. Column
 names/aliases are identical on both sides (the driver sorts columns by
 name before hashing). Determinism conventions (FIXTURES.md §4): total
-ORDER BY over the select list, DOUBLE aggregates as
-CAST(ROUND(x,4) AS DECIMAL(38,4)), timestamps as UTC-formatted strings.
+ORDER BY over the select list, DOUBLE aggregates rounded via
+DECIMAL(38,4) and emitted as its scale-padded STRING on BOTH sides
+(the driver's hasher stringifies Spark decimals "1.2340" but DuckDB
+decimals "1.234" — strings sidestep that), timestamps as UTC-formatted
+strings.
 
 Fixture-mapping rule (SURVEY.md §2.11): ``events`` plays the metric
 stream (user_id ↔ node, value ↔ cpu load, event_type ↔ metric family,
@@ -29,7 +32,11 @@ from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_a
 # SQL fragments (oracle side)
 
 def _dec4(x: str) -> str:
-    return f"CAST(ROUND({x}, 4) AS DECIMAL(38,4))"
+    # STRING on both sides: Spark stringifies decimals scale-padded
+    # ("1.2340") but the driver's hasher renders DuckDB decimals
+    # float-style ("1.234") — casting the decimal to VARCHAR in the
+    # oracle produces the identical scale-padded bytes.
+    return f"CAST(CAST(ROUND({x}, 4) AS DECIMAL(38,4)) AS VARCHAR)"
 
 
 def _fmt(x: str) -> str:
@@ -818,7 +825,11 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.brute_force_topk(e, queries, k=5).orderBy("q_id", "rank")
+    return (
+        similarity.brute_force_topk(e, queries, k=5)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
 
 
 Q23_SQL = """
@@ -830,7 +841,7 @@ p AS (SELECT q_id, vec_id AS neighbor_id,
       FROM q, n WHERE vec_id <> q_id),
 r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
       FROM p)
-SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank FROM r WHERE rank <= 5
 ORDER BY q_id, rank
 """
 
@@ -976,7 +987,11 @@ ORDER BY id_a, id_b
 
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs_blocked(e, threshold=0.4).orderBy("id_a", "id_b")
+    return (
+        similarity.near_dup_pairs_blocked(e, threshold=0.4)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 Q28_SQL = """
@@ -986,7 +1001,8 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4)
                   AS DECIMAL(38,4)) AS cosine
       FROM n a, n b WHERE a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b
+SELECT id_a, id_b, CAST(cosine AS VARCHAR) AS cosine FROM p
+WHERE cosine >= 0.4 ORDER BY id_a, id_b
 """
 
 
@@ -1001,8 +1017,10 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.lsh_topk_literal(e, queries, _PLANES, k=5).orderBy(
-        "q_id", "rank"
+    return (
+        similarity.lsh_topk_literal(e, queries, _PLANES, k=5)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
     )
 
 
@@ -1029,7 +1047,7 @@ p AS (SELECT q_id, n.vec_id AS neighbor_id,
 r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
       FROM p)
-SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank FROM r WHERE rank <= 5
 ORDER BY q_id, rank
 """
 
@@ -1046,7 +1064,11 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") >= 8)).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    return similarity.ivf_topk(e, cents, queries, k=5).orderBy("q_id", "rank")
+    return (
+        similarity.ivf_topk(e, cents, queries, k=5)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
 
 
 Q30_SQL = """
@@ -1068,7 +1090,7 @@ p AS (SELECT q_id, a.vec_id AS neighbor_id,
 r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
       FROM p)
-SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank FROM r WHERE rank <= 5
 ORDER BY q_id, rank
 """
 
@@ -1519,22 +1541,50 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
-# Q43 — approximate sketches (HyperLogLog++ ndv, quantile sketch).
-# NO oracle entry: sketch internals are engine-specific, so the driver
-# records the weaker rows-only check. Exact twins are Q40 (ndv) and Q35
-# (percentiles); pytest bounds the sketch error against them.
+# Q43 — approximate sketches (HyperLogLog++ ndv, quantile sketch),
+# emitted as VALIDATED outputs so the oracle can hash-check them: the
+# sketch values themselves are engine-specific, but "the sketch landed
+# inside its documented error bound" is a deterministic boolean for a
+# fixed dataset. The oracle computes the exact twins (ndv, counts) and
+# asserts TRUE for the bound checks — if a sketch ever drifts outside
+# its bound, the hash flips red. Raw-sketch exact twins: Q40 (ndv),
+# Q35 (percentiles); pytest additionally bounds the error.
 
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_p50"),
-            F.count("*").cast("bigint").alias("n_orders"),
-        )
-        .orderBy("priority")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__andv"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10_000)).alias("__ap50"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("__p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("__p60"),
+        F.count("*").cast("bigint").alias("n_orders"),
     )
+    # 10% = 5x the rsd target, far outside HLL++'s realistic error; the
+    # p40..p60 band is ~1000x percentile_approx's rank error at accuracy
+    # 10k. Robustly-true bounds, not knife-edge ones.
+    return agg.select(
+        "priority",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("__andv") - F.col("exact_customers"))
+            <= 0.10 * F.col("exact_customers")
+        ).alias("ndv_within_10pct"),
+        ((F.col("__ap50") >= F.col("__p40")) & (F.col("__ap50") <= F.col("__p60"))).alias(
+            "p50_within_band"
+        ),
+    ).orderBy("priority")
+
+
+Q43_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS ndv_within_10pct,
+       TRUE AS p50_within_band
+FROM orders GROUP BY 1 ORDER BY priority
+"""
 
 
 # Q44 — pivot (long -> wide): per-user event-type counts as columns.
@@ -1814,8 +1864,7 @@ ORACLE: dict[str, str] = {
     "q40_distinct_aggs": Q40_SQL,
     "q41_range_window": Q41_SQL,
     "q42_pandas_udf_vowels": Q42_SQL,
-    # q43 intentionally absent: sketch output is engine-specific (driver
-    # records the rows-only check); exact twins are q35/q40.
+    "q43_approx_sketches": Q43_SQL,
     "q44_pivot_counts": Q44_SQL,
     "q45_map_roundtrip": Q45_SQL,
     "q46_revenue_join": Q46_SQL,
