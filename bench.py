@@ -44,6 +44,12 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # scoped query caches (q10/q27) are released query-over-query; drop
+    # the last query's leftovers so the suite exits with nothing cached
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    release_caches()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -15,10 +15,13 @@ as declarative window/aggregate plans over a long-form metric table
   semantics preserved exactly
 * 1-minute average: mean of the last ``one_min_points`` points per node
   (MetricStore.scala:36-39)
-* quorum predicates with the population mismatch: numerator counts
-  breaching nodes from the min-support set, denominator is the node
-  list of the *last snapshot* (MetricStore.scala:49-53,62-66; 29-33) —
-  different populations during churn, preserved verbatim.
+* quorum predicates keyed by ``getNodesList``: the averages map is keyed
+  by the *last snapshot's* node list (MetricStore.scala:49-53), so both
+  the breach numerator and the denominator draw from that list — a node
+  seen earlier in the buffer but absent from the newest snapshot neither
+  breaches nor counts (MetricStore.scala:62-66; 29-33). The remaining
+  population mismatch, preserved verbatim: the numerator additionally
+  applies min-support filtering, the denominator does not.
 
 Scale notes: the scaffold cross join is |ticks| x |nodes| (bounded:
 ticks <= buffer depth); node dimension is broadcast. The per-node
@@ -117,13 +120,17 @@ def quorum(
     threshold: float,
     between: tuple[float, float] | None = None,
     avg_col: str = "avg_value",
+    node_col: str = "node",
 ) -> DataFrame:
     """A4-A6: one-row quorum verdict.
 
     ``breached`` counts nodes whose average ``>= threshold`` (or strictly
-    between ``between``); quorum holds when ``breached >= fraction * total``
-    where ``total`` = |denominator_df| — the *last snapshot's* node list,
-    NOT the averaged population (MetricStore.scala:49-53,62-66).
+    between ``between``), restricted to nodes present in
+    ``denominator_df`` — the reference keys the averages map by
+    ``getNodesList`` (the last snapshot's node list), so a node absent
+    from the newest snapshot cannot breach even if it still has buffered
+    points (MetricStore.scala:49-53). Quorum holds when
+    ``breached >= fraction * total`` with ``total`` = |denominator_df|.
     ``is_avg_lower`` is literally the negation of the greater-quorum
     (MetricStore.scala:75), not a symmetric lower-quorum.
     """
@@ -132,9 +139,9 @@ def quorum(
         cond = (F.col(avg_col) > lo) & (F.col(avg_col) < hi)
     else:
         cond = F.col(avg_col) >= threshold
-    num = avg_df.agg(
-        F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("breached")
-    )
+    num = avg_df.join(
+        F.broadcast(denominator_df.select(node_col)), node_col, "left_semi"
+    ).agg(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("breached"))
     den = denominator_df.agg(F.count("*").cast("bigint").alias("total_nodes"))
     return (
         num.crossJoin(den)

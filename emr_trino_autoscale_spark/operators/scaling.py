@@ -110,9 +110,9 @@ def guard_rails(
     final_action = (
         F.when(
             action == EXPAND,
-            F.when(running == max_c, F.lit(NONE))
-            .when(running > max_c, F.lit("RESIZE"))
-            .otherwise(F.lit("RESIZE")),
+            # reference has separate >max and <max branches that both
+            # resize (Workers.scala guard rails); they collapse here
+            F.when(running == max_c, F.lit(NONE)).otherwise(F.lit("RESIZE")),
         )
         .when(
             action == SHRINK,

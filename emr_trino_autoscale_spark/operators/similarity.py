@@ -249,12 +249,34 @@ def near_dup_pairs(
     )
 
 
+def blocks_for(rows: int, dim: int, tile_mem_bytes: int, parallelism: int = 1) -> int:
+    """Block count for :func:`near_dup_pairs_blocked`.
+
+    Memory term: a tile holds two ``r x dim`` operand blocks plus the
+    ``r x r`` float64 score matrix, so ``8*(r^2 + 2*r*dim) <=
+    tile_mem_bytes`` gives the max block row-count ``r = -dim +
+    sqrt(dim^2 + tile_mem_bytes/8)`` and ``n_blocks = ceil(rows/r)``.
+    Parallelism floor: ``n_blocks*(n_blocks+1)/2`` tiles should cover
+    the cluster's cores even when memory alone would allow one giant
+    tile. The max of the two terms wins; memory dominates at scale.
+    """
+    import math
+
+    if rows <= 1:
+        return 1
+    r = -dim + math.sqrt(dim * dim + tile_mem_bytes / 8.0)
+    mem_blocks = max(1, math.ceil(rows / max(1.0, r)))
+    par_blocks = math.ceil((math.sqrt(8.0 * parallelism + 1.0) - 1.0) / 2.0)
+    return max(mem_blocks, par_blocks, 1)
+
+
 def near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    tile_mem_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Exact all-pairs cosine via blocked GEMM — the scalable form of
     :func:`near_dup_pairs`.
@@ -264,15 +286,31 @@ def near_dup_pairs_blocked(
     one task, where a single NumPy matmul scores the whole tile
     (Arrow-batched ``applyInPandas``; BLAS beats per-pair higher-order
     functions by ~2 orders of magnitude). Exactness is preserved — only
-    the candidate *routing* changes, every pair is still scored.
+    the candidate *routing* changes, every pair is still scored, so the
+    result is independent of ``n_blocks``.
 
     Scale: shuffle volume is n_rows x n_blocks (the standard sqrt(P)
-    replication of distributed all-pairs); pick n_blocks so a block's
-    matrix fits executor memory (n/n_blocks x dim doubles). The UDF
-    pre-filters at threshold - 1e-6; the exact >= threshold cut happens
-    after Spark-side 4-decimal rounding, identical to the baseline op.
+    replication of distributed all-pairs). ``n_blocks=None`` (default)
+    sizes the blocks from the corpus via :func:`blocks_for` — one cheap
+    count/dim aggregation — so a tile can never outgrow
+    ``tile_mem_bytes`` however large the corpus; pass an explicit
+    ``n_blocks`` only when the caller already knows the geometry. The
+    UDF pre-filters at threshold - 1e-6; the exact >= threshold cut
+    happens after Spark-side 4-decimal rounding, identical to the
+    baseline op.
     """
     import pandas as pd
+
+    if n_blocks is None:
+        stats = df.agg(
+            F.count("*").alias("n"), F.max(F.size(vec_col)).alias("dim")
+        ).first()
+        n_blocks = blocks_for(
+            stats["n"] or 0,
+            stats["dim"] or 1,
+            tile_mem_bytes,
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
 
     base = df.select(
         F.col(id_col).alias("id"),

@@ -51,7 +51,12 @@ def salted_agg(
         if fn not in part_fn:
             raise ValueError(f"{out}: unmergeable agg {fn!r}")
 
-    salt = (salt_on if salt_on is not None else F.spark_partition_id()) % salt_buckets
+    # pmod, not %: Spark's % keeps the dividend's sign, so a hashed
+    # salt_on (e.g. xxhash64) would spread over 2*salt_buckets-1 uneven
+    # partials instead of the documented salt_buckets.
+    salt = F.pmod(
+        salt_on if salt_on is not None else F.spark_partition_id(), F.lit(salt_buckets)
+    )
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

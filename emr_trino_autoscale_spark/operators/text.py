@@ -35,7 +35,7 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
 
 def stopword_ratio(text_col: str = "text") -> Column:
     toks = F.split(F.lower(F.col(text_col)), " ")
-    stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    # counted per occurrence (array_intersect would dedupe repeats)
     n_stop = F.aggregate(
         toks,
         F.lit(0),

@@ -31,6 +31,31 @@ from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_a
 # ---------------------------------------------------------------------------
 # SQL fragments (oracle side)
 
+# ---------------------------------------------------------------------------
+# Scoped caches. A few declared queries persist a reused intermediate;
+# the driver runs all 48 queries in one session, so an unreleased cache
+# would squat executor memory suite-wide. Each _cache_scoped call first
+# releases the previous query's caches (the driver collects one query's
+# result before building the next), so at most one query's caches are
+# live at any time; bench.py / tools call release_caches() at suite end.
+
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _cache_scoped(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    release_caches()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=False)
+
+
 def _dec4(x: str) -> str:
     # STRING on both sides: Spark stringifies decimals scale-padded
     # ("1.2340") but the driver's hasher renders DuckDB decimals
@@ -270,12 +295,15 @@ ORDER BY brand
 # 4 ticks over a zero-filled tick x node scaffold, min-support >= 4
 # (metrics/MetricStore.scala:20-39; ticks = days, nodes = users).
 
-def _q09_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q09_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("tick"), F.col("user_id").alias("node"), "value"
     )
-    daily = ev.groupBy("tick", "node").agg(F.sum("value").alias("value"))
-    return ms.zero_fill(daily)
+    return ev.groupBy("tick", "node").agg(F.sum("value").alias("value"))
+
+
+def _q09_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ms.zero_fill(_q09_daily(spark, sf_dir))
 
 
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,23 +338,23 @@ ORDER BY user_id
 """
 
 
-# Q10 — A4-A6: quorum predicates with the population mismatch preserved:
-# numerator from the min-support-filtered averages, denominator = the
-# *last snapshot's* node list (metrics/MetricStore.scala:49-53,62-66,29-33).
+# Q10 — A4-A6: quorum predicates keyed by getNodesList: both the breach
+# numerator and the denominator are restricted to the *raw* last
+# snapshot's node list (the zero-filled scaffold would put every
+# buffered node in the last tick, so the restriction must come from the
+# pre-fill frame — metrics/MetricStore.scala:49-53,62-66,29-33).
 
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    # the zero-filled scaffold feeds both quorum populations (numerator
-    # via avg4, denominator via the last snapshot); persist the small
-    # (tick x node) frame instead of re-aggregating the event stream
-    # twice — at 100 TB the second scan is the cost, not the scaffold
-    filled = _q09_filled(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    avg4 = ms.one_minute_avg(filled)
-    den = ms.last_snapshot_nodes(filled).agg(
-        F.count("*").cast("bigint").alias("total_nodes")
-    )
-    num = avg4.agg(
+    # daily feeds five branches (zero_fill's three internal scans, the
+    # last-snapshot node list, and the averages); persist the bounded
+    # (tick x node) frame so the event stream is scanned once — at
+    # 100 TB the repeated raw scans are the cost, not the scaffold.
+    # Scoped: released on the next declared query (see _cache_scoped).
+    daily = _cache_scoped(_q09_daily(spark, sf_dir))
+    avg4 = ms.one_minute_avg(ms.zero_fill(daily))
+    last_nodes = ms.last_snapshot_nodes(daily)
+    den = last_nodes.agg(F.count("*").cast("bigint").alias("total_nodes"))
+    num = avg4.join(F.broadcast(last_nodes), "node", "left_semi").agg(
         F.sum(F.when(F.col("avg_value") >= 100.0, 1).otherwise(0)).cast("bigint").alias("breached"),
         F.sum(F.when((F.col("avg_value") > 50.0) & (F.col("avg_value") < 100.0), 1).otherwise(0))
         .cast("bigint")
@@ -349,12 +377,13 @@ Q10_SQL = f"""
 WITH {_Q09_FILLED_SQL},
   avg4 AS (SELECT node, AVG(value) AS avg_value FROM last4 WHERE rn <= 4
            GROUP BY node HAVING COUNT(*) >= 4),
-  den AS (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS total_nodes
-          FROM filled WHERE tick = (SELECT MAX(tick) FROM days)),
+  lastnodes AS (SELECT DISTINCT node FROM daily
+                WHERE tick = (SELECT MAX(tick) FROM daily)),
+  den AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_nodes FROM lastnodes),
   num AS (SELECT
             CAST(SUM(CASE WHEN avg_value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS breached,
             CAST(SUM(CASE WHEN avg_value > 50.0 AND avg_value < 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS mid_count
-          FROM avg4)
+          FROM avg4 JOIN lastnodes USING (node))
 SELECT breached, mid_count, total_nodes,
        breached >= total_nodes * 0.8 AS is_expand_quorum,
        mid_count >= total_nodes * 0.8 AS is_hold_quorum,
@@ -958,7 +987,9 @@ FROM s GROUP BY sig ORDER BY sig
 
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs_prefix(d, k=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        d, k=3, threshold=0.5, persist_fn=_cache_scoped
+    )
     return pairs.select(
         "id_a", "id_b", "n_common", "sz_a", "sz_b", dec4("jaccard").alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -1590,19 +1621,19 @@ FROM orders GROUP BY 1 ORDER BY priority
 # Q44 — pivot (long -> wide): per-user event-type counts as columns.
 # Explicit pivot value list (deterministic schema; never inferred).
 
-_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+_PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .pivot("event_type", _EVENT_TYPES)
+        .pivot("event_type", _PIVOT_EVENT_TYPES)
         .agg(F.count(F.lit(1)))
-        .na.fill(0, _EVENT_TYPES)
+        .na.fill(0, _PIVOT_EVENT_TYPES)
         .select(
             "user_id",
-            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _EVENT_TYPES],
+            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in _PIVOT_EVENT_TYPES],
         )
         .orderBy("user_id")
     )

@@ -226,6 +226,33 @@ def test_blocked_pairs_match_baseline(spark):
         ).collect()
     }
     assert base == blocked and len(base) > 0
+    # derived geometry (n_blocks=None) must give identical pairs too —
+    # block count only changes routing, never the scored set
+    derived = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs_blocked(corpus, threshold=0.5).collect()
+    }
+    assert base == derived
+
+
+def test_blocks_for_memory_formula():
+    # a tile (two r x dim operand blocks + r x r float64 scores) must
+    # fit the budget at any corpus size: 8*(r^2 + 2*r*dim) <= budget
+    import math
+
+    for rows, dim, budget in [
+        (10_000_000, 768, 256 << 20),
+        (100_000_000, 1536, 512 << 20),
+        (50_000, 64, 64 << 20),
+    ]:
+        n = similarity.blocks_for(rows, dim, budget)
+        r = math.ceil(rows / n)
+        assert 8 * (r * r + 2 * r * dim) <= budget * 1.01, (rows, dim, budget, n)
+    # parallelism floor: enough tiles to cover the cores even when one
+    # tile would fit in memory
+    n = similarity.blocks_for(100, 8, 1 << 40, parallelism=32)
+    assert n * (n + 1) // 2 >= 32
+    assert similarity.blocks_for(1, 64, 1 << 20) == 1
 
 
 def test_prefix_jaccard_matches_baseline(spark):

@@ -1,0 +1,73 @@
+"""Plan-regression guard (CI tier t1).
+
+Freezes the physical-plan shape of the flagship queries: a future edit
+that introduces a CartesianProduct, an undocumented
+BroadcastNestedLoopJoin, a Python row UDF, or extra shuffles fails here
+before it ships. Exchange ceilings are the audited round-2 counts at
+sf0.001 (tools/explain_audit.py) — lower is fine, higher needs a
+deliberate ceiling bump with a plan re-audit.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from emr_trino_autoscale_spark.queries import QUERIES
+
+# query -> (exchange ceiling, nested-loop join allowed?)
+# NESTED_LOOP allowances are the documented 1-row / bounded broadcast
+# sides (zero-fill scaffold denominators, quorum one-row populations —
+# docs/SCALE.md), not accidental cartesian work.
+FLAGSHIPS = {
+    "q09_window_avg_zero_fill": (14, True),
+    "q10_quorum_predicates": (38, True),
+    "q20_full_classifier": (6, False),
+    "q27_ngram_jaccard_pairs": (20, False),
+    "q47_simhash_hamming": (6, False),
+}
+
+# Python-eval operators that would drag tuples out of the JVM on the
+# hot path. Arrow-batched applyInPandas (FlatMapGroupsInPandas) is the
+# sanctioned vectorized path and is NOT in this list, but none of the
+# flagship queries should use even that.
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(FLAGSHIPS))
+def test_flagship_plan_shape(spark, sf_dir, name):
+    ceiling, nested_ok = FLAGSHIPS[name]
+    text = _plan(QUERIES[name](spark, sf_dir))
+    for node in FORBIDDEN:
+        assert node not in text, f"{name}: forbidden plan node {node}"
+    if not nested_ok:
+        assert "BroadcastNestedLoopJoin" not in text, (
+            f"{name}: undocumented BroadcastNestedLoopJoin"
+        )
+    n_ex = text.count("Exchange")
+    assert n_ex <= ceiling, (
+        f"{name}: {n_ex} exchanges > audited ceiling {ceiling} — re-audit "
+        "with tools/explain_audit.py before bumping"
+    )
+
+
+def test_scoped_caches_released(spark, sf_dir):
+    """q10/q27 persist a reused intermediate; the scope protocol must
+    leave nothing cached once the next query runs + release_caches()."""
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    spark.catalog.clearCache()  # drop caches other tests left behind
+    QUERIES["q10_quorum_predicates"](spark, sf_dir).collect()
+    QUERIES["q27_ngram_jaccard_pairs"](spark, sf_dir).collect()  # releases q10's
+    release_caches()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0, f"{cached.size()} cached RDDs leaked"

@@ -110,6 +110,10 @@ def main() -> int:
         else:
             print(f"OK    {name} ({dt:.1f}s, {len(srows)} rows)")
 
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    release_caches()
+
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
     return 1 if failures else 0
 
