@@ -83,3 +83,20 @@ def sign_dispatch(running: Column, count: Column) -> Column:
 def distribute_alloc(idx: Column, value: Column, groups: Column) -> Column:
     q = F.floor(value / groups)
     return (q + F.when(idx < value % groups, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+
+# J5 — positional zip of the configured instance-type / weight lists
+# into the fleet's instances dimension (cluster/Workers.scala:300-310:
+# ``instanceTypes zip instanceWights`` plus the two sanity checks that
+# reject empty or length-mismatched configurations).
+def config_zip_dimension(instance_types: list[str], weights: list[int]) -> Column:
+    """array<struct<name,weight>> literal column from the two config
+    lists; raises on the reference's invalid-configuration cases."""
+    if not instance_types or not weights:
+        raise ValueError("Wrong Instance Fleet configurations")  # Workers.scala:304-306
+    if len(instance_types) != len(weights):
+        raise ValueError("Wrong Instance Fleet configurations")  # Workers.scala:307-309
+    return F.arrays_zip(
+        F.array(*[F.lit(t) for t in instance_types]).alias("name"),
+        F.array(*[F.lit(int(w)) for w in weights]).alias("weight"),
+    )

@@ -90,6 +90,185 @@ def parse_node_cpu(raw: DataFrame, ts_col: str = "ts", node_col: str = "node", p
     return raw.select(*cols)
 
 
+# ---------------------------------------------------------------------------
+# S5-S8 — the EMR control-plane dimension scans, typed like S1/S3. The
+# SDK list/describe calls are collector-side transport; their logical
+# sources are JSON payloads with these schemas. Field names mirror the
+# SDK response shapes the reference consumes.
+
+# S6 — ListInstanceGroups entry (cluster/Workers.scala:151-157 list();
+# :246-266 refresh() reads status/counts).
+INSTANCE_GROUP_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("name", StringType()),
+        StructField("instanceGroupType", StringType()),
+        StructField("instanceType", StringType()),
+        StructField("market", StringType()),
+        StructField("runningInstanceCount", IntegerType()),
+        StructField("requestedInstanceCount", IntegerType()),
+        StructField(
+            "status",
+            StructType(
+                [
+                    StructField("state", StringType()),
+                    StructField(
+                        "stateChangeReason",
+                        StructType([StructField("message", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+    ]
+)
+
+# S7 — ListInstanceFleets entry (cluster/Workers.scala:351-363: fleet ->
+# TaskRunning(id, name, instances with weighted capacities)).
+INSTANCE_FLEET_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("name", StringType()),
+        StructField("instanceFleetType", StringType()),
+        StructField("targetOnDemandCapacity", IntegerType()),
+        StructField("targetSpotCapacity", IntegerType()),
+        StructField("provisionedOnDemandCapacity", IntegerType()),
+        StructField("provisionedSpotCapacity", IntegerType()),
+        StructField(
+            "instanceTypeSpecifications",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("instanceType", StringType()),
+                        StructField("weightedCapacity", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+# S5 — ListInstances entry (the RUNNING-instance/private-IP dimension
+# the semi-join P5/J1 consumes; TrinoJmxEmr.scala:86-108).
+CLUSTER_INSTANCE_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("ec2InstanceId", StringType()),
+        StructField("privateIpAddress", StringType()),
+        StructField("publicIpAddress", StringType()),
+        StructField("instanceGroupId", StringType()),
+        StructField("instanceFleetId", StringType()),
+        StructField("market", StringType()),
+        StructField("instanceType", StringType()),
+        StructField("status", StructType([StructField("state", StringType())])),
+    ]
+)
+
+# S8 — DescribeCluster (instanceCollectionType drives the IG/IF
+# strategy dispatch D7; TrinoAutoscaler.scala startup).
+DESCRIBE_CLUSTER_SCHEMA = StructType(
+    [
+        StructField(
+            "cluster",
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField("name", StringType()),
+                    StructField("instanceCollectionType", StringType()),
+                    StructField(
+                        "status", StructType([StructField("state", StringType())])
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def parse_instance_groups(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S6 — typed TASK instance-group listing: the reference's
+    ``list()`` keeps TASK groups and models each as
+    ``TaskRunning(id, name, [Instance(instanceType, 1, market)])``
+    (cluster/Workers.scala:151-157); ``refresh()`` additionally reads
+    the resize/suspend status fields (:246-266). Weight is literal 1 —
+    instance groups scale in whole instances."""
+    g = raw.select(F.from_json(payload_col, INSTANCE_GROUP_SCHEMA).alias("g")).select(
+        "g.*"
+    )
+    return g.filter(F.lower("instanceGroupType") == "task").select(
+        F.col("id"),
+        F.col("name"),
+        F.col("instanceType").alias("instance_type"),
+        F.lit(1).alias("weight"),
+        F.col("market"),
+        F.col("runningInstanceCount").alias("running"),
+        F.col("requestedInstanceCount").alias("requested"),
+        F.col("status.state").alias("state"),
+        (F.lower("status.state") == "resizing").alias("is_resizing"),
+        (F.lower("status.state") == "suspended").alias("is_suspended"),
+        F.col("status.stateChangeReason.message").alias("message"),
+    )
+
+
+def parse_instance_fleets(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S7 — typed TASK instance-fleet listing, one row per instance-type
+    specification with its weighted capacity
+    (cluster/Workers.scala:351-363)."""
+    f = raw.select(F.from_json(payload_col, INSTANCE_FLEET_SCHEMA).alias("f")).select(
+        "f.*"
+    )
+    return f.filter(F.lower("instanceFleetType") == "task").select(
+        "id",
+        "name",
+        F.explode("instanceTypeSpecifications").alias("spec"),
+        (F.col("provisionedOnDemandCapacity") + F.col("provisionedSpotCapacity")).alias(
+            "running"
+        ),
+        (F.col("targetOnDemandCapacity") + F.col("targetSpotCapacity")).alias(
+            "requested"
+        ),
+    ).select(
+        "id",
+        "name",
+        F.col("spec.instanceType").alias("instance_type"),
+        F.col("spec.weightedCapacity").alias("weight"),
+        "running",
+        "requested",
+    )
+
+
+def parse_cluster_instances(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S5 — typed cluster-instance listing: the private-IP dimension the
+    worker semi-join consumes (TrinoJmxEmr.scala:86-108 keeps RUNNING
+    instances and joins registry hosts on private IP)."""
+    i = raw.select(F.from_json(payload_col, CLUSTER_INSTANCE_SCHEMA).alias("i")).select(
+        "i.*"
+    )
+    return i.select(
+        F.col("id"),
+        F.col("ec2InstanceId").alias("ec2_instance_id"),
+        F.col("privateIpAddress").alias("private_ip"),
+        F.col("instanceGroupId").alias("group_id"),
+        F.col("instanceFleetId").alias("fleet_id"),
+        F.col("market"),
+        F.col("instanceType").alias("instance_type"),
+        F.col("status.state").alias("state"),
+    )
+
+
+def parse_describe_cluster(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S8 — typed DescribeCluster projection; ``collection_type``
+    (INSTANCE_GROUP / INSTANCE_FLEET) is the D7 strategy-dispatch key."""
+    c = raw.select(F.from_json(payload_col, DESCRIBE_CLUSTER_SCHEMA).alias("d")).select(
+        "d.cluster.*"
+    )
+    return c.select(
+        F.col("id").alias("cluster_id"),
+        F.col("name"),
+        F.col("instanceCollectionType").alias("collection_type"),
+        F.col("status.state").alias("state"),
+    )
+
+
 def parse_node_registry(raw: DataFrame, ts_col: str = "ts", payload_col: str = "payload") -> DataFrame:
     """S3+P3/P4 — registry scan: parse, keep active workers, extract the
     hostname from the URI, drop rows whose URI doesn't match

@@ -76,6 +76,107 @@ def resize_action_sink(out_dir: str):
     return write
 
 
+# K4 — capacity-create setup effect. Config.scala:93-94: an EMR cluster
+# allows at most 48 TASK instance groups.
+MAX_INSTANCE_GROUPS_LIMIT = 48
+
+
+def capacity_create_sink(
+    out_dir: str,
+    spec: dict,
+    flavor: str = "ig",
+    max_groups: int = MAX_INSTANCE_GROUPS_LIMIT,
+):
+    """K4 — create-if-absent capacity provisioning
+    (cluster/Workers.scala:107-146 instance groups, :318-347 fleets).
+
+    Input batch: the current TASK listing, one row per (id, name,
+    instance_type, market) — the ``parse_instance_groups`` /
+    ``parse_instance_fleets`` shape. ``spec`` mirrors TaskSpec:
+    ``{"name": ..., "instances": [{"name": ..., "weight": ...,
+    "market": ...}]}``.
+
+    Per batch (idempotent — re-running against a listing that already
+    contains the group appends nothing new):
+
+    * a listed group matching the spec (IG: name, head instance type
+      and market all CI-equal; IF: name CI-equal and every spec type
+      present in the fleet) is REUSED — recorded, never re-created;
+    * no match -> a CREATE effect row with instance count 0 (IG,
+      Workers.scala:136) / the spec's typed capacities (IF), unless
+      creating would breach the ``max_groups`` service limit
+      (Workers.scala:121-128), which raises;
+    * IF only: a non-empty listing with no match raises — fleets can't
+      coexist with a mismatched spec (Workers.scala:327-329).
+
+    The listing is a bounded dimension (<= 48 rows by the same service
+    limit), so the driver-side verdict reads are O(1), exactly like the
+    reference's one-shot initialize().
+    """
+    head = spec["instances"][0]
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        path = os.path.join(out_dir, "groups_out")
+        name_eq = F.lower(F.col("name")) == str(spec["name"]).lower()
+        if flavor == "ig":
+            match = df.filter(
+                name_eq
+                & (F.lower(F.col("instance_type")) == str(head["name"]).lower())
+                & (F.lower(F.col("market")) == str(head["market"]).lower())
+            )
+        else:
+            wanted = [str(i["name"]).lower() for i in spec["instances"]]
+            by_group = (
+                df.filter(name_eq)
+                .groupBy("id")
+                .agg(F.collect_set(F.lower("instance_type")).alias("types"))
+            )
+            match = by_group.filter(
+                F.size(F.array_intersect(F.col("types"), F.array(*[F.lit(w) for w in wanted])))
+                == len(wanted)
+            )
+        existing = match.select("id").limit(1).collect()
+        if existing:
+            effect = df.sparkSession.createDataFrame(
+                [(str(spec["name"]), existing[0]["id"], "REUSE", epoch_id)],
+                "name string, group_id string, action string, epoch_id long",
+            )
+            _append(_dedup_against(effect, path, ["name", "action"]), path)
+            return
+        n_listed = df.select("id").distinct().count()
+        if flavor == "if" and n_listed > 0:
+            raise RuntimeError(
+                "Existing TASK fleet doesn't match scaling specifications"
+            )
+        if n_listed + 1 > max_groups:
+            raise RuntimeError(
+                f"You can have a maximum number of {max_groups} TASK groups; "
+                f"existing: {n_listed}"
+            )
+        effect = df.sparkSession.createDataFrame(
+            [
+                (
+                    str(spec["name"]),
+                    None,
+                    "CREATE",
+                    str(i["name"]),
+                    int(i.get("weight", 1)),
+                    str(i["market"]),
+                    0,  # groups are created empty (Workers.scala:136)
+                    epoch_id,
+                )
+                for i in spec["instances"]
+            ],
+            "name string, group_id string, action string, instance_type string,"
+            " weight int, market string, instance_count int, epoch_id long",
+        )
+        _append(
+            _dedup_against(effect, path, ["name", "action", "instance_type"]), path
+        )
+
+    return write
+
+
 def liveness_touch_sink(out_dir: str, busy_file: str = "isbusy"):
     """K5 — touch the auto-termination liveness file when NOT idle
     (scaling/ScalingManager.scala:50-60; path Config.scala:43)."""

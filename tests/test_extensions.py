@@ -332,3 +332,56 @@ def test_multimodal_feature_plumbing(spark):
     again = {r["media_id"]: r["feature"] for r in multimodal.extract_features(media).collect()}
     first = {r["media_id"]: r["feature"] for r in rows}
     assert again == first
+
+
+def test_real_decoder_slot_in_ppm_and_wav(spark):
+    """X6: a REAL decoder (public codec-free formats: P6 PPM, RIFF/WAV
+    16-bit PCM) runs through the exact mapInPandas plumbing the stub
+    occupies — proving the decoder interface, schema, and batch shape
+    hold for genuine media bytes, not just the deterministic fake."""
+    import io
+    import struct
+    import wave
+
+    # 2x2 P6 image: red, green, blue, white
+    ppm = b"P6\n# fixture\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    # 8-frame mono 16-bit WAV at 8 kHz: alternating +/- half amplitude
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(
+            struct.pack("<8h", *([16384, -16384] * 4))
+        )
+    wav = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(ppm), 2, 2, 0, "ppm"),
+            (1, "audio", bytearray(wav), 0, 0, 1, "wav"),
+            (2, "video", bytearray(b"\x00fakevideo"), 0, 0, 1000, "raw"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.sniffing_decoder
+        ).collect()
+    }
+    tol = 1e-6  # FEATURE_SCHEMA is array<float>: float32 round-trip
+    img = rows[0]["feature"]
+    # mean R/G/B over [red, green, blue, white] = 0.5 each; 2x2 geometry
+    assert abs(img[0] - 0.5) < tol and abs(img[1] - 0.5) < tol
+    assert abs(img[2] - 0.5) < tol
+    assert abs(img[4] - 2 / 4096) < tol and abs(img[6] - (1.0 / 8)) < tol
+    aud = rows[1]["feature"]
+    # constant |x| = 0.5 -> mean_abs = rms = peak = 0.5; full alternation
+    assert abs(aud[0] - 0.5) < tol and abs(aud[1] - 0.5) < tol
+    assert abs(aud[2] - 1.0) < tol and abs(aud[3] - 0.5) < tol
+    assert abs(aud[4] - 8000 / 96000.0) < tol
+    # unknown format falls through to the documented stub (still 8 floats)
+    assert len(rows[2]["feature"]) == 8

@@ -47,3 +47,85 @@ def test_liveness_touch_only_when_busy(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "isbusy"))
     sink(busy, 2)
     assert os.path.exists(os.path.join(out, "isbusy"))
+
+
+# ---------------------------------------------------------------------------
+# K4 — create-if-absent capacity sink (Workers.scala:107-146, 318-347;
+# 48-group service limit Config.scala:93-94)
+
+_IG_SPEC = {
+    "name": "trino-task",
+    "instances": [{"name": "m5.xlarge", "weight": 1, "market": "SPOT"}],
+}
+
+_LISTING_SCHEMA = "id string, name string, instance_type string, market string"
+
+
+def _listing(spark, rows):
+    return spark.createDataFrame(rows, _LISTING_SCHEMA)
+
+
+def test_capacity_create_when_absent(spark, tmp_path):
+    out = str(tmp_path)
+    sink = sinks.capacity_create_sink(out, _IG_SPEC)
+    sink(_listing(spark, [("ig-1", "other", "m5.xlarge", "SPOT")]), 0)
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["action"] == "CREATE" and r["instance_count"] == 0
+    assert r["instance_type"] == "m5.xlarge" and r["market"] == "SPOT"
+    # idempotence: retrying the same setup appends nothing
+    sink(_listing(spark, [("ig-1", "other", "m5.xlarge", "SPOT")]), 1)
+    assert spark.read.parquet(os.path.join(out, "groups_out")).count() == 1
+
+
+def test_capacity_reuse_matching_group(spark, tmp_path):
+    out = str(tmp_path)
+    sink = sinks.capacity_create_sink(out, _IG_SPEC)
+    # match requires name AND head instance type AND market, all CI
+    sink(_listing(spark, [("ig-9", "TRINO-TASK", "M5.XLARGE", "spot")]), 0)
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1
+    assert got[0]["action"] == "REUSE" and got[0]["group_id"] == "ig-9"
+
+
+def test_capacity_group_limit_enforced(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path)
+    sink = sinks.capacity_create_sink(out, _IG_SPEC, max_groups=3)
+    listing = _listing(
+        spark, [(f"ig-{i}", f"g{i}", "c5.xlarge", "SPOT") for i in range(3)]
+    )
+    with pytest.raises(RuntimeError, match="maximum number of 3"):
+        sink(listing, 0)
+
+
+def test_capacity_fleet_strict_mismatch(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path)
+    spec = {
+        "name": "trino-task",
+        "instances": [
+            {"name": "m5.xlarge", "weight": 4, "market": "SPOT"},
+            {"name": "r5.xlarge", "weight": 8, "market": "SPOT"},
+        ],
+    }
+    sink = sinks.capacity_create_sink(out, spec, flavor="if")
+    # fleet reuse requires EVERY spec type present in the fleet
+    ok = _listing(
+        spark,
+        [
+            ("if-1", "trino-task", "m5.xlarge", "SPOT"),
+            ("if-1", "trino-task", "r5.xlarge", "SPOT"),
+        ],
+    )
+    sink(ok, 0)
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1 and got[0]["action"] == "REUSE"
+    # a non-empty listing that doesn't match raises (Workers.scala:327-329)
+    bad = _listing(spark, [("if-2", "trino-task", "m5.xlarge", "SPOT")])
+    sink2 = sinks.capacity_create_sink(str(tmp_path / "b"), spec, flavor="if")
+    with pytest.raises(RuntimeError, match="doesn't match"):
+        sink2(bad, 0)

@@ -1,0 +1,131 @@
+"""Typed connector-boundary tests (S5-S8 + J5): the EMR control-plane
+dimension scans parse fixture JSON into the typed frames the operators
+consume (cluster/Workers.scala:151-157,246-266,351-363)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from emr_trino_autoscale_spark import sources
+from emr_trino_autoscale_spark.functions import config_zip_dimension
+
+
+def _raw(spark, payloads):
+    return spark.createDataFrame([(json.dumps(p),) for p in payloads], "payload string")
+
+
+def test_parse_instance_groups_task_filter_and_status(spark):
+    payloads = [
+        {
+            "id": "ig-1",
+            "name": "trino-task",
+            "instanceGroupType": "TASK",
+            "instanceType": "m5.xlarge",
+            "market": "SPOT",
+            "runningInstanceCount": 4,
+            "requestedInstanceCount": 6,
+            "status": {"state": "RESIZING", "stateChangeReason": {"message": "ok"}},
+        },
+        {
+            "id": "ig-2",
+            "name": "core",
+            "instanceGroupType": "CORE",  # dropped: TASK-only listing
+            "instanceType": "m5.xlarge",
+            "market": "ON_DEMAND",
+            "runningInstanceCount": 2,
+            "requestedInstanceCount": 2,
+            "status": {"state": "RUNNING", "stateChangeReason": {"message": ""}},
+        },
+        {
+            "id": "ig-3",
+            "name": "trino-task-2",
+            "instanceGroupType": "task",  # CI filter
+            "instanceType": "c5.xlarge",
+            "market": "ON_DEMAND",
+            "runningInstanceCount": 0,
+            "requestedInstanceCount": 0,
+            "status": {"state": "SUSPENDED", "stateChangeReason": {"message": "ICE"}},
+        },
+    ]
+    rows = {r["id"]: r for r in sources.parse_instance_groups(_raw(spark, payloads)).collect()}
+    assert set(rows) == {"ig-1", "ig-3"}
+    assert rows["ig-1"]["weight"] == 1  # groups scale whole instances
+    assert rows["ig-1"]["is_resizing"] is True and rows["ig-1"]["is_suspended"] is False
+    assert rows["ig-3"]["is_suspended"] is True and rows["ig-3"]["message"] == "ICE"
+    assert rows["ig-1"]["running"] == 4 and rows["ig-1"]["requested"] == 6
+
+
+def test_parse_instance_fleets_explodes_specs(spark):
+    payloads = [
+        {
+            "id": "if-1",
+            "name": "trino-task",
+            "instanceFleetType": "TASK",
+            "targetOnDemandCapacity": 0,
+            "targetSpotCapacity": 12,
+            "provisionedOnDemandCapacity": 0,
+            "provisionedSpotCapacity": 8,
+            "instanceTypeSpecifications": [
+                {"instanceType": "m5.xlarge", "weightedCapacity": 4},
+                {"instanceType": "r5.2xlarge", "weightedCapacity": 8},
+            ],
+        }
+    ]
+    rows = sources.parse_instance_fleets(_raw(spark, payloads)).collect()
+    got = {(r["instance_type"], r["weight"]) for r in rows}
+    assert got == {("m5.xlarge", 4), ("r5.2xlarge", 8)}
+    assert all(r["running"] == 8 and r["requested"] == 12 for r in rows)
+
+
+def test_parse_cluster_instances_projection(spark):
+    payloads = [
+        {
+            "id": "ci-1",
+            "ec2InstanceId": "i-0abc",
+            "privateIpAddress": "10.0.0.7",
+            "publicIpAddress": None,
+            "instanceGroupId": "ig-1",
+            "instanceFleetId": None,
+            "market": "SPOT",
+            "instanceType": "m5.xlarge",
+            "status": {"state": "RUNNING"},
+        }
+    ]
+    r = sources.parse_cluster_instances(_raw(spark, payloads)).collect()[0]
+    assert r["private_ip"] == "10.0.0.7" and r["state"] == "RUNNING"
+    assert r["group_id"] == "ig-1" and r["ec2_instance_id"] == "i-0abc"
+
+
+def test_parse_describe_cluster_dispatch_key(spark):
+    payloads = [
+        {
+            "cluster": {
+                "id": "j-123",
+                "name": "trino",
+                "instanceCollectionType": "INSTANCE_FLEET",
+                "status": {"state": "WAITING"},
+            }
+        }
+    ]
+    r = sources.parse_describe_cluster(_raw(spark, payloads)).collect()[0]
+    assert r["cluster_id"] == "j-123" and r["collection_type"] == "INSTANCE_FLEET"
+
+
+# J5 — config zip (Workers.scala:300-310)
+
+def test_config_zip_dimension(spark):
+    col = config_zip_dimension(["m5.xlarge", "r5.2xlarge"], [4, 8])
+    row = spark.range(1).select(col.alias("instances")).collect()[0]["instances"]
+    assert [(i["name"], i["weight"]) for i in row] == [
+        ("m5.xlarge", 4),
+        ("r5.2xlarge", 8),
+    ]
+
+
+def test_config_zip_dimension_sanity_checks():
+    with pytest.raises(ValueError):
+        config_zip_dimension([], [])
+    with pytest.raises(ValueError):
+        config_zip_dimension(["m5.xlarge"], [1, 2])
