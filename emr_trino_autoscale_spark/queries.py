@@ -1583,29 +1583,40 @@ FROM documents GROUP BY lang ORDER BY lang
 
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+    # TWO homogeneous aggregations joined on the 5-row group key, never
+    # one mixed agg: Spark plans a distinct aggregate (countDistinct)
+    # mixed with a TypedImperativeAggregate (percentile_approx) as an
+    # expand + sort-based aggregate that re-serializes the sketch buffer
+    # per row — measured 39s vs 2.4s for the split at sf0.1.
+    sketches = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("__andv"),
         F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10_000)).alias("__ap50"),
-        F.expr("percentile(o_totalprice, 0.4)").alias("__p40"),
-        F.expr("percentile(o_totalprice, 0.6)").alias("__p60"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+    exact = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        F.expr("percentile(o_totalprice, 0.4)").alias("__p40"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("__p60"),
+    )
     # 10% = 5x the rsd target, far outside HLL++'s realistic error; the
-    # p40..p60 band is ~1000x percentile_approx's rank error at accuracy
-    # 10k. Robustly-true bounds, not knife-edge ones.
-    return agg.select(
-        "priority",
-        "exact_customers",
-        "n_orders",
-        (
-            F.abs(F.col("__andv") - F.col("exact_customers"))
-            <= 0.10 * F.col("exact_customers")
-        ).alias("ndv_within_10pct"),
-        ((F.col("__ap50") >= F.col("__p40")) & (F.col("__ap50") <= F.col("__p60"))).alias(
-            "p50_within_band"
-        ),
-    ).orderBy("priority")
+    # exact p40..p60 band is ~1000x percentile_approx's rank error at
+    # accuracy 10k. Robustly-true bounds, not knife-edge ones.
+    return (
+        sketches.join(F.broadcast(exact), "priority")
+        .select(
+            "priority",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("__andv") - F.col("exact_customers"))
+                <= 0.10 * F.col("exact_customers")
+            ).alias("ndv_within_10pct"),
+            (
+                (F.col("__ap50") >= F.col("__p40")) & (F.col("__ap50") <= F.col("__p60"))
+            ).alias("p50_within_band"),
+        )
+        .orderBy("priority")
+    )
 
 
 Q43_SQL = """
