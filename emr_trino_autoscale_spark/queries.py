@@ -1741,8 +1741,8 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q47_SQL = """
-WITH h AS (
+# shared by Q47 (the pairs themselves) and Q49 (their transitive closure)
+_Q47_PAIR_CTES = """h AS (
   SELECT doc_id,
          list_transform(string_split(text, ' '),
            t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
@@ -1760,10 +1760,15 @@ banded AS (
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
   FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
-SELECT id_a, id_b, sig_a, sig_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+pairs AS (
+  SELECT id_a, id_b, sig_a, sig_b,
+         CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 2)"""
+
+Q47_SQL = f"""
+WITH {_Q47_PAIR_CTES}
+SELECT id_a, id_b, sig_a, sig_b, hamming FROM pairs
 ORDER BY id_a, id_b
 """
 
@@ -1811,6 +1816,96 @@ FROM b GROUP BY 1, 2 ORDER BY lang, split
 
 
 # ---------------------------------------------------------------------------
+
+# Q49 — X2 completion: transitive closure of the near-dup pairs.
+# Pairwise dedup alone under-deletes (A~B, B~C but A!~C keeps two of
+# three); canonical keep-one-per-set needs connected components. Spark
+# side: min-label propagation (operators/dedup.connected_components);
+# oracle side: recursive CTE computing min reachable id. Components are
+# summarized (min id, size, max member) so the output is stable.
+
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_hamming_pairs(d, max_hamming=2, n_bands=4)
+    comps = dedup.connected_components(pairs, persist_fn=_cache_scoped)
+    return (
+        comps.groupBy(F.col("comp").alias("component"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max("id").cast("bigint").alias("max_member"),
+        )
+        .orderBy("component")
+    )
+
+
+Q49_SQL = f"""
+WITH RECURSIVE {_Q47_PAIR_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(id) AS BIGINT) AS max_member
+FROM comp GROUP BY component ORDER BY component
+"""
+
+
+# Q50 — X4 extension: TF-IDF top-3 characteristic terms per document.
+# The idf ratio stays un-logged (monotone, and a quotient of exact ints
+# is bit-identical across engines where libm ln is not).
+
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = text.tfidf_top_terms(d, k=3)
+    return out.select(
+        "doc_id", "term", "rank", dec4("score").alias("score")
+    ).orderBy("doc_id", "rank")
+
+
+Q50_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d),
+scored AS (
+  SELECT doc_id, term, tf * (n_docs + 1) / (df + 1) AS score
+  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS INTEGER) AS rank
+      FROM scored)
+SELECT doc_id, term, rank, {_dec4('score')} AS score
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+# Q51 — fixed-width binned histogram per metric family (the width_bucket
+# shape: floor(value/width); empty buckets absent by construction).
+
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 50).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+Q51_SQL = """
+SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
@@ -1861,6 +1956,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_revenue_join": q46,
     "q47_simhash_hamming": q47,
     "q48_train_test_split": q48,
+    "q49_dedup_components": q49,
+    "q50_tfidf_top_terms": q50,
+    "q51_value_histogram": q51,
 }
 
 ORACLE: dict[str, str] = {
@@ -1912,4 +2010,7 @@ ORACLE: dict[str, str] = {
     "q46_revenue_join": Q46_SQL,
     "q47_simhash_hamming": Q47_SQL,
     "q48_train_test_split": Q48_SQL,
+    "q49_dedup_components": Q49_SQL,
+    "q50_tfidf_top_terms": Q50_SQL,
+    "q51_value_histogram": Q51_SQL,
 }

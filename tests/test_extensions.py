@@ -385,3 +385,45 @@ def test_real_decoder_slot_in_ppm_and_wav(spark):
     assert abs(aud[4] - 8000 / 96000.0) < tol
     # unknown format falls through to the documented stub (still 8 floats)
     assert len(rows[2]["feature"]) == 8
+
+
+def test_connected_components_transitive_closure(spark):
+    # chain 1-2-3 plus isolated pair 10-11: closure must merge the
+    # chain even though (1,3) was never a pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comps = {
+        r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-hop chain exercises pointer jumping (O(log n) rounds — a
+    # pure 1-hop propagation would need 64 iterations > max_iter)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    comps = dedup.connected_components(pairs, max_iter=10)
+    assert comps.filter(F.col("comp") != 0).count() == 0
+    assert comps.count() == 65
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    d = docs(
+        spark,
+        [
+            "common common zebra",
+            "common common yak",
+            "common common zebra",
+        ],
+    )
+    rows = {(r["doc_id"], r["term"]): r for r in text.tfidf_top_terms(d, k=2).collect()}
+    # N=3. common: tf=2, df=3 -> 2*4/4 = 2.0; zebra: tf=1, df=2 -> 4/3;
+    # yak: tf=1, df=1 -> 4/2 = 2.0 (ties with common; term asc breaks it)
+    assert rows[(0, "common")]["rank"] == 1 and rows[(0, "zebra")]["rank"] == 2
+    assert rows[(1, "common")]["rank"] == 1 and rows[(1, "yak")]["rank"] == 2
+    assert abs(rows[(0, "common")]["score"] - 2.0) < 1e-12
+    assert abs(rows[(0, "zebra")]["score"] - 4.0 / 3.0) < 1e-12
+    assert abs(rows[(1, "yak")]["score"] - 2.0) < 1e-12
