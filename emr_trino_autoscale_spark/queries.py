@@ -1826,16 +1826,30 @@ FROM b GROUP BY 1, 2 ORDER BY lang, split
 
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_hamming_pairs(d, max_hamming=2, n_bands=4)
-    comps = dedup.connected_components(pairs, persist_fn=_cache_scoped)
-    return (
-        comps.groupBy(F.col("comp").alias("component"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_members"),
-            F.max("id").cast("bigint").alias("max_member"),
-        )
-        .orderBy("component")
+    pairs = _cache_scoped(dedup.simhash_hamming_pairs(d, max_hamming=2, n_bands=4))
+    # Contract exact-signature cliques BEFORE the closure: duplicate
+    # clusters are near-cliques, so the doc-level graph has O(cluster^2)
+    # edges while the signature-level graph has one node per distinct
+    # signature — iterate on that (orders of magnitude smaller), then
+    # map docs back through their signature. Membership is identical:
+    # same-sig docs are Hamming-0 connected by construction.
+    sig_pairs = pairs.select("sig_a", "sig_b").distinct()
+    sig_comps = dedup.connected_components(sig_pairs, id_a="sig_a", id_b="sig_b")
+    doc_sig = (
+        pairs.select(F.col("id_a").alias("doc"), F.col("sig_a").alias("sig"))
+        .union(pairs.select("id_b", "sig_b"))
+        .distinct()
     )
+    labeled = doc_sig.join(
+        F.broadcast(sig_comps.withColumnRenamed("id", "sig")), "sig"
+    )
+    # component key = min member doc id (stable, sig-independent)
+    keyed = labeled.groupBy("comp").agg(
+        F.min("doc").alias("component"),
+        F.count("*").cast("bigint").alias("n_members"),
+        F.max("doc").cast("bigint").alias("max_member"),
+    )
+    return keyed.select("component", "n_members", "max_member").orderBy("component")
 
 
 Q49_SQL = f"""
