@@ -112,6 +112,41 @@ def dedup_stream(
     )
 
 
+def near_dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-dup suppression (X2 live twin of Q22): compute the
+    deterministic minhash signature per arriving document and keep the
+    first document per signature within the watermark horizon.
+
+    Same bounded-state contract as :func:`dedup_stream` — near-dup state
+    cannot grow with the corpus on an unbounded ingest, so suppression
+    is scoped to the late-data window and the batch closure (Q22/Q49)
+    catches cross-window duplicates during periodic compaction. The
+    signature is a pure column expression (md5 shingle min), so this
+    chains onto any streaming source with no Python in the hot path.
+    Documents shorter than k tokens get a NULL signature and pass
+    through the same dedup key (at most one survives per window —
+    matching the batch operator, which drops them from clustering)."""
+    from ..operators.dedup import shingles_of
+
+    sig = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn(
+            "__sig",
+            F.array_min(F.transform(shingles_of(F.col("__toks"), k), F.md5)),
+        )
+        .drop("__toks")
+    )
+    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["__sig"]
+    )
+
+
 def attach_decision_query(decisions: DataFrame, sink_fn, checkpoint: str, trigger: str = EVALUATE_TRIGGER):
     """Wire the decision stream to an idempotent foreachBatch sink with
     the reference's evaluation cadence."""

@@ -216,3 +216,33 @@ def test_sources_parse(spark):
     )
     hosts = [r["host"] for r in parse_node_registry(reg).collect()]
     assert hosts == ["10.0.0.5"]
+
+
+def test_streaming_near_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "src"
+    chk = tmp_path / "chk"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # docs 1/2 differ in the tail word but share the min shingle ->
+        # near-dups; doc 3 is disjoint text
+        (1, base, "the quick brown fox jumps over the lazy dog"),
+        (2, base + dt.timedelta(seconds=30), "the quick brown fox jumps over the lazy cat"),
+        (3, base + dt.timedelta(seconds=60), "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.near_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r["doc_id"] for r in spark.sql("select doc_id from near_dedup_stream_test").collect()}
+    assert kept == {1, 3}  # near-dup doc 2 suppressed within the window
