@@ -199,3 +199,25 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", "score")
     )
+
+
+# PII scrub patterns — portable across Java regex and RE2-style engines
+# (no lookarounds, no backrefs), so the oracle replays them exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: count and redact email addresses and
+    phone-shaped numbers. Pure regexp column expressions (codegen'd,
+    zero shuffle) — at 100 TB this runs as a narrow projection fused
+    into the scan. Adds ``n_emails``, ``n_phones``, ``redacted``."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"))
+        .withColumn("redacted", red)
+    )

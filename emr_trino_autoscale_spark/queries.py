@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, sign_dispatch
@@ -1921,6 +1921,147 @@ FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
 """
 
 
+# Q52 — PII scrub (X10): count + redact emails/phone numbers. The
+# fixture text carries no PII, so both sides compose identical
+# deterministic PII-bearing text from the doc id first (the operator
+# under test is the scrub, the synthesis is fixture mapping).
+
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    composed = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return (
+        text.pii_scrub(composed, text_col="t")
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.md5("redacted").alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q52_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example or call 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+FROM p ORDER BY doc_id
+"""
+
+
+# Q53 — stratified quality selection (X11): top-5 docs per language by
+# the deterministic quality score (ties by doc_id). The per-lang window
+# is the quota-sampling shape of corpus curation.
+
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("__q", text.quality_score())
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "doc_id", dec4("__q").alias("quality"))
+        .orderBy("lang", "rnk")
+    )
+
+
+Q53_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS lt,
+         string_split(text, ' ') AS toks, text
+  FROM documents),
+g AS (
+  SELECT doc_id, lang, len(toks) AS n_tok,
+         len(list_filter(lt, t -> t IN
+           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+         length(text) AS n_char
+  FROM s),
+v AS (
+  SELECT doc_id, lang,
+         (least(n_tok / 100.0, 1.0)
+          + least(n_stop / greatest(n_tok, 1) * 5.0, 1.0)
+          + greatest(1.0 - n_punct / greatest(n_char, 1) * 5.0, 0.0)) / 3.0 AS q
+  FROM g),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY q DESC, doc_id) AS INTEGER) AS rnk
+      FROM v)
+SELECT lang, rnk, doc_id, {_dec4('q')} AS quality
+FROM r WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+
+# Q54 — token-budget packing (X12): greedy assignment of documents to
+# fixed-token-budget training packs per language — pack id is the
+# starting cumulative-token offset divided by the budget (window
+# cumsum; deterministic doc_id order).
+
+_PACK_BUDGET = 2000
+
+
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = (
+        d.withColumn("__n_tok", text.token_count())
+        .withColumn("__cum", F.sum("__n_tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("__cum") - F.col("__n_tok")) / _PACK_BUDGET).cast("bigint"),
+        )
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__n_tok").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+Q54_SQL = f"""
+WITH t AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM t),
+p AS (SELECT lang, CAST(FLOOR((cum - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+             n_tok
+      FROM c)
+SELECT lang, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM p GROUP BY 1, 2 ORDER BY lang, pack_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -1973,6 +2114,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_dedup_components": q49,
     "q50_tfidf_top_terms": q50,
     "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
 }
 
 ORACLE: dict[str, str] = {
@@ -2027,4 +2171,7 @@ ORACLE: dict[str, str] = {
     "q49_dedup_components": Q49_SQL,
     "q50_tfidf_top_terms": Q50_SQL,
     "q51_value_histogram": Q51_SQL,
+    "q52_pii_scrub": Q52_SQL,
+    "q53_quality_topk_per_lang": Q53_SQL,
+    "q54_token_packing": Q54_SQL,
 }

@@ -427,3 +427,20 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     assert abs(rows[(0, "common")]["score"] - 2.0) < 1e-12
     assert abs(rows[(0, "zebra")]["score"] - 4.0 / 3.0) < 1e-12
     assert abs(rows[(1, "yak")]["score"] - 2.0) < 1e-12
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    d = docs(
+        spark,
+        [
+            "reach me at alice.smith+work@corp.example.com or 555-123-4567 thanks",
+            "no pii here at all",
+            "two mails a@b.io c@d.org and 999-000-1111 111-222-3333 done",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(d).collect()}
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert "<EMAIL>" in rows[0]["redacted"] and "<PHONE>" in rows[0]["redacted"]
+    assert "alice" not in rows[0]["redacted"] and "4567" not in rows[0]["redacted"]
+    assert rows[1]["n_emails"] == 0 and rows[1]["redacted"] == "no pii here at all"
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 2

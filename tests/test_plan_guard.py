@@ -68,9 +68,13 @@ def test_scoped_caches_released(spark, sf_dir):
     leave nothing cached once the next query runs + release_caches()."""
     from emr_trino_autoscale_spark.queries import release_caches
 
-    spark.catalog.clearCache()  # drop caches other tests left behind
+    spark.catalog.clearCache()  # drop SQL caches other tests left behind
+    # localCheckpoint RDDs from other tests (q49's closure) survive
+    # clearCache and are reclaimed by the ContextCleaner, not by us —
+    # assert the q10/q27 DELTA is fully released, not an absolute zero.
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
     QUERIES["q10_quorum_predicates"](spark, sf_dir).collect()
     QUERIES["q27_ngram_jaccard_pairs"](spark, sf_dir).collect()  # releases q10's
     release_caches()
-    cached = spark.sparkContext._jsc.getPersistentRDDs()
-    assert cached.size() == 0, f"{cached.size()} cached RDDs leaked"
+    cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert cached <= baseline, f"{cached - baseline} cached RDDs leaked"
