@@ -501,10 +501,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # init = identity labels with the first hop folded in (min of self
+    # and direct neighbors): one aggregation replaces a whole first
+    # round, and every node appears as src (edges are bidirected)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__m"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__m")).alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
     def hop_and_jump(lbl):

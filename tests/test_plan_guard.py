@@ -25,11 +25,25 @@ FLAGSHIPS = {
     "q09_window_avg_zero_fill": (14, True),
     "q10_quorum_predicates": (38, True),
     "q20_full_classifier": (6, False),
+    "q21_exact_dedup": (4, False),
+    "q22_minhash_near_dup": (4, False),
+    "q24_token_stats": (4, False),
     "q27_ngram_jaccard_pairs": (20, False),
+    # q28's FlatMapGroupsInPandas (Arrow applyInPandas) is the sanctioned
+    # vectorized path — not in FORBIDDEN
+    "q28_embedding_near_dup": (4, False),
+    "q31_langid_quality": (4, False),
+    "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
     # exchange, which ReuseExchange shares across both band-join sides —
     # audited 2026-08-13, ~2x faster than the HOF fold it replaced
     "q47_simhash_hamming": (8, False),
+    # q50's nested-loop = the 1-row broadcast corpus-size join (doc'd)
+    "q50_tfidf_top_terms": (18, True),
+    "q51_value_histogram": (4, False),
+    "q52_pii_scrub": (2, False),
+    "q53_quality_topk_per_lang": (4, False),
+    "q54_token_packing": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
