@@ -444,3 +444,34 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert "alice" not in rows[0]["redacted"] and "4567" not in rows[0]["redacted"]
     assert rows[1]["n_emails"] == 0 and rows[1]["redacted"] == "no pii here at all"
     assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 2
+
+
+def test_blocked_pairs_scale_geometry(spark):
+    """Scale smoke: a corpus large enough that blocks_for derives a
+    real multi-block geometry from a small tile budget; results must be
+    identical under two different block geometries (routing never
+    changes the scored set) and respect the pair invariants."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i in range(4000):
+        v = base[i % 40] + rng.normal(scale=0.15 if i % 7 == 0 else 3.0, size=16)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    derived = similarity.near_dup_pairs_blocked(
+        corpus, threshold=0.97, tile_mem_bytes=1 << 20
+    )
+    n_blocks = similarity.blocks_for(4000, 16, 1 << 20)
+    assert n_blocks >= 8  # the small budget must force real blocking
+    got = {(r["id_a"], r["id_b"]): str(r["cosine"]) for r in derived.collect()}
+    alt = {
+        (r["id_a"], r["id_b"]): str(r["cosine"])
+        for r in similarity.near_dup_pairs_blocked(
+            corpus, threshold=0.97, n_blocks=3
+        ).collect()
+    }
+    assert got == alt and len(got) > 0
+    assert all(a < b for a, b in got)  # canonical ordering, no self-pairs

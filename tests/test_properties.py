@@ -134,3 +134,73 @@ def test_hash_ranges_and_determinism(spark, texts):
         if r["text"] in by_text:
             assert by_text[r["text"]] == key  # same text -> same signatures
         by_text[r["text"]] = key
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_connected_components_match_union_find(spark, edges):
+    # driver-side union-find is the independent reference implementation
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == expected
+
+
+@given(
+    docs_toks=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=12,
+    ),
+    radius=st.integers(0, 2),
+)
+@settings(max_examples=6, deadline=None)
+def test_banded_hamming_pairs_are_exact(spark, docs_toks, radius):
+    # the band join must find EXACTLY the pairs within the Hamming
+    # radius (pigeonhole exactness for radius < n_bands) — compare
+    # against brute-force over the same signatures
+    texts = [" ".join(t) for t in docs_toks]
+    d = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_hamming_pairs(d, max_hamming=radius, n_bands=4).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in d.withColumn("__hs", dedup.md5_long_hashes("text"))
+        .select("doc_id", dedup.simhash_from_long_hashes(F.col("__hs"), 32).alias("sig"))
+        .collect()
+    }
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= radius
+    }
+    assert got == expected
