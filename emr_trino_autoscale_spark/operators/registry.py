@@ -1,0 +1,51 @@
+"""Managed-registry operators (E3 + the W1 buffer's generic twin).
+
+The reference keeps its managed TASK-group state in a ``FixedList``
+(utils/FixedList.scala): ``append`` evicts the oldest entry at capacity
+(:12-15), ``replaceAll`` clears and refills from a fresh listing
+(:17-20) — the refresh tick does exactly that with the latest SDK
+listing (cluster/Workers.scala:274,411). These are the declarative
+snapshot/merge analogs; all narrow or single-shuffle on bounded
+registry frames (<= 48 rows by the service limit — Config.scala:93-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def replace_all(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """E3 — ``FixedList.replaceAll`` (utils/FixedList.scala:17-20):
+    the registry is atomically replaced by the fresh listing; previous
+    state contributes nothing. The Spark analog is snapshot semantics —
+    the incoming frame IS the registry — plus the schema check the
+    imperative clear+appendAll gets for free from the type system."""
+    if [f.dataType for f in current.schema] != [f.dataType for f in incoming.schema]:
+        raise ValueError(
+            f"replace_all: incompatible schemas {current.schema} vs {incoming.schema}"
+        )
+    return incoming
+
+
+def union_latest(current: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """E3 union flavor — merge registries keeping one row per ``key``
+    with the incoming row winning (appendAll-onto-existing with key
+    dedup). One anti-join on the bounded registry key; at scale both
+    sides broadcast."""
+    return incoming.unionByName(current.join(incoming, key, "left_anti"))
+
+
+def append_bounded(
+    df: DataFrame, order_col: str, capacity: int
+) -> DataFrame:
+    """W1 generic — ``FixedList.append`` eviction (utils/FixedList.scala:12-15):
+    keep only the newest ``capacity`` entries by ``order_col``. The
+    metric-store ring buffer (metric_store.last_n_ticks) is the
+    tick-keyed specialization; this is the row-keyed form."""
+    w = Window.orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= capacity)
+        .drop("__rn")
+    )

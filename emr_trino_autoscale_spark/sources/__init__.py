@@ -269,6 +269,50 @@ def parse_describe_cluster(raw: DataFrame, payload_col: str = "payload") -> Data
     )
 
 
+# S10 — properties/HOCON config scan (Config.scala:20-21 parses
+# /etc/trino/conf/config.properties; :59-61 derives the https flag and
+# port with a Try(...).getOrElse(false) fallback).
+
+def parse_properties(raw: DataFrame, text_col: str = "payload") -> DataFrame:
+    """S10 — java-properties text -> ``props`` map<string,string>.
+
+    Pure column expressions: split lines, drop blanks/comments, split
+    each line at the first '=' (values may contain '='), collect to a
+    map. Runs as a narrow projection — the config file is a 1-row
+    dimension, but the parse is schema-on-read like every other source.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: (F.length(l) > 0)
+        & ~l.startswith("#")
+        & ~l.startswith("!")
+        & l.contains("="),
+    )
+    def entry(l):
+        key = F.substring_index(l, "=", 1)
+        # value = everything after the FIRST '=' (values may contain '=')
+        value = l.substr(F.length(key) + F.lit(2), F.length(l))
+        return F.struct(F.trim(key).alias("key"), F.trim(value).alias("value"))
+
+    return raw.withColumn(
+        "props", F.map_from_entries(F.transform(lines, entry))
+    )
+
+
+def https_schema_and_port(props_col) -> tuple:
+    """S10 — the reference's https dispatch (Config.scala:59-61):
+    ``http-server.https.enabled`` true -> ('https', https port), else
+    ('http', http port); a missing/garbage flag falls back to http
+    (``Try(...).getOrElse(false)``)."""
+    flag = F.lower(F.coalesce(props_col.getItem("http-server.https.enabled"), F.lit("false")))
+    is_https = flag == "true"
+    schema = F.when(is_https, F.lit("https")).otherwise(F.lit("http"))
+    port = F.when(is_https, props_col.getItem("http-server.https.port")).otherwise(
+        props_col.getItem("http-server.http.port")
+    )
+    return schema, port
+
+
 def parse_node_registry(raw: DataFrame, ts_col: str = "ts", payload_col: str = "payload") -> DataFrame:
     """S3+P3/P4 — registry scan: parse, keep active workers, extract the
     hostname from the URI, drop rows whose URI doesn't match

@@ -129,3 +129,53 @@ def test_config_zip_dimension_sanity_checks():
         config_zip_dimension([], [])
     with pytest.raises(ValueError):
         config_zip_dimension(["m5.xlarge"], [1, 2])
+
+
+# S10 — properties config scan (Config.scala:20-21,59-61)
+
+def test_parse_properties_and_https_dispatch(spark):
+    https_conf = (
+        "# Trino coordinator config\n"
+        "http-server.https.enabled=true\n"
+        "http-server.https.port=8443\n"
+        "http-server.http.port=8080\n"
+        "query.max-memory=50GB\n"
+        "odd.value=a=b=c\n"
+        "\n"
+    )
+    http_conf = "http-server.http.port=8080\nquery.max-memory=50GB\n"
+    raw = spark.createDataFrame([(https_conf,), (http_conf,)], "payload string")
+    parsed = sources.parse_properties(raw)
+    schema, port = sources.https_schema_and_port(parsed["props"])
+    rows = parsed.select(
+        "props", schema.alias("schema"), port.alias("port")
+    ).collect()
+    assert rows[0]["schema"] == "https" and rows[0]["port"] == "8443"
+    assert rows[0]["props"]["query.max-memory"] == "50GB"
+    assert rows[0]["props"]["odd.value"] == "a=b=c"  # first-'=' split
+    # missing flag falls back to http (Try(...).getOrElse(false))
+    assert rows[1]["schema"] == "http" and rows[1]["port"] == "8080"
+
+
+def test_registry_replace_and_union_and_bound(spark):
+    from emr_trino_autoscale_spark.operators import registry
+
+    cur = spark.createDataFrame([("ig-1", 4), ("ig-2", 2)], "id string, running int")
+    inc = spark.createDataFrame([("ig-2", 9), ("ig-3", 1)], "id string, running int")
+    # replaceAll: incoming IS the registry
+    assert {(r["id"], r["running"]) for r in registry.replace_all(cur, inc).collect()} == {
+        ("ig-2", 9),
+        ("ig-3", 1),
+    }
+    try:
+        registry.replace_all(cur, spark.createDataFrame([(1,)], "x long"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # union_latest: one row per key, incoming wins
+    merged = {r["id"]: r["running"] for r in registry.union_latest(cur, inc, "id").collect()}
+    assert merged == {"ig-1": 4, "ig-2": 9, "ig-3": 1}
+    # append_bounded: FixedList eviction keeps the newest N
+    big = spark.createDataFrame([(i,) for i in range(10)], "seq long")
+    kept = {r["seq"] for r in registry.append_bounded(big, "seq", 3).collect()}
+    assert kept == {7, 8, 9}
