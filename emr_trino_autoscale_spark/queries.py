@@ -1534,13 +1534,20 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE the oracle's frame key: Spark's side orders by unix_timestamp
+# (integer SECONDS — sub-second truncated), so the oracle must use the
+# identically truncated key. `ORDER BY ts RANGE INTERVAL 1 HOUR` kept
+# full microsecond precision and disagreed on events ~exactly one hour
+# apart (first seen at sf0.1 — sf0.01 is too sparse to hit the
+# boundary). floor(), not a bare BIGINT cast: DuckDB casts round.
 Q41_SQL = f"""
+WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
 SELECT event_id, user_id, {_fmt('ts')} AS ts_str,
        {_dec4('SUM(value) OVER w')} AS trailing_hour_sum,
        CAST(COUNT(*) OVER w AS BIGINT) AS trailing_hour_n
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
