@@ -260,11 +260,17 @@ def simhash_hamming_pairs(
     # rows ~= #docs x n_bits ints), and — decisive here — the aggregate's
     # exchange is identical on both sides of the band self-join below,
     # so ReuseExchange computes signatures ONCE instead of once per join
-    # branch. Measured ~2x over the fold at sf0.1. Semantics identical:
-    # split(text) is never empty ([""] for empty text), so explode drops
-    # no document.
-    ex = df.withColumn("__hs", md5_long_hashes(text_col)).select(
-        F.col(id_col).alias("id"), F.explode("__hs").alias("h")
+    # branch. Measured ~2x over the fold at sf0.1. split(text) is never
+    # empty for non-NULL text ([""] for the empty string), so explode
+    # drops no such document; NULL-text rows ARE excluded — explicitly,
+    # below — which matches the SQL oracle, where a NULL signature can
+    # never equi-join into a band bucket.
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__hs", md5_long_hashes(text_col))
+        .select(F.col(id_col).alias("id"), F.explode("__hs").alias("h"))
     )
     votes = ex.groupBy("id").agg(
         *[

@@ -96,6 +96,10 @@ def decode_ppm_image(payload: bytes) -> list[float]:
             i += 1
         tokens.append(payload[start:i])
     width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        # spec-valid but 2-bytes-per-sample; decoding it as uint8 would
+        # produce silent garbage — refuse (sniffing_decoder falls back)
+        raise ValueError(f"16-bit PPM (maxval={maxval}) unsupported")
     px = np.frombuffer(payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8)
     rgb = px.reshape(height, width, 3).astype(np.float64) / maxval
     return [
@@ -121,6 +125,10 @@ def decode_wav_audio(payload: bytes) -> list[float]:
     import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"only 16-bit PCM supported (got {8 * w.getsampwidth()}-bit)"
+            )
         rate, nframes, nch = w.getframerate(), w.getnframes(), w.getnchannels()
         samples = np.frombuffer(w.readframes(nframes), dtype=np.int16)
     x = samples.astype(np.float64) / 32768.0
@@ -138,14 +146,28 @@ def decode_wav_audio(payload: bytes) -> list[float]:
 
 
 def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
-    """Magic-byte dispatch: P6 -> PPM decode, RIFF -> WAV decode, else
-    the deterministic stub (video codecs genuinely unavailable here).
-    This is the production ``decoder=`` slot-in shape: pure
-    ``(payload, kind) -> 8 floats``, no per-row Spark calls."""
-    if payload is not None and payload.startswith(b"P6"):
-        return decode_ppm_image(payload)
-    if payload is not None and payload.startswith(b"RIFF"):
-        return decode_wav_audio(payload)
+    """Magic-byte dispatch: P6 -> PPM decode, RIFF/WAVE -> WAV decode,
+    else the deterministic stub (video codecs genuinely unavailable
+    here). This is the production ``decoder=`` slot-in shape: pure
+    ``(payload, kind) -> 8 floats``, no per-row Spark calls.
+
+    Containers the magic bytes *resemble* but the decoders can't handle
+    (AVI/WebP share the RIFF prefix; 16-bit-maxval PPMs; non-16-bit-PCM
+    WAVs) fall back to the stub rather than failing the Spark task —
+    one undecodable payload must not abort a whole extract batch."""
+    try:
+        if payload is not None and payload.startswith(b"P6"):
+            return decode_ppm_image(payload)
+        # RIFF alone is a container family (AVI, WebP, ...); require the
+        # WAVE format tag at offset 8 before trying the WAV decoder
+        if (
+            payload is not None
+            and payload.startswith(b"RIFF")
+            and payload[8:12] == b"WAVE"
+        ):
+            return decode_wav_audio(payload)
+    except Exception:  # noqa: BLE001 — malformed media: fall back, don't fail the task
+        pass
     return _decode_stub(payload, kind)
 
 

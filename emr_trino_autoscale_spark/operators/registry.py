@@ -21,7 +21,12 @@ def replace_all(current: DataFrame, incoming: DataFrame) -> DataFrame:
     state contributes nothing. The Spark analog is snapshot semantics —
     the incoming frame IS the registry — plus the schema check the
     imperative clear+appendAll gets for free from the type system."""
-    if [f.dataType for f in current.schema] != [f.dataType for f in incoming.schema]:
+    # names AND types (nullability excluded — it varies by construction
+    # path): same-typed frames with different column meanings must not
+    # silently become the registry
+    cur_sig = [(f.name.lower(), f.dataType) for f in current.schema]
+    inc_sig = [(f.name.lower(), f.dataType) for f in incoming.schema]
+    if cur_sig != inc_sig:
         raise ValueError(
             f"replace_all: incompatible schemas {current.schema} vs {incoming.schema}"
         )

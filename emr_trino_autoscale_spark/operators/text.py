@@ -213,11 +213,15 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     zero shuffle) — at 100 TB this runs as a narrow projection fused
     into the scan. Adds ``n_emails``, ``n_phones``, ``redacted``."""
     t = F.col(text_col)
-    red = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
     return (
         df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"))
-        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"))
+        # phones counted AFTER email redaction so the counts reconcile
+        # with the placeholder tokens: a phone-shaped email local part
+        # ("555-123-4567@x.example") is one <EMAIL>, not also a phone
+        .withColumn(
+            "n_phones", F.regexp_count(after_email, F.lit(PHONE_RE)).cast("bigint")
+        )
         .withColumn("redacted", red)
     )

@@ -33,7 +33,7 @@ from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_a
 
 # ---------------------------------------------------------------------------
 # Scoped caches. A few declared queries persist a reused intermediate;
-# the driver runs all 48 queries in one session, so an unreleased cache
+# the driver runs every declared query in one session, so an unreleased cache
 # would squat executor memory suite-wide. Each _cache_scoped call first
 # releases the previous query's caches (the driver collects one query's
 # result before building the next), so at most one query's caches are
@@ -1966,16 +1966,22 @@ WITH p AS (
               || '@mail.example or call 555-'
               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
-  FROM documents)
+  FROM documents),
+r AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t_email_red
+  FROM p)
 SELECT doc_id,
        CAST(len(regexp_extract_all(t,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t,
+       -- phones counted after email redaction (mirrors pii_scrub: a
+       -- phone-shaped email local part is one <EMAIL>, not a phone)
+       CAST(len(regexp_extract_all(t_email_red,
          '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-       md5(regexp_replace(regexp_replace(t,
-         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       md5(regexp_replace(t_email_red,
          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
-FROM p ORDER BY doc_id
+FROM r ORDER BY doc_id
 """
 
 

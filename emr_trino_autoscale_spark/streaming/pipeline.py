@@ -129,16 +129,22 @@ def near_dedup_stream(
     catches cross-window duplicates during periodic compaction. The
     signature is a pure column expression (md5 shingle min), so this
     chains onto any streaming source with no Python in the hot path.
-    Documents shorter than k tokens get a NULL signature and pass
-    through the same dedup key (at most one survives per window —
-    matching the batch operator, which drops them from clustering)."""
+    Documents shorter than k tokens have no shingle signature; their
+    dedup key falls back to the exact-content hash so two DIFFERENT
+    short documents never collide (a NULL key would make
+    dropDuplicatesWithinWatermark treat all of them as one duplicate
+    and silently drop data) — short docs are deduped exactly, matching
+    the batch tier where they skip near-dup clustering but remain."""
     from ..operators.dedup import shingles_of
 
     sig = (
         docs.withColumn("__toks", F.split(F.col(text_col), " "))
         .withColumn(
             "__sig",
-            F.array_min(F.transform(shingles_of(F.col("__toks"), k), F.md5)),
+            F.coalesce(
+                F.array_min(F.transform(shingles_of(F.col("__toks"), k), F.md5)),
+                F.concat(F.lit("short:"), F.md5(F.coalesce(F.col(text_col), F.lit("")))),
+            ),
         )
         .drop("__toks")
     )

@@ -102,9 +102,12 @@ def capacity_create_sink(
     * a listed group matching the spec (IG: name, head instance type
       and market all CI-equal; IF: name CI-equal and every spec type
       present in the fleet) is REUSED — recorded, never re-created;
-    * no match -> a CREATE effect row with instance count 0 (IG,
-      Workers.scala:136) / the spec's typed capacities (IF), unless
-      creating would breach the ``max_groups`` service limit
+    * no match -> a CREATE effect row per spec instance type; the
+      ``instance_count`` column carries the initial capacity — 0 for
+      groups (created empty, Workers.scala:136), the spec's
+      ``min_units`` for fleets (AddInstanceFleet sets the target
+      capacity at creation, Workers.scala:331-339) — unless creating
+      would breach the ``max_groups`` service limit
       (Workers.scala:121-128), which raises;
     * IF only: a non-empty listing with no match raises — fleets can't
       coexist with a mismatched spec (Workers.scala:327-329).
@@ -125,7 +128,10 @@ def capacity_create_sink(
                 & (F.lower(F.col("market")) == str(head["market"]).lower())
             )
         else:
-            wanted = [str(i["name"]).lower() for i in spec["instances"]]
+            # deduplicated CI set: a spec listing the same type twice
+            # (or in different case) must still match a fleet containing
+            # it once — containment is a SET property
+            wanted = sorted({str(i["name"]).lower() for i in spec["instances"]})
             by_group = (
                 df.filter(name_eq)
                 .groupBy("id")
@@ -153,6 +159,7 @@ def capacity_create_sink(
                 f"You can have a maximum number of {max_groups} TASK groups; "
                 f"existing: {n_listed}"
             )
+        init_capacity = 0 if flavor == "ig" else int(spec.get("min_units", 0))
         effect = df.sparkSession.createDataFrame(
             [
                 (
@@ -162,7 +169,7 @@ def capacity_create_sink(
                     str(i["name"]),
                     int(i.get("weight", 1)),
                     str(i["market"]),
-                    0,  # groups are created empty (Workers.scala:136)
+                    init_capacity,
                     epoch_id,
                 )
                 for i in spec["instances"]

@@ -475,3 +475,51 @@ def test_blocked_pairs_scale_geometry(spark):
     }
     assert got == alt and len(got) > 0
     assert all(a < b for a, b in got)  # canonical ordering, no self-pairs
+
+
+def test_sniffing_decoder_falls_back_not_fails(spark):
+    """Undecodable payloads (RIFF-but-not-WAVE containers, 16-bit PPM,
+    truncated WAV) must fall back to the stub — never fail the task."""
+    avi = b"RIFF\x24\x00\x00\x00AVI LIST"            # RIFF container, not WAVE
+    webp = b"RIFF\x10\x00\x00\x00WEBPVP8 "
+    ppm16 = b"P6\n2 2\n65535\n" + bytes(24)           # 2-byte samples
+    bad_wav = b"RIFF\x08\x00\x00\x00WAVEjunk"         # WAVE tag, garbage body
+    media = spark.createDataFrame(
+        [
+            (0, "video", bytearray(avi), 0, 0, 0, "avi"),
+            (1, "image", bytearray(webp), 0, 0, 0, "webp"),
+            (2, "image", bytearray(ppm16), 2, 2, 0, "ppm"),
+            (3, "audio", bytearray(bad_wav), 0, 0, 0, "wav"),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(media, decoder=multimodal.sniffing_decoder).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert len(r["feature"]) == 8  # stub features, task alive
+
+
+def test_pii_phone_shaped_email_counts_reconcile(spark):
+    d = docs(spark, ["mail 555-123-4567@corp.example now", "call 555-123-4567"])
+    rows = {r["doc_id"]: r for r in text.pii_scrub(d).collect()}
+    # the phone-shaped local part is ONE email, zero phones — counts
+    # must reconcile with the placeholder tokens in `redacted`
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 0
+    assert rows[0]["redacted"].count("<EMAIL>") == 1
+    assert "<PHONE>" not in rows[0]["redacted"]
+    assert rows[1]["n_phones"] == 1 and "<PHONE>" in rows[1]["redacted"]
+
+
+def test_hamming_pairs_null_text_excluded(spark):
+    d = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_hamming_pairs(d).collect()}
+    # NULL-text docs are excluded (matching the SQL oracle, where a
+    # NULL signature never joins); real docs still pair
+    assert pairs == {(0, 1)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_hamming_pairs(d, n_bits=64)

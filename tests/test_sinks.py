@@ -129,3 +129,34 @@ def test_capacity_fleet_strict_mismatch(spark, tmp_path):
     sink2 = sinks.capacity_create_sink(str(tmp_path / "b"), spec, flavor="if")
     with pytest.raises(RuntimeError, match="doesn't match"):
         sink2(bad, 0)
+
+
+def test_capacity_fleet_create_carries_min_units(spark, tmp_path):
+    out = str(tmp_path)
+    spec = {
+        "name": "trino-task",
+        "min_units": 12,
+        "instances": [{"name": "m5.xlarge", "weight": 4, "market": "SPOT"}],
+    }
+    sink = sinks.capacity_create_sink(out, spec, flavor="if")
+    sink(_listing(spark, []), 0)  # empty listing -> create
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1 and got[0]["action"] == "CREATE"
+    # fleets are created AT the spec's target capacity, not empty
+    assert got[0]["instance_count"] == 12
+
+
+def test_capacity_fleet_duplicate_spec_types_match(spark, tmp_path):
+    out = str(tmp_path)
+    spec = {
+        "name": "trino-task",
+        "instances": [
+            {"name": "m5.xlarge", "weight": 4, "market": "SPOT"},
+            {"name": "M5.XLARGE", "weight": 8, "market": "SPOT"},  # dup, case-variant
+        ],
+    }
+    sink = sinks.capacity_create_sink(out, spec, flavor="if")
+    listing = _listing(spark, [("if-1", "trino-task", "m5.xlarge", "SPOT")])
+    sink(listing, 0)  # must REUSE, not raise strict-mismatch
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1 and got[0]["action"] == "REUSE"

@@ -179,3 +179,13 @@ def test_registry_replace_and_union_and_bound(spark):
     big = spark.createDataFrame([(i,) for i in range(10)], "seq long")
     kept = {r["seq"] for r in registry.append_bounded(big, "seq", 3).collect()}
     assert kept == {7, 8, 9}
+
+
+def test_registry_replace_rejects_renamed_columns(spark):
+    from emr_trino_autoscale_spark.operators import registry
+
+    cur = spark.createDataFrame([("ig-1", 4)], "id string, running int")
+    renamed = spark.createDataFrame([("x", 1)], "name string, weight int")
+    with pytest.raises(ValueError):
+        # same dataTypes, different column meanings — must not pass
+        registry.replace_all(cur, renamed)

@@ -246,3 +246,33 @@ def test_streaming_near_dedup_within_watermark(spark, tmp_path):
     q.stop()
     kept = {r["doc_id"] for r in spark.sql("select doc_id from near_dedup_stream_test").collect()}
     assert kept == {1, 3}  # near-dup doc 2 suppressed within the window
+
+
+def test_streaming_near_dedup_short_docs_not_conflated(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "src"
+    chk = tmp_path / "chk"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "hello world"),                           # < k tokens
+        (2, base + dt.timedelta(seconds=30), "goodbye friend"),  # distinct short doc
+        (3, base + dt.timedelta(seconds=60), "hello world"),     # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.near_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("near_dedup_short_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r["doc_id"] for r in spark.sql("select doc_id from near_dedup_short_test").collect()}
+    # distinct short docs both survive (exact-hash fallback key);
+    # the exact duplicate is suppressed
+    assert kept == {1, 2}
