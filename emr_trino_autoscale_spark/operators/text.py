@@ -225,3 +225,57 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("redacted", red)
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition quality signals (the published Gopher-rule family:
+    a document dominated by one token or by repeated n-grams is
+    low-quality boilerplate).
+
+    * ``top_word_frac`` — occurrences of the most frequent token over
+      total tokens;
+    * ``dup_bigram_frac`` — fraction of bigram slots occupied by
+      repeats (1 - distinct/total).
+
+    Both are quotients of exact small integers (bit-identical across
+    engines — no libm). Scale: the token frequencies come from the
+    explode -> (doc, term) hash aggregation (map-side combine, one
+    narrow shuffle keyed by doc id), NOT a per-row O(n^2) HOF scan;
+    bigram distinctness is a pure array projection, zero shuffle.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count("*").alias("tf"))
+        .groupBy(id_col)
+        .agg(
+            F.max("tf").alias("__top"),
+            F.sum("tf").alias("__total"),
+        )
+    )
+    from .dedup import shingles_of
+
+    grams = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn("__bi", shingles_of(F.col("__toks"), 2))
+        .select(
+            F.col(id_col),
+            F.size("__bi").alias("__nbi"),
+            F.size(F.array_distinct("__bi")).alias("__dbi"),
+        )
+    )
+    return (
+        df.join(tf, id_col)
+        .join(grams, id_col)
+        .withColumn("n_tok", F.col("__total").cast("bigint"))
+        .withColumn("top_word_frac", F.col("__top") / F.col("__total"))
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(F.col("__nbi") > 0, 1.0 - F.col("__dbi") / F.col("__nbi")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("__top", "__total", "__nbi", "__dbi", "__toks", "__bi")
+    )

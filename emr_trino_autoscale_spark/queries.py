@@ -2075,6 +2075,87 @@ FROM p GROUP BY 1, 2 ORDER BY lang, pack_id
 """
 
 
+# Q55 — repetition quality filter (X13): the published Gopher-rule
+# shape — flag documents dominated by one token or by repeated bigrams.
+# All signals are exact-integer quotients (cross-engine bit-identical).
+
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = text.repetition_stats(d)
+    return (
+        stats.select(
+            "doc_id",
+            "n_tok",
+            dec4("top_word_frac").alias("top_word_frac"),
+            dec4("dup_bigram_frac").alias("dup_bigram_frac"),
+            (
+                (F.col("top_word_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.5)
+            ).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q55_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+tops AS (SELECT doc_id, MAX(tf) AS top, SUM(tf) AS total FROM tfc GROUP BY 1),
+bi AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t),
+bg AS (SELECT doc_id, len(bigrams) AS nbi,
+              len(list_distinct(bigrams)) AS dbi
+       FROM bi),
+v AS (
+  SELECT doc_id, total AS n_tok,
+         top / total AS twf,
+         CASE WHEN nbi > 0 THEN 1.0 - dbi / CAST(nbi AS DOUBLE) ELSE 0.0 END AS dbf
+  FROM tops JOIN bg USING (doc_id))
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       {_dec4('twf')} AS top_word_frac,
+       {_dec4('dbf')} AS dup_bigram_frac,
+       (twf > 0.2 OR dbf > 0.5) AS is_repetitive
+FROM v ORDER BY doc_id
+"""
+
+
+# Q56 — domain-mixing weights (X14): per-source sampling weight to hit
+# a uniform target mix — weight = n_total / (n_sources * n_docs_src),
+# the exact-integer-ratio form of target_frac / actual_frac.
+
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    totals = per_src.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            dec4(
+                F.col("n_total") / (F.col("n_sources") * F.col("n_docs"))
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+Q56_SQL = f"""
+WITH per_src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM per_src)
+SELECT source, n_docs,
+       {_dec4('n_total / (n_sources * n_docs)')} AS mix_weight
+FROM per_src CROSS JOIN tot ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2130,6 +2211,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_pii_scrub": q52,
     "q53_quality_topk_per_lang": q53,
     "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
 }
 
 ORACLE: dict[str, str] = {
@@ -2187,4 +2270,6 @@ ORACLE: dict[str, str] = {
     "q52_pii_scrub": Q52_SQL,
     "q53_quality_topk_per_lang": Q53_SQL,
     "q54_token_packing": Q54_SQL,
+    "q55_repetition_filter": Q55_SQL,
+    "q56_mixing_weights": Q56_SQL,
 }

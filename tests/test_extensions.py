@@ -523,3 +523,20 @@ def test_hamming_pairs_null_text_excluded(spark):
 
     with _pytest.raises(ValueError):
         dedup.simhash_hamming_pairs(d, n_bits=64)
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    d = docs(
+        spark,
+        [
+            "spam spam spam spam spam",          # one token dominates
+            "alpha beta alpha beta alpha beta",  # repeated bigrams
+            "all words here are fully distinct today",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(d).collect()}
+    assert rows[0]["top_word_frac"] == 1.0
+    # 'alpha beta'/'beta alpha' x5 over 5 bigram slots -> 3 dup slots
+    assert abs(rows[1]["dup_bigram_frac"] - 3 / 5) < 1e-12
+    assert rows[2]["top_word_frac"] < 0.2 and rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[0]["n_tok"] == 5
