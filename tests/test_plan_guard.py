@@ -44,6 +44,9 @@ FLAGSHIPS = {
     "q52_pii_scrub": (2, False),
     "q53_quality_topk_per_lang": (4, False),
     "q54_token_packing": (4, False),
+    "q55_repetition_filter": (10, False),
+    # q56's nested loop = the 1-row broadcast totals join (doc'd)
+    "q56_mixing_weights": (10, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
