@@ -45,3 +45,20 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(sdf.columns) == sorted(drel.columns)
     assert len(srows) == len(drows)
     assert rows_to_canon(sdf.columns, srows) == rows_to_canon(drel.columns, drows)
+
+
+def test_spark_sql_surface_matches_dataframe_api(spark, sf_dir):
+    """io.register_views exposes every synthetic table as a temp view so
+    users can drive the engine through spark.sql; the SQL form of the
+    histogram query must agree with the declared DataFrame builder."""
+    from emr_trino_autoscale_spark import io
+    from emr_trino_autoscale_spark.queries import QUERIES
+
+    io.register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT event_type, CAST(FLOOR(value / 50) AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+        "GROUP BY 1, 2 ORDER BY event_type, bucket"
+    ).collect()
+    want = QUERIES["q51_value_histogram"](spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want] and len(got) > 0
