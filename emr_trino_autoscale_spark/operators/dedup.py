@@ -360,8 +360,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # NO broadcast hints here: `sizes` is one row per *document* — a
+    # corpus-sized frame that would OOM the driver at scale. These are
+    # plain shuffle joins on the id key (narrow, skew-free); AQE may
+    # still elect to broadcast at small SF where it actually fits.
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),

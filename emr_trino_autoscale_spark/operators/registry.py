@@ -33,11 +33,29 @@ def replace_all(current: DataFrame, incoming: DataFrame) -> DataFrame:
     return incoming
 
 
-def union_latest(current: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+def union_latest(
+    current: DataFrame, incoming: DataFrame, key: str, order_col: str | None = None
+) -> DataFrame:
     """E3 union flavor — merge registries keeping one row per ``key``
     with the incoming row winning (appendAll-onto-existing with key
     dedup). One anti-join on the bounded registry key; at scale both
-    sides broadcast."""
+    sides broadcast.
+
+    ``incoming`` itself must be key-unique — the anti-join only removes
+    current-side rows, so intra-incoming duplicates would all survive.
+    Pass ``order_col`` to enforce it deterministically: the incoming row
+    with the greatest ``order_col`` per key wins (ties broken by the
+    remaining columns so replays agree)."""
+    if order_col is not None:
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(),
+            *[F.col(c).desc() for c in incoming.columns if c not in (key, order_col)],
+        )
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     return incoming.unionByName(current.join(incoming, key, "left_anti"))
 
 

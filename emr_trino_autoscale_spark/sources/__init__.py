@@ -280,6 +280,11 @@ def parse_properties(raw: DataFrame, text_col: str = "payload") -> DataFrame:
     each line at the first '=' (values may contain '='), collect to a
     map. Runs as a narrow projection — the config file is a 1-row
     dimension, but the parse is schema-on-read like every other source.
+
+    Repeated keys follow ``java.util.Properties`` last-wins semantics:
+    a fold dedupes entries before ``map_from_entries`` so a payload that
+    repeats a key parses instead of throwing DUPLICATED_MAP_KEY under
+    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION``.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
@@ -294,9 +299,17 @@ def parse_properties(raw: DataFrame, text_col: str = "payload") -> DataFrame:
         value = l.substr(F.length(key) + F.lit(2), F.length(l))
         return F.struct(F.trim(key).alias("key"), F.trim(value).alias("value"))
 
-    return raw.withColumn(
-        "props", F.map_from_entries(F.transform(lines, entry))
+    entries = F.transform(lines, entry)
+    # last-wins dedupe: keep entry i only if no later entry shares its
+    # key (properties files legally repeat keys; the last one wins)
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
     )
+    return raw.withColumn("props", F.map_from_entries(deduped))
 
 
 def https_schema_and_port(props_col) -> tuple:

@@ -134,7 +134,10 @@ def near_dedup_stream(
     short documents never collide (a NULL key would make
     dropDuplicatesWithinWatermark treat all of them as one duplicate
     and silently drop data) — short docs are deduped exactly, matching
-    the batch tier where they skip near-dup clustering but remain."""
+    the batch tier where they skip near-dup clustering but remain.
+    NULL text gets its own sentinel key (not md5('')) so a NULL-text
+    document and an empty-string document never suppress each other;
+    the sentinel contains a NUL byte, which no md5 hex digest can."""
     from ..operators.dedup import shingles_of
 
     sig = (
@@ -143,7 +146,10 @@ def near_dedup_stream(
             "__sig",
             F.coalesce(
                 F.array_min(F.transform(shingles_of(F.col("__toks"), k), F.md5)),
-                F.concat(F.lit("short:"), F.md5(F.coalesce(F.col(text_col), F.lit("")))),
+                # NULL text -> whole concat is NULL -> falls through to
+                # the NULL-only sentinel below (distinct from md5(''))
+                F.concat(F.lit("short:"), F.md5(F.col(text_col))),
+                F.lit("short:\x00null"),
             ),
         )
         .drop("__toks")

@@ -141,7 +141,10 @@ def capacity_create_sink(
                 F.size(F.array_intersect(F.col("types"), F.array(*[F.lit(w) for w in wanted])))
                 == len(wanted)
             )
-        existing = match.select("id").limit(1).collect()
+        # orderBy before limit(1): several listed groups can match the
+        # spec, and an unordered limit picks a nondeterministic one —
+        # replays must agree on which group was "reused"
+        existing = match.select("id").orderBy("id").limit(1).collect()
         if existing:
             effect = df.sparkSession.createDataFrame(
                 [(str(spec["name"]), existing[0]["id"], "REUSE", epoch_id)],

@@ -80,6 +80,55 @@ def test_flagship_plan_shape(spark, sf_dir, name):
     )
 
 
+# Broadcast allowlist for operators/: every F.broadcast() operand must
+# be a frame bounded by something other than corpus size (tick windows,
+# service-limited registries, user-supplied query/centroid sets, 1-row
+# totals). Broadcasting an O(#docs) frame OOMs at 100x — the
+# ngram_jaccard_pairs `sizes` broadcast was exactly that (VERDICT r2 #3).
+BROADCAST_ALLOW = {
+    "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
+    "text.py": {"n_docs"},                             # 1-row corpus count
+    "metric_store.py": {"ticks", "nodes", "last_tick"},  # bounded tick/node dims
+    "similarity.py": {"q", "cents"},                   # query set, k centroids
+    "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
+    "registry.py": set(),
+    "events.py": set(),
+    "skew.py": set(),
+    "bucketing.py": set(),
+    "multimodal.py": set(),
+}
+# metric_store denominator_df is caller-supplied and documented bounded
+BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
+
+
+def test_no_corpus_sized_broadcast_in_operators():
+    """AST guard: F.broadcast operands in operators/ must be on the
+    bounded-frame allowlist. Catches reintroduction of corpus-sized
+    broadcast hints at review time rather than at 100 TB."""
+    import ast
+    import pathlib
+
+    ops = pathlib.Path("emr_trino_autoscale_spark/operators")
+    for path in sorted(ops.glob("*.py")):
+        src = path.read_text()
+        tree = ast.parse(src)
+        allow = BROADCAST_ALLOW.get(path.name, set())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                operand = ast.unparse(node.args[0])
+                assert operand in allow, (
+                    f"{path.name}:{node.lineno}: F.broadcast({operand}) not on "
+                    "the bounded-frame allowlist — is this frame bounded by "
+                    "something other than corpus size? If yes, add it to "
+                    "BROADCAST_ALLOW with the bound; if no, use a shuffle join."
+                )
+
+
 def test_scoped_caches_released(spark, sf_dir):
     """q10/q27 persist a reused intermediate; the scope protocol must
     leave nothing cached once the next query runs + release_caches()."""

@@ -89,6 +89,25 @@ def test_capacity_reuse_matching_group(spark, tmp_path):
     assert got[0]["action"] == "REUSE" and got[0]["group_id"] == "ig-9"
 
 
+def test_capacity_reuse_deterministic_on_multi_match(spark, tmp_path):
+    # several groups match the spec: the recorded id must be the same
+    # across replays (smallest id), not whichever partition won the race
+    out = str(tmp_path)
+    sink = sinks.capacity_create_sink(out, _IG_SPEC)
+    listing = _listing(
+        spark,
+        [
+            ("ig-7", "trino-task", "m5.xlarge", "SPOT"),
+            ("ig-2", "trino-task", "m5.xlarge", "SPOT"),
+            ("ig-5", "trino-task", "m5.xlarge", "SPOT"),
+        ],
+    )
+    sink(listing.repartition(3), 0)
+    got = spark.read.parquet(os.path.join(out, "groups_out")).collect()
+    assert len(got) == 1
+    assert got[0]["action"] == "REUSE" and got[0]["group_id"] == "ig-2"
+
+
 def test_capacity_group_limit_enforced(spark, tmp_path):
     import pytest
 

@@ -157,6 +157,20 @@ def test_parse_properties_and_https_dispatch(spark):
     assert rows[1]["schema"] == "http" and rows[1]["port"] == "8080"
 
 
+def test_parse_properties_repeated_key_last_wins(spark):
+    # java.util.Properties allows repeated keys, last wins — must not
+    # throw DUPLICATED_MAP_KEY under mapKeyDedupPolicy=EXCEPTION
+    conf = (
+        "query.max-memory=10GB\n"
+        "http-server.http.port=8080\n"
+        "query.max-memory=50GB\n"
+    )
+    raw = spark.createDataFrame([(conf,)], "payload string")
+    props = sources.parse_properties(raw).select("props").collect()[0]["props"]
+    assert props["query.max-memory"] == "50GB"
+    assert props["http-server.http.port"] == "8080"
+
+
 def test_registry_replace_and_union_and_bound(spark):
     from emr_trino_autoscale_spark.operators import registry
 
@@ -175,6 +189,20 @@ def test_registry_replace_and_union_and_bound(spark):
     # union_latest: one row per key, incoming wins
     merged = {r["id"]: r["running"] for r in registry.union_latest(cur, inc, "id").collect()}
     assert merged == {"ig-1": 4, "ig-2": 9, "ig-3": 1}
+    # duplicate keys inside incoming: order_col picks the latest
+    # deterministically instead of keeping both
+    inc_dup = spark.createDataFrame(
+        [("ig-2", 9, 10), ("ig-2", 7, 20), ("ig-3", 1, 5)],
+        "id string, running int, seen long",
+    )
+    cur_ts = spark.createDataFrame(
+        [("ig-1", 4, 1), ("ig-2", 2, 1)], "id string, running int, seen long"
+    )
+    merged2 = {
+        r["id"]: r["running"]
+        for r in registry.union_latest(cur_ts, inc_dup, "id", order_col="seen").collect()
+    }
+    assert merged2 == {"ig-1": 4, "ig-2": 7, "ig-3": 1}
     # append_bounded: FixedList eviction keeps the newest N
     big = spark.createDataFrame([(i,) for i in range(10)], "seq long")
     kept = {r["seq"] for r in registry.append_bounded(big, "seq", 3).collect()}

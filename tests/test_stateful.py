@@ -258,6 +258,8 @@ def test_streaming_near_dedup_short_docs_not_conflated(spark, tmp_path):
         (1, base, "hello world"),                           # < k tokens
         (2, base + dt.timedelta(seconds=30), "goodbye friend"),  # distinct short doc
         (3, base + dt.timedelta(seconds=60), "hello world"),     # exact dup of 1
+        (4, base + dt.timedelta(seconds=70), ""),                # empty text
+        (5, base + dt.timedelta(seconds=80), None),              # NULL text
     ]
     df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
     df.repartition(1).write.parquet(str(src))
@@ -274,5 +276,6 @@ def test_streaming_near_dedup_short_docs_not_conflated(spark, tmp_path):
     q.stop()
     kept = {r["doc_id"] for r in spark.sql("select doc_id from near_dedup_short_test").collect()}
     # distinct short docs both survive (exact-hash fallback key);
-    # the exact duplicate is suppressed
-    assert kept == {1, 2}
+    # the exact duplicate is suppressed; NULL text and '' text are
+    # different documents and must not suppress each other
+    assert kept == {1, 2, 4, 5}
