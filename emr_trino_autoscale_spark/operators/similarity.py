@@ -107,6 +107,44 @@ def md5_sign_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     ]
 
 
+def srp_projections_literal(vec: Column, planes: list[list[float]]) -> Column:
+    """Per-plane SRP projections from literal hyperplanes, each rounded
+    to 6 decimals so engine-specific fp summation order can't flip a
+    boundary sign bit. Returned as an ``array<double>`` so the bucket
+    AND the multi-probe flip order both derive from one computation."""
+    projs = []
+    for plane in planes:
+        comps = F.array(*[F.lit(x) for x in plane])
+        s = F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        projs.append(F.round(s, 6))
+    return F.array(*projs)
+
+
+def _bit(p: Column) -> Column:
+    """``1 << p`` with a *column* shift amount (F.shiftleft only takes a
+    Python int). Exact for p <= 30 — far above any sane plane count."""
+    return F.pow(F.lit(2.0), p).cast("int")
+
+
+def bucket_from_projections(projs: Column) -> Column:
+    """Pack projection sign bits into the SRP bucket id: bit p set iff
+    projection p > 0. Operates on the *materialized* projections column
+    (HOF-lambda CSE pitfall: never inline the projection expression)."""
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            F.sequence(F.lit(0), F.size(projs) - 1),
+            lambda s, p: F.when(s > 0, _bit(p)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+
+
 def srp_bucket_literal(vec: Column, planes: list[list[float]]) -> Column:
     """SRP bucket id from literal hyperplanes. The projection is rounded
     to 6 decimals before the sign test so engine-specific fp summation
@@ -123,6 +161,40 @@ def srp_bucket_literal(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("int")
 
 
+def _probe_buckets(
+    q: DataFrame, query_id_col: str, n_probes: int
+) -> DataFrame:
+    """Multi-probe LSH probe set (q_id, probe) from a query frame that
+    carries ``bucket`` + a ``projs`` array.
+
+    Standard quality-aware multi-probe: beyond the query's own bucket,
+    flip the sign bits whose projections sit closest to the hyperplane
+    (smallest |projection|, plane index tie-break) — those are the bits
+    most likely to be wrong for true neighbors. Probe sets are nested as
+    ``n_probes`` grows, so recall is monotone non-decreasing. All work
+    here is on the (tiny, broadcastable) query frame."""
+    base = q.select(query_id_col, F.col("bucket").alias("probe"))
+    if n_probes <= 1:
+        return base
+    flips = (
+        q.select(query_id_col, "bucket", F.posexplode("projs").alias("p", "s"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.abs(F.col("s")).asc(), F.col("p").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probes - 1)
+        .select(
+            query_id_col,
+            F.col("bucket").bitwiseXOR(_bit(F.col("p"))).cast("int").alias("probe"),
+        )
+    )
+    return base.unionByName(flips)
+
+
 def lsh_topk_literal(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,25 +203,39 @@ def lsh_topk_literal(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    n_probes: int = 1,
 ) -> DataFrame:
     """X3 scale path, oracle-replayable form — approximate top-k where
-    only candidates sharing the query's SRP bucket are scored. At 100 TB
-    the corpus shuffles once on the (tiny, int) bucket id; queries
-    broadcast; the quadratic scan becomes a bucket-equi join."""
+    only candidates sharing one of the query's ``n_probes`` probe
+    buckets are scored. At 100 TB the corpus shuffles once on the
+    (tiny, int) bucket id; queries broadcast; the quadratic scan becomes
+    a bucket-equi join. ``n_probes > 1`` enables quality-aware
+    multi-probe (flip the least-confident sign bits — see
+    :func:`_probe_buckets`): recall grows monotonically with
+    ``n_probes`` at the cost of scoring ~n_probes× more candidates,
+    the standard knob for keeping recall up as buckets thin out at
+    100× corpus scale. A corpus vector lives in exactly one bucket and
+    probe buckets are distinct, so no candidate is scored twice."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
         srp_bucket_literal(F.col("__v"), planes).alias("bucket"),
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(query_id_col),
-        F.col("__v").alias("qv"),
-        F.col("__norm").alias("qn"),
-        srp_bucket_literal(F.col("__v"), planes).alias("bucket"),
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(query_id_col),
+            F.col("__v").alias("qv"),
+            F.col("__norm").alias("qn"),
+            srp_projections_literal(F.col("__v"), planes).alias("projs"),
+        )
+        .withColumn("bucket", bucket_from_projections(F.col("projs")))
     )
+    probes = _probe_buckets(q, query_id_col, n_probes)
+    qp = q.select(query_id_col, "qv", "qn").join(probes, query_id_col)
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(qp), F.col("bucket") == F.col("probe"))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
             "cosine",
@@ -174,18 +260,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     centroid_id_col: str = "c_id",
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every corpus vector to its nearest
     centroid (broadcast the centroid table — it is small by
-    construction), then a query probes only its own centroid's inverted
-    list. One corpus shuffle on the centroid id; scoring is bucket-local.
-    Assignment ties break on centroid id, scores round to 4 decimals
-    with neighbor-id tie-break (reproducible across engines)."""
+    construction), then a query probes the inverted lists of its
+    ``n_probes`` nearest centroids. One corpus shuffle on the centroid
+    id; scoring is bucket-local. Assignment ties break on centroid id,
+    scores round to 4 decimals with neighbor-id tie-break (reproducible
+    across engines). ``n_probes > 1`` is the standard IVF recall knob:
+    probed centroid sets are nested, so recall is monotone
+    non-decreasing in ``n_probes`` while cost grows only with the
+    probed lists' sizes. Each corpus vector is assigned to exactly one
+    centroid, so no candidate is scored twice."""
     cents = with_norm(centroids, vec_col).select(
         F.col(centroid_id_col), F.col("__v").alias("ce"), F.col("__norm").alias("cen")
     )
 
-    def assign(df: DataFrame, keep: list[str]) -> DataFrame:
+    def assign(df: DataFrame, keep: list[str], n_keep: int = 1) -> DataFrame:
         scored = df.join(F.broadcast(cents)).withColumn(
             "__sim", F.round(cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")), 6)
         )
@@ -194,7 +286,7 @@ def ivf_topk(
         )
         return (
             scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(F.col("__rn") <= n_keep)
             .select(*keep, "__v", "__norm", F.col(centroid_id_col).alias("assigned"))
         )
 
@@ -205,6 +297,7 @@ def ivf_topk(
     q = assign(
         with_norm(queries, vec_col).select(F.col(query_id_col), "__v", "__norm"),
         [query_id_col],
+        n_keep=n_probes,
     ).select(query_id_col, F.col("__v").alias("qv"), F.col("__norm").alias("qn"), "assigned")
     scored = (
         c.join(F.broadcast(q), on="assigned")
@@ -397,6 +490,26 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket.cast("int")
 
 
+def srp_projections(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Per-plane projections for the xxhash64-derived hyperplanes of
+    :func:`srp_bucket` (pytest-only twin of
+    :func:`srp_projections_literal`)."""
+    def proj(p: int) -> Column:
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                F.xxhash64(F.lit(p), j) % 2 == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(
+            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(*[proj(p) for p in range(n_planes)])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -406,25 +519,35 @@ def lsh_topk(
     query_id_col: str = "q_id",
     n_planes: int = 8,
     dim: int = 64,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """X3 scale path — approximate top-k: only candidates in the same
-    SRP bucket as the query are scored. At 100 TB this replaces the
-    corpus-wide scan-per-query with a bucket-equi join: the corpus
-    shuffles once on the bucket id, queries broadcast."""
+    """X3 scale path — approximate top-k: only candidates in the
+    query's ``n_probes`` probe buckets are scored. At 100 TB this
+    replaces the corpus-wide scan-per-query with a bucket-equi join:
+    the corpus shuffles once on the bucket id, queries broadcast.
+    ``n_probes > 1`` = quality-aware multi-probe (least-confident sign
+    bits flipped first — :func:`_probe_buckets`), the recall knob for
+    100× corpora where per-bucket occupancy thins out."""
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
         srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(query_id_col),
-        F.col("__v").alias("qv"),
-        F.col("__norm").alias("qn"),
-        srp_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(query_id_col),
+            F.col("__v").alias("qv"),
+            F.col("__norm").alias("qn"),
+            srp_projections(F.col("__v"), n_planes, dim).alias("projs"),
+        )
+        .withColumn("bucket", bucket_from_projections(F.col("projs")))
     )
+    probes = _probe_buckets(q, query_id_col, n_probes)
+    qp = q.select(query_id_col, "qv", "qn").join(probes, query_id_col)
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(qp), F.col("bucket") == F.col("probe"))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
             "cosine",

@@ -2156,6 +2156,100 @@ FROM per_src CROSS JOIN tot ORDER BY source
 """
 
 
+# Q57 — multi-probe LSH top-k (X3 recall knob): same literal SRP planes
+# as Q29, but each query also probes the buckets reached by flipping its
+# two least-confident sign bits (smallest |projection|, plane-index
+# tie-break). Probe sets nest as n_probes grows, so recall vs the exact
+# Q23 baseline is monotone non-decreasing (tests/test_extensions.py).
+
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        similarity.lsh_topk_literal(e, queries, _PLANES, k=5, n_probes=3)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
+
+
+Q57_SQL = f"""
+WITH pl AS (SELECT {_planes_sql_literal()} AS planes),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pj AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm,
+              list_transform(range(8), p ->
+                ROUND(list_inner_product(v, planes[p + 1]), 6)) AS projs
+       FROM e, pl),
+n AS (SELECT vec_id, v, nrm,
+             CAST(list_sum(list_transform(range(8), p ->
+               CASE WHEN projs[p + 1] > 0 THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket,
+             projs
+      FROM pj),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket, projs FROM n WHERE vec_id < 10),
+fl AS (SELECT q_id, bucket, p, s,
+              ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY abs(s), p) AS rn
+       FROM (SELECT q_id, bucket, unnest(range(8)) AS p, unnest(projs) AS s FROM q)),
+pr AS (SELECT q_id, bucket AS probe FROM q
+       UNION ALL
+       SELECT q_id, CAST(xor(bucket, 1 << p) AS INTEGER) AS probe FROM fl WHERE rn <= 2),
+p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, n.v) / (qn * n.nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q JOIN pr USING (q_id) JOIN n ON n.bucket = pr.probe
+      WHERE n.vec_id <> q.q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# Q58 — multi-probe IVF ANN: the query probes its TWO nearest centroids'
+# inverted lists (nprobe=2); corpus assignment unchanged. The nested
+# probe-set property makes recall monotone in nprobe — the standard IVF
+# answer to per-list recall loss as the corpus grows 100x.
+
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") >= 8)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        similarity.ivf_topk(e, cents, queries, k=5, n_probes=2)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
+
+
+Q58_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS c_id, v AS ce, nrm AS cen FROM n WHERE vec_id < 8),
+asg AS (
+  SELECT vec_id, v, nrm, c_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(list_inner_product(v, ce) / (nrm * cen), 6) DESC, c_id) AS rn
+  FROM n, c),
+a AS (SELECT vec_id, v, nrm, c_id AS assigned FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS assigned FROM asg
+      WHERE vec_id % 50 = 0 AND vec_id >= 8 AND rn <= 2),
+p AS (SELECT q_id, a.vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, a.v) / (qn * a.nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q JOIN a USING (assigned) WHERE a.vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2213,6 +2307,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_token_packing": q54,
     "q55_repetition_filter": q55,
     "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
+    "q58_ivf_multiprobe": q58,
 }
 
 ORACLE: dict[str, str] = {
@@ -2272,4 +2368,6 @@ ORACLE: dict[str, str] = {
     "q54_token_packing": Q54_SQL,
     "q55_repetition_filter": Q55_SQL,
     "q56_mixing_weights": Q56_SQL,
+    "q57_lsh_multiprobe": Q57_SQL,
+    "q58_ivf_multiprobe": Q58_SQL,
 }

@@ -196,6 +196,61 @@ def test_ivf_topk_probes_assigned_bucket(spark):
     assert 20 not in ids and 1 not in ids  # other bucket never scored
 
 
+def _recall_at_k(approx_rows, exact_rows):
+    """Mean recall@k of approx vs exact top-k, per query id."""
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact_rows:
+        ex[r["q_id"]].add(r["neighbor_id"])
+    for r in approx_rows:
+        ap[r["q_id"]].add(r["neighbor_id"])
+    return sum(
+        len(ex[q] & ap[q]) / len(ex[q]) for q in ex
+    ) / len(ex)
+
+
+def test_multiprobe_recall_monotone(spark, sf_dir):
+    """VERDICT r2 #4: recall@5 vs the exact baseline must improve
+    monotonically with n_probes (nested probe sets) for both the SRP
+    multi-probe and the IVF nprobe knob, on the real embeddings table."""
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(e, queries, k=5).collect()
+
+    planes = similarity.md5_sign_planes(n_planes=8, dim=64)
+    lsh_recalls = [
+        _recall_at_k(
+            similarity.lsh_topk_literal(e, queries, planes, k=5, n_probes=p).collect(),
+            exact,
+        )
+        for p in (1, 3, 9)
+    ]
+    assert lsh_recalls == sorted(lsh_recalls), lsh_recalls
+    assert lsh_recalls[-1] > lsh_recalls[0], lsh_recalls
+
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    ivf_queries = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") >= 8)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ivf_exact = similarity.brute_force_topk(e, ivf_queries, k=5).collect()
+    ivf_recalls = [
+        _recall_at_k(
+            similarity.ivf_topk(e, cents, ivf_queries, k=5, n_probes=p).collect(),
+            ivf_exact,
+        )
+        for p in (1, 2, 4)
+    ]
+    assert ivf_recalls == sorted(ivf_recalls), ivf_recalls
+    assert ivf_recalls[-1] > ivf_recalls[0], ivf_recalls
+
+
 def test_embedding_near_dup_pairs(spark):
     corpus = vecs(
         spark,

@@ -47,6 +47,10 @@ FLAGSHIPS = {
     "q55_repetition_filter": (10, False),
     # q56's nested loop = the 1-row broadcast totals join (doc'd)
     "q56_mixing_weights": (10, True),
+    "q57_lsh_multiprobe": (10, False),
+    # q58's nested loop = the 8-row broadcast centroid cross join
+    # (coarse quantization, same shape as q30 — doc'd)
+    "q58_ivf_multiprobe": (14, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -89,7 +93,7 @@ BROADCAST_ALLOW = {
     "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
     "text.py": {"n_docs"},                             # 1-row corpus count
     "metric_store.py": {"ticks", "nodes", "last_tick"},  # bounded tick/node dims
-    "similarity.py": {"q", "cents"},                   # query set, k centroids
+    "similarity.py": {"q", "qp", "cents"},             # query set (×n_probes), k centroids
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
     "events.py": set(),
