@@ -19,8 +19,89 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def two_phase_topk(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    bucket_on: Column,
+    n_buckets: int = 64,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Per-group top-k that survives low-cardinality group keys.
+
+    ``Window.partitionBy(lang)`` funnels every row of each language
+    through ONE task's sort — parallelism collapses to #groups, and at
+    100x one task sorts all-of-English. Phase 1 here ranks within
+    (group, bucket) — ``n_buckets`` parallel bounded sorts per group —
+    and keeps only k rows each; phase 2 re-ranks the surviving
+    ``k * n_buckets`` rows per group (bounded, corpus-size-independent).
+    The result is identical to the single-window form because every
+    global top-k row is also top-k within its own bucket, and the
+    phase-2 ranking applies the same deterministic total order.
+
+    ``order_cols`` must define a total order (include a tie-break);
+    ``bucket_on`` must be deterministic per row (replay safety) — an id
+    column, never rand().
+    """
+    bucket = F.pmod(F.xxhash64(bucket_on), F.lit(n_buckets)).cast("int")
+    w1 = Window.partitionBy(*part_cols, "__bkt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__bkt", bucket)
+        .withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= k)
+        .withColumn(rank_col, F.row_number().over(w2).cast("int"))
+        .filter(F.col(rank_col) <= k)
+        .drop("__bkt", "__lr")
+    )
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Distributed running total over (part_cols, order_col) without a
+    single-task per-group sort.
+
+    ``bucket = floor(order_col / bucket_width)`` is monotone in the
+    order column, so the prefix sum decomposes exactly:
+    ``cum = sum(all earlier buckets' totals) + intra-bucket running
+    sum``. The intra-bucket window sorts at most the rows sharing one
+    bucket; the bucket-totals prefix runs over rows/bucket_width rows —
+    1000x fewer, and the decomposition can be applied again if even
+    that outgrows a task. The offset join is an equi join on
+    (part_cols, bucket), the same key the intra window just partitioned
+    by, so the exchange is reused.
+
+    ``order_col`` must be numeric and unique within each group (an id),
+    which also makes the running total deterministic.
+    """
+    base = df.withColumn(
+        "__bkt", F.floor(F.col(order_col) / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy(order_col)
+    intra = base.withColumn("__icum", F.sum(value_col).over(w_in))
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
+    offsets = (
+        base.groupBy(*part_cols, "__bkt")
+        .agg(F.sum(value_col).alias("__bsum"))
+        .withColumn("__off", F.sum("__bsum").over(w_b) - F.col("__bsum"))
+        .select(*part_cols, "__bkt", "__off")
+    )
+    return (
+        intra.join(offsets, [*part_cols, "__bkt"])
+        .withColumn(out_col, F.col("__icum") + F.col("__off"))
+        .drop("__bkt", "__icum", "__off")
+    )
 
 
 def salted_agg(

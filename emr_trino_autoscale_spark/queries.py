@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, sign_dispatch
 from .io import load_table
-from .operators import dedup, events as ev_ops, metric_store as ms, similarity, text
+from .operators import dedup, events as ev_ops, metric_store as ms, similarity, skew, text
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
 
 # ---------------------------------------------------------------------------
@@ -1342,21 +1342,23 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-# Q36 — top-3 orders per market segment (broadcast dim join + ranking
-# window; row_number with a total tie-break for determinism).
+# Q36 — top-3 orders per market segment (broadcast dim join + two-phase
+# ranking; row_number with a total tie-break for determinism). The
+# single `Window.partitionBy(c_mktsegment)` form collapses to 5 tasks at
+# any scale — skew.two_phase_topk buckets phase 1 on the order key so
+# each of the 64 per-segment sorts is bounded (docs/SCALE.md).
 
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 3)
+        skew.two_phase_topk(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            ["c_mktsegment"],
+            [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+            bucket_on=F.col("o_orderkey"),
+        )
         .select(
             F.col("c_mktsegment").alias("segment"),
             "rnk",
@@ -1987,17 +1989,21 @@ FROM r ORDER BY doc_id
 
 # Q53 — stratified quality selection (X11): top-5 docs per language by
 # the deterministic quality score (ties by doc_id). The per-lang window
-# is the quota-sampling shape of corpus curation.
+# is the quota-sampling shape of corpus curation. Two-phase: a
+# lang-partitioned window would sort all-of-English on one task at
+# 100x, so phase 1 ranks within (lang, doc_id-hash bucket) and phase 2
+# re-ranks the <= 5*64 survivors per language (docs/SCALE.md).
 
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("__q").desc(), F.col("doc_id").asc()
-    )
     return (
-        d.withColumn("__q", text.quality_score())
-        .withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 5)
+        skew.two_phase_topk(
+            d.withColumn("__q", text.quality_score()),
+            ["lang"],
+            [F.col("__q").desc(), F.col("doc_id").asc()],
+            k=5,
+            bucket_on=F.col("doc_id"),
+        )
         .select("lang", "rnk", "doc_id", dec4("__q").alias("quality"))
         .orderBy("lang", "rnk")
     )
@@ -2038,15 +2044,21 @@ _PACK_BUDGET = 2000
 
 
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The running token total is a skew.bucketed_prefix_sum, not a
+    # lang-partitioned window cumsum: the single-window form funnels the
+    # whole corpus per language through one task's sort at 100x, while
+    # the bucketed decomposition's windows are bounded by bucket width
+    # and by #buckets respectively (docs/SCALE.md).
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    packed = (
-        d.withColumn("__n_tok", text.token_count())
-        .withColumn("__cum", F.sum("__n_tok").over(w))
-        .withColumn(
-            "pack_id",
-            F.floor((F.col("__cum") - F.col("__n_tok")) / _PACK_BUDGET).cast("bigint"),
-        )
+    packed = skew.bucketed_prefix_sum(
+        d.withColumn("__n_tok", text.token_count()),
+        ["lang"],
+        "doc_id",
+        "__n_tok",
+        out_col="__cum",
+    ).withColumn(
+        "pack_id",
+        F.floor((F.col("__cum") - F.col("__n_tok")) / _PACK_BUDGET).cast("bigint"),
     )
     return (
         packed.groupBy("lang", "pack_id")

@@ -42,8 +42,12 @@ FLAGSHIPS = {
     "q50_tfidf_top_terms": (18, True),
     "q51_value_histogram": (4, False),
     "q52_pii_scrub": (2, False),
-    "q53_quality_topk_per_lang": (4, False),
-    "q54_token_packing": (4, False),
+    # q36/q53/q54 ceilings reflect the deliberate two-phase rewrites
+    # (round 3): the extra exchanges move bounded survivor/bucket-total
+    # frames, in exchange for removing the single-task per-group sorts
+    "q36_topk_per_segment": (8, False),
+    "q53_quality_topk_per_lang": (6, False),
+    "q54_token_packing": (12, False),
     "q55_repetition_filter": (10, False),
     # q56's nested loop = the 1-row broadcast totals join (doc'd)
     "q56_mixing_weights": (10, True),
@@ -103,6 +107,30 @@ BROADCAST_ALLOW = {
 }
 # metric_store denominator_df is caller-supplied and documented bounded
 BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
+
+
+# Queries whose corpus-sized window MUST stay bucketed (two-phase
+# top-k / bucketed prefix sum — VERDICT r2 #2). A regression to the
+# single `Window.partitionBy(low-card key)` form shows up here as a
+# plan with no __bkt window, or more than one unbucketed window.
+TWO_PHASE_WINDOWS = (
+    "q36_topk_per_segment",
+    "q53_quality_topk_per_lang",
+    "q54_token_packing",
+)
+
+
+@pytest.mark.parametrize("name", TWO_PHASE_WINDOWS)
+def test_low_card_windows_are_two_phase(spark, sf_dir, name):
+    text = _plan(QUERIES[name](spark, sf_dir))
+    wins = [l for l in text.splitlines() if "windowspecdefinition" in l]
+    bucketed = [w for w in wins if "__bkt" in w]
+    assert bucketed, f"{name}: no bucketed window — two-phase rewrite regressed"
+    unbucketed = len(wins) - len(bucketed)
+    assert unbucketed <= 1, (
+        f"{name}: {unbucketed} corpus-sized unbucketed windows (only the "
+        "bounded phase-2 merge window may partition on the group key alone)"
+    )
 
 
 def test_no_corpus_sized_broadcast_in_operators():

@@ -49,6 +49,55 @@ def test_salted_join_matches_plain(spark):
     assert plain == salted and len(plain) == 5_000
 
 
+def test_two_phase_topk_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    # 3 low-cardinality groups x 2000 rows, with score ties to exercise
+    # the deterministic tie-break across bucket boundaries
+    df = spark.range(6_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 50).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("rid").asc()]
+    w = Window.partitionBy("g").orderBy(*order)
+    single = sorted(
+        (r["g"], r["rnk"], r["rid"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 7)
+        .collect()
+    )
+    two = sorted(
+        (r["g"], r["rnk"], r["rid"])
+        for r in skew.two_phase_topk(
+            df, ["g"], order, k=7, bucket_on=F.col("rid"), n_buckets=16
+        ).collect()
+    )
+    assert single == two and len(two) == 21
+
+
+def test_bucketed_prefix_sum_matches_window_cumsum(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("oid"),
+        (F.col("id") % 17 + 1).alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("oid")
+    single = sorted(
+        (r["g"], r["oid"], r["cum"])
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    )
+    bucketed = sorted(
+        (r["g"], r["oid"], r["cum"])
+        for r in skew.bucketed_prefix_sum(
+            df, ["g"], "oid", "v", bucket_width=128
+        ).collect()
+    )
+    assert single == bucketed and len(bucketed) == 5_000
+
+
 def test_salted_agg_rejects_unmergeable(spark):
     df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").alias("v"))
     try:
