@@ -128,3 +128,53 @@ def test_quorum_population_mismatch(spark):
     assert r["total_nodes"] == 1
     assert r["breached"] == 1
     assert r["quorum"] is True
+
+
+# Filled-average identity (round-3 q10 restructure): the scaffold-free
+# filled_last_n_avg must equal one_minute_avg(zero_fill(...)) on every
+# shape — full series, gaps, short buffer, stale nodes.
+def test_filled_last_n_avg_matches_compositional(spark):
+    cases = [
+        [{"d1": 1.2, "d2": 0.4}] * 4,                             # full
+        [{"d1": 1.0, "d2": 1.0}, {"d1": 1.0},                     # gap
+         {"d1": 1.0, "d2": 1.0}, {"d1": 1.0, "d2": 1.0}],
+        [{"d1": 0.9, "d2": 0.9}] * 4 + [{"d1": 0.9}],             # stale d2
+        [{"d1": 0.5}] * 3,                                        # cold start
+        [{"d1": 2.0}] * 7,                                        # longer than n
+    ]
+    for snaps in cases:
+        store = make_store(spark, snaps)
+        want = {
+            (r["node"], round(r["avg_value"], 12), r["n_points"])
+            for r in ms.one_minute_avg(ms.zero_fill(store)).collect()
+        }
+        got = {
+            (r["node"], round(r["avg_value"], 12), r["n_points"])
+            for r in ms.filled_last_n_avg(store).collect()
+        }
+        assert got == want, snaps
+
+
+def test_q10_fused_matches_compositional(spark, sf_dir):
+    """The round-3 single-pass q10 must produce the exact row the
+    five-branch compositional form (zero_fill -> one_minute_avg,
+    last_snapshot_nodes, semi-join numerator) produces on real data."""
+    from emr_trino_autoscale_spark.queries import QUERIES, _q09_daily, release_caches
+
+    daily = _q09_daily(spark, sf_dir)
+    avg4 = ms.one_minute_avg(ms.zero_fill(daily))
+    last_nodes = ms.last_snapshot_nodes(daily)
+    den = last_nodes.count()
+    num = avg4.join(last_nodes, "node", "left_semi").agg(
+        F.sum(F.when(F.col("avg_value") >= 100.0, 1).otherwise(0)).alias("breached"),
+        F.sum(
+            F.when((F.col("avg_value") > 50.0) & (F.col("avg_value") < 100.0), 1).otherwise(0)
+        ).alias("mid_count"),
+    ).collect()[0]
+    fused = QUERIES["q10_quorum_predicates"](spark, sf_dir).collect()[0]
+    release_caches()
+    assert fused["breached"] == num["breached"]
+    assert fused["mid_count"] == num["mid_count"]
+    assert fused["total_nodes"] == den
+    assert fused["is_expand_quorum"] == (num["breached"] >= den * 0.8)
+    assert fused["is_avg_lower"] == (not (num["breached"] >= den * 0.8))

@@ -23,7 +23,10 @@ from emr_trino_autoscale_spark.queries import QUERIES
 # docs/SCALE.md), not accidental cartesian work.
 FLAGSHIPS = {
     "q09_window_avg_zero_fill": (14, True),
-    "q10_quorum_predicates": (38, True),
+    # 16 (was 38): round-3 fused single-pass quorum — filled-average +
+    # population identities collapse five daily-subtree branches into
+    # one broadcast-pruned scan + per-node agg (VERDICT r2 #6)
+    "q10_quorum_predicates": (16, True),
     "q20_full_classifier": (6, False),
     "q21_exact_dedup": (4, False),
     "q22_minhash_near_dup": (4, False),
@@ -96,7 +99,8 @@ def test_flagship_plan_shape(spark, sf_dir, name):
 BROADCAST_ALLOW = {
     "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
     "text.py": {"n_docs"},                             # 1-row corpus count
-    "metric_store.py": {"ticks", "nodes", "last_tick"},  # bounded tick/node dims
+    # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
+    "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents"},             # query set (×n_probes), k centroids
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
