@@ -490,7 +490,13 @@ def connected_components(
     to keep, once through the edge join), so an un-truncated logical
     plan DOUBLES per iteration; measured 1.3s -> 8.4s by iteration 4 and
     then driver OOM. Checkpointing pins each round's (id, comp) rows
-    (narrow ints) and keeps per-iteration planning O(1).
+    (narrow ints) and keeps per-iteration planning O(1). Checkpoints
+    are **non-eager**: the convergence action that immediately follows
+    materializes (and thereby checkpoints) the frame in the SAME job,
+    halving the loop's job count versus eager checkpointing (measured
+    4.7s -> 2.9s warm on the sf0.1 signature graph). The action
+    computes every partition (a full sum), so the checkpoint is never
+    left partial.
     (2) **Pointer jumping**: after the 1-hop neighbor-min, each node
     also takes its current label's label (``comp := comp(comp)``),
     compressing label chains so convergence is O(log diameter) rather
@@ -509,7 +515,7 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # init = identity labels with the first hop folded in (min of self
     # and direct neighbors): one aggregation replaces a whole first
@@ -521,7 +527,7 @@ def connected_components(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("__m")).alias("comp"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def hop_and_jump(lbl):
         nbr = (
@@ -542,10 +548,10 @@ def connected_components(
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         # two hop+jump steps per checkpoint round: the per-round fixed
-        # cost (checkpoint job + convergence action) dominates on small
+        # cost (one fused checkpoint+convergence job) dominates on small
         # graphs, and two un-truncated steps only grow the transient
-        # plan by a constant factor
-        labels = hop_and_jump(hop_and_jump(labels)).localCheckpoint(eager=True)
+        # plan by a constant factor (x3 measured 49.9s vs 7.8s — no)
+        labels = hop_and_jump(hop_and_jump(labels)).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
             return persist_fn(labels) if persist_fn is not None else labels

@@ -1890,7 +1890,9 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature — iterate on that (orders of magnitude smaller), then
     # map docs back through their signature. Membership is identical:
     # same-sig docs are Hamming-0 connected by construction.
-    sig_pairs = pairs.select("sig_a", "sig_b").distinct()
+    # no .distinct() here: connected_components dedups inside its own
+    # bidirected-edges job anyway — a pre-distinct is a wasted shuffle
+    sig_pairs = pairs.select("sig_a", "sig_b")
     sig_comps = dedup.connected_components(sig_pairs, id_a="sig_a", id_b="sig_b")
     doc_sig = (
         pairs.select(F.col("id_a").alias("doc"), F.col("sig_a").alias("sig"))
