@@ -134,6 +134,18 @@ INSTANCE_FLEET_SCHEMA = StructType(
         StructField("provisionedOnDemandCapacity", IntegerType()),
         StructField("provisionedSpotCapacity", IntegerType()),
         StructField(
+            "status",
+            StructType(
+                [
+                    StructField("state", StringType()),
+                    StructField(
+                        "stateChangeReason",
+                        StructType([StructField("message", StringType())]),
+                    ),
+                ]
+            ),
+        ),
+        StructField(
             "instanceTypeSpecifications",
             ArrayType(
                 StructType(
@@ -209,23 +221,39 @@ def parse_instance_groups(raw: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
-def parse_instance_fleets(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+def parse_instance_fleets(
+    raw: DataFrame, payload_col: str = "payload", use_spot: bool | None = None
+) -> DataFrame:
     """S7 — typed TASK instance-fleet listing, one row per instance-type
     specification with its weighted capacity
-    (cluster/Workers.scala:351-363)."""
+    (cluster/Workers.scala:351-363).
+
+    ``use_spot`` mirrors ``Config.IfShouldUseSpot``: the fleet refresh
+    reads the capacity pair of the market it purchases
+    (cluster/Workers.scala:393-397) — ``True`` ->
+    (provisionedSpotCapacity, targetSpotCapacity), ``False`` -> the
+    on-demand pair. ``None`` keeps the market-agnostic total (spot +
+    on-demand), the view used by capacity reporting where market is
+    irrelevant; the D6 refresh path must pass the configured market.
+    """
     f = raw.select(F.from_json(payload_col, INSTANCE_FLEET_SCHEMA).alias("f")).select(
         "f.*"
     )
+    if use_spot is None:
+        running = F.col("provisionedOnDemandCapacity") + F.col("provisionedSpotCapacity")
+        requested = F.col("targetOnDemandCapacity") + F.col("targetSpotCapacity")
+    elif use_spot:
+        running = F.col("provisionedSpotCapacity")
+        requested = F.col("targetSpotCapacity")
+    else:
+        running = F.col("provisionedOnDemandCapacity")
+        requested = F.col("targetOnDemandCapacity")
     return f.filter(F.lower("instanceFleetType") == "task").select(
         "id",
         "name",
         F.explode("instanceTypeSpecifications").alias("spec"),
-        (F.col("provisionedOnDemandCapacity") + F.col("provisionedSpotCapacity")).alias(
-            "running"
-        ),
-        (F.col("targetOnDemandCapacity") + F.col("targetSpotCapacity")).alias(
-            "requested"
-        ),
+        running.alias("running"),
+        requested.alias("requested"),
     ).select(
         "id",
         "name",
@@ -233,6 +261,42 @@ def parse_instance_fleets(raw: DataFrame, payload_col: str = "payload") -> DataF
         F.col("spec.weightedCapacity").alias("weight"),
         "running",
         "requested",
+    )
+
+
+def parse_fleet_refresh(
+    raw: DataFrame,
+    ts_col: str = "ts",
+    payload_col: str = "payload",
+    use_spot: bool = True,
+) -> DataFrame:
+    """D6 input adapter for instance fleets
+    (cluster/Workers.scala:380-400): one refresh row per fleet listing,
+    shaped for ``streaming.pipeline.task_state_stream`` —
+    (task_id, ts_ms, status, running, requested).
+
+    The market decides which capacity pair the refresh reads
+    (Workers.scala:393-397): ``use_spot=True``
+    (``Config.IfShouldUseSpot``) -> (provisionedSpotCapacity,
+    targetSpotCapacity); ``False`` -> the on-demand pair. A SPOT fleet's
+    on-demand numbers (usually 0) must never leak into the scaling
+    loop's running/requested counts.
+    """
+    f = raw.select(
+        F.col(ts_col).alias("__ts"),
+        F.from_json(payload_col, INSTANCE_FLEET_SCHEMA).alias("f"),
+    ).select("__ts", "f.*")
+    if use_spot:
+        running, requested = F.col("provisionedSpotCapacity"), F.col("targetSpotCapacity")
+    else:
+        running = F.col("provisionedOnDemandCapacity")
+        requested = F.col("targetOnDemandCapacity")
+    return f.filter(F.lower("instanceFleetType") == "task").select(
+        F.col("id").alias("task_id"),
+        (F.unix_timestamp("__ts") * 1000).cast("long").alias("ts_ms"),
+        F.col("status.state").alias("status"),
+        running.alias("running"),
+        requested.alias("requested"),
     )
 
 

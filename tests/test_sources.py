@@ -79,6 +79,53 @@ def test_parse_instance_fleets_explodes_specs(spark):
     assert all(r["running"] == 8 and r["requested"] == 12 for r in rows)
 
 
+# Market-dependent capacity projection (cluster/Workers.scala:393-397):
+# the refresh reads the capacity pair of the market the fleet purchases.
+_MIXED_FLEET = {
+    "id": "if-9",
+    "name": "trino-task",
+    "instanceFleetType": "TASK",
+    "targetOnDemandCapacity": 3,
+    "targetSpotCapacity": 12,
+    "provisionedOnDemandCapacity": 2,
+    "provisionedSpotCapacity": 8,
+    "status": {"state": "RESIZING", "stateChangeReason": {"message": ""}},
+    "instanceTypeSpecifications": [{"instanceType": "m5.xlarge", "weightedCapacity": 4}],
+}
+
+
+def test_fleet_market_selects_capacity_fields(spark):
+    raw = _raw(spark, [_MIXED_FLEET])
+    spot = sources.parse_instance_fleets(raw, use_spot=True).collect()[0]
+    assert (spot["running"], spot["requested"]) == (8, 12)
+    od = sources.parse_instance_fleets(raw, use_spot=False).collect()[0]
+    assert (od["running"], od["requested"]) == (2, 3)
+    total = sources.parse_instance_fleets(raw).collect()[0]
+    assert (total["running"], total["requested"]) == (10, 15)
+
+
+def test_fleet_refresh_adapter_market_projection(spark):
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    raw = spark.createDataFrame(
+        [(ts, json.dumps(_MIXED_FLEET))], "ts timestamp, payload string"
+    )
+    spot = sources.parse_fleet_refresh(raw, use_spot=True).collect()[0]
+    assert spot["task_id"] == "if-9" and spot["status"] == "RESIZING"
+    assert (spot["running"], spot["requested"]) == (8, 12)
+    od = sources.parse_fleet_refresh(raw, use_spot=False).collect()[0]
+    assert (od["running"], od["requested"]) == (2, 3)
+    # the adapter's shape feeds task_state_stream's D6 processor directly
+    from emr_trino_autoscale_spark.streaming.stateful import refresh_rows
+    import pandas as pd
+
+    out, _ = refresh_rows(
+        pd.DataFrame([spot.asDict()]), last_suspended_ms=0
+    )
+    assert out[0]["is_resizing"] is True and out[0]["running"] == 8
+
+
 def test_parse_cluster_instances_projection(spark):
     payloads = [
         {
