@@ -21,3 +21,175 @@ def test_live_loop_replay_golden(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "matches the golden scenario" in proc.stdout
+
+
+TICK_MS = 15_000
+
+
+@pytest.mark.slow
+def test_composed_three_stream_topology(spark, tmp_path):
+    """VERDICT r2 #7: the full live loop composed end to end — entry
+    point 1 (collect: raw cpu samples -> event-time sliding averages)
+    chains by file into entry point 2 (evaluate: quorum classifier ->
+    stateful decision cascade -> action sink) while entry point 3
+    (refresh: suspension state + healing) runs alongside, exactly the
+    reference's three-timer topology. Drained with
+    processAllAvailable() in dependency order so the assertion is
+    deterministic; every stage is a real streaming query over file
+    sources/sinks.
+    """
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.streaming import pipeline, sinks, stateful
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    base_s = int(base.timestamp())
+    cpu_src, avg_out, eval_src, act_out, heal_out = (
+        str(tmp_path / d) for d in ("cpu", "avg", "eval", "act", "heal")
+    )
+    chk = {d: str(tmp_path / f"chk_{d}") for d in ("c1", "c2", "c3", "c4")}
+
+    # ---- scenario: the replay tool's timeline, +5 sentinel ticks so the
+    # 1-minute watermark finalizes every window through tick 31
+    rows = []
+    for tick in range(37):
+        cpu = 0.40 if tick < 8 else (0.90 if tick < 20 else 0.30)
+        for node in ("n1", "n2", "n3"):
+            rows.append((base + dt.timedelta(seconds=15 * tick), node, cpu))
+    spark.createDataFrame(
+        rows, "ts timestamp, node string, process_cpu_load double"
+    ).repartition(1).write.parquet(cpu_src)
+
+    # ---- entry point 1: collect stream -> sliding per-node averages
+    cpu_stream = spark.readStream.schema(
+        "ts timestamp, node string, process_cpu_load double"
+    ).parquet(cpu_src)
+    q1 = (
+        pipeline.sliding_node_avg(cpu_stream)
+        .writeStream.format("parquet")
+        .option("path", avg_out)
+        .option("checkpointLocation", chk["c1"])
+        .outputMode("append")
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    # ---- entry point 2a: classifier stream (D1 quorum per tick) chained
+    # onto stage 1's files; scripted cluster state mirrors the replay tool
+    def evaluate_batch(avgs, epoch_id):
+        if not avgs.take(1):
+            return
+        tick_no = (
+            ((F.unix_timestamp("tick") - base_s) / 15).cast("int") - 1
+        )
+        per_tick = (
+            avgs.withColumn("tick_no", tick_no)
+            .groupBy("tick_no")
+            .agg(
+                F.sum(F.when(F.col("n_points") >= 4, 1).otherwise(0)).alias("warm"),
+                F.count("*").alias("total"),
+                F.sum(
+                    F.when((F.col("n_points") >= 4) & (F.col("avg_value") >= 0.7), 1)
+                    .otherwise(0)
+                ).alias("hi"),
+                F.sum(
+                    F.when(
+                        (F.col("n_points") >= 4)
+                        & (F.col("avg_value") > 0.5)
+                        & (F.col("avg_value") < 0.7),
+                        1,
+                    ).otherwise(0)
+                ).alias("mid"),
+            )
+        )
+        ticks = per_tick.select(
+            F.lit("c1").alias("cluster_id"),
+            (F.col("tick_no").cast("long") * TICK_MS).alias("ts_ms"),
+            (F.col("tick_no") >= 28).alias("is_idle"),
+            (F.col("tick_no") == 20).alias("is_resizing"),
+            F.lit(0).cast("int").alias("required"),
+            F.when(F.col("tick_no") >= 20, 15).otherwise(10).cast("int").alias("running"),
+            F.when(F.col("tick_no") >= 20, 15).otherwise(10).cast("int").alias("requested"),
+            F.when(F.col("warm") == 0, "NONE")
+            .when(F.col("hi") >= F.col("total") * 0.8, "EXPAND")
+            .when(F.col("mid") >= F.col("total") * 0.8, "NONE")
+            .otherwise("SHRINK")
+            .alias("verdict"),
+        )
+        ticks.write.mode("append").parquet(eval_src)
+
+    avg_stream = spark.readStream.schema(
+        "tick timestamp, node string, avg_value double, n_points long"
+    ).parquet(avg_out)
+    q2 = (
+        avg_stream.writeStream.foreachBatch(evaluate_batch)
+        .option("checkpointLocation", chk["c2"])
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    # ---- entry point 2b: decision cascade (keyed cooldown state) -> sink
+    eval_stream = spark.readStream.schema(stateful.EVAL_INPUT_SCHEMA).parquet(eval_src)
+    q3 = pipeline.attach_decision_query(
+        pipeline.decisions_stream(eval_stream),
+        sinks.resize_action_sink(act_out),
+        chk["c3"],
+    ).start()
+
+    # ---- entry point 3: refresh stream (suspension state + healing),
+    # independent timer in the reference — runs alongside q3
+    heal_base = 10_000_000
+    refresh_rows = [
+        ("if-1", heal_base + 0, "RUNNING", 10, 10),
+        ("if-1", heal_base + 30_000, "SUSPENDED", 10, 10),
+        ("if-1", heal_base + 60_000, "RUNNING", 10, 10),
+        ("if-1", heal_base + 200_000, "RUNNING", 10, 10),
+        ("if-1", heal_base + 700_000, "RUNNING", 10, 10),
+    ]
+    refresh_src = str(tmp_path / "refresh")
+    spark.createDataFrame(
+        refresh_rows, "task_id string, ts_ms long, status string, running int, requested int"
+    ).repartition(1).write.parquet(refresh_src)
+    refresh_stream = spark.readStream.schema(stateful.REFRESH_INPUT_SCHEMA).parquet(
+        refresh_src
+    )
+    q4 = (
+        pipeline.task_state_stream(refresh_stream)
+        .writeStream.format("parquet")
+        .option("path", heal_out)
+        .option("checkpointLocation", chk["c4"])
+        .outputMode("append")
+        .start()
+    )
+    q3.processAllAvailable()
+    q4.processAllAvailable()
+    q3.stop()
+    q4.stop()
+
+    # ---- goldens: identical action sequence to tools/replay_live_loop.py
+    actions = spark.read.parquet(os.path.join(act_out, "actions_out")).collect()
+    got = sorted((r["ts_ms"] // TICK_MS, r["reason"], r["action"]) for r in actions)
+    want = [(t, "evaluated", "EXPAND") for t in range(10, 20)] + [
+        (t, "idle", "SHRINK") for t in range(28, 32)
+    ]
+    assert got == want, f"want {want}\ngot  {got}"
+
+    # heal/suspension golden: exclusion opens at the suspension and
+    # closes once SUSPENSION_MS passes; the suspended tick re-issues its
+    # current capacity (heal)
+    heal = {
+        r["ts_ms"] - heal_base: (r["is_excluded"], r["heal_capacity"])
+        for r in spark.read.parquet(heal_out).collect()
+    }
+    assert heal == {
+        0: (False, -1),
+        30_000: (False, 10),   # suspension observed -> heal re-issue
+        60_000: (True, -1),    # inside the exclusion window
+        200_000: (True, -1),
+        700_000: (False, -1),  # window elapsed (SUSPENSION_MS = 10 min)
+    }
