@@ -228,6 +228,51 @@ def simhash_clusters(
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash signatures as an ``(id, sig)`` frame.
+
+    Signature via explode + hash aggregation rather than the HOF fold
+    (:func:`simhash_from_long_hashes`): every expression stays inside
+    whole-stage codegen (HigherOrderFunction lambdas are interpreted),
+    map-side partial aggregation collapses each document's tokens
+    before the exchange (a document's tokens are row-local, so shuffle
+    rows ~= #docs x n_bits ints), and the aggregate's exchange is
+    identical on both sides of a band self-join, so ReuseExchange
+    computes signatures ONCE instead of once per join branch. Measured
+    ~2x over the fold at sf0.1. split(text) is never empty for
+    non-NULL text ([""] for the empty string), so explode drops no such
+    document; NULL-text rows ARE excluded — explicitly, below — which
+    matches the SQL oracle, where a NULL signature can never equi-join
+    into a band bucket. Callers that need both the pairs AND the
+    doc->sig map (q49's closure) cache THIS frame and derive both from
+    it.
+    """
+    if not 1 <= n_bits <= 60:
+        raise ValueError("n_bits must be in [1, 60]")
+    ex = (
+        df.filter(F.col(text_col).isNotNull())
+        .withColumn("__hs", md5_long_hashes(text_col))
+        .select(F.col(id_col).alias("id"), F.explode("__hs").alias("h"))
+    )
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return votes.select("id", sig.alias("sig"))
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -249,41 +294,25 @@ def simhash_hamming_pairs(
     ~n²·n_bands/2^b — 8-bit bands (n_bits=32, n_bands=4) keep buckets
     small where 4-bit bands degrade toward quadratic.
     """
+    return simhash_hamming_pairs_from_sigs(
+        simhash_signatures(df, text_col=text_col, id_col=id_col, n_bits=n_bits),
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        n_bits=n_bits,
+    )
+
+
+def simhash_hamming_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 2,
+    n_bands: int = 4,
+    n_bits: int = 32,
+) -> DataFrame:
+    """Band-join stage of :func:`simhash_hamming_pairs`, taking a
+    precomputed (possibly cached) ``(id, sig)`` frame."""
     if max_hamming >= n_bands:
         raise ValueError("exactness requires max_hamming < n_bands")
     bits = n_bits // n_bands
-    # Signature via explode + hash aggregation rather than the HOF fold
-    # (:func:`simhash_from_long_hashes`): every expression stays inside
-    # whole-stage codegen (HigherOrderFunction lambdas are interpreted),
-    # map-side partial aggregation collapses each document's tokens
-    # before the exchange (a document's tokens are row-local, so shuffle
-    # rows ~= #docs x n_bits ints), and — decisive here — the aggregate's
-    # exchange is identical on both sides of the band self-join below,
-    # so ReuseExchange computes signatures ONCE instead of once per join
-    # branch. Measured ~2x over the fold at sf0.1. split(text) is never
-    # empty for non-NULL text ([""] for the empty string), so explode
-    # drops no such document; NULL-text rows ARE excluded — explicitly,
-    # below — which matches the SQL oracle, where a NULL signature can
-    # never equi-join into a band bucket.
-    if not 1 <= n_bits <= 60:
-        raise ValueError("n_bits must be in [1, 60]")
-    ex = (
-        df.filter(F.col(text_col).isNotNull())
-        .withColumn("__hs", md5_long_hashes(text_col))
-        .select(F.col(id_col).alias("id"), F.explode("__hs").alias("h"))
-    )
-    votes = ex.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{b}")
-            for b in range(n_bits)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(0)
-    sigs = votes.select("id", sig.alias("sig"))
     banded = sigs.select(
         "id",
         "sig",

@@ -1883,7 +1883,15 @@ FROM b GROUP BY 1, 2 ORDER BY lang, split
 
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = _cache_scoped(dedup.simhash_hamming_pairs(d, max_hamming=2, n_bands=4))
+    # Cache the narrow (id, sig) SIGNATURE frame, not the pairs: both
+    # the band join (candidate pairs) and the doc->sig re-labeling at
+    # the end derive from it, so the expensive explode+32-vote
+    # aggregation runs once and the old union-distinct reconstruction
+    # of doc->sig from the pairs disappears entirely. Membership is
+    # unchanged: a doc's sig reaches the closure iff it has >= 1
+    # Hamming<=2 partner, exactly when the old pairs-derived map kept it.
+    sigs = _cache_scoped(dedup.simhash_signatures(d))
+    pairs = dedup.simhash_hamming_pairs_from_sigs(sigs, max_hamming=2, n_bands=4)
     # Contract exact-signature cliques BEFORE the closure: duplicate
     # clusters are near-cliques, so the doc-level graph has O(cluster^2)
     # edges while the signature-level graph has one node per distinct
@@ -1894,19 +1902,14 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bidirected-edges job anyway — a pre-distinct is a wasted shuffle
     sig_pairs = pairs.select("sig_a", "sig_b")
     sig_comps = dedup.connected_components(sig_pairs, id_a="sig_a", id_b="sig_b")
-    doc_sig = (
-        pairs.select(F.col("id_a").alias("doc"), F.col("sig_a").alias("sig"))
-        .union(pairs.select("id_b", "sig_b"))
-        .distinct()
-    )
-    labeled = doc_sig.join(
+    labeled = sigs.join(
         F.broadcast(sig_comps.withColumnRenamed("id", "sig")), "sig"
     )
     # component key = min member doc id (stable, sig-independent)
     keyed = labeled.groupBy("comp").agg(
-        F.min("doc").alias("component"),
+        F.min("id").alias("component"),
         F.count("*").cast("bigint").alias("n_members"),
-        F.max("doc").cast("bigint").alias("max_member"),
+        F.max("id").cast("bigint").alias("max_member"),
     )
     return keyed.select("component", "n_members", "max_member").orderBy("component")
 
