@@ -497,6 +497,101 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """(id, gram) pairs — one row per DISTINCT k-gram md5 per document.
+
+    The shared primitive under decontamination (X17) and novelty
+    scoring (X18): explode keeps everything in whole-stage codegen,
+    per-doc ``array_distinct`` bounds the fan-out by document length,
+    and the md5 digest is the narrow, oracle-portable join key.
+    Documents shorter than ``k`` tokens contribute no rows
+    (:func:`shingles_of` guard)."""
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.transform(shingles_of(F.col("__toks"), k), F.md5))
+            ).alias("gram"),
+        )
+    )
+
+
+def contamination_fractions(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> DataFrame:
+    """X17 — training-data decontamination: per candidate document, the
+    fraction of its distinct k-grams that appear anywhere in the
+    benchmark corpus (the published 13-gram-overlap check; ``k`` is a
+    knob because the right n depends on document length).
+
+    Scale: both sides reduce to (id, gram-hash) frames; the benchmark
+    gram set is made distinct and LEFT-joined on the digest key — a
+    plain shuffle join, NEVER a broadcast (benchmark suites are small
+    today, corpus-sized tomorrow; boilerplate-gram skew is AQE's job).
+    One aggregation per candidate doc closes the op.
+    """
+    cand = ngram_hashes(candidates, text_col, id_col, k)
+    bench = (
+        ngram_hashes(benchmark, text_col, id_col, k)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        cand.join(bench, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination", F.col("n_contaminated") / F.col("n_grams")
+        )
+    )
+
+
+def novelty_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """X18 — n-gram novelty: per document, the fraction of its distinct
+    k-grams whose FIRST corpus occurrence (minimum doc id) is this
+    document. High-novelty docs introduce new content; near-zero
+    novelty marks boilerplate/recombination — a curation signal
+    complementary to near-dup clustering (which only fires on
+    whole-document similarity).
+
+    Scale: first-occurrence attribution is one ``min(id)`` hash
+    aggregation over the (id, gram) frame, joined back on the digest
+    key — two shuffles on a narrow key, no windows, no broadcast of
+    corpus-sized state.
+    """
+    g = ngram_hashes(df, text_col, id_col, k)
+    first = g.groupBy("gram").agg(F.min("id").alias("__first"))
+    return (
+        g.join(first, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("id") == F.col("__first")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -2315,6 +2315,82 @@ ORDER BY q_id, rank
 """
 
 
+# Q59 — decontamination (X17): fraction of each candidate doc's
+# distinct 4-grams found anywhere in the benchmark subset (sources
+# src0/src1 stand in for the eval suite; k=4 is the 13-gram check
+# scaled to the ~55-token synthetic docs). int/int double ratio is
+# cross-engine exact; dec4 only formats it.
+
+_BENCH_SOURCES = ("src0", "src1")
+
+
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source").isin(*_BENCH_SOURCES))
+    cand = d.filter(~F.col("source").isin(*_BENCH_SOURCES))
+    return (
+        dedup.contamination_fractions(cand, bench, k=4)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_contaminated",
+            dec4("contamination").alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q59_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))) AS gram
+      FROM t WHERE len(toks) >= 4),
+bench AS (SELECT DISTINCT gram FROM g WHERE source IN ('src0', 'src1')),
+cand AS (SELECT doc_id, gram FROM g WHERE source NOT IN ('src0', 'src1')),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated
+        FROM cand c LEFT JOIN bench b USING (gram) GROUP BY 1)
+SELECT doc_id, n_grams, n_contaminated,
+       {_dec4('n_contaminated / n_grams')} AS contamination
+FROM per ORDER BY doc_id
+"""
+
+
+# Q60 — n-gram novelty (X18): per doc, the fraction of its distinct
+# 3-grams first introduced (min doc id) by this document.
+
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.novelty_fractions(d, k=3)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_novel",
+            dec4("novelty").alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q60_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS gram
+      FROM t WHERE len(toks) >= 3),
+f AS (SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY 1),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+        FROM g JOIN f USING (gram) GROUP BY 1)
+SELECT doc_id, n_grams, n_novel, {_dec4('n_novel / n_grams')} AS novelty
+FROM per ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2374,6 +2450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_mixing_weights": q56,
     "q57_lsh_multiprobe": q57,
     "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
+    "q60_ngram_novelty": q60,
 }
 
 ORACLE: dict[str, str] = {
@@ -2435,4 +2513,6 @@ ORACLE: dict[str, str] = {
     "q56_mixing_weights": Q56_SQL,
     "q57_lsh_multiprobe": Q57_SQL,
     "q58_ivf_multiprobe": Q58_SQL,
+    "q59_contamination": Q59_SQL,
+    "q60_ngram_novelty": Q60_SQL,
 }

@@ -196,6 +196,40 @@ def test_ivf_topk_probes_assigned_bucket(spark):
     assert 20 not in ids and 1 not in ids  # other bucket never scored
 
 
+def test_contamination_fractions(spark):
+    bench = docs(spark, ["alpha beta gamma delta epsilon"])
+    cand = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # exact copy -> 1.0
+            (11, "alpha beta gamma delta zeta"),      # shares 1 of 2 4-grams
+            (12, "totally different words here now"), # clean -> 0.0
+            (13, "too short"),                        # < k tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_contaminated"], round(r["contamination"], 4))
+        for r in dedup.contamination_fractions(cand, bench, k=4).collect()
+    }
+    assert out == {10: (2, 2, 1.0), 11: (2, 1, 0.5), 12: (2, 0, 0.0)}
+
+
+def test_novelty_fractions_first_occurrence_attribution(spark):
+    d = docs(
+        spark,
+        [
+            "a b c d",            # doc 0 introduces both 3-grams
+            "a b c d",            # exact dup -> nothing novel
+            "a b c x",            # shares 'a b c', introduces 'b c x'
+        ],
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_novel"])
+        for r in dedup.novelty_fractions(d, k=3).collect()
+    }
+    assert out == {0: (2, 2), 1: (2, 0), 2: (2, 1)}
+
+
 def _recall_at_k(approx_rows, exact_rows):
     """Mean recall@k of approx vs exact top-k, per query id."""
     from collections import defaultdict

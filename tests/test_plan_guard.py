@@ -58,6 +58,8 @@ FLAGSHIPS = {
     # q58's nested loop = the 8-row broadcast centroid cross join
     # (coarse quantization, same shape as q30 — doc'd)
     "q58_ivf_multiprobe": (14, True),
+    "q59_contamination": (8, False),
+    "q60_ngram_novelty": (8, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
