@@ -159,6 +159,48 @@ def near_dedup_stream(
     )
 
 
+def make_contamination_scorer(
+    benchmark_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+):
+    """Streaming decontamination (X17 live twin of Q59): a
+    ``foreachBatch`` transform that scores each micro-batch of arriving
+    documents against a STATIC benchmark gram set.
+
+    ``benchmark_grams`` is the precomputed distinct gram-digest frame
+    (``dedup.ngram_hashes(bench).select("gram").distinct()``) — built
+    once, joined per batch as a plain batch side (cache it for hot
+    reuse); no streaming state grows with the corpus. The per-document
+    aggregation runs WITHIN the micro-batch — documents arrive whole,
+    so batch-local grouping is exact and avoids an unbounded stateful
+    ``groupBy(doc_id)`` stream aggregation (same bounded-state contract
+    as :func:`dedup_stream`). Returned callable: (batch, epoch_id) ->
+    scored DataFrame; wire it into ``foreachBatch`` with whatever sink
+    the caller owns (see tests/test_stateful.py).
+    """
+    from ..operators.dedup import ngram_hashes
+
+    bench = benchmark_grams.withColumn("__hit", F.lit(1))
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        return (
+            ngram_hashes(batch, text_col, id_col, k)
+            .join(bench, "gram", "left")
+            .groupBy("id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_contaminated"),
+            )
+            .withColumn("contamination", F.col("n_contaminated") / F.col("n_grams"))
+        )
+
+    return score
+
+
 def attach_decision_query(decisions: DataFrame, sink_fn, checkpoint: str, trigger: str = EVALUATE_TRIGGER):
     """Wire the decision stream to an idempotent foreachBatch sink with
     the reference's evaluation cadence."""

@@ -98,6 +98,73 @@ def test_bucketed_prefix_sum_matches_window_cumsum(spark):
     assert single == bucketed and len(bucketed) == 5_000
 
 
+def test_two_phase_topk_property(spark):
+    """Property check across adversarial shapes: tiny groups (< k rows),
+    all-tied scores, k larger than any bucket, n_buckets=1 degenerate."""
+    from pyspark.sql import Window
+    import itertools
+
+    shapes = [
+        # (rows per group, n_groups, k, n_buckets, score_mod)
+        (3, 2, 7, 16, 2),     # groups smaller than k
+        (40, 1, 5, 64, 1),    # single group, ALL scores tied
+        (25, 4, 5, 1, 5),     # degenerate single bucket
+        (100, 3, 10, 8, 3),
+    ]
+    for rows, groups, k, buckets, mod in shapes:
+        df = spark.range(rows * groups).select(
+            (F.col("id") % groups).cast("string").alias("g"),
+            F.col("id").alias("rid"),
+            (F.col("id") % mod).alias("score"),
+        )
+        order = [F.col("score").desc(), F.col("rid").asc()]
+        w = Window.partitionBy("g").orderBy(*order)
+        single = sorted(
+            (r["g"], r["rnk"], r["rid"])
+            for r in df.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        )
+        two = sorted(
+            (r["g"], r["rnk"], r["rid"])
+            for r in skew.two_phase_topk(
+                df, ["g"], order, k=k, bucket_on=F.col("rid"), n_buckets=buckets
+            ).collect()
+        )
+        assert single == two, (rows, groups, k, buckets, mod)
+
+
+def test_bucketed_prefix_sum_property(spark):
+    """Sparse, negative-value, and bucket-boundary-straddling ids all
+    reproduce the window cumsum exactly."""
+    from pyspark.sql import Window
+
+    cases = [
+        # (id expr multiplier, value expr) — sparse ids straddle buckets
+        (997, "id % 13 - 6"),     # negative values
+        (1, "id % 7 + 1"),
+        (1024, "id % 3"),          # ids exactly on bucket boundaries
+    ]
+    for mult, vexpr in cases:
+        df = spark.range(2_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * mult).alias("oid"),
+            F.expr(vexpr).alias("v"),
+        )
+        w = Window.partitionBy("g").orderBy("oid")
+        single = sorted(
+            (r["g"], r["oid"], r["cum"])
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        )
+        bucketed = sorted(
+            (r["g"], r["oid"], r["cum"])
+            for r in skew.bucketed_prefix_sum(
+                df, ["g"], "oid", "v", bucket_width=512
+            ).collect()
+        )
+        assert single == bucketed, (mult, vexpr)
+
+
 def test_salted_agg_rejects_unmergeable(spark):
     df = spark.range(10).select(F.lit("k").alias("k"), F.col("id").alias("v"))
     try:

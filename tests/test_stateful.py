@@ -279,3 +279,56 @@ def test_streaming_near_dedup_short_docs_not_conflated(spark, tmp_path):
     # the exact duplicate is suppressed; NULL text and '' text are
     # different documents and must not suppress each other
     assert kept == {1, 2, 4, 5}
+
+
+def test_streaming_contamination_scorer(spark, tmp_path):
+    """X17 live twin: stream of documents scored per micro-batch
+    against a static benchmark gram set — matches the batch operator's
+    result on the same rows."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import dedup
+
+    src, chk, out = (str(tmp_path / d) for d in ("src", "chk", "out"))
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    bench_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    bench_grams = dedup.ngram_hashes(bench_docs, k=4).select("gram").distinct().cache()
+
+    rows = [
+        (1, base, "alpha beta gamma delta epsilon"),  # exact copy -> 1.0
+        (2, base, "alpha beta gamma delta zeta"),     # 1 of 2 grams -> 0.5
+        (3, base, "completely clean document text here"),  # 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(src)
+    scorer = pipeline.make_contamination_scorer(bench_grams, k=4)
+
+    def sink(batch, epoch_id):
+        scored = scorer(batch, epoch_id)
+        scored.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["id"]: (r["n_grams"], r["n_contaminated"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: (2, 2), 2: (2, 1), 3: (2, 0)}
+    # parity with the batch operator on identical rows
+    batch = {
+        r["id"]: (r["n_grams"], r["n_contaminated"])
+        for r in dedup.contamination_fractions(
+            df.drop("ts"), bench_docs, k=4
+        ).collect()
+    }
+    assert batch == got
+    bench_grams.unpersist()
