@@ -204,6 +204,7 @@ def lsh_topk_literal(
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
     n_probes: int = 1,
+    vectorized: bool = False,
 ) -> DataFrame:
     """X3 scale path, oracle-replayable form — approximate top-k where
     only candidates sharing one of the query's ``n_probes`` probe
@@ -215,12 +216,26 @@ def lsh_topk_literal(
     ``n_probes`` at the cost of scoring ~n_probes× more candidates,
     the standard knob for keeping recall up as buckets thin out at
     100× corpus scale. A corpus vector lives in exactly one bucket and
-    probe buckets are distinct, so no candidate is scored twice."""
+    probe buckets are distinct, so no candidate is scored twice.
+
+    ``vectorized=True`` computes the CORPUS bucket with the
+    Arrow-batched NumPy GEMM (`functions.arrow_udfs
+    .srp_bucket_vectorized`, measured 11x the interpreted HOF fold
+    at 200k rows) — the
+    production setting for the corpus-sized side; the oracle-declared
+    q57 keeps the fold form so the plan stays pure-SQL-replayable.
+    Query-side probe work stays HOF either way (query sets are tiny)."""
+    if vectorized:
+        from ..functions.arrow_udfs import srp_bucket_vectorized
+
+        corpus_bucket = srp_bucket_vectorized(planes)(F.col(vec_col))
+    else:
+        corpus_bucket = srp_bucket_literal(F.col("__v"), planes)
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__v").alias("cv"),
         F.col("__norm").alias("cn"),
-        srp_bucket_literal(F.col("__v"), planes).alias("bucket"),
+        corpus_bucket.alias("bucket"),
     )
     q = (
         with_norm(queries, vec_col)

@@ -196,6 +196,45 @@ def test_ivf_topk_probes_assigned_bucket(spark):
     assert 20 not in ids and 1 not in ids  # other bucket never scored
 
 
+def test_vectorized_srp_bucket_parity(spark, sf_dir):
+    """The Arrow/NumPy corpus bucket (production path) must reproduce
+    the interpreted HOF fold exactly — buckets AND full multi-probe
+    top-k results — on the real embeddings."""
+    from emr_trino_autoscale_spark.functions.arrow_udfs import srp_bucket_vectorized
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.md5_sign_planes(n_planes=8, dim=64)
+    folded = {
+        r["vec_id"]: r["b"]
+        for r in similarity.with_norm(e)
+        .select("vec_id", similarity.srp_bucket_literal(F.col("__v"), planes).alias("b"))
+        .collect()
+    }
+    vec = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", srp_bucket_vectorized(planes)(F.col("embedding")).alias("b")
+        ).collect()
+    }
+    assert vec == folded
+
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.lsh_topk_literal(e, queries, planes, k=5, n_probes=3).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.lsh_topk_literal(
+            e, queries, planes, k=5, n_probes=3, vectorized=True
+        ).collect()
+    )
+    assert got == want
+
+
 def test_contamination_fractions(spark):
     bench = docs(spark, ["alpha beta gamma delta epsilon"])
     cand = spark.createDataFrame(
