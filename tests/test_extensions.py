@@ -196,6 +196,29 @@ def test_ivf_topk_probes_assigned_bucket(spark):
     assert 20 not in ids and 1 not in ids  # other bucket never scored
 
 
+def test_brute_force_topk_vectorized_parity(spark, sf_dir):
+    """The GEMM + two-phase-rank exact top-k must reproduce the HOF
+    baseline row for row (ids, ranks, 4-decimal scores) on the real
+    embeddings, including with a partitioned corpus (batch pruning)."""
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], str(r["cosine"]))
+        for r in similarity.brute_force_topk(e, queries, k=5).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], str(r["cosine"]))
+        for r in similarity.brute_force_topk_vectorized(
+            e.repartition(7), queries, k=5
+        ).collect()
+    )
+    assert got == want
+
+
 def test_vectorized_srp_bucket_parity(spark, sf_dir):
     """The Arrow/NumPy corpus bucket (production path) must reproduce
     the interpreted HOF fold exactly — buckets AND full multi-probe
