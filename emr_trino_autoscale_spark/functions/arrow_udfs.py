@@ -49,3 +49,37 @@ def srp_bucket_vectorized(planes):
         return pd.Series(((projs > 0) @ weights).astype("int32"))
 
     return bucket
+
+
+def nearest_centroid_vectorized(c_ids, c_mat, ret_type="long"):
+    """Factory: Arrow-batched IVF coarse quantization for the corpus
+    path — one NumPy GEMM per batch against the (small, by
+    construction) centroid matrix instead of |C| interpreted HOF folds
+    per row.
+
+    ``c_ids``/``c_mat`` must be sorted by ascending centroid id: the
+    tie-break is np.argmax's first-occurrence rule, which then matches
+    the DataFrame form's ``ORDER BY sim DESC, c_id ASC`` exactly.
+    Similarities are rounded to 6 decimals before the argmax, same as
+    the fold form, so cross-form parity holds away from ~1e-7 rounding
+    edges (pinned on real data in tests/test_extensions.py).
+    """
+    import numpy as np
+
+    ids = np.asarray(c_ids)
+    mat = np.asarray(c_mat, dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    unit = mat / nrm[:, None]
+
+    @pandas_udf(ret_type)
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object if ids.dtype == object else None)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0.0] = 1.0
+        sims = np.round((m / vn[:, None]) @ unit.T, 6)
+        return pd.Series(ids[np.argmax(sims, axis=1)])
+
+    return assign

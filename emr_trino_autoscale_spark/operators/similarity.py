@@ -358,6 +358,7 @@ def ivf_topk(
     query_id_col: str = "q_id",
     centroid_id_col: str = "c_id",
     n_probes: int = 1,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize every corpus vector to its nearest
     centroid (broadcast the centroid table — it is small by
@@ -369,7 +370,14 @@ def ivf_topk(
     probed centroid sets are nested, so recall is monotone
     non-decreasing in ``n_probes`` while cost grows only with the
     probed lists' sizes. Each corpus vector is assigned to exactly one
-    centroid, so no candidate is scored twice."""
+    centroid, so no candidate is scored twice.
+
+    ``vectorized=True`` assigns the CORPUS side with the Arrow/NumPy
+    quantizer (`functions.arrow_udfs.nearest_centroid_vectorized`;
+    centroids collected driver-side — they are small by construction,
+    the explicit analog of the broadcast hint). Queries keep the
+    DataFrame path (tiny, and multi-probe needs their full centroid
+    ranking). Oracle-declared q30/q58 keep the fold form."""
     cents = with_norm(centroids, vec_col).select(
         F.col(centroid_id_col), F.col("__v").alias("ce"), F.col("__norm").alias("cen")
     )
@@ -387,10 +395,29 @@ def ivf_topk(
             .select(*keep, "__v", "__norm", F.col(centroid_id_col).alias("assigned"))
         )
 
-    c = assign(
-        with_norm(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "__v", "__norm"),
-        ["neighbor_id"],
-    ).select("neighbor_id", F.col("__v").alias("cv"), F.col("__norm").alias("cn"), "assigned")
+    if vectorized:
+        from ..functions.arrow_udfs import nearest_centroid_vectorized
+
+        c_rows = sorted(
+            centroids.select(centroid_id_col, vec_col).collect(),
+            key=lambda r: r[centroid_id_col],
+        )
+        quantize = nearest_centroid_vectorized(
+            [r[centroid_id_col] for r in c_rows],
+            [list(r[vec_col]) for r in c_rows],
+            ret_type=centroids.schema[centroid_id_col].dataType.simpleString(),
+        )
+        c = with_norm(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("cv"),
+            F.col("__norm").alias("cn"),
+            quantize(F.col(vec_col)).alias("assigned"),
+        )
+    else:
+        c = assign(
+            with_norm(corpus, vec_col).select(F.col(id_col).alias("neighbor_id"), "__v", "__norm"),
+            ["neighbor_id"],
+        ).select("neighbor_id", F.col("__v").alias("cv"), F.col("__norm").alias("cn"), "assigned")
     q = assign(
         with_norm(queries, vec_col).select(F.col(query_id_col), "__v", "__norm"),
         [query_id_col],

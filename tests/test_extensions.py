@@ -219,6 +219,32 @@ def test_brute_force_topk_vectorized_parity(spark, sf_dir):
     assert got == want
 
 
+def test_ivf_vectorized_assignment_parity(spark, sf_dir):
+    """NumPy coarse quantization must reproduce the DataFrame-fold IVF
+    end to end (assignments drive candidate sets, so full-result parity
+    covers both) on the real embeddings, with multi-probe."""
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    queries = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") >= 8)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    want = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], str(r["cosine"]))
+        for r in similarity.ivf_topk(e, cents, queries, k=5, n_probes=2).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["neighbor_id"], str(r["cosine"]))
+        for r in similarity.ivf_topk(
+            e, cents, queries, k=5, n_probes=2, vectorized=True
+        ).collect()
+    )
+    assert got == want
+
+
 def test_vectorized_srp_bucket_parity(spark, sf_dir):
     """The Arrow/NumPy corpus bucket (production path) must reproduce
     the interpreted HOF fold exactly — buckets AND full multi-probe
