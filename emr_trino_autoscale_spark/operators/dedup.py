@@ -681,3 +681,80 @@ def connected_components(
             return persist_fn(labels) if persist_fn is not None else labels
         prev_sum = new_sum
     raise RuntimeError(f"label propagation did not converge in {max_iter} iterations")
+
+
+def incremental_dedup_report(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X19 — incremental-ingestion dedup: classify every BATCH document
+    against an already-ingested CORPUS. Statuses: ``dup_corpus`` (exact
+    text digest already present in the corpus), ``dup_batch`` (digest
+    unseen in the corpus but another batch doc with a smaller id carries
+    it), ``kept`` (first occurrence anywhere). This is the day-2 shape
+    of exact dedup (:func:`exact_dedup` is the day-0 batch form): a
+    training pipeline re-runs per crawl snapshot and must not re-admit
+    content it already holds.
+
+    Scale: both sides reduce to 32-char md5 digests before any join —
+    the corpus side additionally collapses to DISTINCT digests, so the
+    join state is one narrow row per unique document ever seen, not per
+    document. Both joins shuffle on the digest key (the corpus frame is
+    corpus-sized — never broadcast); within-batch keep-first is one
+    min() hash aggregation. No windows, no driver state.
+    """
+    seen = (
+        corpus.select(F.md5(F.col(text_col)).alias("digest"))
+        .distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    b = batch.select(
+        F.col(id_col).alias("id"),
+        F.col("*"),
+        F.md5(F.col(text_col)).alias("digest"),
+    ).drop(id_col)
+    first = b.groupBy("digest").agg(F.min("id").alias("__keep"))
+    return (
+        b.join(seen, "digest", "left")
+        .join(first, "digest")
+        .withColumn(
+            "status",
+            F.when(F.col("__seen").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("id") != F.col("__keep"), F.lit("dup_batch"))
+            .otherwise(F.lit("kept")),
+        )
+        .drop("__seen", "__keep")
+    )
+
+
+def singleton_gram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """X21 — memorization-risk audit: per document, how many of its
+    distinct k-grams are GLOBALLY unique (document frequency == 1 across
+    the corpus). A document dominated by singleton grams is the content
+    a model can only reproduce by memorizing — the inverse signal of
+    the boilerplate/contamination family, and the standard pre-training
+    audit for PII-adjacent leakage risk. Distinct from
+    :func:`novelty_fractions`: a novel gram may later repeat (min-id
+    attribution); a singleton gram never does.
+
+    Scale: one document-frequency hash aggregation over the (id, gram)
+    digest frame (``ngram_hashes`` emits distinct grams per doc, so
+    count(*) IS document frequency), joined back on the digest key and
+    closed with one per-doc aggregation — two narrow-key shuffles, no
+    windows, no broadcast of corpus-sized state.
+    """
+    g = ngram_hashes(df, text_col, id_col, k)
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("__df"))
+    return (
+        g.join(dfreq, "gram")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("__df") == 1).cast("int")).cast("bigint").alias("n_singleton"),
+        )
+        .withColumn("risk", F.col("n_singleton") / F.col("n_grams"))
+    )

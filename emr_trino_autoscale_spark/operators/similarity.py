@@ -685,3 +685,43 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def coarse_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "c_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF coarse quantizer) as a
+    standalone public op — the primitive under cluster-profile
+    reporting, cluster-balanced sampling, and any k-means-style
+    partitioning of an embedding corpus. Semantics match the
+    :func:`ivf_topk` internal quantizer exactly: cosine rounded to 6
+    decimals, ties broken on the smaller centroid id.
+
+    Scale: centroids are broadcast (small by construction); the
+    assignment is one ``max_by`` HASH aggregation keyed on the vector
+    id — no per-vector window sort, so the only corpus-sized shuffle
+    is the partial-aggregated regroup on the id key. Returns
+    (id_col, assigned).
+    """
+    cents = with_norm(centroids, vec_col).select(
+        F.col(centroid_id_col), F.col("__v").alias("ce"), F.col("__norm").alias("cen")
+    )
+    scored = (
+        with_norm(corpus, vec_col)
+        .select(F.col(id_col), "__v", "__norm")
+        .join(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            F.round(cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")), 6),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id_col),
+            F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__neg")),
+        ).alias("assigned")
+    )

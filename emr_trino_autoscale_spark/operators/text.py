@@ -279,3 +279,71 @@ def repetition_stats(
         )
         .drop("__top", "__total", "__nbi", "__dbi", "__toks", "__bi")
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.3,
+) -> DataFrame:
+    """X20 — corpus-level boilerplate token removal (the CCNet/Dolma
+    cleaning step): a token whose document frequency exceeds
+    ``max_df_frac`` of the corpus is boilerplate (nav chrome, license
+    headers, cookie banners); every document is re-emitted with those
+    tokens removed, original order preserved. Output per doc:
+    ``n_tokens`` (original), ``n_kept`` (surviving), ``kept_hash``
+    (md5 of the space-joined cleaned token stream — the verifiable
+    stand-in for shipping the cleaned text itself).
+
+    Scale: the boilerplate set is bounded by construction — at most
+    total_tokens / (max_df_frac * n_docs) = avg_doc_len / max_df_frac
+    distinct tokens can clear the bar (~1000 at frac 0.3 on 300-token
+    docs), INDEPENDENT of corpus size, so broadcasting it is safe at
+    any scale and the token stream never shuffles for the lookup. The
+    df aggregation shuffles (id, token)-distinct pairs on the token
+    key; the only corpus-sized shuffle is the per-doc regroup, keyed on
+    the doc id. Order restoration is an ``array_sort`` over collected
+    (pos, tok) structs — per-doc bounded, inside the hash aggregate.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    boiler = (
+        toks.select("id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").cast("double").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") > F.lit(max_df_frac) * F.col("__n"))
+        .select("tok")
+        .withColumn("__boiler", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(boiler), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__boiler").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__boiler").isNull(),
+                                    F.struct("pos", "tok"),
+                                )
+                            )
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("kept_hash"),
+        )
+    )

@@ -2391,6 +2391,170 @@ FROM per ORDER BY doc_id
 """
 
 
+# Q61 — X19: incremental-ingestion dedup. The q48-style deterministic
+# md5 bucket splits documents into an "already ingested" corpus
+# (bucket < 70) and today's batch; every batch doc is classified
+# kept / dup_corpus / dup_batch and the report aggregates per
+# (source, status) — the shape a crawl-snapshot pipeline re-runs daily.
+
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    corpus = d.filter(bucket < 70)
+    batch = d.filter(bucket >= 70)
+    return (
+        dedup.incremental_dedup_report(corpus, batch)
+        .groupBy("source", "status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+Q61_SQL = """
+WITH b AS (
+  SELECT doc_id, text, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+           AS bucket
+  FROM documents),
+corpus AS (SELECT DISTINCT md5(text) AS digest FROM b WHERE bucket < 70),
+batch AS (SELECT doc_id, source, md5(text) AS digest FROM b WHERE bucket >= 70),
+fst AS (SELECT digest, MIN(doc_id) AS keep_id FROM batch GROUP BY 1),
+cls AS (
+  SELECT source,
+         CASE WHEN c.digest IS NOT NULL THEN 'dup_corpus'
+              WHEN bt.doc_id <> f.keep_id THEN 'dup_batch'
+              ELSE 'kept' END AS status
+  FROM batch bt
+  LEFT JOIN corpus c USING (digest)
+  JOIN fst f USING (digest))
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cls GROUP BY 1, 2 ORDER BY source, status
+"""
+
+
+# Q62 — X20: corpus-df boilerplate token removal; per-doc cleaned
+# stream verified by md5 (order-preserving strip).
+
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text.boilerplate_strip(d, max_df_frac=0.3)
+        .select(F.col("id").alias("doc_id"), "n_tokens", "n_kept", "kept_hash")
+        .orderBy("doc_id")
+    )
+
+
+Q62_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfc FROM tok GROUP BY 1),
+bl AS (SELECT COALESCE(list(tok), []) AS boiler FROM dfq, nn WHERE dfc > 0.3 * n),
+k AS (SELECT doc_id, toks,
+             list_filter(toks, x -> NOT list_contains(boiler, x)) AS kept
+      FROM t, bl)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_hash
+FROM k ORDER BY doc_id
+"""
+
+
+# Q63 — X21: memorization-risk audit — per-doc globally-unique-3-gram
+# fraction, banded and reported per (lang, band).
+
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = dedup.singleton_gram_stats(d, k=3)
+    band = (
+        F.when(F.col("risk") >= 0.5, "high")
+        .when(F.col("risk") >= 0.2, "medium")
+        .otherwise("low")
+    )
+    return (
+        stats.join(d.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .withColumn("band", band)
+        .groupBy("lang", "band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("n_grams"),
+            F.sum("n_singleton").cast("bigint").alias("n_singleton"),
+        )
+        .orderBy("lang", "band")
+    )
+
+
+Q63_SQL = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))) AS gram
+      FROM t WHERE len(toks) >= 3),
+dfq AS (SELECT gram, COUNT(*) AS dfc FROM g GROUP BY 1),
+per AS (SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton
+        FROM g JOIN dfq USING (gram) GROUP BY 1, 2),
+banded AS (
+  SELECT lang, n_grams, n_singleton,
+         CASE WHEN n_singleton / CAST(n_grams AS DOUBLE) >= 0.5 THEN 'high'
+              WHEN n_singleton / CAST(n_grams AS DOUBLE) >= 0.2 THEN 'medium'
+              ELSE 'low' END AS band
+  FROM per)
+SELECT lang, band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_singleton) AS BIGINT) AS n_singleton
+FROM banded GROUP BY 1, 2 ORDER BY lang, band
+"""
+
+
+# Q64 — cluster-profile report: IVF coarse assignment (same
+# deterministic centroid stand-in as Q30) joined to document metadata
+# — the per-cluster composition view cluster-balanced sampling and
+# data-mixing decisions read.
+
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    asg = similarity.coarse_assign(e, cents)
+    return (
+        asg.join(d, asg["vec_id"] == d["doc_id"])
+        .groupBy("assigned", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("assigned", "lang")
+    )
+
+
+Q64_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS c_id, v AS ce, nrm AS cen FROM n WHERE vec_id < 8),
+asg AS (SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_inner_product(v, ce) / (nrm * cen), 6) DESC,
+                          c_id) AS rn
+        FROM n, c),
+a AS (SELECT vec_id, c_id AS assigned FROM asg WHERE rn = 1)
+SELECT assigned, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM a JOIN documents d ON a.vec_id = d.doc_id
+GROUP BY 1, 2 ORDER BY assigned, lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2452,6 +2616,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_ivf_multiprobe": q58,
     "q59_contamination": q59,
     "q60_ngram_novelty": q60,
+    "q61_incremental_dedup": q61,
+    "q62_boilerplate_strip": q62,
+    "q63_memorization_risk": q63,
+    "q64_cluster_profile": q64,
 }
 
 ORACLE: dict[str, str] = {
@@ -2515,4 +2683,8 @@ ORACLE: dict[str, str] = {
     "q58_ivf_multiprobe": Q58_SQL,
     "q59_contamination": Q59_SQL,
     "q60_ngram_novelty": Q60_SQL,
+    "q61_incremental_dedup": Q61_SQL,
+    "q62_boilerplate_strip": Q62_SQL,
+    "q63_memorization_risk": Q63_SQL,
+    "q64_cluster_profile": Q64_SQL,
 }

@@ -717,3 +717,68 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert abs(rows[1]["dup_bigram_frac"] - 3 / 5) < 1e-12
     assert rows[2]["top_word_frac"] < 0.2 and rows[2]["dup_bigram_frac"] == 0.0
     assert rows[0]["n_tok"] == 5
+
+
+def test_incremental_dedup_corpus_wins_over_batch_dup(spark):
+    # digest in corpus -> every batch copy is dup_corpus (even the
+    # min-id one); unseen digest -> min id kept, later ids dup_batch.
+    corpus = docs(spark, ["seen before"])
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),
+            (11, "seen before"),
+            (12, "brand new"),
+            (13, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in dedup.incremental_dedup_report(corpus, batch).collect()
+    }
+    assert out == {
+        10: "dup_corpus",
+        11: "dup_corpus",
+        12: "kept",
+        13: "dup_batch",
+    }
+
+
+def test_boilerplate_strip_preserves_order_and_handles_empty(spark):
+    import hashlib
+
+    # "the" appears in 3/3 docs (df 1.0 > 0.3) -> stripped everywhere;
+    # doc2 is ALL boilerplate -> kept stream is "" and hashes as such.
+    d = docs(spark, ["the alpha the beta", "gamma the delta", "the the"])
+    rows = {r["id"]: r for r in text.boilerplate_strip(d, max_df_frac=0.5).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (rows[0]["n_tokens"], rows[0]["n_kept"]) == (4, 2)
+    assert rows[0]["kept_hash"] == md5("alpha beta")  # original order, not sorted
+    assert rows[1]["kept_hash"] == md5("gamma delta")
+    assert (rows[2]["n_kept"], rows[2]["kept_hash"]) == (0, md5(""))
+
+
+def test_singleton_gram_stats_df1_only(spark):
+    # doc0/doc1 share every 3-gram (identical text) -> zero singletons;
+    # doc2's grams are globally unique -> all singletons.
+    d = docs(spark, ["a b c d", "a b c d", "x y z w"])
+    out = {r["id"]: r for r in dedup.singleton_gram_stats(d, k=3).collect()}
+    assert out[0]["n_singleton"] == 0 and out[1]["n_singleton"] == 0
+    assert out[2]["n_singleton"] == out[2]["n_grams"] == 2
+    assert out[2]["risk"] == 1.0
+
+
+def test_coarse_assign_tie_breaks_on_centroid_id(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(7, [1.0, 1.0]), (8, [1.0, 1.0]), (9, [0.0, 1.0])],
+        "c_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["assigned"] for r in similarity.coarse_assign(vecs, cents).collect()}
+    # vec2 ties exactly between centroids 7 and 8 -> smaller id wins
+    assert out[2] == 7
+    assert out[1] == 9  # exact match beats the diagonal
+    assert out[0] == 7  # cos45 vs 7/8 tie -> id 7

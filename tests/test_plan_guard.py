@@ -100,7 +100,9 @@ def test_flagship_plan_shape(spark, sf_dir, name):
 # ngram_jaccard_pairs `sizes` broadcast was exactly that (VERDICT r2 #3).
 BROADCAST_ALLOW = {
     "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
-    "text.py": {"n_docs"},                             # 1-row corpus count
+    # n_docs: 1-row corpus count; boiler: <= avg_doc_len/max_df_frac
+    # tokens by the df-threshold pigeonhole — corpus-size independent
+    "text.py": {"n_docs", "boiler"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents"},             # query set (×n_probes), k centroids
