@@ -58,6 +58,14 @@ FLAGSHIPS = {
     # q58's nested loop = the 8-row broadcast centroid cross join
     # (coarse quantization, same shape as q30 — doc'd)
     "q58_ivf_multiprobe": (14, True),
+    # q61: three digest-keyed joins/aggs over two bucket-split scans
+    "q61_incremental_dedup": (12, False),
+    # q62's nested loop = the 1-row broadcast corpus-count join plus the
+    # bounded (avg_len/frac) boiler-set broadcast (doc'd in SCALE.md)
+    "q62_boilerplate_strip": (14, True),
+    "q63_memorization_risk": (12, False),
+    # q64's nested loop = the 8-row broadcast centroid cross join
+    "q64_cluster_profile": (10, True),
     "q59_contamination": (8, False),
     "q60_ngram_novelty": (8, False),
 }
