@@ -159,6 +159,40 @@ def near_dedup_stream(
     )
 
 
+def incremental_dedup_stream(
+    docs: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X19 live twin of Q61 (`dedup.incremental_dedup_report`): an
+    arriving document is dropped when its content digest already exists
+    in the ingested-corpus digest table, then intra-stream repeats are
+    suppressed first-wins within the watermark horizon.
+
+    ``seen_digests`` is a STATIC frame with a ``digest`` column — the
+    periodically compacted historical digest set (the batch Q61 tier
+    writes it; Spark re-plans stream-static joins every micro-batch, so
+    a freshly compacted table is picked up without restarting the
+    query). The join is stream-static LEFT ANTI on the 32-char md5 key:
+    per-batch state is zero (the static side is not streaming state),
+    and the in-stream dedup state stays watermark-bounded exactly as in
+    :func:`dedup_stream`. This split — bounded live suppression plus
+    unbounded-history suppression via a compacted static table — is the
+    100 TB answer to "never re-admit content ever seen" without holding
+    corpus-sized streaming state."""
+    hashed = docs.withColumn("__text_hash", F.md5(F.col(text_col)))
+    fresh = hashed.join(
+        seen_digests.select(F.col("digest").alias("__text_hash")),
+        "__text_hash",
+        "left_anti",
+    )
+    return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["__text_hash"]
+    )
+
+
 def make_contamination_scorer(
     benchmark_grams: DataFrame,
     text_col: str = "text",

@@ -9,6 +9,7 @@ import tempfile
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from emr_trino_autoscale_spark.operators.scaling import IG_POLICY
 from emr_trino_autoscale_spark.streaming import pipeline, sinks, stateful
@@ -332,3 +333,36 @@ def test_streaming_contamination_scorer(spark, tmp_path):
     }
     assert batch == got
     bench_grams.unpersist()
+
+
+@pytest.mark.slow
+def test_streaming_incremental_dedup_vs_static_corpus(spark, tmp_path):
+    import datetime as dt
+
+    src = tmp_path / "inc_src"
+    chk = tmp_path / "inc_chk"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "already ingested"),                           # in corpus -> dropped
+        (2, base + dt.timedelta(seconds=30), "fresh content"),   # kept
+        (3, base + dt.timedelta(seconds=60), "fresh content"),   # stream dup -> dropped
+        (4, base + dt.timedelta(seconds=90), "also new"),        # kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(str(src))
+    seen = spark.createDataFrame(
+        [("already ingested",)], "text string"
+    ).select(F.md5("text").alias("digest"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.incremental_dedup_stream(stream, seen)
+        .writeStream.format("memory")
+        .queryName("inc_dedup_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    kept = {r["doc_id"] for r in spark.sql("select doc_id from inc_dedup_stream_test").collect()}
+    assert kept == {2, 4}
