@@ -204,3 +204,92 @@ def test_banded_hamming_pairs_are_exact(spark, docs_toks, radius):
         if bin(sigs[a] ^ sigs[b]).count("1") <= radius
     }
     assert got == expected
+
+
+_WORDS = st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff", "gg"])
+_TEXTS = st.lists(
+    st.lists(_WORDS, min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_TEXTS, frac=st.sampled_from([0.2, 0.5, 0.9]))
+@settings(**SETTINGS)
+def test_boilerplate_strip_matches_reference(spark, texts, frac):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    got = {r["id"]: r for r in text_ops.boilerplate_strip(df, max_df_frac=frac).collect()}
+    # pure-python reference
+    n = len(texts)
+    docfreq: dict[str, int] = {}
+    for t in texts:
+        for tok in set(t.split(" ")):
+            docfreq[tok] = docfreq.get(tok, 0) + 1
+    boiler = {tok for tok, c in docfreq.items() if c > frac * n}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        kept = [tok for tok in toks if tok not in boiler]
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_kept"] == len(kept)
+        assert got[i]["kept_hash"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+
+
+@given(texts=_TEXTS)
+@settings(**SETTINGS)
+def test_incremental_dedup_partitions_batch(spark, texts):
+    # split generated texts: even ids -> corpus, odd ids -> batch
+    corpus_rows = [(i, t) for i, t in enumerate(texts) if i % 2 == 0]
+    batch_rows = [(i, t) for i, t in enumerate(texts) if i % 2 == 1]
+    if not corpus_rows or not batch_rows:
+        return
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = dedup.incremental_dedup_report(corpus, batch).collect()
+    # statuses PARTITION the batch: every batch doc classified exactly once
+    assert sorted(r["id"] for r in out) == sorted(i for i, _ in batch_rows)
+    corpus_texts = {t for _, t in corpus_rows}
+    first_seen: dict[str, int] = {}
+    for i, t in sorted(batch_rows):
+        first_seen.setdefault(t, i)
+    for r in out:
+        t = dict(batch_rows)[r["id"]]
+        if t in corpus_texts:
+            assert r["status"] == "dup_corpus"
+        elif first_seen[t] == r["id"]:
+            assert r["status"] == "kept"
+        else:
+            assert r["status"] == "dup_batch"
+
+
+@given(texts=_TEXTS, k=st.sampled_from([2, 3]))
+@settings(**SETTINGS)
+def test_singleton_gram_stats_matches_reference(spark, texts, k):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["id"]: r for r in dedup.singleton_gram_stats(df, k=k).collect()}
+    # reference: distinct k-grams per doc; global df over those sets
+    per_doc = []
+    for t in texts:
+        toks = t.split(" ")
+        grams = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        } if len(toks) >= k else set()
+        per_doc.append(grams)
+    gdf: dict[str, int] = {}
+    for grams in per_doc:
+        for g in grams:
+            gdf[g] = gdf.get(g, 0) + 1
+    for i, grams in enumerate(per_doc):
+        if not grams:
+            assert i not in got  # sub-k docs contribute no rows
+            continue
+        singletons = sum(1 for g in grams if gdf[g] == 1)
+        assert got[i]["n_grams"] == len(grams)
+        assert got[i]["n_singleton"] == singletons
