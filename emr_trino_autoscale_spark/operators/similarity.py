@@ -725,3 +725,83 @@ def coarse_assign(
             F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__neg")),
         ).alias("assigned")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) trainer for the IVF coarse quantizer —
+    the production source of :func:`ivf_topk` centroids (the
+    oracle-declared queries use fixed-id stand-ins for determinism;
+    this closes the loop for real corpora). Init is the deterministic
+    first-k-by-id rule; each iteration assigns via
+    :func:`coarse_assign` (cosine, ties to the smaller centroid id)
+    and recomputes centroids as per-cluster mean vectors. Init is
+    deterministic farthest-point (k-center greedy): seed with the
+    minimum-id vector, then repeatedly add the vector least similar to
+    its nearest chosen seed (ties to the smaller id) — first-k-by-id
+    seeding collapses when the first k vectors share a cluster, the
+    classic Lloyd failure mode.
+
+    Scale: the per-cluster mean is computed on (cluster, dim) keys —
+    ``posexplode`` fans each vector into d narrow rows whose partial
+    sums combine MAP-SIDE, so the shuffle carries at most
+    k*d rows per upstream partition and parallelism is k*d, never k
+    (a ``groupBy(cluster)`` over whole vectors would funnel the corpus
+    into k tasks). Centroids are model state, O(k*d) by definition:
+    collecting them per iteration is bounded, breaks the iterative
+    lineage chain (no checkpoint bookkeeping), and mirrors what every
+    distributed k-means does with its broadcast model. Empty clusters
+    keep their previous centroid.
+    """
+    spark = corpus.sparkSession
+    schema = f"c_id int, {vec_col} array<double>"
+    normed = with_norm(corpus, vec_col).select(F.col(id_col), "__v", "__norm")
+    seed = corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    cent_rows = [(0, [float(x) for x in seed[vec_col]])]
+    for i in range(1, k):
+        cents = spark.createDataFrame(cent_rows, schema)
+        ce = with_norm(cents, vec_col).select(
+            F.col("__v").alias("ce"), F.col("__norm").alias("cen")
+        )
+        far = (
+            normed.join(F.broadcast(ce))
+            .withColumn(
+                "__sim",
+                F.round(cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")), 6),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__sim").alias("__near"), F.first("__v").alias("__vec"))
+            .agg(
+                F.min_by(
+                    F.struct(F.col(id_col), F.col("__vec")),
+                    F.struct(F.col("__near"), F.col(id_col)),
+                ).alias("pick")
+            )
+            .collect()[0]["pick"]
+        )
+        cent_rows.append((i, [float(x) for x in far["__vec"]]))
+    for _ in range(n_iter):
+        cents = spark.createDataFrame(cent_rows, schema)
+        asg = coarse_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            corpus.join(asg, id_col)
+            .select("assigned", F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"))
+            .groupBy("assigned", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("assigned")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .collect()
+        )
+        new = {r["assigned"]: [float(x) for x in r["c"]] for r in means}
+        cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]
+    return spark.createDataFrame(cent_rows, schema)

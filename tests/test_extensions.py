@@ -782,3 +782,29 @@ def test_coarse_assign_tie_breaks_on_centroid_id(spark):
     assert out[2] == 7
     assert out[1] == 9  # exact match beats the diagonal
     assert out[0] == 7  # cos45 vs 7/8 tie -> id 7
+
+
+def test_kmeans_fit_recovers_separated_blobs(spark):
+    # three orthogonal blobs in 6-d; k-means from first-3 init must
+    # converge to one centroid per blob and assign each blob together.
+    def blob(base, i, eps):
+        v = [0.0] * 6
+        v[base] = 1.0
+        v[(base + 3) % 6] = eps * (i + 1)
+        return v
+
+    rows = [
+        (b * 10 + i, blob(b, i, 0.01))
+        for b in range(3)
+        for i in range(5)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_fit(vecs, k=3, n_iter=4)
+    assert cents.count() == 3
+    asg = similarity.coarse_assign(vecs, cents)
+    groups = {}
+    for r in asg.collect():
+        groups.setdefault(r["assigned"], set()).add(r["vec_id"] // 10)
+    # every cluster is pure: one blob per assigned centroid
+    assert all(len(blobs) == 1 for blobs in groups.values())
+    assert len(groups) == 3

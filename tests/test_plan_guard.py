@@ -113,7 +113,7 @@ BROADCAST_ALLOW = {
     "text.py": {"n_docs", "boiler"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
-    "similarity.py": {"q", "qp", "cents"},             # query set (×n_probes), k centroids
+    "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
     "events.py": set(),
