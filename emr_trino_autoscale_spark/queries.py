@@ -2555,6 +2555,71 @@ GROUP BY 1, 2 ORDER BY assigned, lang
 """
 
 
+# Q65 — cluster-balanced sampling (X25): top-3 documents per embedding
+# cluster by quality score — the diversity-aware selection step that
+# follows cluster profiling (Q64). The per-cell ranking goes through
+# skew.two_phase_topk because `assigned` has 8 values: a plain
+# Window.partitionBy(assigned) would funnel the corpus through 8 tasks.
+
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    asg = similarity.coarse_assign(e, cents)
+    scored = d.withColumn("__q", text.quality_score()).join(
+        asg, d["doc_id"] == asg["vec_id"]
+    )
+    return (
+        skew.two_phase_topk(
+            scored,
+            ["assigned"],
+            [F.col("__q").desc(), F.col("doc_id").asc()],
+            k=3,
+            bucket_on=F.col("doc_id"),
+        )
+        .select("assigned", "rnk", "doc_id", dec4("__q").alias("quality"))
+        .orderBy("assigned", "rnk")
+    )
+
+
+Q65_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+c AS (SELECT vec_id AS c_id, v AS ce, nrm AS cen FROM n WHERE vec_id < 8),
+asg AS (SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY ROUND(list_inner_product(v, ce) / (nrm * cen), 6) DESC,
+                          c_id) AS rn
+        FROM n, c),
+a AS (SELECT vec_id, c_id AS assigned FROM asg WHERE rn = 1),
+s AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS lt,
+         string_split(text, ' ') AS toks, text
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         len(list_filter(lt, t -> t IN
+           ('the','a','of','and','to','in','is','it','that','for'))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+         length(text) AS n_char
+  FROM s),
+v AS (
+  SELECT doc_id,
+         (least(n_tok / 100.0, 1.0)
+          + least(n_stop / greatest(n_tok, 1) * 5.0, 1.0)
+          + greatest(1.0 - n_punct / greatest(n_char, 1) * 5.0, 0.0)) / 3.0 AS q
+  FROM g),
+r AS (SELECT assigned, doc_id, q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY assigned
+                   ORDER BY q DESC, doc_id) AS INTEGER) AS rnk
+      FROM v JOIN a ON v.doc_id = a.vec_id)
+SELECT assigned, rnk, doc_id, {_dec4('q')} AS quality
+FROM r WHERE rnk <= 3 ORDER BY assigned, rnk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2620,6 +2685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_boilerplate_strip": q62,
     "q63_memorization_risk": q63,
     "q64_cluster_profile": q64,
+    "q65_cluster_balanced_sample": q65,
 }
 
 ORACLE: dict[str, str] = {
@@ -2687,4 +2753,5 @@ ORACLE: dict[str, str] = {
     "q62_boilerplate_strip": Q62_SQL,
     "q63_memorization_risk": Q63_SQL,
     "q64_cluster_profile": Q64_SQL,
+    "q65_cluster_balanced_sample": Q65_SQL,
 }

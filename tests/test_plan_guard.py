@@ -66,6 +66,9 @@ FLAGSHIPS = {
     "q63_memorization_risk": (12, False),
     # q64's nested loop = the 8-row broadcast centroid cross join
     "q64_cluster_profile": (10, True),
+    # q65's nested loop = the same 8-row centroid cross join; ceiling
+    # covers assignment + join + two-phase ranking exchanges
+    "q65_cluster_balanced_sample": (16, True),
     "q59_contamination": (8, False),
     "q60_ngram_novelty": (8, False),
 }
@@ -130,6 +133,7 @@ BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
 # single `Window.partitionBy(low-card key)` form shows up here as a
 # plan with no __bkt window, or more than one unbucketed window.
 TWO_PHASE_WINDOWS = (
+    "q65_cluster_balanced_sample",
     "q36_topk_per_segment",
     "q53_quality_topk_per_lang",
     "q54_token_packing",
