@@ -2620,6 +2620,53 @@ FROM r WHERE rnk <= 3 ORDER BY assigned, rnk
 """
 
 
+# Q66 — top duplicated passages (X26): the 20 most widely shared
+# 5-gram passages with their document frequency and first carrier —
+# the report that locates template/boilerplate passages before a
+# span-level cleanup. Document frequency is aggregated on the md5
+# digest (narrow shuffle key); one representative gram string rides
+# along as min() so the report stays human-readable without grouping
+# on raw 5-gram text. The global top-20 is a TakeOrderedAndProject
+# (k-bounded), never a full sort.
+
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # token array materialized as a column before the shingle lambda
+    # (no CSE inside HOF lambda bodies — the 7x pitfall)
+    grams = d.withColumn("__toks", F.split(F.col("text"), " ")).select(
+        F.col("doc_id"),
+        F.explode(
+            F.array_distinct(dedup.shingles_of(F.col("__toks"), 5))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy(F.md5("gram").alias("gram_hash"))
+        .agg(
+            F.min("gram").alias("gram"),
+            F.count("*").cast("bigint").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(20)
+    )
+    return top.select("gram", "df", "first_doc")
+
+
+Q66_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4]))) AS gram
+      FROM t WHERE len(toks) >= 5)
+SELECT MIN(gram) AS gram,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       MIN(doc_id) AS first_doc
+FROM g GROUP BY md5(gram)
+ORDER BY df DESC, gram ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2686,6 +2733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_memorization_risk": q63,
     "q64_cluster_profile": q64,
     "q65_cluster_balanced_sample": q65,
+    "q66_top_duplicated_passages": q66,
 }
 
 ORACLE: dict[str, str] = {
@@ -2754,4 +2802,5 @@ ORACLE: dict[str, str] = {
     "q63_memorization_risk": Q63_SQL,
     "q64_cluster_profile": Q64_SQL,
     "q65_cluster_balanced_sample": Q65_SQL,
+    "q66_top_duplicated_passages": Q66_SQL,
 }

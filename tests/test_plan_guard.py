@@ -69,6 +69,8 @@ FLAGSHIPS = {
     # q65's nested loop = the same 8-row centroid cross join; ceiling
     # covers assignment + join + two-phase ranking exchanges
     "q65_cluster_balanced_sample": (16, True),
+    # q66: one distinct-gram agg + global top-20 (TakeOrdered, no sort)
+    "q66_top_duplicated_passages": (6, False),
     "q59_contamination": (8, False),
     "q60_ngram_novelty": (8, False),
 }
