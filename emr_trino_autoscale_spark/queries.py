@@ -2667,6 +2667,120 @@ ORDER BY df DESC, gram ASC LIMIT 20
 """
 
 
+# Q67 — curation funnel (X27): the whole pre-training cleanup pipeline
+# — raw -> exact dedup -> near dedup -> quality gate — as ONE
+# single-pass plan: per-doc keep flags via two high-cardinality-key
+# windows (digest, minhash sig), then one aggregation of conditional
+# sums, unpivoted with stack(). The q10-fusion shape: four stage
+# reports without four scans. Short (<3-token) docs fall back to their
+# exact digest as the near-dup key — the funnel must never DROP a doc
+# merely for being short (matches near_dedup_stream's contract, and
+# deliberately diverges from Q22, which merely excludes them from
+# cluster REPORTING).
+
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        d.withColumn("__toks", F.split(F.col("text"), " "))
+        .withColumn("n_tok", F.size("__toks"))
+        .withColumn("digest", F.md5("text"))
+        .withColumn(
+            "sig",
+            F.coalesce(
+                F.array_min(
+                    F.transform(dedup.shingles_of(F.col("__toks"), 3), F.md5)
+                ),
+                F.col("digest"),
+            ),
+        )
+        .withColumn("__q", text.quality_score())
+    )
+    w_digest = Window.partitionBy("digest")
+    w_sig = Window.partitionBy("sig")
+    flags = (
+        raw.withColumn(
+            "keep_exact", F.col("doc_id") == F.min("doc_id").over(w_digest)
+        )
+        .withColumn(
+            "keep_nd",
+            F.col("keep_exact")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep_exact"), F.col("doc_id"))).over(w_sig)
+            ),
+        )
+        .withColumn("keep_q", F.col("keep_nd") & (F.col("__q") >= 0.5))
+    )
+    one = flags.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("n_tok").cast("bigint").alias("t1"),
+        F.sum(F.col("keep_exact").cast("int")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("keep_exact"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("t2"),
+        F.sum(F.col("keep_nd").cast("int")).cast("bigint").alias("n3"),
+        F.sum(F.when(F.col("keep_nd"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("t3"),
+        F.sum(F.col("keep_q").cast("int")).cast("bigint").alias("n4"),
+        F.sum(F.when(F.col("keep_q"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("t4"),
+    )
+    return one.select(
+        F.expr(
+            "stack(4, 1, 'raw', n1, t1, 2, 'exact_dedup', n2, t2,"
+            " 3, 'near_dedup', n3, t3, 4, 'quality', n4, t4)"
+            " as (stage_order, stage, n_docs, n_tokens)"
+        )
+    ).orderBy("stage_order")
+
+
+Q67_SQL = """
+WITH raw AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         string_split(lower(text), ' ') AS lt,
+         len(string_split(text, ' ')) AS n_tok,
+         md5(text) AS digest
+  FROM documents),
+sg AS (
+  SELECT *,
+         COALESCE(list_min(list_transform(range(1, len(toks) - 1),
+           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))),
+           digest) AS sig,
+         (least(n_tok / 100.0, 1.0)
+          + least(len(list_filter(lt, t -> t IN
+              ('the','a','of','and','to','in','is','it','that','for')))
+            / greatest(n_tok, 1) * 5.0, 1.0)
+          + greatest(1.0 - length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g'))
+            / greatest(length(text), 1) * 5.0, 0.0)) / 3.0 AS q
+  FROM raw),
+e AS (
+  SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY digest) AS keep_exact
+  FROM sg),
+nd AS (
+  SELECT *,
+         keep_exact AND doc_id = MIN(CASE WHEN keep_exact THEN doc_id END)
+           OVER (PARTITION BY sig) AS keep_nd
+  FROM e),
+fl AS (SELECT *, keep_nd AND q >= 0.5 AS keep_q FROM nd),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n1, CAST(SUM(n_tok) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN keep_exact THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN keep_exact THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN keep_nd THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN keep_nd THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+         CAST(SUM(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(SUM(CASE WHEN keep_q THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+  FROM fl)
+SELECT 1 AS stage_order, 'raw' AS stage, n1 AS n_docs, t1 AS n_tokens FROM agg
+UNION ALL SELECT 2, 'exact_dedup', n2, t2 FROM agg
+UNION ALL SELECT 3, 'near_dedup', n3, t3 FROM agg
+UNION ALL SELECT 4, 'quality', n4, t4 FROM agg
+ORDER BY stage_order
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
@@ -2734,6 +2848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_cluster_profile": q64,
     "q65_cluster_balanced_sample": q65,
     "q66_top_duplicated_passages": q66,
+    "q67_curation_funnel": q67,
 }
 
 ORACLE: dict[str, str] = {
@@ -2803,4 +2918,5 @@ ORACLE: dict[str, str] = {
     "q64_cluster_profile": Q64_SQL,
     "q65_cluster_balanced_sample": Q65_SQL,
     "q66_top_duplicated_passages": Q66_SQL,
+    "q67_curation_funnel": Q67_SQL,
 }

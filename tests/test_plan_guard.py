@@ -71,6 +71,8 @@ FLAGSHIPS = {
     "q65_cluster_balanced_sample": (16, True),
     # q66: one distinct-gram agg + global top-20 (TakeOrdered, no sort)
     "q66_top_duplicated_passages": (6, False),
+    # q67: single-pass funnel — two high-card windows + one agg
+    "q67_curation_funnel": (8, False),
     "q59_contamination": (8, False),
     "q60_ngram_novelty": (8, False),
 }
