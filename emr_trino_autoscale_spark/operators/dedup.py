@@ -710,11 +710,11 @@ def incremental_dedup_report(
         .distinct()
         .withColumn("__seen", F.lit(1))
     )
-    b = batch.select(
-        F.col(id_col).alias("id"),
-        F.col("*"),
-        F.md5(F.col(text_col)).alias("digest"),
-    ).drop(id_col)
+    # withColumnRenamed is a no-op when id_col is already "id" — a
+    # select of alias + "*" would duplicate the column name instead
+    b = batch.withColumnRenamed(id_col, "id").withColumn(
+        "digest", F.md5(F.col(text_col))
+    )
     first = b.groupBy("digest").agg(F.min("id").alias("__keep"))
     return (
         b.join(seen, "digest", "left")
