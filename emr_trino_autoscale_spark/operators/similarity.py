@@ -687,6 +687,15 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _safe_norm(c: Column) -> Column:
+    """Zero vectors get norm 1 (cosine 0 to everything) instead of an
+    ANSI divide-by-zero — same contract as the Arrow quantizer's
+    ``nrm[nrm == 0] = 1``. Declared-query data has no zero vectors, so
+    oracle parity is unaffected; real corpora DO contain them (padding
+    rows, failed embeddings) and must not kill the job."""
+    return F.when(c == 0.0, F.lit(1.0)).otherwise(c)
+
+
 def coarse_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -708,11 +717,13 @@ def coarse_assign(
     (id_col, assigned).
     """
     cents = with_norm(centroids, vec_col).select(
-        F.col(centroid_id_col), F.col("__v").alias("ce"), F.col("__norm").alias("cen")
+        F.col(centroid_id_col),
+        F.col("__v").alias("ce"),
+        _safe_norm(F.col("__norm")).alias("cen"),
     )
     scored = (
         with_norm(corpus, vec_col)
-        .select(F.col(id_col), "__v", "__norm")
+        .select(F.col(id_col), "__v", _safe_norm(F.col("__norm")).alias("__norm"))
         .join(F.broadcast(cents))
         .withColumn(
             "__sim",
@@ -733,6 +744,7 @@ def kmeans_fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) trainer for the IVF coarse quantizer —
     the production source of :func:`ivf_topk` centroids (the
@@ -760,13 +772,15 @@ def kmeans_fit(
     """
     spark = corpus.sparkSession
     schema = f"c_id int, {vec_col} array<double>"
-    normed = with_norm(corpus, vec_col).select(F.col(id_col), "__v", "__norm")
+    normed = with_norm(corpus, vec_col).select(
+        F.col(id_col), "__v", _safe_norm(F.col("__norm")).alias("__norm")
+    )
     seed = corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
     cent_rows = [(0, [float(x) for x in seed[vec_col]])]
     for i in range(1, k):
         cents = spark.createDataFrame(cent_rows, schema)
         ce = with_norm(cents, vec_col).select(
-            F.col("__v").alias("ce"), F.col("__norm").alias("cen")
+            F.col("__v").alias("ce"), _safe_norm(F.col("__norm")).alias("cen")
         )
         far = (
             normed.join(F.broadcast(ce))
@@ -786,8 +800,22 @@ def kmeans_fit(
         )
         cent_rows.append((i, [float(x) for x in far["__vec"]]))
     for _ in range(n_iter):
-        cents = spark.createDataFrame(cent_rows, schema)
-        asg = coarse_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        if vectorized:
+            # centroids are already driver-side model state — feed the
+            # Arrow GEMM quantizer directly (same tie-break contract)
+            from ..functions.arrow_udfs import nearest_centroid_vectorized
+
+            quantize = nearest_centroid_vectorized(
+                [cid for cid, _ in cent_rows],
+                [vec for _, vec in cent_rows],
+                ret_type="int",
+            )
+            asg = corpus.select(
+                F.col(id_col), quantize(F.col(vec_col)).alias("assigned")
+            )
+        else:
+            cents = spark.createDataFrame(cent_rows, schema)
+            asg = coarse_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
         means = (
             corpus.join(asg, id_col)
             .select("assigned", F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"))

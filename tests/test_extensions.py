@@ -808,3 +808,17 @@ def test_kmeans_fit_recovers_separated_blobs(spark):
     # every cluster is pure: one blob per assigned centroid
     assert all(len(blobs) == 1 for blobs in groups.values())
     assert len(groups) == 3
+
+
+def test_kmeans_fit_vectorized_matches_dataframe_form(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11), float((i * 5 + j) % 7), float(i % 3)])
+        for i in range(24)
+        for j in [0]
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = similarity.kmeans_fit(vecs, k=4, n_iter=3, vectorized=False).collect()
+    b = similarity.kmeans_fit(vecs, k=4, n_iter=3, vectorized=True).collect()
+    ca = {r["c_id"]: [round(x, 9) for x in r["embedding"]] for r in a}
+    cb = {r["c_id"]: [round(x, 9) for x in r["embedding"]] for r in b}
+    assert ca == cb
