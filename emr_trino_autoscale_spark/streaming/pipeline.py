@@ -193,6 +193,40 @@ def incremental_dedup_stream(
     )
 
 
+def boilerplate_strip_stream(
+    docs: DataFrame,
+    boiler_tokens: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """X20 live twin of Q62 (`text.boilerplate_strip`): the batch tier
+    computes the boilerplate token set from corpus document frequency
+    and compacts it periodically; the stream applies it to arriving
+    documents as an order-preserving filter.
+
+    The set rides in the plan as an array literal — legitimate model
+    state: the df-threshold pigeonhole bounds it at
+    avg_doc_len / max_df_frac tokens regardless of corpus size, the
+    same argument that lets the batch side broadcast it. Stateless per
+    row (no watermark, no keyed state): emits the original column plus
+    ``clean_text``, ``n_tokens``, ``n_kept``. The per-element
+    array_contains lambda is interpreted, but runs against a
+    ~hundreds-element literal on per-micro-batch volume — not the
+    batch tier's corpus-sized hot path (which uses the explode +
+    broadcast-join form instead)."""
+    boiler = F.array(*[F.lit(t) for t in boiler_tokens])
+    toks = F.split(F.col(text_col), " ")
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn(
+            "__kept", F.filter(F.col("__toks"), lambda t: ~F.array_contains(boiler, t))
+        )
+        .withColumn("clean_text", F.concat_ws(" ", F.col("__kept")))
+        .withColumn("n_tokens", F.size("__toks").cast("bigint"))
+        .withColumn("n_kept", F.size("__kept").cast("bigint"))
+        .drop("__toks", "__kept")
+    )
+
+
 def make_contamination_scorer(
     benchmark_grams: DataFrame,
     text_col: str = "text",

@@ -366,3 +366,37 @@ def test_streaming_incremental_dedup_vs_static_corpus(spark, tmp_path):
     q.stop()
     kept = {r["doc_id"] for r in spark.sql("select doc_id from inc_dedup_stream_test").collect()}
     assert kept == {2, 4}
+
+
+@pytest.mark.slow
+def test_streaming_boilerplate_strip_matches_batch_contract(spark, tmp_path):
+    import datetime as dt
+    import hashlib
+
+    src = tmp_path / "bp_src"
+    chk = tmp_path / "bp_chk"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "the alpha the beta"),
+        (2, base + dt.timedelta(seconds=30), "the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ts timestamp, text string")
+    df.repartition(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.boilerplate_strip_stream(stream, ["the"])
+        .writeStream.format("memory")
+        .queryName("bp_strip_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"]: r for r in spark.sql("select * from bp_strip_stream_test").collect()}
+    assert got[1]["clean_text"] == "alpha beta"
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (4, 2)
+    assert got[2]["clean_text"] == "" and got[2]["n_kept"] == 0
+    # same cleaned stream the batch tier would hash
+    md5 = hashlib.md5(got[1]["clean_text"].encode()).hexdigest()
+    assert len(md5) == 32
