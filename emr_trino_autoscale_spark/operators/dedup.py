@@ -705,16 +705,18 @@ def incremental_dedup_report(
     corpus-sized — never broadcast); within-batch keep-first is one
     min() hash aggregation. No windows, no driver state.
     """
-    seen = (
-        corpus.select(F.md5(F.col(text_col)).alias("digest"))
-        .distinct()
-        .withColumn("__seen", F.lit(1))
+    # NULL text digests to a NUL-byte sentinel (never a valid md5 hex):
+    # md5(NULL) is NULL, and NULL join keys never match while NULL
+    # dedup keys all merge — the two paths would disagree on whether
+    # NULL-text documents are "the same". With the sentinel they are
+    # consistently treated as identical empty content everywhere.
+    digest = F.coalesce(F.md5(F.col(text_col)), F.lit("null:\x00"))
+    seen = corpus.select(digest.alias("digest")).distinct().withColumn(
+        "__seen", F.lit(1)
     )
     # withColumnRenamed is a no-op when id_col is already "id" — a
     # select of alias + "*" would duplicate the column name instead
-    b = batch.withColumnRenamed(id_col, "id").withColumn(
-        "digest", F.md5(F.col(text_col))
-    )
+    b = batch.withColumnRenamed(id_col, "id").withColumn("digest", digest)
     first = b.groupBy("digest").agg(F.min("id").alias("__keep"))
     return (
         b.join(seen, "digest", "left")

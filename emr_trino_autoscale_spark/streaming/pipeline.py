@@ -182,7 +182,13 @@ def incremental_dedup_stream(
     unbounded-history suppression via a compacted static table — is the
     100 TB answer to "never re-admit content ever seen" without holding
     corpus-sized streaming state."""
-    hashed = docs.withColumn("__text_hash", F.md5(F.col(text_col)))
+    hashed = docs.withColumn(
+        "__text_hash",
+        # same NUL-byte sentinel as the batch report: NULL text must
+        # match the corpus's NULL-text digest, not silently pass the
+        # anti-join on a NULL key
+        F.coalesce(F.md5(F.col(text_col)), F.lit("null:\x00")),
+    )
     fresh = hashed.join(
         seen_digests.select(F.col("digest").alias("__text_hash")),
         "__text_hash",
