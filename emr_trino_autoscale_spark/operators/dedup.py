@@ -428,6 +428,16 @@ def ngram_jaccard_pairs_prefix(
     Scale: two shuffles of the narrow (id, digest) index + one
     candidate-key shuffle, all skew-free; the verify join moves only
     candidate ids plus the packed shingle arrays.
+
+    Shingle digests are the 60-bit integer form of md5 (not the 32-char
+    hex string): the verify phase intersects whole digest arrays per
+    candidate pair, and long compares beat string compares ~2.5x
+    end-to-end (measured at sf0.1, identical output). Counts are
+    unchanged unless two DISTINCT shingles collide in 60 bits
+    (~n_shingles^2 / 2^61 — vanishing, and the cross-engine gate would
+    surface it). Prefix ordering ties break on the long digest instead
+    of the hex string — a different but equally total order, and the
+    PPJoin pigeonhole argument only needs SOME shared total order.
     """
     docs = (
         df.withColumn("__toks", F.split(F.col(text_col), " "))
@@ -435,7 +445,12 @@ def ngram_jaccard_pairs_prefix(
         .select(
             F.col(id_col).alias("id"),
             F.array_distinct(
-                F.transform(shingles_of(F.col("__toks"), k), F.md5)
+                F.transform(
+                    shingles_of(F.col("__toks"), k),
+                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
             ).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
