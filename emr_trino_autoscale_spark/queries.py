@@ -2640,7 +2640,13 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     top = (
-        grams.groupBy(F.md5("gram").alias("gram_hash"))
+        # 60-bit integer digest as the group key (same md5 root as the
+        # oracle's GROUP BY md5(gram) — counts identical, 8-byte key)
+        grams.groupBy(
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gram_hash")
+        )
         .agg(
             F.min("gram").alias("gram"),
             F.count("*").cast("bigint").alias("df"),
