@@ -13,6 +13,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_orderable(dt: T.DataType) -> bool:
+    """Spark can sort every type except maps (AnalysisException at plan
+    time) — including maps nested inside arrays/structs."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def replace_all(current: DataFrame, incoming: DataFrame) -> DataFrame:
@@ -45,11 +58,21 @@ def union_latest(
     current-side rows, so intra-incoming duplicates would all survive.
     Pass ``order_col`` to enforce it deterministically: the incoming row
     with the greatest ``order_col`` per key wins (ties broken by the
-    remaining columns so replays agree)."""
+    remaining *orderable* columns so replays agree — unorderable columns
+    such as the map produced by ``parse_properties`` are excluded from
+    the tie-break rather than raising at plan time; rows identical on
+    every orderable column but differing in a map are true ties)."""
     if order_col is not None:
+        orderable = {
+            f.name for f in incoming.schema if _is_orderable(f.dataType)
+        }
         w = Window.partitionBy(key).orderBy(
             F.col(order_col).desc(),
-            *[F.col(c).desc() for c in incoming.columns if c not in (key, order_col)],
+            *[
+                F.col(c).desc()
+                for c in incoming.columns
+                if c not in (key, order_col) and c in orderable
+            ],
         )
         incoming = (
             incoming.withColumn("__rn", F.row_number().over(w))
