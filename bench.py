@@ -62,10 +62,18 @@ def main() -> None:
         .save()
     )
 
+    # Per-query failure isolation: one broken query must never zero out
+    # the whole suite's timings (round-4 lesson — an AnalysisException in
+    # a single query aborted the bench with rc=1 and no numbers at all).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in QUERIES.items():
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     # scoped query caches (q10/q27) are released query-over-query; drop
@@ -75,17 +83,16 @@ def main() -> None:
     release_caches()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_suite_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

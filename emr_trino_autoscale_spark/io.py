@@ -71,6 +71,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nano_ts_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Normalize any TIMESTAMP_NTZ column (microsecond parquet without a
+    # timezone annotation) to the session-LTZ timestamp type. Under the
+    # UTC session zone this cast is value-preserving, and it keeps every
+    # downstream epoch function (unix_millis etc.) applicable regardless
+    # of the physical encoding the data generator chose.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

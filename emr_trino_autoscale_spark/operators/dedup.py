@@ -363,45 +363,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup pairs.
+    """n-gram Jaccard near-dup pairs — thin alias for
+    :func:`ngram_jaccard_pairs_prefix`.
 
-    Scale path: explode shingle -> (shingle, id) inverted index, self-join
-    on shingle to get co-occurrence counts (only docs sharing >= 1
-    shingle ever meet — no quadratic cross join), then
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. The join key is an md5 digest,
-    so the exchange is narrow; AQE splits skewed boilerplate shingles.
-    """
-    sh = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
-        .filter(F.size("__toks") >= k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingles_of(F.col("__toks"), k))).alias("shingle"),
-        )
-        .select("id", F.md5("shingle").alias("sh"))
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    # NO broadcast hints here: `sizes` is one row per *document* — a
-    # corpus-sized frame that would OOM the driver at scale. These are
-    # plain shuffle joins on the id key (narrow, skew-free); AQE may
-    # still elect to broadcast at small SF where it actually fits.
-    return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
-    )
+    The earlier plain inverted-index form (self-join on every shingle)
+    emitted f^2 candidate rows for a shingle appearing in f documents —
+    a boilerplate-shingle blowup at corpus scale. The PPJoin
+    prefix-filtered implementation is exact for the same (id_a, id_b,
+    n_common, sz_a, sz_b, jaccard) contract, so the naive form has no
+    reason to exist as a separate public API."""
+    return ngram_jaccard_pairs_prefix(df, text_col, id_col, k, threshold)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -741,17 +712,18 @@ def incremental_dedup_report(
     seen = corpus.select(digest.alias("digest")).distinct().withColumn(
         "__seen", F.lit(1)
     )
-    # withColumnRenamed is a no-op when id_col is already "id" — a
-    # select of alias + "*" would duplicate the column name instead
-    b = batch.withColumnRenamed(id_col, "id").withColumn("digest", digest)
-    first = b.groupBy("digest").agg(F.min("id").alias("__keep"))
+    # Keep id_col's own name throughout: renaming it to "id" would
+    # silently create a duplicate column whenever the batch already
+    # carries an unrelated "id", making every later reference ambiguous.
+    b = batch.withColumn("digest", digest)
+    first = b.groupBy("digest").agg(F.min(id_col).alias("__keep"))
     return (
         b.join(seen, "digest", "left")
         .join(first, "digest")
         .withColumn(
             "status",
             F.when(F.col("__seen").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("id") != F.col("__keep"), F.lit("dup_batch"))
+            .when(F.col(id_col) != F.col("__keep"), F.lit("dup_batch"))
             .otherwise(F.lit("kept")),
         )
         .drop("__seen", "__keep")

@@ -2,9 +2,11 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct — the
 Spark-side contract (schema, partitioning, Arrow batch shape) is real
-and tested; the actual decode is stubbed because codec libraries are
-not available in this environment (clearly marked below). On a real
-cluster only ``_decode_stub`` changes.
+and tested. All three declared kinds have REAL reference decoders for
+their uncompressed public formats (P6 PPM images, RIFF/WAV 16-bit PCM
+audio, YUV4MPEG2 raw video — all parseable without codec libraries);
+compressed codecs (JPEG/MP3/H.264) fall back to the clearly-marked
+deterministic stub, the one piece that changes on a real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -145,10 +147,90 @@ def decode_wav_audio(payload: bytes) -> list[float]:
     ]
 
 
+def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
+    """REAL decoder for YUV4MPEG2 (.y4m) uncompressed video — the
+    public raw-video interchange format (plain-text header + planar
+    YUV frames), parseable without codec libraries; completes the
+    third media kind next to :func:`decode_ppm_image` and
+    :func:`decode_wav_audio`. Features (8-float contract):
+    [mean_luma, std_luma, mean_abs_temporal_diff, n_frames/1024,
+    width/4096, height/4096, fps/120, 1.0].
+
+    Frame sampling, not full scan: luma statistics come from an
+    evenly-strided sample of at most ``max_frames`` frames, the shape a
+    production frame-sampler uses so a 2-hour clip costs the same as a
+    2-second one. Supported chroma modes: C420*, C444, Cmono (the
+    common raw layouts); anything else raises and the caller falls back.
+    """
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = 0
+    fps = 0.0
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = int(num) / int(den) if int(den) else 0.0
+        elif tag == b"C":
+            chroma = val
+    if width <= 0 or height <= 0:
+        raise ValueError("y4m header missing W/H")
+    luma = width * height
+    if chroma.startswith("420"):
+        frame_bytes = luma + luma // 2
+    elif chroma == "444":
+        frame_bytes = 3 * luma
+    elif chroma == "mono":
+        frame_bytes = luma
+    else:
+        raise ValueError(f"unsupported y4m chroma mode C{chroma}")
+
+    # index frame offsets first (cheap — header scan only), then decode
+    # only the strided sample
+    offsets: list[int] = []
+    i = nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: FRAME marker missing")
+        j = payload.index(b"\n", i)
+        offsets.append(j + 1)
+        i = j + 1 + frame_bytes
+    if not offsets:
+        raise ValueError("y4m payload has no frames")
+    stride = max(1, len(offsets) // max_frames)
+    sample = offsets[::stride][:max_frames]
+    planes = [
+        np.frombuffer(payload[o : o + luma], dtype=np.uint8).astype(np.float64)
+        / 255.0
+        for o in sample
+    ]
+    y = np.stack(planes)
+    tdiff = float(np.mean(np.abs(np.diff(y, axis=0)))) if len(planes) > 1 else 0.0
+    return [
+        float(y.mean()),
+        float(y.std()),
+        tdiff,
+        len(offsets) / 1024.0,
+        width / 4096.0,
+        height / 4096.0,
+        fps / 120.0,
+        1.0,
+    ]
+
+
 def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
     """Magic-byte dispatch: P6 -> PPM decode, RIFF/WAVE -> WAV decode,
-    else the deterministic stub (video codecs genuinely unavailable
-    here). This is the production ``decoder=`` slot-in shape: pure
+    YUV4MPEG2 -> raw-video decode, else the deterministic stub (for
+    compressed codecs genuinely unavailable here). This is the
+    production ``decoder=`` slot-in shape: pure
     ``(payload, kind) -> 8 floats``, no per-row Spark calls.
 
     Containers the magic bytes *resemble* but the decoders can't handle
@@ -166,6 +248,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             and payload[8:12] == b"WAVE"
         ):
             return decode_wav_audio(payload)
+        if payload is not None and payload.startswith(b"YUV4MPEG2"):
+            return decode_y4m_video(payload)
     except Exception:  # noqa: BLE001 — malformed media: fall back, don't fail the task
         pass
     return _decode_stub(payload, kind)

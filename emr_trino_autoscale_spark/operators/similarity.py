@@ -738,6 +738,127 @@ def coarse_assign(
     )
 
 
+def _kmeans_parallel_init(
+    corpus: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means|| seeding (Bahmani et al., "Scalable
+    k-means++", VLDB 2012) for :func:`kmeans_fit`.
+
+    Scan count is CONSTANT in k — four bounded-result jobs total:
+    (1) min-id seed row, (2) total cost vs the seed, (3) one
+    oversampling pass keeping each vector with probability
+    min(1, l*cost/total) where l = max(4k, 32) (the paper's ~log k
+    rounds collapsed into one pass — the driver-side recluster below
+    absorbs the looser candidate set), (4) one nearest-candidate
+    weighting pass. The earlier greedy farthest-point init ran k
+    sequential full-corpus scans with a driver collect per round —
+    fine for a k=8 coarse quantizer, a driver bottleneck at the
+    k≈10^4-10^5 a 100 TB IVF index needs.
+
+    Everything random in the paper is replaced by deterministic
+    surrogates so replays and the cross-engine oracle agree: the
+    "uniform draw" per vector is a salted xxhash64 of its id mapped to
+    [0,1), and the final weighted recluster is the greedy D^2 argmax
+    (pick the candidate maximizing weight*cost, ties to the smaller
+    original id) instead of weighted k-means++ sampling. Driver state
+    is bounded: O(l) candidate vectors + O(k*d) centroids.
+    """
+    spark = corpus.sparkSession
+    schema = f"c_id int, {vec_col} array<double>"
+    normed = with_norm(corpus, vec_col).select(
+        F.col(id_col), "__v", _safe_norm(F.col("__norm")).alias("__norm")
+    )
+    seed = corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
+    seed_vec = [float(x) for x in seed[vec_col]]
+
+    se = with_norm(spark.createDataFrame([(0, seed_vec)], schema), vec_col).select(
+        F.col("__v").alias("ce"), _safe_norm(F.col("__norm")).alias("cen")
+    )
+    costed = (
+        normed.join(F.broadcast(se))
+        .withColumn(
+            "__cost",
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")),
+            ),
+        )
+        .select(id_col, "__v", "__cost")
+    )
+    total = costed.agg(F.sum("__cost").alias("t")).collect()[0]["t"] or 0.0
+
+    ell = max(4 * k, 32)
+    cand: list[tuple[int, list[float]]] = [(seed[id_col], seed_vec)]
+    if total > 0.0:
+        # deterministic uniform surrogate in [0,1): salted 24-bit hash
+        u = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit("kmeans||")),
+            F.lit(1 << 24),
+        ) / F.lit(float(1 << 24))
+        cand += [
+            (r[id_col], [float(x) for x in r["__v"]])
+            for r in costed.filter(
+                (F.col("__cost") > 0.0)
+                & (u < F.lit(float(ell)) * F.col("__cost") / F.lit(total))
+            )
+            .select(id_col, "__v")
+            .collect()
+        ]
+    if len(cand) < k:
+        # tiny/degenerate corpus: top up with the smallest unseen ids
+        have = {cid for cid, _ in cand}
+        for r in (
+            corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(k + len(have))
+            .collect()
+        ):
+            if len(cand) >= k:
+                break
+            if r[id_col] not in have:
+                have.add(r[id_col])
+                cand.append((r[id_col], [float(x) for x in r[vec_col]]))
+
+    # weight pass: how many corpus vectors each candidate "owns"
+    cand_df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(cand)], schema
+    )
+    wrows = (
+        coarse_assign(corpus, cand_df, id_col=id_col, vec_col=vec_col)
+        .groupBy("assigned")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    wmap = {r["assigned"]: r["n"] for r in wrows}
+
+    import numpy as np
+
+    C = np.array([v for _, v in cand], dtype=float)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cn = C / norms[:, None]
+    w = np.array([wmap.get(i, 0) for i in range(len(cand))], dtype=float)
+    ids = np.array([cid for cid, _ in cand])
+
+    chosen = [0]  # the seed
+    best_sim = Cn @ Cn[0]
+    while len(chosen) < min(k, len(cand)):
+        score = w * np.maximum(0.0, 1.0 - best_sim)
+        m = score.max()
+        if m > 0.0:
+            tie = np.where(score >= m - 1e-12)[0]
+            pick = int(tie[np.argmin(ids[tie])])
+        else:  # every candidate already coincides with a chosen center
+            rest = sorted(set(range(len(cand))) - set(chosen), key=lambda i: ids[i])
+            if not rest:
+                break
+            pick = rest[0]
+        chosen.append(pick)
+        best_sim = np.maximum(best_sim, Cn @ Cn[pick])
+    return [(j, [float(x) for x in C[i]]) for j, i in enumerate(chosen)]
+
+
 def kmeans_fit(
     corpus: DataFrame,
     k: int = 8,
@@ -752,12 +873,10 @@ def kmeans_fit(
     this closes the loop for real corpora). Init is the deterministic
     first-k-by-id rule; each iteration assigns via
     :func:`coarse_assign` (cosine, ties to the smaller centroid id)
-    and recomputes centroids as per-cluster mean vectors. Init is
-    deterministic farthest-point (k-center greedy): seed with the
-    minimum-id vector, then repeatedly add the vector least similar to
-    its nearest chosen seed (ties to the smaller id) — first-k-by-id
-    seeding collapses when the first k vectors share a cluster, the
-    classic Lloyd failure mode.
+    and recomputes centroids as per-cluster mean vectors. Init is a
+    deterministic k-means|| seeding (:func:`_kmeans_parallel_init`) —
+    constant scan count in ``k``, unlike the earlier greedy
+    farthest-point loop that ran k sequential full-corpus jobs.
 
     Scale: the per-cluster mean is computed on (cluster, dim) keys —
     ``posexplode`` fans each vector into d narrow rows whose partial
@@ -772,33 +891,7 @@ def kmeans_fit(
     """
     spark = corpus.sparkSession
     schema = f"c_id int, {vec_col} array<double>"
-    normed = with_norm(corpus, vec_col).select(
-        F.col(id_col), "__v", _safe_norm(F.col("__norm")).alias("__norm")
-    )
-    seed = corpus.select(id_col, vec_col).orderBy(id_col).limit(1).collect()[0]
-    cent_rows = [(0, [float(x) for x in seed[vec_col]])]
-    for i in range(1, k):
-        cents = spark.createDataFrame(cent_rows, schema)
-        ce = with_norm(cents, vec_col).select(
-            F.col("__v").alias("ce"), _safe_norm(F.col("__norm")).alias("cen")
-        )
-        far = (
-            normed.join(F.broadcast(ce))
-            .withColumn(
-                "__sim",
-                F.round(cosine(F.col("__v"), F.col("ce"), F.col("__norm"), F.col("cen")), 6),
-            )
-            .groupBy(id_col)
-            .agg(F.max("__sim").alias("__near"), F.first("__v").alias("__vec"))
-            .agg(
-                F.min_by(
-                    F.struct(F.col(id_col), F.col("__vec")),
-                    F.struct(F.col("__near"), F.col(id_col)),
-                ).alias("pick")
-            )
-            .collect()[0]["pick"]
-        )
-        cent_rows.append((i, [float(x) for x in far["__vec"]]))
+    cent_rows = _kmeans_parallel_init(corpus, k, id_col, vec_col)
     for _ in range(n_iter):
         if vectorized:
             # centroids are already driver-side model state — feed the

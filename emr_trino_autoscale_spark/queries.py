@@ -2798,8 +2798,9 @@ ORDER BY stage_order
 # signal file (they pass the identical in-repo mirror,
 # tests/test_queries_oracle.py).  Declare them FIRST so round 4's driver window
 # covers them, followed by q01-q33; q34-q50 (driver-green in r01-r03) move to
-# the tail and stay covered by the in-repo mirror.  See README "Verification
-# coverage map".
+# the tail and stay covered by the in-repo mirror.  The window is pinned by
+# tests/test_queries_oracle.py::test_driver_window_pinned and documented in
+# README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_value_histogram": q51,
     "q52_pii_scrub": q52,

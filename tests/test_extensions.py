@@ -433,6 +433,10 @@ def test_blocks_for_memory_formula():
 
 
 def test_prefix_jaccard_matches_baseline(spark):
+    # Independent baseline: brute-force all-pairs shingle Jaccard in
+    # pure Python (ngram_jaccard_pairs is now an alias of the prefix
+    # implementation, so the old impl-vs-impl comparison would be
+    # vacuous).
     texts = [
         "the quick brown fox jumps over the lazy dog today",
         "the quick brown fox jumps over the lazy cat today",
@@ -440,14 +444,23 @@ def test_prefix_jaccard_matches_baseline(spark):
         "an utterly different document about spark shuffles",  # exact dup
         "one more unrelated line of text with many words",
     ]
-    d = docs(spark, texts)
-    base = {
-        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
-        for r in dedup.ngram_jaccard_pairs(d, threshold=0.4).collect()
+    k, threshold = 3, 0.4
+    sets = {
+        i: {" ".join(t.split()[j : j + k]) for j in range(len(t.split()) - k + 1)}
+        for i, t in enumerate(texts)
     }
+    base = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                n = len(sets[a] & sets[b])
+                j = n / len(sets[a] | sets[b])
+                if j >= threshold:
+                    base[(a, b)] = (n, round(j, 9))
+    d = docs(spark, texts)
     pref = {
-        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
-        for r in dedup.ngram_jaccard_pairs_prefix(d, threshold=0.4).collect()
+        (r["id_a"], r["id_b"]): (r["n_common"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs_prefix(d, k=k, threshold=threshold).collect()
     }
     assert base == pref and (2, 3) in pref
 
@@ -562,6 +575,53 @@ def test_real_decoder_slot_in_ppm_and_wav(spark):
     assert abs(aud[4] - 8000 / 96000.0) < tol
     # unknown format falls through to the documented stub (still 8 floats)
     assert len(rows[2]["feature"]) == 8
+
+
+def _y4m_clip(width, height, lumas, fps=(25, 1), chroma="420"):
+    """Synthetic YUV4MPEG2 clip: one constant-luma frame per value."""
+    luma = width * height
+    chroma_bytes = {"420": luma // 2, "444": 2 * luma, "mono": 0}[chroma]
+    head = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n"
+    ).encode()
+    frames = b"".join(
+        b"FRAME\n" + bytes([y]) * luma + bytes([128]) * chroma_bytes
+        for y in lumas
+    )
+    return head + frames
+
+
+def test_real_video_decoder_y4m(spark):
+    """X6 third kind: a synthetic YUV4MPEG2 clip decodes for REAL
+    through the same mapInPandas plumbing — no NotImplementedError left
+    reachable for any declared media kind (image/audio/video)."""
+    # 4x2, 3 frames at luma 0 / 255 / 0 -> mean 1/3, temporal diff 1.0
+    clip = _y4m_clip(4, 2, [0, 255, 0])
+    direct = multimodal.decode_y4m_video(clip)
+    tol = 1e-6
+    assert abs(direct[0] - 1 / 3) < 1e-2  # mean luma (255/255 vs 0)
+    assert abs(direct[2] - 1.0) < 1e-2  # frame-to-frame |diff| = full swing
+    assert abs(direct[3] - 3 / 1024.0) < tol  # n_frames
+    assert abs(direct[4] - 4 / 4096.0) < tol and abs(direct[5] - 2 / 4096.0) < tol
+    assert abs(direct[6] - 25 / 120.0) < tol
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(clip), 4, 2, 120, "y4m")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(
+        media, decoder=multimodal.sniffing_decoder
+    ).collect()[0]
+    assert [round(x, 5) for x in row["feature"]] == [
+        round(x, 5) for x in direct
+    ]
+
+    # mono + 444 chroma layouts parse too; frame sampling caps the scan
+    assert multimodal.decode_y4m_video(_y4m_clip(2, 2, [10] * 40, chroma="mono"))[3] == 40 / 1024.0
+    assert abs(multimodal.decode_y4m_video(_y4m_clip(2, 2, [10, 10], chroma="444"))[0] - 10 / 255.0) < tol
+    # unsupported chroma falls back to the stub via sniffing_decoder
+    weird = _y4m_clip(2, 2, [1]).replace(b"C420", b"C410")
+    assert multimodal.sniffing_decoder(weird, "video") == multimodal._decode_stub(weird, "video")
 
 
 def test_connected_components_transitive_closure(spark):
@@ -733,7 +793,7 @@ def test_incremental_dedup_corpus_wins_over_batch_dup(spark):
         "doc_id long, text string",
     )
     out = {
-        r["id"]: r["status"]
+        r["doc_id"]: r["status"]
         for r in dedup.incremental_dedup_report(corpus, batch).collect()
     }
     assert out == {
@@ -741,6 +801,28 @@ def test_incremental_dedup_corpus_wins_over_batch_dup(spark):
         11: "dup_corpus",
         12: "kept",
         13: "dup_batch",
+    }
+
+
+def test_incremental_dedup_preserves_id_col_with_decoy_id(spark):
+    # The batch carries an unrelated "id" column; the report must keep
+    # id_col's own name ("doc_id") and never create a duplicate "id".
+    corpus = docs(spark, ["seen before"])
+    batch = spark.createDataFrame(
+        [
+            (10, 99, "seen before"),
+            (11, 98, "fresh text"),
+            (12, 97, "fresh text"),
+        ],
+        "doc_id long, id long, text string",
+    )
+    rep = dedup.incremental_dedup_report(corpus, batch)
+    assert rep.columns.count("id") == 1  # the decoy survives, un-duplicated
+    out = {r["doc_id"]: (r["id"], r["status"]) for r in rep.collect()}
+    assert out == {
+        10: (99, "dup_corpus"),
+        11: (98, "kept"),
+        12: (97, "dup_batch"),
     }
 
 

@@ -252,16 +252,16 @@ def test_incremental_dedup_partitions_batch(spark, texts):
     batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
     out = dedup.incremental_dedup_report(corpus, batch).collect()
     # statuses PARTITION the batch: every batch doc classified exactly once
-    assert sorted(r["id"] for r in out) == sorted(i for i, _ in batch_rows)
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in batch_rows)
     corpus_texts = {t for _, t in corpus_rows}
     first_seen: dict[str, int] = {}
     for i, t in sorted(batch_rows):
         first_seen.setdefault(t, i)
     for r in out:
-        t = dict(batch_rows)[r["id"]]
+        t = dict(batch_rows)[r["doc_id"]]
         if t in corpus_texts:
             assert r["status"] == "dup_corpus"
-        elif first_seen[t] == r["id"]:
+        elif first_seen[t] == r["doc_id"]:
             assert r["status"] == "kept"
         else:
             assert r["status"] == "dup_batch"

@@ -25,6 +25,22 @@ def duck():
     con.close()
 
 
+def test_driver_window_pinned():
+    """The external driver hashes the FIRST 50 entries of QUERIES
+    (README "Verification coverage map"). Pin the exact window so adding
+    or reordering an entry can never silently rotate the audited set:
+    q51-q67 first (declared last in r1-r3, never driver-hashed until the
+    round-4 reorder), then q01-q33."""
+    expected = [
+        f"q{i:02d}" for i in list(range(51, 68)) + list(range(1, 34))
+    ]
+    window = [name.split("_")[0] for name in list(QUERIES)[:50]]
+    assert window == expected, (
+        "driver correctness window changed — new queries must be appended "
+        "AFTER position 50 (see README 'Verification coverage map')"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     import sys

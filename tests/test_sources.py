@@ -256,6 +256,42 @@ def test_registry_replace_and_union_and_bound(spark):
     assert kept == {7, 8, 9}
 
 
+def test_registry_union_latest_map_column_tie(spark):
+    # A map column must neither raise at plan time (maps are unorderable)
+    # nor enter the tie-break. Two incoming rows tie on EVERY orderable
+    # column (key, order_col, running) and differ only in the map: the
+    # merge must still emit exactly one row per key, deterministically.
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators import registry
+
+    inc = (
+        spark.createDataFrame(
+            [("ig-1", 5, 7, "a"), ("ig-1", 5, 7, "b"), ("ig-2", 1, 3, "c")],
+            "id string, running int, seen long, tag string",
+        )
+        .withColumn("props", F.create_map(F.lit("k"), F.col("tag")))
+        .drop("tag")
+    )
+    cur = (
+        spark.createDataFrame(
+            [("ig-1", 0, 1, "old"), ("ig-3", 9, 1, "keep")],
+            "id string, running int, seen long, tag string",
+        )
+        .withColumn("props", F.create_map(F.lit("k"), F.col("tag")))
+        .drop("tag")
+    )
+    out1 = registry.union_latest(cur, inc, "id", order_col="seen").collect()
+    out2 = registry.union_latest(cur, inc, "id", order_col="seen").collect()
+    by_id = {r["id"]: r for r in out1}
+    assert sorted(by_id) == ["ig-1", "ig-2", "ig-3"]  # one row per key
+    assert by_id["ig-1"]["running"] == 5  # incoming won
+    # replay determinism: same winner (including the map) both times
+    assert {(r["id"], r["running"], tuple(sorted(r["props"].items()))) for r in out1} == {
+        (r["id"], r["running"], tuple(sorted(r["props"].items()))) for r in out2
+    }
+
+
 def test_registry_replace_rejects_renamed_columns(spark):
     from emr_trino_autoscale_spark.operators import registry
 
