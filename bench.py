@@ -61,6 +61,85 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # One-time JVM/Arrow machinery the suite exercises, warmed on tiny
+    # SYNTHETIC data (never the benched queries themselves): window
+    # exec + sort, higher-order functions, regex, explode+hash-agg,
+    # percentile sketches, sort-merge join, and the Python/Arrow worker
+    # pool (first pandas_udf call forks the daemon). Without this the
+    # first few timed queries absorb multi-second JIT cost that is
+    # session spin-up, not query cost (measured: q53 4.5 s cold vs
+    # 0.9 s warm on identical data).
+    from pyspark.sql import Window
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("g"),
+        F.concat(F.lit("tok a b "), F.col("id").cast("string")).alias("s"),
+    )
+    (
+        w.withColumn("toks", F.split("s", " "))
+        .withColumn("n", F.size(F.array_distinct(F.col("toks"))))
+        .withColumn("t2", F.transform("toks", lambda t: F.upper(t)))
+        .withColumn("host", F.regexp_extract("s", r"(\d+)", 1))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+        .withColumn("csum", F.sum("id").over(
+            Window.partitionBy("g").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .filter(F.col("rn") <= 1000)
+        .select("g", F.explode("toks").alias("tok"), "n", "csum", "host")
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("c"), F.percentile_approx("n", 0.5).alias("p50"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    a = spark.range(50_000).select(F.col("id"), (F.col("id") % 997).alias("k"))
+    b = spark.range(50_000).select((F.col("id") % 997).alias("k"), F.col("id").alias("v"))
+    a.join(b.hint("merge"), "k").groupBy("k").agg(F.sum("v")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def _warm_fn(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    # explicit functionType: `from __future__ import annotations` makes
+    # the hints strings, which pandas_udf's inference can't resolve
+    _warm_udf = pandas_udf(_warm_fn, "double", functionType=200)  # SCALAR
+    spark.range(10_000).select(F.sum(_warm_udf(F.col("id").cast("double")))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # grouped-map + map-partitions Arrow paths (the similarity/multimodal
+    # queries ride applyInPandas / mapInPandas — each has its own
+    # first-use runner machinery), HOF aggregate fold, and one REAL full
+    # scan of the two extension tables (documents/embeddings are <1 MB
+    # at any benched SF; limit(1) above leaves their column readers and
+    # dictionary pages cold)
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.assign(v=pdf["v"].cumsum())
+
+    g = spark.range(4_000).select((F.col("id") % 8).alias("g"), F.col("id").alias("v"))
+    g.groupBy("g").applyInPandas(_grp, "g long, v long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    def _mp(it):
+        for pdf in it:
+            yield pdf
+
+    g.mapInPandas(_mp, "g long, v long").write.format("noop").mode("overwrite").save()
+    (
+        spark.range(4_000)
+        .select(F.array(F.col("id"), F.col("id") + 1).cast("array<double>").alias("a"))
+        .select(F.aggregate("a", F.lit(0.0), lambda acc, x: acc + x).alias("s"))
+        .agg(F.sum("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    for t in ("documents", "embeddings"):
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     # Per-query failure isolation: one broken query must never zero out
     # the whole suite's timings (round-4 lesson — an AnalysisException in

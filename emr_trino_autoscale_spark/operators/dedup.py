@@ -449,11 +449,20 @@ def ngram_jaccard_pairs_prefix(
         ex.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "s", "sz")
+        .select("id", "s", "sz", "rn")
     )
     # candidate join; the PPJoin length filter rides along for free:
     # J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so pairs outside the
-    # size band are dropped before the distinct/verify.
+    # size band are dropped before the distinct/verify. The POSITIONAL
+    # filter then prunes further, losslessly: a prefix match at
+    # positions (i, j) of the shared df-ascending order bounds the
+    # overlap at min(i-1, j-1) common tokens before the match plus
+    # min(|A|-i, |B|-j)+1 from the match onward; J >= t needs overlap
+    # >= ceil(t/(1+t)*(|A|+|B|)) (the Jaccard<->overlap identity), so
+    # any pair whose TIGHTEST per-match bound falls short can be
+    # dropped before the verify join ever moves its shingle arrays.
+    # (The 1e-9 slack only loosens the prune at float boundaries —
+    # borderline candidates still reach the exact verify.)
     cand = (
         pref.alias("a")
         .join(
@@ -463,8 +472,28 @@ def ngram_jaccard_pairs_prefix(
             & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
             & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.least(F.col("a.rn"), F.col("b.rn"))
+                - 1
+                + F.least(
+                    F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+                )
+                + 1
+            ).alias("__ub"),
+            (F.col("a.sz") + F.col("b.sz")).alias("__szsum"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("__ub").alias("__ub"), F.first("__szsum").alias("__szsum"))
+        .filter(
+            F.col("__ub")
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold)) * F.col("__szsum") - 1e-9
+            )
+        )
+        .select("id_a", "id_b")
     )
     da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("sz").alias("sz_a"))
     db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("sz").alias("sz_b"))

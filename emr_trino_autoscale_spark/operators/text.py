@@ -347,3 +347,55 @@ def boilerplate_strip(
             ).alias("kept_hash"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """X29 — out-of-vocabulary audit: per document, the fraction of its
+    tokens missing from the corpus top-``vocab_size`` vocabulary
+    (frequency desc, token asc tie-break). The standard pre-tokenizer
+    sanity check for a training corpus: a spike in OOV rate flags
+    boilerplate explosions, encoding corruption, or a language the
+    tokenizer was never fit on.
+
+    Scale: token explode -> one hash aggregation for frequencies
+    (map-side combinable); the vocabulary cut is a two-phase top-V
+    (per-bucket row_number then a bounded re-rank over V*n_buckets
+    survivors — never a global sort of all distinct tokens); the
+    membership join broadcasts the V-row vocabulary, so the per-token
+    coverage pass is a narrow broadcast-hash join with no shuffle of
+    the exploded frame. Output is one row per document.
+    """
+    from . import skew
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = (
+        skew.two_phase_topk(
+            freq,
+            part_cols=[],
+            order_cols=[F.col("freq").desc(), F.col("tok").asc()],
+            k=vocab_size,
+            bucket_on=F.col("tok"),
+        )
+        .select("tok")
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+    )

@@ -116,8 +116,9 @@ def test_flagship_plan_shape(spark, sf_dir, name):
 BROADCAST_ALLOW = {
     "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
     # n_docs: 1-row corpus count; boiler: <= avg_doc_len/max_df_frac
-    # tokens by the df-threshold pigeonhole — corpus-size independent
-    "text.py": {"n_docs", "boiler"},
+    # tokens by the df-threshold pigeonhole — corpus-size independent;
+    # vocab: <= vocab_size rows by the two-phase top-V cut
+    "text.py": {"n_docs", "boiler", "vocab"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
