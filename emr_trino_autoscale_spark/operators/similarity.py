@@ -921,3 +921,276 @@ def kmeans_fit(
         new = {r["assigned"]: [float(x) for x in r["c"]] for r in means}
         cent_rows = [(cid, new.get(cid, vec)) for cid, vec in cent_rows]
     return spark.createDataFrame(cent_rows, schema)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """X30 — product-quantization codebook trainer: split the (unit-
+    normalized) vector space into ``m`` subspaces and learn a ``ksub``-
+    entry codebook per subspace. Returns driver-side model state
+    ``codebooks[sub][code] -> subvector`` (``m * ksub * d/m = d * ksub``
+    floats — bounded by definition, like every centroid collect here).
+
+    PQ is the canonical memory-bound ANN layout at 10^9+ vectors
+    (m bytes per vector instead of 4d); this trainer feeds
+    :func:`pq_encode` / :func:`pq_topk`.
+
+    Scale design: ALL m subspaces train in ONE distributed loop — the
+    per-iteration job assigns every subvector against its own codebook
+    inside a single Arrow ``mapInPandas`` pass and the mean update is a
+    (sub, code, dim) hash aggregation whose partials combine map-side,
+    so job count is constant in ``m`` (2 setup jobs + n_iter update
+    jobs), never m separate k-means runs. Deterministic throughout:
+    hash-sampled init candidates, greedy D^2 recluster (ties to the
+    smaller vector id), argmin code ties to the smaller code id.
+    Vectors are unit-normalized first so summed subspace L2 distance
+    ranks like cosine on the full vector (the standard PQ-for-cosine
+    reduction).
+    """
+    import numpy as np
+
+    first = corpus.select(vec_col).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train: empty corpus")
+    d = len(first[0][vec_col])
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    # init: one hash-sampled pass collects ~4*ksub full vectors (every
+    # subspace slices the same sample), then a driver-side greedy D^2
+    # recluster per subspace — 2 bounded jobs, constant in m and ksub
+    n_rows = corpus.count()
+    want = min(max(4 * ksub, 64), max(n_rows, 1))
+    p = min(1.0, want / max(n_rows, 1))
+    u = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit("pq")), F.lit(1 << 24)) / F.lit(
+        float(1 << 24)
+    )
+    samp = (
+        corpus.filter(u < p)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if len(samp) < ksub:
+        samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(want).collect()
+    samp = sorted(samp, key=lambda r: r[id_col])
+    X = np.array([[float(x) for x in r[vec_col]] for r in samp])
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    X = X / nrm[:, None]
+
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        chosen = [0]
+        d2 = np.sum((sub - sub[0]) ** 2, axis=1)
+        while len(chosen) < min(ksub, len(sub)):
+            i = int(np.argmax(d2))  # np.argmax = first occurrence = min id
+            chosen.append(i)
+            d2 = np.minimum(d2, np.sum((sub - sub[i]) ** 2, axis=1))
+        cb = [list(map(float, sub[i])) for i in chosen]
+        while len(cb) < ksub:  # degenerate sample: pad by repeating
+            cb.append(list(cb[len(cb) % len(chosen)]))
+        codebooks.append(cb)
+
+    from pyspark.sql.types import StructType
+
+    out_schema = "sub int, code int, pos int, s double, n long"
+
+    for _ in range(n_iter):
+        cb_arr = np.array(codebooks)  # m x ksub x dsub
+
+        def update(it, cb=cb_arr, m=m, dsub=dsub):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+                vn = np.linalg.norm(V, axis=1)
+                vn[vn == 0.0] = 1.0
+                V = V / vn[:, None]
+                out_sub, out_code, out_pos, out_s, out_n = [], [], [], [], []
+                for s in range(m):
+                    sub = V[:, s * dsub : (s + 1) * dsub]
+                    # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; argmin ties ->
+                    # first occurrence = smaller code id
+                    d2 = (
+                        (sub**2).sum(1)[:, None]
+                        - 2.0 * sub @ cb[s].T
+                        + (cb[s] ** 2).sum(1)[None, :]
+                    )
+                    code = np.argmin(np.round(d2, 9), axis=1)
+                    for c in np.unique(code):
+                        mask = code == c
+                        sums = sub[mask].sum(0)
+                        out_sub += [s] * dsub
+                        out_code += [int(c)] * dsub
+                        out_pos += list(range(dsub))
+                        out_s += [float(x) for x in sums]
+                        out_n += [int(mask.sum())] * dsub
+                yield pd.DataFrame(
+                    {"sub": out_sub, "code": out_code, "pos": out_pos,
+                     "s": out_s, "n": out_n}
+                )
+
+        rows = (
+            corpus.select(as_double(F.col(vec_col)).alias("__vec"))
+            .mapInPandas(update, schema=out_schema)
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[float]] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in rows:
+            key = (r["sub"], r["code"])
+            acc.setdefault(key, [0.0] * dsub)[r["pos"]] = r["s"]
+            cnt[key] = r["n"]
+        for s in range(m):
+            for c in range(ksub):
+                n = cnt.get((s, c), 0)
+                if n:
+                    codebooks[s][c] = [x / n for x in acc[(s, c)]]
+                # empty cell keeps its previous centroid (kmeans_fit rule)
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X30 — encode every vector as ``m`` codebook indices (the m-byte
+    PQ code): a narrow Arrow projection, no shuffle. Deterministic:
+    argmin distance, ties to the smaller code id."""
+    import numpy as np
+
+    cb = np.array(codebooks)
+    m, ksub, dsub = cb.shape
+
+    def encode(it, cb=cb, m=m, dsub=dsub):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            vn = np.linalg.norm(V, axis=1)
+            vn[vn == 0.0] = 1.0
+            V = V / vn[:, None]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                sub = V[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub**2).sum(1)[:, None]
+                    - 2.0 * sub @ cb[s].T
+                    + (cb[s] ** 2).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame({"id": pdf["__id"], "codes": list(codes)})
+
+    return corpus.select(
+        F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__vec")
+    ).mapInPandas(encode, schema=f"id {corpus.schema[id_col].dataType.simpleString()}, codes array<int>")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """X30 — asymmetric-distance (ADC) top-k: queries stay exact, the
+    corpus is scored through its PQ codes via per-query lookup tables.
+    ``exclude_self`` drops the corpus row whose id equals the query id
+    before local selection (the brute_force_topk self-join convention).
+
+    Scale design: the query set is bounded (same contract as
+    :func:`brute_force_topk`), so its m x ksub distance tables ship
+    inside the Arrow closure; each corpus partition emits only its LOCAL
+    top-k rows per query (heap semantics inside the batch via
+    np.argpartition), and the global merge ranks nq * k * n_partitions
+    bounded candidates — the corpus itself is scanned once, shuffles
+    never carry vectors. Deterministic: distances round to 6 decimals,
+    ranking ties break on neighbor id.
+    """
+    import numpy as np
+
+    cb = np.array(codebooks)
+    m, ksub, dsub = cb.shape
+    qrows = sorted(
+        queries.select(query_id_col, vec_col).collect(), key=lambda r: r[query_id_col]
+    )
+    Q = np.array([[float(x) for x in r[vec_col]] for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn[:, None]
+    # per-query distance tables: tables[q][s][c] = ||q_s - cb[s][c]||^2
+    tables = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[qi, s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(1)
+                    for s in range(m)
+                ]
+            )
+            for qi in range(len(qrows))
+        ]
+    )
+    qids = [r[query_id_col] for r in qrows]
+
+    codes_df = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def score(it, tables=tables, qids=qids, k=k, m=m, excl=exclude_self):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["id"].to_numpy()
+            out_q, out_n, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                # gather: dist[i] = sum_s tables[qi][s][C[i,s]]
+                dist = np.round(tables[qi][np.arange(m)[None, :], C].sum(1), 6)
+                cids, cd = ids, dist
+                if excl:
+                    mask = ids != qid
+                    cids, cd = ids[mask], dist[mask]
+                take = min(k, len(cids))
+                if not take:
+                    continue
+                # partial-select then exact order by (dist, id)
+                part = np.argpartition(cd, take - 1)[:take]
+                order = part[np.lexsort((cids[part], cd[part]))]
+                out_q += [qid] * take
+                out_n += [int(x) for x in cids[order]]
+                out_d += [float(x) for x in cd[order]]
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "adc_dist": out_d})
+
+    local = codes_df.mapInPandas(
+        score, schema="q_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
+    )

@@ -2878,6 +2878,24 @@ ORDER BY d.source, d.lang
 """
 
 
+# Q70 — X30: product-quantization ANN. Codebooks trained distributed
+# (all m subspaces in one Lloyd loop), corpus scored through its m-byte
+# codes via per-query ADC lookup tables, local top-k per partition then
+# a bounded global merge. Iterative training + driver-side model state
+# -> rows-only check like q68; recall vs the exact q23 baseline is
+# pinned in tests/test_extensions.py.
+
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cb = similarity.pq_train(e, m=8, ksub=16, n_iter=2)
+    return similarity.pq_topk(e, queries, cb, k=5, exclude_self=True).orderBy(
+        "q_id", "rank"
+    )
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).  q51-q67
 # were declared last in rounds 1-3 and therefore never appeared in a driver
@@ -2959,6 +2977,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # "Verification coverage map"): mirror-verified every pytest run
     "q68_kmeans_quantizer": q68,
     "q69_vocab_coverage": q69,
+    "q70_pq_topk": q70,
 }
 
 ORACLE: dict[str, str] = {
@@ -3036,6 +3055,6 @@ ORACLE: dict[str, str] = {
 # Keep the oracle iteration order identical to QUERIES (driver window order).
 # Queries genuinely outside SQL (q68's iterative k-means) are allowed to be
 # oracle-less — the driver/mirror records a rows-only check for those.
-_NO_ORACLE = {"q68_kmeans_quantizer"}
+_NO_ORACLE = {"q68_kmeans_quantizer", "q70_pq_topk"}
 ORACLE = {name: ORACLE[name] for name in QUERIES if name not in _NO_ORACLE}
 assert set(ORACLE) == set(QUERIES) - _NO_ORACLE, "every query needs an oracle twin"

@@ -904,3 +904,54 @@ def test_kmeans_fit_vectorized_matches_dataframe_form(spark):
     ca = {r["c_id"]: [round(x, 9) for x in r["embedding"]] for r in a}
     cb = {r["c_id"]: [round(x, 9) for x in r["embedding"]] for r in b}
     assert ca == cb
+
+
+def _clustered_vecs(spark, n_per=20, dim=64, n_clusters=3):
+    # deterministic clustered corpus: cluster c concentrates its mass on
+    # dims [c*8, c*8+8) with small id-dependent jitter elsewhere
+    rows = []
+    for c in range(n_clusters):
+        for i in range(n_per):
+            vid = c * 100 + i
+            v = [0.01 * ((vid * 7 + j) % 5) for j in range(dim)]
+            for j in range(c * 8, c * 8 + 8):
+                v[j] = 1.0 + 0.02 * ((vid + j) % 3)
+            rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    vecs = _clustered_vecs(spark)
+    cb = similarity.pq_train(vecs, m=8, ksub=4, n_iter=2)
+    assert len(cb) == 8 and all(len(sub) == 4 for sub in cb)
+    a = {r["id"]: list(r["codes"]) for r in similarity.pq_encode(vecs, cb).collect()}
+    b = {r["id"]: list(r["codes"]) for r in similarity.pq_encode(vecs, cb).collect()}
+    assert a == b and len(a) == 60
+    assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in a.values())
+    # same-cluster vectors should share most of their code words
+    assert a[0][:1] == a[1][:1] or a[0] != a[200]
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    vecs = _clustered_vecs(spark)
+    queries = vecs.filter(F.col("vec_id").isin([0, 100, 200])).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {}
+    for r in similarity.brute_force_topk(vecs, queries, k=5).collect():
+        exact.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    cb = similarity.pq_train(vecs, m=8, ksub=8, n_iter=3)
+    pq = {}
+    for r in similarity.pq_topk(vecs, queries, cb, k=5, exclude_self=True).collect():
+        pq.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    # ADC on clustered data: every query's PQ top-5 stays inside its own
+    # cluster and overlaps the exact top-5 substantially
+    for qid, nbrs in pq.items():
+        assert len(nbrs) == 5
+        assert all(n // 100 == qid // 100 for n in nbrs), (qid, nbrs)
+        assert len(nbrs & exact[qid]) >= 3, (qid, nbrs, exact[qid])
+    # determinism across runs
+    again = {}
+    for r in similarity.pq_topk(vecs, queries, cb, k=5, exclude_self=True).collect():
+        again.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    assert again == pq
