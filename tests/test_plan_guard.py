@@ -55,6 +55,9 @@ FLAGSHIPS = {
     # q56's nested loop = the 1-row broadcast totals join (doc'd)
     "q56_mixing_weights": (10, True),
     "q57_lsh_multiprobe": (10, False),
+    # q69: freq agg + two-phase top-V (bounded survivors) + broadcast
+    # membership join + per-doc and per-(source,lang) aggs
+    "q69_vocab_coverage": (14, False),
     # q58's nested loop = the 8-row broadcast centroid cross join
     # (coarse quantization, same shape as q30 — doc'd)
     "q58_ivf_multiprobe": (14, True),
