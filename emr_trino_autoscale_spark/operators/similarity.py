@@ -1139,12 +1139,17 @@ def pq_topk(
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0.0] = 1.0
     Q = Q / qn[:, None]
-    # per-query distance tables: tables[q][s][c] = ||q_s - cb[s][c]||^2
+    # per-query distance tables: tables[q][s][c] = ||q_s - cb[s][c]||^2,
+    # computed as qq - 2qc + cc (NOT squared differences) so the
+    # floating-point shape matches the oracle SQL's list_inner_product
+    # expansion bit-for-bit-close (q71 hashes these through round(6))
     tables = np.stack(
         [
             np.stack(
                 [
-                    ((Q[qi, s * dsub : (s + 1) * dsub][None, :] - cb[s]) ** 2).sum(1)
+                    (Q[qi, s * dsub : (s + 1) * dsub] ** 2).sum()
+                    - 2.0 * cb[s] @ Q[qi, s * dsub : (s + 1) * dsub]
+                    + (cb[s] ** 2).sum(1)
                     for s in range(m)
                 ]
             )
@@ -1175,9 +1180,11 @@ def pq_topk(
                 take = min(k, len(cids))
                 if not take:
                     continue
-                # partial-select then exact order by (dist, id)
-                part = np.argpartition(cd, take - 1)[:take]
-                order = part[np.lexsort((cids[part], cd[part]))]
+                # local selection under the FINAL (dist, id) order — a
+                # dist-only argpartition would pick an arbitrary subset
+                # of tied distances (PQ ties are common: equal codes =>
+                # equal ADC) and break global id tie-break exactness
+                order = np.lexsort((cids, cd))[:take]
                 out_q += [qid] * take
                 out_n += [int(x) for x in cids[order]]
                 out_d += [float(x) for x in cd[order]]
@@ -1194,3 +1201,27 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", F.round("adc_dist", 6).alias("adc_dist"), "rank")
     )
+
+
+def md5_codebooks(m: int = 4, ksub: int = 4, dsub: int = 16) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks derived from md5 — the :func:`pq_train`
+    stand-in that makes the ADC arithmetic ORACLE-CHECKABLE, exactly as
+    :func:`md5_sign_planes` does for SRP-LSH: DuckDB recomputes the same
+    values from the same md5 strings, so q71 hash-verifies encode + ADC
+    end to end while q70 exercises the trained path. Entry j of codebook
+    (s, c) is ``int(md5(f"{s}-{c}-{j}")[:4], 16) / 65535 * 2 - 1``."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(hashlib.md5(f"{s}-{c}-{j}".encode()).hexdigest()[:4], 16)
+                / 65535.0
+                * 2
+                - 1
+                for j in range(dsub)
+            ]
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]

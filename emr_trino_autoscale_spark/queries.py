@@ -2896,6 +2896,71 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q71 — X30 oracle twin: PQ encode + ADC with LITERAL md5-derived
+# codebooks (similarity.md5_codebooks — the pq analog of the literal
+# LSH hyperplanes). DuckDB recomputes the identical codebooks from the
+# identical md5 strings, so the whole encode/lookup/rank pipeline is
+# hash-verified cross-engine; q70 remains the trained production path.
+
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cb = similarity.md5_codebooks(m=4, ksub=4, dsub=16)
+    return similarity.pq_topk(e, queries, cb, k=5, exclude_self=True).orderBy(
+        "q_id", "rank"
+    )
+
+
+Q71_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_inner_product(v, v)) = 0
+                                          THEN 1 ELSE sqrt(list_inner_product(v, v)) END)) AS u
+  FROM e),
+cb AS (
+  SELECT s.s, c.c,
+         list_transform(range(1, 17),
+           j -> CAST(('0x' || substr(md5(s.s || '-' || c.c || '-' || (j - 1)), 1, 4)) AS BIGINT)
+                / 65535.0 * 2 - 1) AS cv
+  FROM range(4) s(s), range(4) c(c)),
+sub AS (
+  SELECT vec_id, s.s, list_slice(u, s.s * 16 + 1, s.s * 16 + 16) AS sv
+  FROM n, range(4) s(s)),
+enc AS (
+  SELECT vec_id, s, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+           ORDER BY round(list_inner_product(sv, sv)
+                          - 2 * list_inner_product(sv, cv)
+                          + list_inner_product(cv, cv), 9) ASC, c ASC) AS rn
+  FROM sub JOIN cb USING (s)),
+codes AS (SELECT vec_id, s, c FROM enc WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, u AS qu FROM n WHERE vec_id < 10),
+qsub AS (
+  SELECT q_id, s.s, list_slice(qu, s.s * 16 + 1, s.s * 16 + 16) AS qv
+  FROM q, range(4) s(s)),
+dtab AS (
+  SELECT q_id, s, c,
+         list_inner_product(qv, qv) - 2 * list_inner_product(qv, cv)
+           + list_inner_product(cv, cv) AS pd
+  FROM qsub JOIN cb USING (s)),
+adc AS (
+  SELECT d.q_id, codes.vec_id AS neighbor_id, round(SUM(d.pd), 6) AS adc_dist
+  FROM codes JOIN dtab d ON codes.s = d.s AND codes.c = d.c
+  WHERE codes.vec_id <> d.q_id
+  GROUP BY d.q_id, codes.vec_id),
+r AS (
+  SELECT q_id, neighbor_id, adc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY adc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM adc)
+SELECT q_id, neighbor_id, adc_dist, rank FROM r WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).  q51-q67
 # were declared last in rounds 1-3 and therefore never appeared in a driver
@@ -2978,6 +3043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_kmeans_quantizer": q68,
     "q69_vocab_coverage": q69,
     "q70_pq_topk": q70,
+    "q71_pq_literal": q71,
 }
 
 ORACLE: dict[str, str] = {
@@ -3048,8 +3114,10 @@ ORACLE: dict[str, str] = {
     "q65_cluster_balanced_sample": Q65_SQL,
     "q66_top_duplicated_passages": Q66_SQL,
     "q67_curation_funnel": Q67_SQL,
-    # q68 (iterative k-means) is deliberately oracle-less: rows-only check
+    # q68 (iterative k-means) and q70 (trained PQ) are deliberately
+    # oracle-less rows-only checks; q71 is the PQ oracle twin
     "q69_vocab_coverage": Q69_SQL,
+    "q71_pq_literal": Q71_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).
