@@ -2961,6 +2961,68 @@ ORDER BY q_id, rank
 """
 
 
+# Q72 — X30: semantic dedup via quantized codes (the SemDeDup shape at
+# scale): vectors sharing an identical PQ code tuple live in the same
+# tiny cell of the quantized space — group on the m-byte code, keep the
+# min id per cell. O(n) one-hash-aggregation semantic bucketing, no
+# pairwise similarity at all; the literal md5 codebooks make the whole
+# thing hash-verifiable like q71.
+
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.md5_codebooks(m=4, ksub=4, dsub=16)
+    enc = similarity.pq_encode(e, cb)
+    return (
+        enc.select(
+            "id",
+            *[F.col("codes").getItem(s).alias(f"c{s}") for s in range(4)],
+        )
+        .groupBy("c0", "c1", "c2", "c3")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+Q72_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_inner_product(v, v)) = 0
+                                          THEN 1 ELSE sqrt(list_inner_product(v, v)) END)) AS u
+  FROM e),
+cb AS (
+  SELECT s.s, c.c,
+         list_transform(range(1, 17),
+           j -> CAST(('0x' || substr(md5(s.s || '-' || c.c || '-' || (j - 1)), 1, 4)) AS BIGINT)
+                / 65535.0 * 2 - 1) AS cv
+  FROM range(4) s(s), range(4) c(c)),
+sub AS (
+  SELECT vec_id, s.s, list_slice(u, s.s * 16 + 1, s.s * 16 + 16) AS sv
+  FROM n, range(4) s(s)),
+enc AS (
+  SELECT vec_id, s, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+           ORDER BY round(list_inner_product(sv, sv)
+                          - 2 * list_inner_product(sv, cv)
+                          + list_inner_product(cv, cv), 9) ASC, c ASC) AS rn
+  FROM sub JOIN cb USING (s)),
+piv AS (
+  SELECT vec_id,
+         CAST(MAX(CASE WHEN s = 0 THEN c END) AS INTEGER) AS c0,
+         CAST(MAX(CASE WHEN s = 1 THEN c END) AS INTEGER) AS c1,
+         CAST(MAX(CASE WHEN s = 2 THEN c END) AS INTEGER) AS c2,
+         CAST(MAX(CASE WHEN s = 3 THEN c END) AS INTEGER) AS c3
+  FROM enc WHERE rn = 1 GROUP BY vec_id)
+SELECT c0, c1, c2, c3, MIN(vec_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM piv GROUP BY c0, c1, c2, c3
+ORDER BY keep_id
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).  q51-q67
 # were declared last in rounds 1-3 and therefore never appeared in a driver
@@ -3044,6 +3106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_vocab_coverage": q69,
     "q70_pq_topk": q70,
     "q71_pq_literal": q71,
+    "q72_pq_code_dedup": q72,
 }
 
 ORACLE: dict[str, str] = {
@@ -3118,6 +3181,7 @@ ORACLE: dict[str, str] = {
     # oracle-less rows-only checks; q71 is the PQ oracle twin
     "q69_vocab_coverage": Q69_SQL,
     "q71_pq_literal": Q71_SQL,
+    "q72_pq_code_dedup": Q72_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

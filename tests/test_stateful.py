@@ -400,3 +400,39 @@ def test_streaming_boilerplate_strip_matches_batch_contract(spark, tmp_path):
     # same cleaned stream the batch tier would hash
     md5 = hashlib.md5(got[1]["clean_text"].encode()).hexdigest()
     assert len(md5) == 32
+
+
+def test_streaming_pq_encode(spark, tmp_path):
+    """X30 under Structured Streaming: pq_encode is a stateless Arrow
+    mapInPandas projection, so the SAME plan builder runs on an ingest
+    stream unchanged — codes on the stream equal codes computed in
+    batch (the encode-on-arrival shape a 100 TB vector pipeline uses so
+    the ANN index never re-reads raw embeddings)."""
+    from emr_trino_autoscale_spark.operators import similarity
+
+    src = tmp_path / "pq_src"
+    chk = tmp_path / "pq_chk"
+    rows = [(i, [0.01 * ((i * 7 + j) % 23) + (1.0 if j % 8 == i % 8 else 0.0)
+                 for j in range(64)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.repartition(2).write.parquet(str(src))
+    cb = similarity.md5_codebooks(m=4, ksub=4, dsub=16)
+
+    batch = {r["id"]: list(r["codes"]) for r in similarity.pq_encode(df, cb).collect()}
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        similarity.pq_encode(stream, cb)
+        .writeStream.format("memory")
+        .queryName("pq_encode_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["id"]: list(r["codes"])
+        for r in spark.sql("select * from pq_encode_stream_test").collect()
+    }
+    assert got == batch and len(got) == 24
