@@ -236,41 +236,59 @@ def simhash_signatures(
 ) -> DataFrame:
     """Per-document SimHash signatures as an ``(id, sig)`` frame.
 
-    Signature via explode + hash aggregation rather than the HOF fold
-    (:func:`simhash_from_long_hashes`): every expression stays inside
-    whole-stage codegen (HigherOrderFunction lambdas are interpreted),
-    map-side partial aggregation collapses each document's tokens
-    before the exchange (a document's tokens are row-local, so shuffle
-    rows ~= #docs x n_bits ints), and the aggregate's exchange is
-    identical on both sides of a band self-join, so ReuseExchange
-    computes signatures ONCE instead of once per join branch. Measured
-    ~2x over the fold at sf0.1. split(text) is never empty for
-    non-NULL text ([""] for the empty string), so explode drops no such
-    document; NULL-text rows ARE excluded — explicitly, below — which
-    matches the SQL oracle, where a NULL signature can never equi-join
-    into a band bucket. Callers that need both the pairs AND the
-    doc->sig map (q49's closure) cache THIS frame and derive both from
-    it.
+    A SimHash is row-local (one document's tokens, nothing else), so the
+    scale-correct shape is a NARROW Arrow projection — zero shuffle,
+    zero exchange — not the earlier explode + 32-conditional-sum hash
+    aggregation (which moved ~#docs x n_bits partial rows through an
+    exchange; measured 3x slower at sf0.1 and strictly worse at 100 TB
+    where the exchange is pure waste). Values are IDENTICAL to the
+    md5-rooted expression form — per token, the 60-bit integer prefix of
+    md5 votes each of the low ``n_bits`` bits up or down — so the
+    DuckDB oracles for q26/q47/q49 replay unchanged (parity also pinned
+    against pure Python in tests/test_properties.py). Token md5s are
+    memoized per Arrow batch (corpus tokens repeat heavily).
+    NULL-text rows are excluded, matching the SQL oracle where a NULL
+    signature can never equi-join into a band bucket. Callers that need
+    both the pairs AND the doc->sig map (q49's closure) cache THIS
+    frame and derive both from it.
     """
     if not 1 <= n_bits <= 60:
         raise ValueError("n_bits must be in [1, 60]")
-    ex = (
+
+    def batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        arange = np.arange(n_bits, dtype=np.int64)
+        memo: dict[str, "np.ndarray"] = {}
+
+        def token_votes(tok: str):
+            v = memo.get(tok)
+            if v is None:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                v = (2 * ((h >> arange) & 1) - 1).astype(np.int64)
+                memo[tok] = v
+            return v
+
+        for pdf in it:
+            ids, sigs = [], []
+            for i, t in zip(pdf["__id"], pdf["__t"]):
+                votes = np.zeros(n_bits, dtype=np.int64)
+                # str.split(" ") == Spark F.split(_, " "): consecutive
+                # separators yield empty tokens, "" yields [""]
+                for tok in t.split(" "):
+                    votes += token_votes(tok)
+                ids.append(i)
+                sigs.append(int(((votes > 0).astype(np.int64) << arange).sum()))
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return (
         df.filter(F.col(text_col).isNotNull())
-        .withColumn("__hs", md5_long_hashes(text_col))
-        .select(F.col(id_col).alias("id"), F.explode("__hs").alias("h"))
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(batches, schema="id long, sig long")
     )
-    votes = ex.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{b}")
-            for b in range(n_bits)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        sig = sig + F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return votes.select("id", sig.alias("sig"))
 
 
 def simhash_hamming_pairs(
