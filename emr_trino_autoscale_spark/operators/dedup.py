@@ -428,20 +428,37 @@ def ngram_jaccard_pairs_prefix(
     of the hex string — a different but equally total order, and the
     PPJoin pigeonhole argument only needs SOME shared total order.
     """
+    # packed (id, sh, sz) via the Arrow shingler — row-local, so no HOF
+    # transform / no per-shingle JVM md5 (same digests, see
+    # shingle_digest_rows); element order inside `sh` is irrelevant
+    # downstream (explode + array_intersect are order-insensitive)
+    def _pack(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, shs = [], []
+            for i, t in zip(pdf["__id"], pdf["__t"]):
+                toks = t.split(" ")
+                if len(toks) < k:
+                    continue
+                seen: dict[int, None] = {}
+                for j in range(len(toks) - k + 1):
+                    g = int(
+                        hashlib.md5(" ".join(toks[j : j + k]).encode("utf-8"))
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    seen.setdefault(g)
+                ids.append(i)
+                shs.append(list(seen))
+            yield pd.DataFrame({"id": ids, "sh": shs})
+
     docs = (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
-        .filter(F.size("__toks") >= k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.transform(
-                    shingles_of(F.col("__toks"), k),
-                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                        "long"
-                    ),
-                )
-            ).alias("sh"),
-        )
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(_pack, schema="id long, sh array<long>")
         .withColumn("sz", F.size("sh"))
     )
     # The shingle index feeds three plan branches (inverted index + both
@@ -530,38 +547,76 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def shingle_digest_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+    out_col: str = "gram",
+) -> DataFrame:
+    """(id, digest) rows — per document, the 60-bit integer md5 digest
+    of each word k-shingle, as a NARROW Arrow projection.
+
+    Shingling is row-local, so like :func:`simhash_signatures` this
+    avoids the interpreted HOF transform + JVM explode entirely: one
+    mapInPandas pass tokenizes, joins k-grams, digests (md5 of the
+    UTF-8 shingle — identical values to ``conv(substring(md5(t),1,15),
+    16,10)``, so every SQL oracle replays unchanged) and emits the
+    exploded rows directly. ``distinct`` dedups per document (the
+    ngram_hashes contract). Documents shorter than k tokens emit no
+    rows."""
+
+    def batches(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, grams = [], []
+            for i, t in zip(pdf["__id"], pdf["__t"]):
+                toks = t.split(" ")
+                if len(toks) < k:
+                    continue
+                seen = set()
+                for j in range(len(toks) - k + 1):
+                    g = int(
+                        hashlib.md5(" ".join(toks[j : j + k]).encode("utf-8"))
+                        .hexdigest()[:15],
+                        16,
+                    )
+                    if distinct:
+                        if g in seen:
+                            continue
+                        seen.add(g)
+                    ids.append(i)
+                    grams.append(g)
+            yield pd.DataFrame({"id": ids, out_col: grams})
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .mapInPandas(batches, schema=f"id long, {out_col} long")
+    )
+
+
 def ngram_hashes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:
     """(id, gram) pairs — one row per DISTINCT k-gram digest per doc.
 
     The shared primitive under decontamination (X17), novelty scoring
-    (X18) and the memorization audit (X21): explode keeps everything in
-    whole-stage codegen, per-doc ``array_distinct`` bounds the fan-out
-    by document length. The digest is the 60-bit integer form of md5 —
-    an 8-byte shuffle/join key instead of a 32-char string (~25-40%
-    off the gram joins, measured on q59/q60/q63 at sf0.1); derivation
-    stays md5-rooted so the oracle's own md5-string grams aggregate to
-    identical counts (a 60-bit collision between distinct grams is
-    ~n^2/2^61 and would surface in the cross-engine gate). Documents
-    shorter than ``k`` tokens contribute no rows (:func:`shingles_of`
-    guard)."""
-    return (
-        df.withColumn("__toks", F.split(F.col(text_col), " "))
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        shingles_of(F.col("__toks"), k),
-                        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                            "long"
-                        ),
-                    )
-                )
-            ).alias("gram"),
-        )
-    )
+    (X18) and the memorization audit (X21). The digest is the 60-bit
+    integer form of md5 — an 8-byte shuffle/join key instead of a
+    32-char string (~25-40% off the gram joins, measured on q59/q60/q63
+    at sf0.1); derivation stays md5-rooted so the oracle's own
+    md5-string grams aggregate to identical counts (a 60-bit collision
+    between distinct grams is ~n^2/2^61 and would surface in the
+    cross-engine gate). Now emitted by the Arrow shingler
+    (:func:`shingle_digest_rows`) instead of HOF transform + explode —
+    same values, no interpreted lambdas, no codegen explode. Documents
+    shorter than ``k`` tokens contribute no rows."""
+    return shingle_digest_rows(df, text_col, id_col, k, distinct=True)
 
 
 def contamination_fractions(
