@@ -399,3 +399,35 @@ def vocab_coverage(
         )
         .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
     )
+
+
+def fingerprint60_md5_arrow(text_col: str = "text", window: int = 8):
+    """Arrow twin of :func:`fingerprint60_md5` — identical values
+    (XOR of 60-bit md5 gram digests, same short-document clipping), no
+    interpreted HOF lambda and no per-gram JVM md5. Row-local, so the
+    right shape is a vectorized projection (docs/SCALE.md round-5 rule).
+    Returns a Column; use in place of the expression form in hot paths.
+    The expression form remains the documented oracle-shape reference.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    def fp_series(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split(" ")
+            n_grams = max(len(toks) - (window - 1), 1)
+            acc = 0
+            for j in range(n_grams):
+                g = " ".join(toks[j : j + window])
+                acc ^= int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            out.append(acc)
+        return pd.Series(out, dtype="object")
+
+    return pandas_udf(fp_series, "long", functionType=200)(F.col(text_col))

@@ -1241,7 +1241,9 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.bpe_ish_token_count("text").alias("bpe_tokens"),
         F.size("__toks").cast("bigint").alias("ws_tokens"),
-        text.fingerprint60_md5(toks=F.col("__toks"), window=8).alias("fingerprint"),
+        # Arrow twin: identical XOR-of-md5-gram values, no interpreted
+        # HOF fold (tests pin parity with the expression form)
+        text.fingerprint60_md5_arrow("text", window=8).alias("fingerprint"),
     ).orderBy("doc_id")
 
 

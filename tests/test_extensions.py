@@ -955,3 +955,16 @@ def test_pq_topk_recall_vs_exact(spark):
     for r in similarity.pq_topk(vecs, queries, cb, k=5, exclude_self=True).collect():
         again.setdefault(r["q_id"], set()).add(r["neighbor_id"])
     assert again == pq
+
+
+def test_fingerprint60_arrow_matches_expression_form(spark):
+    texts = [
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        "short doc",
+        "",
+        "a a a a a a a a a",
+    ]
+    d = docs(spark, texts)
+    expr = {r["doc_id"]: r["fp"] for r in d.select("doc_id", text.fingerprint60_md5().alias("fp")).collect()}
+    arrow = {r["doc_id"]: r["fp"] for r in d.select("doc_id", text.fingerprint60_md5_arrow().alias("fp")).collect()}
+    assert expr == arrow
