@@ -138,7 +138,7 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
     # Per-query failure isolation: one broken query must never zero out
