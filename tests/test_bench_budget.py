@@ -66,8 +66,21 @@ def test_per_query_bench_budget():
         cwd=REPO,
     )
     assert proc.returncode == 0, f"bench.py rc={proc.returncode}: {proc.stderr[-2000:]}"
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    # bench.py prints the FULL record (long query names) then a compact
+    # driver-tail line (short qNN keys) — see bench.py docstring. The
+    # guard budgets per full name, so parse the full record.
+    out = json.loads(lines[-2])
+    assert out["metric"] == "declared_query_suite_runtime_full"
+
+    # driver-tail contract (round-6 fix for BENCH_r03/r05 parsed:null):
+    # the final line must parse standalone and fit the ~2000-char tail
+    tail_line = lines[-1]
+    assert len(tail_line) < 1800, f"driver-tail line too long: {len(tail_line)}"
+    tail = json.loads(tail_line)
+    assert tail["metric"] == "declared_query_suite_runtime"
+    assert tail["value"] == out["value"]
+    assert len(tail["queries"]) == len(out["queries"])
 
     # failure isolation contract: every declared query must have timed
     assert not out.get("errors"), f"bench reported per-query errors: {out['errors']}"

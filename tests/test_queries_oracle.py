@@ -28,11 +28,13 @@ def duck():
 def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
-    or reordering an entry can never silently rotate the audited set:
-    q51-q67 first (declared last in r1-r3, never driver-hashed until the
-    round-4 reorder), then q01-q33."""
+    or reordering an entry can never silently rotate the audited set.
+    Round-6 rotation: q34-q50 (last driver-hashed r01-r03) + q68-q72
+    (never driver-hashed) first, then q01-q28; the tail (q29-q33,
+    q51-q67) is all r05-driver-green."""
     expected = [
-        f"q{i:02d}" for i in list(range(51, 68)) + list(range(1, 34))
+        f"q{i:02d}"
+        for i in list(range(34, 51)) + list(range(68, 73)) + list(range(1, 29))
     ]
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
