@@ -273,6 +273,12 @@ def simhash_signatures(
             return v
 
         for pdf in it:
+            # bound the per-task memo: unbounded growth across a long
+            # partition's batches is a slow leak on high-cardinality
+            # token streams; per-batch reuse captures most of the
+            # repeat-token win, so clearing at ~1M entries costs little
+            if len(memo) > 1_000_000:
+                memo.clear()
             ids, sigs = [], []
             for i, t in zip(pdf["__id"], pdf["__t"]):
                 votes = np.zeros(n_bits, dtype=np.int64)
@@ -287,7 +293,11 @@ def simhash_signatures(
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .mapInPandas(batches, schema="id long, sig long")
+        .mapInPandas(
+            batches,
+            # id type follows the input column (string doc ids survive)
+            schema=f"id {df.schema[id_col].dataType.simpleString()}, sig long",
+        )
     )
 
 
@@ -458,7 +468,10 @@ def ngram_jaccard_pairs_prefix(
     docs = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .mapInPandas(_pack, schema="id long, sh array<long>")
+        .mapInPandas(
+            _pack,
+            schema=f"id {df.schema[id_col].dataType.simpleString()}, sh array<long>",
+        )
         .withColumn("sz", F.size("sh"))
     )
     # The shingle index feeds three plan branches (inverted index + both
@@ -596,7 +609,10 @@ def shingle_digest_rows(
     return (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .mapInPandas(batches, schema=f"id long, {out_col} long")
+        .mapInPandas(
+            batches,
+            schema=f"id {df.schema[id_col].dataType.simpleString()}, {out_col} long",
+        )
     )
 
 

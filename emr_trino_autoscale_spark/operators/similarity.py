@@ -126,7 +126,8 @@ def brute_force_topk_vectorized(
     import pandas as pd
 
     q_rows = queries.select(query_id_col, vec_col).collect()  # bounded by contract
-    q_ids = np.array([r[query_id_col] for r in q_rows], dtype=np.int64)
+    # no dtype force: string query ids stay an object array (lexsort-safe)
+    q_ids = np.array([r[query_id_col] for r in q_rows])
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(q_mat, axis=1)
     qn[qn == 0.0] = 1.0
@@ -136,7 +137,7 @@ def brute_force_topk_vectorized(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             nrm = np.linalg.norm(m, axis=1)
             nrm[nrm == 0.0] = 1.0
@@ -161,7 +162,13 @@ def brute_force_topk_vectorized(
                 yield pd.concat(out, ignore_index=True)
 
     partial = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{query_id_col} long, neighbor_id long, cosine double"
+        score,
+        # id types follow the input columns (string ids survive)
+        schema=(
+            f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()},"
+            f" neighbor_id {corpus.schema[id_col].dataType.simpleString()},"
+            " cosine double"
+        ),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -789,15 +796,23 @@ def _kmeans_parallel_init(
             F.xxhash64(F.col(id_col).cast("string"), F.lit("kmeans||")),
             F.lit(1 << 24),
         ) / F.lit(float(1 << 24))
-        cand += [
-            (r[id_col], [float(x) for x in r["__v"]])
-            for r in costed.filter(
-                (F.col("__cost") > 0.0)
-                & (u < F.lit(float(ell)) * F.col("__cost") / F.lit(total))
-            )
-            .select(id_col, "__v")
-            .collect()
-        ]
+        # sort by id: collect() order is partition-layout-dependent, and
+        # the weight pass's nearest-candidate tie-break resolves to the
+        # smaller LIST INDEX — unsorted candidates would make the seed
+        # set vary with layout under tied/duplicate vectors (pq_train
+        # sorts its sample the same way)
+        cand += sorted(
+            (
+                (r[id_col], [float(x) for x in r["__v"]])
+                for r in costed.filter(
+                    (F.col("__cost") > 0.0)
+                    & (u < F.lit(float(ell)) * F.col("__cost") / F.lit(total))
+                )
+                .select(id_col, "__v")
+                .collect()
+            ),
+            key=lambda t: t[0],
+        )
     if len(cand) < k:
         # tiny/degenerate corpus: top up with the smallest unseen ids
         have = {cid for cid, _ in cand}
@@ -1186,12 +1201,17 @@ def pq_topk(
                 # equal ADC) and break global id tie-break exactness
                 order = np.lexsort((cids, cd))[:take]
                 out_q += [qid] * take
-                out_n += [int(x) for x in cids[order]]
+                out_n += list(cids[order])
                 out_d += [float(x) for x in cd[order]]
             yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "adc_dist": out_d})
 
     local = codes_df.mapInPandas(
-        score, schema="q_id long, neighbor_id long, adc_dist double"
+        score,
+        schema=(
+            f"q_id {queries.schema[query_id_col].dataType.simpleString()},"
+            f" neighbor_id {corpus.schema[id_col].dataType.simpleString()},"
+            " adc_dist double"
+        ),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

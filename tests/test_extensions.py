@@ -968,3 +968,42 @@ def test_fingerprint60_arrow_matches_expression_form(spark):
     expr = {r["doc_id"]: r["fp"] for r in d.select("doc_id", text.fingerprint60_md5().alias("fp")).collect()}
     arrow = {r["doc_id"]: r["fp"] for r in d.select("doc_id", text.fingerprint60_md5_arrow().alias("fp")).collect()}
     assert expr == arrow
+
+
+def test_string_ids_survive_arrow_projections(spark):
+    """Round-6 regression (ADVICE r5): the Arrow rewrites used to
+    hardcode 'id long', silently breaking string doc/vec ids that the
+    expression forms preserved. Each projection must emit the input id
+    type unchanged."""
+    d = spark.createDataFrame(
+        [("doc-b", "a b c d e"), ("doc-a", "a b c d e"), ("doc-c", "x y z w v")],
+        "doc_id string, text string",
+    )
+    sigs = dedup.simhash_signatures(d, id_col="doc_id")
+    assert dict(sigs.dtypes)["id"] == "string"
+    by_id = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert by_id["doc-a"] == by_id["doc-b"] != by_id["doc-c"]
+
+    rows = dedup.shingle_digest_rows(d, id_col="doc_id", k=2)
+    assert dict(rows.dtypes)["id"] == "string"
+    assert {r["id"] for r in rows.collect()} == {"doc-a", "doc-b", "doc-c"}
+
+    vecs = spark.createDataFrame(
+        [(f"v{i:02d}", [float(i), 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id string, embedding array<double>",
+    )
+    qs = vecs.filter(F.col("vec_id") == "v00").withColumnRenamed("vec_id", "q_id")
+    bf = similarity.brute_force_topk_vectorized(
+        vecs, qs, k=3, id_col="vec_id", query_id_col="q_id"
+    )
+    got = [(r["q_id"], r["neighbor_id"]) for r in bf.orderBy("rank").collect()]
+    assert len(got) == 3 and all(q == "v00" for q, _ in got)
+    assert all(isinstance(n, str) for _, n in got)
+
+    cb = similarity.md5_codebooks(m=2, ksub=2, dsub=2)
+    pq = similarity.pq_topk(
+        vecs, qs, cb, k=3, id_col="vec_id", query_id_col="q_id", exclude_self=True
+    )
+    prows = pq.collect()
+    assert len(prows) == 3
+    assert all(isinstance(r["neighbor_id"], str) and r["q_id"] == "v00" for r in prows)
