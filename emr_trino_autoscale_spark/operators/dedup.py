@@ -571,14 +571,19 @@ def shingle_digest_rows(
     """(id, digest) rows — per document, the 60-bit integer md5 digest
     of each word k-shingle, as a NARROW Arrow projection.
 
-    Shingling is row-local, so like :func:`simhash_signatures` this
-    avoids the interpreted HOF transform + JVM explode entirely: one
-    mapInPandas pass tokenizes, joins k-grams, digests (md5 of the
+    One mapInPandas pass tokenizes, joins k-grams, digests (md5 of the
     UTF-8 shingle — identical values to ``conv(substring(md5(t),1,15),
     16,10)``, so every SQL oracle replays unchanged) and emits the
     exploded rows directly. ``distinct`` dedups per document (the
     ngram_hashes contract). Documents shorter than k tokens emit no
-    rows."""
+    rows.
+
+    NOT the hot-path form: a round-6 interleaved A/B at sf0.1 measured
+    per-shingle Python hashlib ~2x slower than the JVM expression form
+    (:func:`ngram_hashes`, which this briefly replaced in round 5) —
+    JVM md5 wins for pure digest emission. Kept for callers that need
+    the Arrow batch shape (custom per-batch fusion, non-long id
+    passthrough without expression churn)."""
 
     def batches(it):
         import hashlib
@@ -628,11 +633,34 @@ def ngram_hashes(
     at sf0.1); derivation stays md5-rooted so the oracle's own
     md5-string grams aggregate to identical counts (a 60-bit collision
     between distinct grams is ~n^2/2^61 and would surface in the
-    cross-engine gate). Now emitted by the Arrow shingler
-    (:func:`shingle_digest_rows`) instead of HOF transform + explode —
-    same values, no interpreted lambdas, no codegen explode. Documents
-    shorter than ``k`` tokens contribute no rows."""
-    return shingle_digest_rows(df, text_col, id_col, k, distinct=True)
+    cross-engine gate). Documents shorter than ``k`` tokens contribute
+    no rows (:func:`shingles_of` guard).
+
+    Form note (round-6 A/B): this is deliberately the JVM expression
+    form — transform + md5 + conv inside explode — NOT the Arrow
+    shingler (:func:`shingle_digest_rows`). Round 5 routed it through
+    Arrow; an interleaved isolated A/B at sf0.1 measured the Python
+    hashlib loop ~2x slower for this consumption shape (JVM 0.95 s vs
+    Arrow 1.9 s steady-state on the q63 df-count + join-back), which
+    showed up as the q59/q60/q63 bench regressions. JVM md5 beats
+    per-shingle Python hashing even though the HOF lambda is
+    interpreted; see docs/SCALE.md round-6 notes."""
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_of(F.col("__toks"), k),
+                        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                            "long"
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
 
 
 def contamination_fractions(

@@ -745,8 +745,45 @@ def coarse_assign(
     )
 
 
+def _greedy_d2_select(ids, C, w, k: int) -> list[int]:
+    """Greedy weighted D^2 recluster over the candidate set: repeatedly
+    pick the candidate maximizing weight * (1 - best cosine sim to any
+    chosen center), ties to the smallest original id. Pure NumPy on
+    in-memory arrays — called on the DRIVER for normal l, or inside a
+    single-group Arrow pass on an EXECUTOR when l*d exceeds the budget
+    (identical code path, so both modes produce identical centroids).
+    Index 0 (the seed) is always chosen first. Returns chosen indices.
+    """
+    import numpy as np
+
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0.0] = 1.0
+    Cn = C / norms[:, None]
+
+    chosen = [0]  # the seed
+    best_sim = Cn @ Cn[0]
+    while len(chosen) < min(k, len(C)):
+        score = w * np.maximum(0.0, 1.0 - best_sim)
+        m = score.max()
+        if m > 0.0:
+            tie = np.where(score >= m - 1e-12)[0]
+            pick = int(tie[np.argmin(ids[tie])])
+        else:  # every candidate already coincides with a chosen center
+            rest = sorted(set(range(len(C))) - set(chosen), key=lambda i: ids[i])
+            if not rest:
+                break
+            pick = rest[0]
+        chosen.append(pick)
+        best_sim = np.maximum(best_sim, Cn @ Cn[pick])
+    return chosen
+
+
 def _kmeans_parallel_init(
-    corpus: DataFrame, k: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    recluster_budget_bytes: int = 64 << 20,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic k-means|| seeding (Bahmani et al., "Scalable
     k-means++", VLDB 2012) for :func:`kmeans_fit`.
@@ -769,6 +806,14 @@ def _kmeans_parallel_init(
     (pick the candidate maximizing weight*cost, ties to the smaller
     original id) instead of weighted k-means++ sampling. Driver state
     is bounded: O(l) candidate vectors + O(k*d) centroids.
+
+    When the candidate matrix exceeds ``recluster_budget_bytes``
+    (l*d*8 > 64 MB by default — the k~10^5, d~512 regime), the greedy
+    recluster relocates to an executor as one single-group Arrow pass
+    running the SAME :func:`_greedy_d2_select` code, so both modes
+    yield identical centroids; the driver then holds only the
+    candidate broadcast it already owes the weighting closure plus the
+    k*d result.
     """
     from ..functions.arrow_udfs import (
         cosine_cost_vectorized,
@@ -845,27 +890,61 @@ def _kmeans_parallel_init(
     import numpy as np
 
     C = np.array([v for _, v in cand], dtype=float)
-    norms = np.linalg.norm(C, axis=1)
-    norms[norms == 0.0] = 1.0
-    Cn = C / norms[:, None]
     w = np.array([wmap.get(i, 0) for i in range(len(cand))], dtype=float)
     ids = np.array([cid for cid, _ in cand])
 
-    chosen = [0]  # the seed
-    best_sim = Cn @ Cn[0]
-    while len(chosen) < min(k, len(cand)):
-        score = w * np.maximum(0.0, 1.0 - best_sim)
-        m = score.max()
-        if m > 0.0:
-            tie = np.where(score >= m - 1e-12)[0]
-            pick = int(tie[np.argmin(ids[tie])])
-        else:  # every candidate already coincides with a chosen center
-            rest = sorted(set(range(len(cand))) - set(chosen), key=lambda i: ids[i])
-            if not rest:
-                break
-            pick = rest[0]
-        chosen.append(pick)
-        best_sim = np.maximum(best_sim, Cn @ Cn[pick])
+    if C.nbytes > recluster_budget_bytes:
+        # Extreme-k path (VERDICT r5 task 7): the O(k*l*d) greedy
+        # recluster and its l x d working set run as ONE single-group
+        # Arrow pass on an executor instead of driver NumPy — the
+        # driver's remaining per-init state is the candidate broadcast
+        # it already owes the weighting closure, plus the k*d result.
+        # Same _greedy_d2_select code on both paths => identical
+        # centroids (pinned by tests/test_extensions.py).
+        import pandas as pd
+
+        src = pd.DataFrame(
+            {
+                "pos": np.arange(len(cand), dtype=np.int64),
+                # original id type: a string cast would flip int
+                # tie-breaks to lexicographic order
+                "cid": [cid for cid, _ in cand],
+                "wgt": w,
+                "vec": [list(map(float, v)) for _, v in cand],
+            }
+        )
+        cdf = corpus.sparkSession.createDataFrame(
+            src,
+            schema=(
+                f"pos long, cid {corpus.schema[id_col].dataType.simpleString()},"
+                " wgt double, vec array<double>"
+            ),
+        )
+
+        def _pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("pos")
+            Cl = np.stack(pdf["vec"].to_list()).astype(float)
+            idx = _greedy_d2_select(
+                pdf["cid"].to_numpy(), Cl, pdf["wgt"].to_numpy(dtype=float), k
+            )
+            return pd.DataFrame(
+                {"j": np.arange(len(idx)), "v": [list(Cl[i]) for i in idx]}
+            )
+
+        rows = (
+            cdf.repartition(1)
+            .groupBy(F.lit(1).alias("g"))
+            .applyInPandas(
+                lambda pdf: _pick(pdf), schema="j long, v array<double>"
+            )
+            .collect()
+        )
+        return [
+            (int(r["j"]), [float(x) for x in r["v"]])
+            for r in sorted(rows, key=lambda r: r["j"])
+        ]
+
+    chosen = _greedy_d2_select(ids, C, w, k)
     return [(j, [float(x) for x in C[i]]) for j, i in enumerate(chosen)]
 
 
@@ -876,6 +955,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = False,
+    recluster_budget_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) trainer for the IVF coarse quantizer —
     the production source of :func:`ivf_topk` centroids (the
@@ -901,7 +981,9 @@ def kmeans_fit(
     """
     spark = corpus.sparkSession
     schema = f"c_id int, {vec_col} array<double>"
-    cent_rows = _kmeans_parallel_init(corpus, k, id_col, vec_col)
+    cent_rows = _kmeans_parallel_init(
+        corpus, k, id_col, vec_col, recluster_budget_bytes=recluster_budget_bytes
+    )
     for _ in range(n_iter):
         if vectorized:
             # centroids are already driver-side model state — feed the

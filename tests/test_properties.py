@@ -293,3 +293,25 @@ def test_singleton_gram_stats_matches_reference(spark, texts, k):
         singletons = sum(1 for g in grams if gdf[g] == 1)
         assert got[i]["n_grams"] == len(grams)
         assert got[i]["n_singleton"] == singletons
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Pins the pointer-jumping guarantee the 100 TB argument rests on
+    (VERDICT r5 task 6): a path graph of N nodes has diameter N-1, so
+    plain 1-hop min-label propagation needs ~N rounds — pointer jumping
+    must converge in O(log N). ``max_iter`` IS the assertion: the
+    operator raises rather than returning a partial clustering, so
+    convergence within 2*log2(N)+2 checkpoint rounds proves the bound.
+    """
+    import math
+
+    n = 4096
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .repartition(8)
+    )
+    budget = int(2 * math.log2(n)) + 2
+    labels = dedup.connected_components(pairs, max_iter=budget)
+    assert labels.filter(F.col("comp") != 0).count() == 0
+    assert labels.count() == n
