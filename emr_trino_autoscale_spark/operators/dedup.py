@@ -438,39 +438,24 @@ def ngram_jaccard_pairs_prefix(
     of the hex string — a different but equally total order, and the
     PPJoin pigeonhole argument only needs SOME shared total order.
     """
-    # packed (id, sh, sz) via the Arrow shingler — row-local, so no HOF
-    # transform / no per-shingle JVM md5 (same digests, see
-    # shingle_digest_rows); element order inside `sh` is irrelevant
+    # packed (id, sh, sz) in the JVM: like ngram_hashes (see its round-6
+    # form note), per-shingle md5 digesting dominates this projection
+    # and shingles are mostly unique, so JVM md5+conv beats a Python
+    # hashlib loop ~2x; element order inside `sh` is irrelevant
     # downstream (explode + array_intersect are order-insensitive)
-    def _pack(it):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in it:
-            ids, shs = [], []
-            for i, t in zip(pdf["__id"], pdf["__t"]):
-                toks = t.split(" ")
-                if len(toks) < k:
-                    continue
-                seen: dict[int, None] = {}
-                for j in range(len(toks) - k + 1):
-                    g = int(
-                        hashlib.md5(" ".join(toks[j : j + k]).encode("utf-8"))
-                        .hexdigest()[:15],
-                        16,
-                    )
-                    seen.setdefault(g)
-                ids.append(i)
-                shs.append(list(seen))
-            yield pd.DataFrame({"id": ids, "sh": shs})
-
     docs = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .mapInPandas(
-            _pack,
-            schema=f"id {df.schema[id_col].dataType.simpleString()}, sh array<long>",
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(
+                    shingles_of(F.col("__toks"), k),
+                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            ).alias("sh"),
         )
         .withColumn("sz", F.size("sh"))
     )
