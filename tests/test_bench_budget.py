@@ -11,18 +11,20 @@ of piggybacking on the 8-cpu test session. Marked ``slow``: one full
 bench (~1.5 min) per pytest run.
 
 Baseline provenance: ``bench_baseline.json`` is the per-query MAX over
-five round-5 bench runs on this box. It reads ~1.5x above the round-3
-driver numbers (``bench_baseline_r03.json``, kept for reference) for
-reasons verified at rebaseline time: (a) the host has a noisy
-co-tenant — load-average 1.5-2.7 with zero of our processes running,
-swinging whole-suite totals 75-85 s run to run and single queries up
-to 3x; (b) the round-4 QUERIES reorder moved q51-q67 to the front
-where they absorb first-use engine costs (measured: q53 4.5 s cold vs
-0.9 s steady-state on identical data — bench.py's warmup now covers
-most, not all, of those paths); (c) q01-q17 match r03 within 4%, ruling
-out a code regression. Guarding against a same-box ceiling is what
-catches real code regressions; guarding against another machine's
-numbers would only measure the machine.
+two round-6 bench runs on this box (suite totals 78.9 s / 82.7 s,
+load1 ~2), captured AFTER the round-6 perf fixes (ngram_hashes and the
+PPJoin pack reverted to JVM md5 — q49 11.6->6.6, q27 6.4->5.1,
+q63 1.67->1.46 vs the round-5 MAX-of-5 baseline) and under the
+documented real-table warmup methodology (see bench.py). The host has
+a noisy co-tenant (load-average 1.5-2.7 with zero of our processes
+running) that swings whole-suite totals 75-85 s run to run and single
+queries up to ~1.5x between consecutive runs — the 1.5x ratio plus
+0.75 s floor absorbs that. ``bench_baseline_r03.json`` is kept for
+reference. Per VERDICT r5 task 4, once a driver-parsed BENCH_r06
+exists (the round-6 bench tail fix makes that possible), re-anchor to
+the driver's numbers x this same stated factor. Guarding against a
+same-box ceiling is what catches real code regressions; guarding
+against another machine's numbers would only measure the machine.
 """
 
 from __future__ import annotations
