@@ -46,20 +46,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RATIO, FLOOR_S = 1.5, 0.75
 
 
-@pytest.mark.slow
-def test_per_query_bench_budget():
-    if not os.path.isdir(SF_DIR):
-        pytest.skip(f"{SF_DIR} missing")
-    # A loaded box (e.g. the rest of the suite just pinned 8 cores, or
-    # the host's noisy co-tenant is active) inflates wall-clock 2-5x and
-    # would red the guard with zero code signal. Wall-clock budgets are
-    # only meaningful quiet; skip loudly otherwise.
-    load1 = os.getloadavg()[0]
-    if load1 > 4.0:
-        pytest.skip(f"box too loaded for wall-clock budgets (load1={load1:.1f})")
-    with open(BASELINE) as f:
-        base = json.load(f)
-
+def _run_bench() -> dict:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -86,19 +73,54 @@ def test_per_query_bench_budget():
 
     # failure isolation contract: every declared query must have timed
     assert not out.get("errors"), f"bench reported per-query errors: {out['errors']}"
-    missing = sorted(set(base) - set(out["queries"]))
-    assert not missing, f"queries missing from bench output: {missing}"
+    return out
 
-    over = {
+
+def _overruns(times: dict, base: dict) -> dict:
+    return {
         name: (t, base[name])
-        for name, t in out["queries"].items()
+        for name, t in times.items()
         if name in base and t > max(RATIO * base[name], base[name] + FLOOR_S)
     }
+
+
+@pytest.mark.slow
+def test_per_query_bench_budget():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} missing")
+    # A loaded box (e.g. the rest of the suite just pinned 8 cores, or
+    # the host's noisy co-tenant is active) inflates wall-clock 2-5x and
+    # would red the guard with zero code signal. Wall-clock budgets are
+    # only meaningful quiet; skip loudly otherwise.
+    load1 = os.getloadavg()[0]
+    if load1 > 4.0:
+        pytest.skip(f"box too loaded for wall-clock budgets (load1={load1:.1f})")
+    with open(BASELINE) as f:
+        base = json.load(f)
+
+    out = _run_bench()
+    missing = sorted(set(base) - set(out["queries"]))
+    assert not missing, f"queries missing from bench output: {missing}"
+    times = dict(out["queries"])
+
+    # The co-tenant's load spikes (measured round 6: two back-to-back
+    # runs flagged DISJOINT query sets — q42/q08 in one, the q63-q66
+    # block in the other) would red the guard with zero code signal. A
+    # real regression is present in EVERY run, noise isn't: on overrun,
+    # rerun once and budget against the per-query MIN of the two runs.
+    if _overruns(times, base):
+        out2 = _run_bench()
+        times = {
+            n: min(t, out2["queries"].get(n, t)) for n, t in times.items()
+        }
+
+    over = _overruns(times, base)
     assert not over, (
-        "per-query bench regression >1.5x vs BENCH_r03 "
-        f"(query: (now_s, r03_s)): {over}"
+        "per-query bench regression >1.5x vs baseline in two consecutive "
+        f"runs (query: (min_now_s, base_s)): {over}"
     )
     total_base = sum(base.values())
-    assert out["value"] <= RATIO * total_base, (
-        f"suite total regressed: {out['value']:.1f}s vs r03 {total_base:.1f}s"
+    total = sum(times.values())
+    assert total <= RATIO * total_base, (
+        f"suite total regressed: {total:.1f}s vs baseline {total_base:.1f}s"
     )
