@@ -727,6 +727,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     persist_fn=None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs -> duplicate components.
 
@@ -757,6 +758,12 @@ def connected_components(
     otherwise force one iteration per hop. Convergence is the monotone
     label sum stabilizing (labels only ever decrease): one scalar
     action per iteration, never a collect of the data.
+
+    ``stats``, when given, receives ``{"rounds": N}`` — the number of
+    checkpoint rounds (two hop+jump steps each) the loop ran before the
+    label sum stabilized. The O(log diameter) claim the 100 TB argument
+    rests on is assertable through it (tests/test_properties.py pins a
+    4096-node path graph to a logarithmic round count).
 
     ``persist_fn`` scopes the *final* frame like the other operators;
     intermediate checkpoint blocks are released by Spark's
@@ -799,7 +806,7 @@ def connected_components(
         )
 
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # two hop+jump steps per checkpoint round: the per-round fixed
         # cost (one fused checkpoint+convergence job) dominates on small
         # graphs, and two un-truncated steps only grow the transient
@@ -807,6 +814,8 @@ def connected_components(
         labels = hop_and_jump(hop_and_jump(labels)).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:
+            if stats is not None:
+                stats["rounds"] = rounds
             return persist_fn(labels) if persist_fn is not None else labels
         prev_sum = new_sum
     raise RuntimeError(f"label propagation did not converge in {max_iter} iterations")

@@ -312,6 +312,8 @@ def test_connected_components_chain_converges_logarithmically(spark):
         .repartition(8)
     )
     budget = int(2 * math.log2(n)) + 2
-    labels = dedup.connected_components(pairs, max_iter=budget)
+    stats = {}
+    labels = dedup.connected_components(pairs, max_iter=budget, stats=stats)
     assert labels.filter(F.col("comp") != 0).count() == 0
     assert labels.count() == n
+    assert stats["rounds"] <= budget
