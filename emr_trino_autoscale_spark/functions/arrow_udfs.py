@@ -85,6 +85,30 @@ def nearest_centroid_vectorized(c_ids, c_mat, ret_type="long"):
     return assign
 
 
+@pandas_udf("double")
+def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched cosine between two vector COLUMNS (one dot per
+    candidate pair row, batched into a single NumPy elementwise-product
+    row-sum). The verify step of LSH near-dup emits millions of
+    candidate rows per task; the interpreted HOF cosine fold there
+    measured ~10x slower at sf0.1 (the same interpreted-lambda wall as
+    every other hot fold in this module). Raw double out — callers
+    apply the shared ROUND(, 4) Spark-side so the fold and Arrow forms
+    round identically (q28 precedent: NumPy float64 dots match DuckDB's
+    list_inner_product at 4-decimal rounding)."""
+    import numpy as np
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+    b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+    an = np.linalg.norm(a, axis=1)
+    bn = np.linalg.norm(b, axis=1)
+    an[an == 0.0] = 1.0
+    bn[bn == 0.0] = 1.0
+    return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+
+
 def cosine_cost_vectorized(center):
     """Factory: Arrow-batched k-means|| seeding cost — per vector,
     ``max(0, 1 - cos(v, center))`` against ONE driver-side center

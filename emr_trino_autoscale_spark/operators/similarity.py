@@ -594,6 +594,119 @@ def near_dup_pairs_blocked(
     )
 
 
+def near_dup_pairs_lsh(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sub-quadratic — the LSH-banded
+    100 TB path of :func:`near_dup_pairs` (same output contract: every
+    emitted pair has exact cosine >= threshold after the shared
+    4-decimal rounding, so the result is always a SUBSET of the exact
+    baseline; only recall is approximate).
+
+    MinHash-banding transplanted to SRP space: ``planes`` are split
+    into ``n_bands`` contiguous bands of ``r = len(planes)/n_bands``
+    sign bits each; two vectors are candidates iff they agree on ALL r
+    bits of at least one band (OR-of-ANDs amplification, the same
+    S-curve as MinHash LSH but driven by the angular collision
+    probability 1 - theta/pi per bit). Candidates are verified with the
+    exact cosine before emission.
+
+    Scale shape (vs the blocked-GEMM exact op, which replicates every
+    row sqrt(P) times): one narrow (id, band, bucket) signature frame —
+    vectors do NOT ride the candidate shuffle — self-joined on the
+    (band, bucket) int key, DISTINCT pairs, then two id-keyed joins
+    rehydrate just the candidate vectors for the verify. Shuffle volume
+    is n_rows x n_bands narrow rows plus the (near-dup-rate-sized)
+    candidate set. Mega-bucket skew is the knob the caller owns: bucket
+    population halves per extra plane per band (2^r buckets/band), so r
+    rises with corpus size; recall is then recovered by adding bands,
+    never by widening buckets.
+
+    ``vectorized=True`` computes each band's corpus bucket with the
+    Arrow/NumPy GEMM (`arrow_udfs.srp_bucket_vectorized`) AND scores
+    the candidate verify with the Arrow pair-cosine
+    (`arrow_udfs.pair_cosine` — the verify is the hot path: millions
+    of candidate rows x one 64-dim dot each; the interpreted HOF fold
+    measured ~10x slower at sf0.1). Both halves round exactly like the
+    fold form (6-decimal sign test, 4-decimal cosine), so the
+    oracle-declared q73 runs vectorized and still hash-matches DuckDB
+    (q28's blocked-GEMM precedent). ``vectorized=False`` keeps the
+    whole plan pure fold-SQL for plan-shape tests.
+    """
+    if n_bands <= 0 or len(planes) % n_bands:
+        raise ValueError(f"n_bands={n_bands} must evenly split {len(planes)} planes")
+    r = len(planes) // n_bands
+    bands = [planes[b * r : (b + 1) * r] for b in range(n_bands)]
+
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__e"))
+    if vectorized:
+        from ..functions.arrow_udfs import srp_bucket_vectorized
+
+        bucket_cols = [srp_bucket_vectorized(bp)(F.col("__e")) for bp in bands]
+    else:
+        bucket_cols = [srp_bucket_literal(F.col("__e"), bp) for bp in bands]
+    sig = src.select("id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"))
+
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    if vectorized:
+        from ..functions.arrow_udfs import pair_cosine
+
+        va = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        vb = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        scored = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine", pair_cosine(F.col("va"), F.col("vb")))
+        )
+    else:
+        n = with_norm(corpus, vec_col)
+        va = n.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("va"),
+            F.col("__norm").alias("na"),
+        )
+        vb = n.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("vb"),
+            F.col("__norm").alias("nb"),
+        )
+        scored = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn(
+                "cosine", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            )
+        )
+    return (
+        scored.withColumn(
+            "cosine", F.round(F.col("cosine"), 4).cast("decimal(38,4)")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id (deterministic).
 

@@ -1103,9 +1103,10 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planes_sql_literal() -> str:
+def _planes_sql_literal(planes: list[list[float]] | None = None) -> str:
     rows = ", ".join(
-        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]" for plane in _PLANES
+        "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        for plane in (_PLANES if planes is None else planes)
     )
     return f"[{rows}]"
 
@@ -3025,6 +3026,53 @@ ORDER BY keep_id
 """
 
 
+# Q73 — embedding-cosine near-dup PAIRS via banded SRP LSH (X32): the
+# sub-quadratic candidate path of the q28 exact baseline. 24 md5-sign
+# planes split into 8 bands of 3 bits (measured ~0.9 recall at tau=0.4
+# on every SF; r=4 bands measured 0.39-0.56 — too selective for this
+# threshold's 66-degree angle); agree-on-a-band => candidate;
+# exact-cosine verify at the shared 4-decimal rounding so the output is
+# a strict subset of q28's pairs (recall asserted vs exact in pytest).
+
+_PLANES24 = similarity.md5_sign_planes(n_planes=24, dim=64)
+
+
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.near_dup_pairs_lsh(
+            e, _PLANES24, n_bands=8, threshold=0.4, vectorized=True
+        )
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q73_SQL = f"""
+WITH pl AS (SELECT {_planes_sql_literal(_PLANES24)} AS planes),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+sig AS (
+  SELECT vec_id, b.band,
+         CAST(list_sum(list_transform(range(3), p ->
+           CASE WHEN ROUND(list_inner_product(v, planes[b.band * 3 + p + 1]), 6) > 0
+                THEN 1 << p ELSE 0 END)) AS INTEGER) AS bucket
+  FROM e, pl, range(8) b(band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+v AS (
+  SELECT id_a, id_b,
+         CAST(ROUND(list_inner_product(na.v, nb.v) / (na.nrm * nb.nrm), 4)
+              AS DECIMAL(38,4)) AS cosine
+  FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, CAST(cosine AS VARCHAR) AS cosine
+FROM v WHERE cosine >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3113,6 +3161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_cluster_balanced_sample": q65,
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
+    "q73_cosine_neardup_lsh": q73,
 }
 
 ORACLE: dict[str, str] = {
@@ -3188,6 +3237,7 @@ ORACLE: dict[str, str] = {
     "q69_vocab_coverage": Q69_SQL,
     "q71_pq_literal": Q71_SQL,
     "q72_pq_code_dedup": Q72_SQL,
+    "q73_cosine_neardup_lsh": Q73_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

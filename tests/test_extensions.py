@@ -1027,3 +1027,41 @@ def test_kmeans_init_distributed_recluster_matches_driver_path(spark):
         vecs, k=6, id_col="vec_id", vec_col="embedding", recluster_budget_bytes=1
     )
     assert distributed == driver
+
+
+def test_near_dup_pairs_lsh_subset_recall_and_parity(spark, sf_dir):
+    """X32 — banded-SRP cosine near-dup: (1) the Arrow-vectorized
+    production path must reproduce the fold form row for row (buckets
+    AND verified cosines); (2) every emitted pair must appear in the
+    exact baseline with the identical 4-decimal cosine (the verify step
+    makes false positives impossible by construction); (3) recall vs
+    exact must clear the geometry's design point (8 bands x 3 bits
+    measured ~0.89 at tau=0.4 on the real embeddings — assert >= 0.8)."""
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = similarity.md5_sign_planes(n_planes=24, dim=64)
+
+    fold = {
+        (r["id_a"], r["id_b"]): str(r["cosine"])
+        for r in similarity.near_dup_pairs_lsh(
+            e, planes, n_bands=8, threshold=0.4
+        ).collect()
+    }
+    vec = {
+        (r["id_a"], r["id_b"]): str(r["cosine"])
+        for r in similarity.near_dup_pairs_lsh(
+            e, planes, n_bands=8, threshold=0.4, vectorized=True
+        ).collect()
+    }
+    assert vec == fold
+
+    exact = {
+        (r["id_a"], r["id_b"]): str(r["cosine"])
+        for r in similarity.near_dup_pairs(e, threshold=0.4).collect()
+    }
+    assert set(fold) <= set(exact)
+    for pair, cos in fold.items():
+        assert exact[pair] == cos
+    assert len(exact) > 0
+    assert len(fold) / len(exact) >= 0.8
