@@ -707,6 +707,41 @@ def near_dup_pairs_lsh(
     )
 
 
+def near_dup_index(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> DataFrame:
+    """Static (corpus_id, band, bucket, corpus_vec) signature index for
+    :func:`near_dup_pairs_lsh`'s stream-static twin
+    (`streaming.pipeline.embedding_neardup_stream`).
+
+    The batch tier builds and periodically compacts this index
+    (one row per corpus vector per band — the same banding as the batch
+    pair op, so stream and batch agree on candidates); Spark re-plans
+    stream-static joins every micro-batch, so a recompacted index is
+    picked up without restarting the streaming query. Carries the
+    vector so the stream's verify step needs no second corpus join."""
+    if n_bands <= 0 or len(planes) % n_bands:
+        raise ValueError(f"n_bands={n_bands} must evenly split {len(planes)} planes")
+    r = len(planes) // n_bands
+    bands = [planes[b * r : (b + 1) * r] for b in range(n_bands)]
+    if vectorized:
+        from ..functions.arrow_udfs import srp_bucket_vectorized
+
+        bucket_cols = [srp_bucket_vectorized(bp)(F.col(vec_col)) for bp in bands]
+    else:
+        bucket_cols = [srp_bucket_literal(F.col(vec_col), bp) for bp in bands]
+    return corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
+
+
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id (deterministic).
 

@@ -233,6 +233,76 @@ def boilerplate_strip_stream(
     )
 
 
+def embedding_neardup_stream(
+    vecs: DataFrame,
+    corpus_index: DataFrame,
+    planes: list[list[float]],
+    n_bands: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X33 live twin of Q73 (`similarity.near_dup_pairs_lsh`): an
+    arriving embedding is banded with the SAME SRP geometry as the
+    batch pair op, candidate-joined stream-static against the compacted
+    corpus signature index (`similarity.near_dup_index` — the batch
+    tier writes it; re-planned every micro-batch, so recompaction needs
+    no query restart), then exact-cosine verified at the shared
+    4-decimal rounding. Emits one (id, ts, corpus_id, cosine) row per
+    verified near-dup — the admit/reject signal an ingest pipeline
+    keys on before a crawl batch ever lands in the corpus.
+
+    State shape: band buckets and the verify are stateless per-row
+    projections; the stream-static join holds NO streaming state (the
+    index is not stream state, exactly as in
+    :func:`incremental_dedup_stream`); the only keyed state is the
+    multi-band pair dedup, watermark-bounded on (id, corpus_id) —
+    match-rate x horizon rows, never corpus-sized. The fold forms are
+    used on the stream side (micro-batch volumes; the corpus-sized
+    Arrow paths belong to the batch tier, which also owns the index
+    build — pass ``vectorized=True`` there)."""
+    from ..operators.similarity import (
+        cosine,
+        l2_norm,
+        as_double,
+        srp_bucket_literal,
+    )
+
+    if n_bands <= 0 or len(planes) % n_bands:
+        raise ValueError(f"n_bands={n_bands} must evenly split {len(planes)} planes")
+    r = len(planes) // n_bands
+    bands = [planes[b * r : (b + 1) * r] for b in range(n_bands)]
+    sig = vecs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(*[srp_bucket_literal(F.col(vec_col), bp) for bp in bands])
+        ).alias("band", "bucket"),
+    )
+    sv = as_double(F.col(vec_col))
+    cv = as_double(F.col("corpus_vec"))
+    scored = (
+        sig.join(corpus_index, ["band", "bucket"])
+        .filter(F.col("corpus_id") != F.col(id_col))
+        .withColumn(
+            "cosine",
+            F.round(cosine(sv, cv, l2_norm(sv), l2_norm(cv)), 4).cast(
+                "decimal(38,4)"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(id_col, ts_col, "corpus_id", "cosine")
+    )
+    if scored.isStreaming:
+        return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col, "corpus_id"]
+        )
+    return scored.dropDuplicates([id_col, "corpus_id"])
+
+
 def make_contamination_scorer(
     benchmark_grams: DataFrame,
     text_col: str = "text",

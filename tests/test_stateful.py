@@ -436,3 +436,90 @@ def test_streaming_pq_encode(spark, tmp_path):
         for r in spark.sql("select * from pq_encode_stream_test").collect()
     }
     assert got == batch and len(got) == 24
+
+
+def test_embedding_neardup_stream(spark, tmp_path):
+    """X33 — stream-static banded-LSH near-dup (the live twin of q73):
+    arriving embeddings banded with the batch geometry, candidate-joined
+    against the static corpus signature index, exact-cosine verified,
+    multi-band hits deduped. Expected pairs are recomputed independently
+    in NumPy (banding + 6-decimal sign test + 4-decimal cosine), so the
+    test pins the full semantics, not builder-vs-itself."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators import similarity
+    from emr_trino_autoscale_spark.streaming.pipeline import embedding_neardup_stream
+
+    planes = similarity.md5_sign_planes(n_planes=16, dim=16)
+    n_bands, tau = 8, 0.4
+
+    def vec(seed, j):
+        return 0.05 * ((seed * 11 + j * 3) % 17 - 8) + (1.5 if j % 4 == seed % 4 else 0.0)
+
+    corpus_rows = [(100 + i, [vec(i, j) for j in range(16)]) for i in range(20)]
+    # first 5 stream vectors = perturbed corpus vectors (near-dups by
+    # construction); the rest use unseen seeds
+    stream_rows = [
+        (s, [v + (0.01 * s if j == s % 16 else 0.0) for j, v in enumerate(corpus_rows[s][1])])
+        for s in range(5)
+    ] + [(s, [vec(s + 40, j) for j in range(16)]) for s in range(5, 12)]
+
+    P = np.asarray(planes)
+    r = len(planes) // n_bands
+
+    def buckets(v):
+        signs = np.round(P @ np.asarray(v), 6) > 0
+        return tuple(
+            int(sum(1 << p for p in range(r) if signs[b * r + p]))
+            for b in range(n_bands)
+        )
+
+    expected = set()
+    for sid, sv in stream_rows:
+        bs = buckets(sv)
+        for cid, cv in corpus_rows:
+            if cid == sid or all(x != y for x, y in zip(bs, buckets(cv))):
+                continue
+            cos = round(
+                float(np.dot(sv, cv) / (np.linalg.norm(sv) * np.linalg.norm(cv))), 4
+            )
+            if cos >= tau:
+                expected.add((sid, cid, f"{cos:.4f}"))
+    assert expected, "fixture must produce at least one near-dup pair"
+
+    from datetime import datetime, timezone
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    sdf = spark.createDataFrame(
+        [(i, ts, v) for i, v in stream_rows],
+        "vec_id long, ts timestamp, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    index = similarity.near_dup_index(cdf, planes, n_bands)
+
+    src = tmp_path / "nd_src"
+    chk = tmp_path / "nd_chk"
+    sdf.repartition(2).write.parquet(str(src))
+    stream = spark.readStream.schema(sdf.schema).parquet(str(src))
+    q = (
+        embedding_neardup_stream(stream, index, planes, n_bands, threshold=tau)
+        .writeStream.format("memory")
+        .queryName("neardup_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["vec_id"], r["corpus_id"], str(r["cosine"]))
+        for r in spark.sql("select * from neardup_stream_test").collect()
+    }
+    assert got == expected
+
+    # batch mode of the same builder (the replay tier) must agree
+    batch = {
+        (r["vec_id"], r["corpus_id"], str(r["cosine"]))
+        for r in embedding_neardup_stream(sdf, index, planes, n_bands, threshold=tau).collect()
+    }
+    assert batch == expected
