@@ -181,3 +181,30 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def hash_split(
+    key_col: str = "source",
+    val_digit: str = "c",
+    test_digit: str = "e",
+) -> Column:
+    """X36 — leakage-safe train/val/test assignment: the split is a
+    pure function of the GROUPING key's md5 (first hex digit: 0-b ->
+    train 12/16, c-d -> val 2/16, e-f -> test 2/16 by default), so
+    every document sharing the key — a domain, a source crawl, a
+    dedup-cluster representative — lands in the SAME split by
+    construction. Near-duplicate leakage across splits is the classic
+    eval contamination; keying the hash on the entity (not the doc id)
+    removes it without any join or state.
+
+    Returns a Column (the assignment is row-local and shuffle-free —
+    use it in a select/groupBy); being md5-derived it replays
+    identically in any engine with md5, which is what makes the split
+    auditable long after the pipeline that wrote it is gone.
+    """
+    b = F.substring(F.md5(F.col(key_col)), 1, 1)
+    return (
+        F.when(b < F.lit(val_digit), F.lit("train"))
+        .when(b < F.lit(test_digit), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

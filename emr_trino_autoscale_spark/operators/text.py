@@ -401,6 +401,108 @@ def vocab_coverage(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    chunk: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X34 — token-window chunking: split each document into
+    fixed-token-budget chunks with ``overlap`` tokens of context carried
+    between consecutive chunks (stride = chunk - overlap). The standard
+    pre-training/embedding shape: models consume bounded windows, and
+    the overlap keeps boundary sentences learnable from both sides.
+
+    Scale: pure narrow expression work — one ``sequence``/``explode``
+    per document (no shuffle at all; chunking is row-local), with the
+    token array materialized as a column once (the HOF-lambda CSE rule:
+    an inline split would re-evaluate per chunk). Fan-out is
+    ~n_tokens/stride rows per document, the physical row count any
+    downstream trainer needs anyway. The final chunk is allowed to run
+    short (length >= 1) rather than silently dropping tail tokens.
+    """
+    if chunk <= overlap:
+        raise ValueError(f"chunk={chunk} must exceed overlap={overlap}")
+    stride = chunk - overlap
+    toks = F.split(F.col(text_col), " ")
+    d = df.withColumn("__toks", toks).withColumn("__n", F.size(F.col("__toks")))
+    # guard: F.sequence(0, stop) with stop < 0 yields a DESCENDING
+    # range, not empty — NULL text (size -1 or NULL) must emit no rows
+    starts = F.when(
+        F.col("__n") > 0,
+        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.withColumn("__start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("int").alias("chunk_idx"),
+            F.least(F.lit(chunk), F.col("__n") - F.col("__start"))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__start") + 1, chunk)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def unigram_logloss(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """X35 — unigram language-model quality score (the CCNet shape:
+    score each document by its negative log-likelihood under a corpus
+    LM; outlier-high scores flag gibberish/encoding damage, outlier-low
+    flag boilerplate/repetition). The LM here is the corpus's own
+    top-``vocab_size`` unigram distribution; tokens outside it get the
+    floor probability 1/total (add-one-style), so the score is total
+    and deterministic.
+
+    Scale: same contract as :func:`vocab_coverage` — one frequency
+    hash agg (map-side combinable), two-phase top-V cut (no global
+    token sort), then the V-row vocabulary + the 1-row corpus total
+    broadcast into a narrow per-token join; per-doc reduction is one
+    hash agg on the id key. No corpus-sized shuffle beyond the exploded
+    token agg the frequency pass already owes.
+    """
+    from . import skew
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total_df = freq.agg(F.sum("freq").cast("double").alias("__total"))
+    vocab = skew.two_phase_topk(
+        freq,
+        part_cols=[],
+        order_cols=[F.col("freq").desc(), F.col("tok").asc()],
+        k=vocab_size,
+        bucket_on=F.col("tok"),
+    ).select("tok", F.col("freq").alias("__vfreq"))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(total_df))
+        .withColumn(
+            "__nll",
+            -F.log(F.coalesce(F.col("__vfreq").cast("double"), F.lit(1.0)) / F.col("__total")),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__vfreq").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.avg("__nll").alias("logloss"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def fingerprint60_md5_arrow(text_col: str = "text", window: int = 8):
     """Arrow twin of :func:`fingerprint60_md5` — identical values
     (XOR of 60-bit md5 gram digests, same short-document clipping), no

@@ -3073,6 +3073,103 @@ ORDER BY id_a, id_b
 """
 
 
+# Q74 — X34: token-window chunking (64-token chunks, 16-token overlap,
+# stride 48). Row-local sequence/explode — no shuffle; the final chunk
+# runs short rather than dropping tail tokens.
+
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(d, chunk=64, overlap=16).orderBy("doc_id", "chunk_idx")
+
+
+Q74_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, n, CAST(unnest(range(0, n, 48)) AS INTEGER) AS start
+  FROM t WHERE n > 0)
+SELECT doc_id,
+       CAST(start // 48 AS INTEGER) AS chunk_idx,
+       CAST(LEAST(64, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+# Q75 — X35: unigram-LM quality score (CCNet shape): per-doc avg
+# negative log-likelihood under the corpus top-1000 unigram
+# distribution, OOV floored at 1/total.
+
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = text.unigram_logloss(d, vocab_size=1000)
+    return (
+        d.select("doc_id", "lang")
+        .join(s, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_oov",
+            dec4(F.col("logloss")).alias("logloss"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q75_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
+vocab AS (SELECT tok, freq FROM freq ORDER BY freq DESC, tok ASC LIMIT 1000),
+sc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         avg(-ln(COALESCE(CAST(v.freq AS DOUBLE), 1.0) / tot.total)) AS logloss
+  FROM toks t LEFT JOIN vocab v USING (tok), tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id, d.lang, sc.n_tokens, sc.n_oov,
+       {_dec4('sc.logloss')} AS logloss
+FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+# Q76 — X36: leakage-safe split audit. The split is a pure md5 function
+# of the SOURCE key, so a domain can never straddle splits; the audit
+# reports per-split volume. countDistinct + plain aggs only (the
+# distinct+percentile expand pitfall doesn't apply).
+
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", skew.hash_split("source"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_domains"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+Q76_SQL = """
+SELECT CASE WHEN substr(md5(source), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(source), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_domains,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1 ORDER BY split
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3162,6 +3259,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
     "q73_cosine_neardup_lsh": q73,
+    "q74_token_chunking": q74,
+    "q75_unigram_logloss": q75,
+    "q76_leakage_safe_split": q76,
 }
 
 ORACLE: dict[str, str] = {
@@ -3238,6 +3338,9 @@ ORACLE: dict[str, str] = {
     "q71_pq_literal": Q71_SQL,
     "q72_pq_code_dedup": Q72_SQL,
     "q73_cosine_neardup_lsh": Q73_SQL,
+    "q74_token_chunking": Q74_SQL,
+    "q75_unigram_logloss": Q75_SQL,
+    "q76_leakage_safe_split": Q76_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

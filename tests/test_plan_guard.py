@@ -82,6 +82,15 @@ FLAGSHIPS = {
     # + two id-keyed vector rehydration joins; ArrowEvalPython (bucket
     # GEMM + pair-cosine verify) is the sanctioned vectorized path
     "q73_cosine_neardup_lsh": (10, False),
+    # q74 is row-local sequence/explode: the only exchanges are the
+    # final presentation sort
+    "q74_token_chunking": (2, False),
+    # q75's nested loop = the 1-row broadcast corpus-total join (the
+    # q50/q56 pattern); ceiling covers freq agg + two-phase top-V +
+    # broadcast vocab join + per-doc agg
+    "q75_unigram_logloss": (18, True),
+    # q76: countDistinct expand + final agg + sort
+    "q76_leakage_safe_split": (6, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -133,8 +142,9 @@ BROADCAST_ALLOW = {
     "scaling.py": {"total", "g"},                      # 1-row total, <=48 groups
     # n_docs: 1-row corpus count; boiler: <= avg_doc_len/max_df_frac
     # tokens by the df-threshold pigeonhole — corpus-size independent;
-    # vocab: <= vocab_size rows by the two-phase top-V cut
-    "text.py": {"n_docs", "boiler", "vocab"},
+    # vocab: <= vocab_size rows by the two-phase top-V cut;
+    # total_df: 1-row corpus token total (unigram_logloss)
+    "text.py": {"n_docs", "boiler", "vocab", "total_df"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
