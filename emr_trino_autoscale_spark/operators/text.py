@@ -503,6 +503,74 @@ def unigram_logloss(
     )
 
 
+def dsir_logratio(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X37 — DSIR-shaped importance weight (Xie et al., "Data Selection
+    for Language Models via Importance Resampling", NeurIPS 2023 —
+    public): score every document by how much more likely its hashed
+    unigram features are under a TARGET distribution (the rows matching
+    ``target_filter`` — a trusted domain, a quality-filtered subset)
+    than under the full corpus. Sampling proportionally to the weight
+    shifts a raw crawl toward the target domain without a trained
+    classifier.
+
+    Tokens hash into ``n_buckets`` md5-derived buckets (replayable in
+    any engine with md5 — the q27 digest form); both distributions get
+    add-one smoothing over the bucket space; the per-doc weight is the
+    sum over its tokens of ln(p_target(b) / p_corpus(b)).
+
+    Scale: ONE exploded-token hash aggregation keyed on the int bucket
+    computes both distributions (the target count is a conditional sum
+    in the same agg — no second corpus pass); the B-row count table and
+    the 1-row totals broadcast into a narrow per-token join; the
+    per-doc reduction is one hash agg on the id key. Same contract as
+    :func:`unigram_logloss` with the vocabulary replaced by a
+    fixed-size hashed feature space — at 100 TB the feature table is
+    B rows regardless of vocabulary growth.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.when(target_filter, 1).otherwise(0).alias("__is_t"),
+    )
+    toks = d.select(
+        "id", "__is_t", F.explode(F.split(F.col("__t"), " ")).alias("__tok")
+    ).select(
+        "id",
+        "__is_t",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("__c_all"), F.sum("__is_t").alias("__c_t")
+    )
+    totals = counts.agg(
+        F.sum("__c_all").cast("double").alias("__T_all"),
+        F.sum("__c_t").cast("double").alias("__T_t"),
+    )
+    lr = F.log(
+        (F.col("__c_t") + 1.0) / (F.col("__T_t") + float(n_buckets))
+    ) - F.log((F.col("__c_all") + 1.0) / (F.col("__T_all") + float(n_buckets)))
+    return (
+        toks.join(F.broadcast(counts), "b")
+        .join(F.broadcast(totals))
+        .withColumn("__lr", lr)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("__lr").alias("log_ratio"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def fingerprint60_md5_arrow(text_col: str = "text", window: int = 8):
     """Arrow twin of :func:`fingerprint60_md5` — identical values
     (XOR of 60-bit md5 gram digests, same short-document clipping), no

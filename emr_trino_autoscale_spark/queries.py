@@ -3170,6 +3170,49 @@ FROM documents GROUP BY 1 ORDER BY split
 """
 
 
+# Q77 — X37: DSIR-shaped importance weight — per-doc sum of
+# ln(p_target / p_corpus) over 1024 md5-hashed unigram buckets
+# (add-one smoothed); target distribution = the lang='en' slice.
+
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = text.dsir_logratio(d, target_filter=F.col("lang") == "en", n_buckets=1024)
+    return (
+        d.select("doc_id", "lang")
+        .join(s, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            dec4(F.col("log_ratio")).alias("log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q77_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS is_t,
+         CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))
+              AS BIGINT) % 1024 AS b
+  FROM documents),
+counts AS (
+  SELECT b, count(*) AS c_all, sum(is_t) AS c_t FROM toks GROUP BY b),
+tot AS (
+  SELECT CAST(sum(c_all) AS DOUBLE) AS t_all,
+         CAST(sum(c_t) AS DOUBLE) AS t_t FROM counts),
+sc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(ln((c.c_t + 1.0) / (tot.t_t + 1024))
+             - ln((c.c_all + 1.0) / (tot.t_all + 1024))) AS log_ratio
+  FROM toks t JOIN counts c USING (b), tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id, d.lang, sc.n_tokens, {_dec4('sc.log_ratio')} AS log_ratio
+FROM documents d JOIN sc USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3262,6 +3305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_token_chunking": q74,
     "q75_unigram_logloss": q75,
     "q76_leakage_safe_split": q76,
+    "q77_dsir_importance": q77,
 }
 
 ORACLE: dict[str, str] = {
@@ -3341,6 +3385,7 @@ ORACLE: dict[str, str] = {
     "q74_token_chunking": Q74_SQL,
     "q75_unigram_logloss": Q75_SQL,
     "q76_leakage_safe_split": Q76_SQL,
+    "q77_dsir_importance": Q77_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

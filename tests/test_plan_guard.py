@@ -91,6 +91,9 @@ FLAGSHIPS = {
     "q75_unigram_logloss": (18, True),
     # q76: countDistinct expand + final agg + sort
     "q76_leakage_safe_split": (6, False),
+    # q77's nested loop = the 1-row broadcast totals join; ceiling
+    # covers the bucket-count agg + broadcast joins + per-doc agg
+    "q77_dsir_importance": (16, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -143,8 +146,9 @@ BROADCAST_ALLOW = {
     # n_docs: 1-row corpus count; boiler: <= avg_doc_len/max_df_frac
     # tokens by the df-threshold pigeonhole — corpus-size independent;
     # vocab: <= vocab_size rows by the two-phase top-V cut;
-    # total_df: 1-row corpus token total (unigram_logloss)
-    "text.py": {"n_docs", "boiler", "vocab", "total_df"},
+    # total_df: 1-row corpus token total (unigram_logloss);
+    # counts/totals: B-row hashed-bucket table + 1-row totals (dsir)
+    "text.py": {"n_docs", "boiler", "vocab", "total_df", "counts", "totals"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
