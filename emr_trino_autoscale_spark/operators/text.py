@@ -420,7 +420,13 @@ def chunk_tokens(
     an inline split would re-evaluate per chunk). Fan-out is
     ~n_tokens/stride rows per document, the physical row count any
     downstream trainer needs anyway. The final chunk is allowed to run
-    short (length >= 1) rather than silently dropping tail tokens.
+    short (length >= 1) rather than silently dropping tail tokens, but
+    a chunk is only emitted if it contributes at least one token beyond
+    the previous chunk's coverage (``start < n - overlap``) — otherwise
+    short documents would grow pure-duplicate tail chunks made entirely
+    of overlap. Consequences (property-tested): every non-tail chunk is
+    exactly ``chunk`` tokens, and dropping the first ``overlap`` tokens
+    of each chunk after the first reassembles the document exactly.
     """
     if chunk <= overlap:
         raise ValueError(f"chunk={chunk} must exceed overlap={overlap}")
@@ -431,7 +437,11 @@ def chunk_tokens(
     # range, not empty — NULL text (size -1 or NULL) must emit no rows
     starts = F.when(
         F.col("__n") > 0,
-        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride)),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+            F.lit(stride),
+        ),
     ).otherwise(F.array().cast("array<int>"))
     return (
         d.withColumn("__start", F.explode(starts))

@@ -3088,7 +3088,8 @@ WITH t AS (
          len(string_split(text, ' ')) AS n
   FROM documents),
 s AS (
-  SELECT doc_id, toks, n, CAST(unnest(range(0, n, 48)) AS INTEGER) AS start
+  SELECT doc_id, toks, n,
+         CAST(unnest(range(0, GREATEST(n - 16, 1), 48)) AS INTEGER) AS start
   FROM t WHERE n > 0)
 SELECT doc_id,
        CAST(start // 48 AS INTEGER) AS chunk_idx,

@@ -317,3 +317,83 @@ def test_connected_components_chain_converges_logarithmically(spark):
     assert labels.filter(F.col("comp") != 0).count() == 0
     assert labels.count() == n
     assert stats["rounds"] <= budget
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=120),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=8),
+)
+def test_chunk_tokens_reassembles(spark, texts, chunk, overlap):
+    """X34 invariant: dropping the first ``overlap`` tokens of every
+    chunk after the first and concatenating reproduces the document's
+    token stream EXACTLY (no token lost, none duplicated — the whole
+    point of stride = chunk - overlap), chunk lengths are chunk for all
+    but the tail (>= 1), and chunk_idx is dense from 0."""
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = text_ops.chunk_tokens(df, chunk=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        rows = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for j, r in enumerate(rows):
+            ctoks = r["chunk_text"].split(" ") if r["chunk_text"] != "" else [""]
+            # concat_ws("") of [""] and [] both render "" — recover the
+            # true token list from n_tokens for all-empty-token chunks
+            if len(ctoks) < r["n_tokens"]:
+                ctoks = [""] * r["n_tokens"]
+            assert r["n_tokens"] == len(ctoks)
+            assert len(ctoks) <= chunk and (j == len(rows) - 1 or len(ctoks) == chunk)
+            rebuilt.extend(ctoks[overlap:] if j else ctoks)
+        assert rebuilt == toks, (i, toks, rows)
+
+
+def test_chunk_tokens_null_text_and_args(spark):
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(0, None), (1, "a b c")], "doc_id long, text string")
+    rows = text_ops.chunk_tokens(df, chunk=2, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {1}  # NULL text emits no rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text_ops.chunk_tokens(df, chunk=4, overlap=4)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="xyz", min_size=1, max_size=6), min_size=1, max_size=30))
+def test_hash_split_is_keywise_constant(spark, keys):
+    """X36 invariant: the split is a pure function of the key — every
+    row sharing a key lands in one split, and the assignment matches a
+    direct md5 recomputation."""
+    import hashlib
+
+    from emr_trino_autoscale_spark.operators import skew
+
+    rows = [(i, k) for i, k in enumerate(keys * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        (r["source"], r["split"])
+        for r in df.withColumn("split", skew.hash_split("source")).collect()
+    }
+    # one split per key
+    assert len(got) == len(set(keys))
+    for k, s in got:
+        h = hashlib.md5(k.encode()).hexdigest()[0]
+        want = "train" if h < "c" else ("val" if h < "e" else "test")
+        assert s == want
