@@ -611,3 +611,203 @@ def fingerprint60_md5_arrow(text_col: str = "text", window: int = 8):
         return pd.Series(out, dtype="object")
 
     return pandas_udf(fp_series, "long", functionType=200)(F.col(text_col))
+
+
+def bigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """X38 — bigram language-model statistics / BPE merge candidates:
+    count every adjacent token pair over the corpus and attach the
+    conditional probability P(b | a) = count(a,b) / count(a-in-context).
+    The descending-count head of this table is exactly the candidate
+    list a BPE/WordPiece vocabulary learner consumes (the most frequent
+    adjacent pair is the next merge), and the full table is a smoothed
+    bigram LM ready for perplexity scoring.
+
+    Scale: pair extraction is row-local — the token array materializes
+    once and zips with its own shift (``slice``+``arrays_zip``), so no
+    token ever rides a shuffle individually; the only wide op is ONE
+    map-side-combinable hash agg keyed on the pair. The left-context
+    denominator is a window sum partitioned by ``tok_a`` — cardinality
+    = vocabulary, so parallelism grows with the corpus rather than
+    collapsing (contrast the low-cardinality group keys two_phase_topk
+    exists for). At 100 TB the bigram table is O(V^2)-bounded but
+    sparse-in-practice; it stays distributed end to end.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = (
+        df.select(toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") >= 2)
+    )
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__toks", 1, F.col("__n") - 1),
+                F.slice("__toks", 2, F.col("__n") - 1),
+            )
+        ).alias("__z")
+    ).select(
+        F.col("__z.0").alias("tok_a"), F.col("__z.1").alias("tok_b")
+    )
+    counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("bigint").alias("pair_count")
+    )
+    w = Window.partitionBy("tok_a")
+    return counts.withColumn(
+        "left_count", F.sum("pair_count").over(w).cast("bigint")
+    ).withColumn(
+        "cond_prob",
+        F.col("pair_count").cast("double") / F.col("left_count").cast("double"),
+    )
+
+
+# Literal logistic-regression weights for the quality classifier —
+# fastText-style linear model over cheap engineered features. Fixed
+# constants (not trained here) keep the operator deterministic and
+# oracle-replayable; a trained model drops in as a different literal
+# vector with the identical plan shape.
+_QC_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.6,       # longer docs mildly favored (saturating log)
+    "stop_ratio": 4.0,       # natural prose has stopwords
+    "punct_ratio": -6.0,     # punctuation soup is a spam signal
+    "digit_ratio": -3.0,     # digit walls (tables, dumps) score down
+    "mean_tok_len": -0.1,    # very long "words" = URLs/base64 junk
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    drop_below: float = 0.4,
+    keep_above: float = 0.6,
+) -> DataFrame:
+    """X39 — linear quality classifier (the fastText-filter shape used
+    by CCNet/Gopher-style curation): engineered features -> literal
+    logistic weights -> sigmoid score in (0,1) -> three-way verdict
+    (``drop`` / ``review`` / ``keep``). The middle band exists because
+    production filters route borderline docs to a second (expensive)
+    model rather than hard-classifying them.
+
+    Scale: pure narrow projection — every feature and the sigmoid are
+    whole-stage-codegen expressions on the row; zero shuffle, zero
+    Python. This is the cheapest possible per-doc shape, which is the
+    point: the linear filter runs over ALL 100 TB, and only its
+    ``review`` slice ever reaches anything costlier.
+    """
+    n_tok = token_count(text_col)
+    n_chars = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")) / n_chars
+    )
+    # mean token length: chars net of the n-1 separators, over tokens
+    mean_tok_len = (F.length(F.col(text_col)) - (n_tok - F.lit(1))) / n_tok
+    w = _QC_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log(n_tok.cast("double") + F.lit(1.0))
+        + F.lit(w["stop_ratio"]) * stopword_ratio(text_col)
+        + F.lit(w["punct_ratio"]) * punct_ratio(text_col)
+        + F.lit(w["digit_ratio"]) * digit_ratio
+        + F.lit(w["mean_tok_len"]) * mean_tok_len
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    verdict = (
+        F.when(score < drop_below, F.lit("drop"))
+        .when(score <= keep_above, F.lit("review"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.withColumn("q_score", score).withColumn("verdict", verdict)
+
+
+def perplexity_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    mid_loss: float = 4.5,
+    high_loss: float = 6.0,
+    rates: tuple[float, float, float] = (1.0, 0.5, 0.1),
+) -> DataFrame:
+    """X40 — perplexity-gated subsampling (the Gopher/MassiveText
+    quality-gate shape): bucket every document by its unigram-LM logloss
+    against FIXED thresholds (``low`` fluent / ``mid`` / ``high``
+    gibberish-or-rare), then keep a per-bucket fraction chosen by a
+    deterministic md5 coin on the doc id. Fixed literal thresholds —
+    not computed quantiles — are deliberate: the gate stays row-local,
+    engine-replayable, and stable across corpus snapshots (a quantile
+    gate re-classifies every doc whenever the corpus shifts).
+
+    Scale: inherits :func:`unigram_logloss`'s contract (one exploded
+    hash agg + broadcast vocab); everything after is narrow expression
+    work. The md5 coin means replay/retry and cross-engine audit
+    reproduce the exact sample — no rand(), no state.
+    """
+    scored = unigram_logloss(df, text_col=text_col, id_col=id_col,
+                             vocab_size=vocab_size)
+    bucket = (
+        F.when(F.col("logloss") < mid_loss, F.lit("low"))
+        .when(F.col("logloss") < high_loss, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    rate = (
+        F.when(F.col("bucket") == "low", F.lit(rates[0]))
+        .when(F.col("bucket") == "mid", F.lit(rates[1]))
+        .otherwise(F.lit(rates[2]))
+    )
+    # uniform in [0,1): 60-bit md5 prefix of the id, scaled
+    coin = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        scored.withColumn("bucket", bucket)
+        .withColumn("keep", coin < rate)
+        .select(id_col, "n_tokens", "logloss", "bucket", "keep")
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """X41 — winsorized per-group statistics: exact p_lo/p_hi quantiles
+    per group, values clamped into [p_lo, p_hi], then the robust mean
+    alongside the raw mean and the clipped-row count. The standard
+    length/score profiling shape — a handful of 10 MB outlier docs
+    otherwise dominate a source's mean and mask drift.
+
+    Scale: quantiles come from ONE grouped ``percentile`` aggregation —
+    exact, but memory is O(distinct values) per group (doc lengths and
+    quality scores are banded, so this is bounded; for truly unbounded
+    value domains swap in approx_percentile with the same plan). The
+    clamp pass re-reads the input joined against the tiny per-group
+    quantile frame (broadcast — #groups rows), then one ordinary hash
+    agg. Two scans, zero wide joins, group parallelism preserved.
+    """
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(group_col).agg(
+        F.percentile(v, F.lit(lo)).alias("p_lo"),
+        F.percentile(v, F.lit(hi)).alias("p_hi"),
+    )
+    return (
+        df.join(F.broadcast(q), group_col)
+        .withColumn("__w", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi")))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg(v).alias("raw_mean"),
+            F.avg("__w").alias("win_mean"),
+            F.min("p_lo").alias("p_lo"),
+            F.min("p_hi").alias("p_hi"),
+            F.sum(F.when((v < F.col("p_lo")) | (v > F.col("p_hi")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )

@@ -1065,3 +1065,67 @@ def test_near_dup_pairs_lsh_subset_recall_and_parity(spark, sf_dir):
         assert exact[pair] == cos
     assert len(exact) > 0
     assert len(fold) / len(exact) >= 0.8
+
+
+def test_bigram_stats_counts_and_cond_prob(spark):
+    # "a b", "a b a c" -> pairs: (a,b)x2, (b,a), (a,c); P(b|a)=2/3
+    d = docs(spark, ["a b", "a b a c"])
+    out = {(r["tok_a"], r["tok_b"]): r for r in text.bigram_stats(d).collect()}
+    assert out[("a", "b")]["pair_count"] == 2
+    assert out[("a", "b")]["left_count"] == 3
+    assert abs(out[("a", "b")]["cond_prob"] - 2 / 3) < 1e-12
+    assert out[("b", "a")]["pair_count"] == 1
+    # single-token / empty docs emit no pairs
+    one = docs(spark, ["solo"])
+    assert text.bigram_stats(one).count() == 0
+
+
+def test_bigram_cond_prob_sums_to_one_per_left_token(spark):
+    d = docs(spark, ["x y z x y w", "y z z"])
+    agg = (
+        text.bigram_stats(d)
+        .groupBy("tok_a")
+        .agg(F.sum("cond_prob").alias("s"))
+        .collect()
+    )
+    for r in agg:
+        assert abs(r["s"] - 1.0) < 1e-9, r
+
+
+def test_quality_classifier_orders_prose_above_junk(spark):
+    prose = (
+        "the cat sat on the mat and it was a fine day for all of the "
+        "animals in the quiet town"
+    )
+    junk = "000000 111111 !!!???;;; 222222 !!!!!! 333333 ??????"
+    d = docs(spark, [prose, junk])
+    rows = {r["doc_id"]: r for r in text.quality_classifier(d).collect()}
+    assert rows[0]["q_score"] > rows[1]["q_score"]
+    assert rows[0]["verdict"] == "keep"
+    assert rows[1]["verdict"] == "drop"
+    for r in rows.values():
+        assert 0.0 < r["q_score"] < 1.0
+
+
+def test_perplexity_gate_deterministic_and_rate_monotone(spark):
+    d = docs(spark, [f"tok{i % 7} common word" for i in range(40)])
+    g1 = text.perplexity_gate(d, mid_loss=1.0, high_loss=2.0).collect()
+    g2 = text.perplexity_gate(d, mid_loss=1.0, high_loss=2.0).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))  # md5 coin replays
+    # rate=1.0 bucket keeps everything; rate=0.0 keeps nothing
+    all_keep = text.perplexity_gate(d, rates=(1.0, 1.0, 1.0))
+    assert all_keep.filter(~F.col("keep")).count() == 0
+    none_keep = text.perplexity_gate(d, rates=(0.0, 0.0, 0.0))
+    assert none_keep.filter(F.col("keep")).count() == 0
+
+
+def test_winsorized_stats_bounds_and_clip_count(spark):
+    # one extreme outlier per group: winsorized mean must sit below the
+    # raw mean and inside [p_lo, p_hi]
+    rows = [("s", i, 100) for i in range(19)] + [("s", 99, 100000)]
+    d = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    r = text.winsorized_stats(d, group_col="source", value_col="n_chars").collect()[0]
+    assert r["n"] == 20
+    assert r["win_mean"] < r["raw_mean"]
+    assert r["p_lo"] <= r["win_mean"] <= r["p_hi"]
+    assert r["n_clipped"] >= 1

@@ -94,6 +94,18 @@ FLAGSHIPS = {
     # q77's nested loop = the 1-row broadcast totals join; ceiling
     # covers the bucket-count agg + broadcast joins + per-doc agg
     "q77_dsir_importance": (16, True),
+    # q78: one pair hash agg + vocabulary-cardinality window + bounded
+    # two-phase global top-25 (the 1600-row phase-2 sort is the
+    # documented bounded single task)
+    "q78_bigram_stats": (6, False),
+    # q79: pure narrow codegen projection + one grouped agg
+    "q79_quality_classifier": (4, False),
+    # q80 inherits q75's shape (freq agg + two-phase top-V + 1-row
+    # broadcast total = the sanctioned nested loop) + the gate agg
+    "q80_perplexity_gate": (18, True),
+    # q81: grouped exact-percentile agg + broadcast quantile join +
+    # final hash agg
+    "q81_winsorized_stats": (8, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -147,8 +159,9 @@ BROADCAST_ALLOW = {
     # tokens by the df-threshold pigeonhole — corpus-size independent;
     # vocab: <= vocab_size rows by the two-phase top-V cut;
     # total_df: 1-row corpus token total (unigram_logloss);
-    # counts/totals: B-row hashed-bucket table + 1-row totals (dsir)
-    "text.py": {"n_docs", "boiler", "vocab", "total_df", "counts", "totals"},
+    # counts/totals: B-row hashed-bucket table + 1-row totals (dsir);
+    # q: #groups-row per-group quantile frame (winsorized_stats)
+    "text.py": {"n_docs", "boiler", "vocab", "total_df", "counts", "totals", "q"},
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
