@@ -3,8 +3,8 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 81 declared
-queries as of round 6 (79 with oracles; the iterative trainers q68
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 84 declared
+queries as of round 6 (82 with oracles; the iterative trainers q68
 and q70 are rows-only — q71 is q70's md5-literal oracle twin).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is

@@ -899,3 +899,71 @@ def singleton_gram_stats(
         )
         .withColumn("risk", F.col("n_singleton") / F.col("n_grams"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X42 — duplicated-span detection (the exact-substring-dedup shape
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — public): find, per document, every maximal run
+    of overlapping ``k``-gram shingles whose gram occurs >= ``min_count``
+    times corpus-wide, and report it as a token span. Gram-level hits
+    (q66's unit) fragment one long copied passage into dozens of rows;
+    merging adjacent hit positions (gaps-and-islands) recovers the
+    passage boundaries a surgical span-removal pass needs.
+
+    Scale: positional grams are row-local (posexplode over the shingle
+    array — token array materialized once); the gram-frequency hash agg
+    and the join-back ride the same 60-bit digest key as
+    :func:`ngram_hashes` (8-byte shuffle rows). The island merge is two
+    windows partitioned by the DOC id — corpus-cardinality key, so
+    parallelism grows with the data; each window sorts only one doc's
+    hit positions (bounded by doc length). Output is one row per merged
+    span, strictly fewer rows than the gram hits it consumed.
+    """
+    d = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    g = d.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                shingles_of(F.col("__toks"), k),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("pos", "gram"),
+    )
+    freq = g.groupBy("gram").agg(F.count("*").alias("__c"))
+    hits = g.join(freq.filter(F.col("__c") >= min_count).select("gram"), "gram")
+    w = Window.partitionBy("id").orderBy("pos")
+    run = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    isl = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__new").over(run))
+    )
+    return (
+        isl.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+            "n_grams",
+        )
+    )

@@ -811,3 +811,166 @@ def winsorized_stats(
             .alias("n_clipped"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X43 — BM25 retrieval scoring (Robertson/Sparck Jones probabilistic
+    model, the Lucene ``k1/b`` variant): score every document against a
+    literal bag of query terms. The lexical half of hybrid (BM25 +
+    embedding) retrieval — at corpus scale the sparse score prunes the
+    candidate set the dense re-ranker pays for.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5));
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)).
+
+    Scale: tokens are filtered to the |Q| query terms BEFORE any wide
+    op, so the tf agg shuffles only matching rows (a vanishing fraction
+    of the corpus); document frequency aggregates that same tiny frame;
+    N and avgdl are a 1-row broadcast. Docs matching no term score 0 and
+    are dropped (callers wanting full coverage outer-join on the doc
+    dim). No corpus-sized shuffle beyond the per-doc length projection.
+    """
+    terms = [t for t in query_terms]
+    dl = df.select(
+        F.col(id_col).alias("id"), token_count(text_col).alias("__dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__N"),
+        F.avg(F.col("__dl").cast("double")).alias("__avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok").isin(*terms))
+        .groupBy("id", "tok")
+        .agg(F.count("*").cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("double").alias("__df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__N") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    norm = F.col("__tf") + k1 * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "id")
+        .join(F.broadcast(stats))
+        .withColumn("__s", idf * F.col("__tf") * F.lit(k1 + 1.0) / norm)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("__s").alias("score"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    persist_fn=None,
+) -> DataFrame:
+    """X44 — per-group Jensen-Shannon divergence from the corpus token
+    distribution: the drift/contamination monitor shape — a source whose
+    JSD jumps between snapshots changed its content mix (new boilerplate,
+    encoding damage, topic shift) even when volume stats look flat.
+
+    Token space = the corpus top-``vocab_size`` vocabulary plus one
+    lumped OOV bucket, so the distribution table is (V+1)-row bounded
+    regardless of corpus size. For each group P and corpus Q:
+    JSD = 0.5*KL(P||M) + 0.5*KL(Q||M), M=(P+Q)/2, in nats. Vocabulary
+    terms the group never uses contribute 0.5*q*ln2 — folded in via the
+    absent-mass identity (1 - sum_present q) rather than a groups x vocab
+    cross join, so no row explosion at any group count.
+
+    Scale: one exploded-token hash agg keyed (group, bucketed-token) —
+    map-side combinable; the corpus distribution and per-group totals are
+    broadcast-bounded frames; the final reduction is one agg per group.
+    """
+    from . import skew
+
+    # ONE pass over the exploded tokens: everything downstream (corpus
+    # frequency, vocabulary cut, OOV re-bucketing, per-group totals)
+    # derives from this (group, token) count table — cardinality
+    # #groups x vocabulary, corpus-size independent — instead of
+    # re-scanning the corpus per branch (measured: 44 -> ~14 exchanges).
+    gt = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    # gt feeds the vocabulary cut AND the re-bucketing join; gcounts
+    # feeds three derived frames. Spark has no cross-branch common-
+    # subplan elimination, so without materialization the exploded agg
+    # replays per branch (measured: 64 exchanges vs 14). persist_fn
+    # follows the dedup.ppjoin convention — the declared-query path
+    # passes queries._cache_scoped for release-on-next-query.
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        gt = gt.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        gt = persist_fn(gt)
+    freq = gt.groupBy("tok").agg(F.sum("__c").alias("__cf"))
+    vocab = skew.two_phase_topk(
+        freq,
+        part_cols=[],
+        order_cols=[F.col("__cf").desc(), F.col("tok").asc()],
+        k=vocab_size,
+        bucket_on=F.col("tok"),
+    ).select("tok")
+    gcounts = (
+        gt.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left")
+        .select(
+            "g",
+            F.when(F.col("__in").isNull(), F.lit("__oov__"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+            "__c",
+        )
+        .groupBy("g", "tok")
+        .agg(F.sum("__c").alias("__cp"))
+    )
+    # gcounts is NOT persisted: it derives from the cached gt with one
+    # broadcast join + agg over a #groups x vocab bounded frame, cheap
+    # to replay per branch (persist_fn may be queries._cache_scoped,
+    # which releases prior caches on every call — one call only).
+    corpus = gcounts.groupBy("tok").agg(F.sum("__cp").alias("__cq"))
+    corpus_tot = corpus.agg(F.sum("__cq").cast("double").alias("__Tq"))
+    gtot = gcounts.groupBy("g").agg(F.sum("__cp").cast("double").alias("__Tp"))
+    p = F.col("__cp") / F.col("__Tp")
+    q = F.col("__cq") / F.col("__Tq")
+    m = (p + q) / 2
+    present = (
+        gcounts.join(F.broadcast(corpus), "tok")
+        .join(F.broadcast(corpus_tot))
+        .join(gtot, "g")
+        .groupBy("g")
+        .agg(
+            F.sum(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("__jsd_present"),
+            F.sum(q).alias("__q_present"),
+            F.sum("__cp").cast("bigint").alias("n_tokens"),
+        )
+    )
+    import math
+
+    return present.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        (F.col("__jsd_present") + (F.lit(1.0) - F.col("__q_present")) * F.lit(0.5 * math.log(2.0))).alias("jsd"),
+    )

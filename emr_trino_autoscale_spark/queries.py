@@ -3406,6 +3406,130 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+# Q82 — X42: duplicated-span detection — maximal runs of corpus-
+# duplicated 5-gram positions merged into token spans per doc
+# (gaps-and-islands over the positional gram hits).
+
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, k=5).orderBy("doc_id", "span_start")
+
+
+Q82_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+               toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]), 1, 15))
+              AS BIGINT) AS gram
+  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+  WHERE len(toks) >= 5),
+f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
+i AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM d),
+s AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM i)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 4 AS BIGINT) AS span_end,
+       CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start
+"""
+
+
+# Q83 — X43: BM25 retrieval — top-15 documents for a literal 3-term
+# query (k1=1.2, b=0.75, Lucene idf form).
+
+_BM25_TERMS = ("vector", "hash", "merge")
+
+
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = text.bm25_scores(d, _BM25_TERMS)
+    return (
+        s.select("doc_id", "n_matched", dec4(F.col("score")).alias("score"))
+        .orderBy(F.col("score").cast("double").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+Q83_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ('vector', 'hash', 'merge')
+  GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, n_matched, {_dec4('score')} AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+# Q84 — X44: per-source Jensen-Shannon divergence from the corpus token
+# distribution (top-1000 vocab + lumped OOV bucket, nats).
+
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    j = text.js_divergence(
+        d, group_col="source", vocab_size=1000, persist_fn=_cache_scoped
+    )
+    return j.select(
+        "source", "n_tokens", dec4(F.col("jsd")).alias("jsd")
+    ).orderBy("source")
+
+
+Q84_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM freq ORDER BY cf DESC, tok ASC LIMIT 1000),
+b AS (
+  SELECT source,
+         CASE WHEN v.tok IS NULL THEN '__oov__' ELSE t.tok END AS tok
+  FROM toks t LEFT JOIN vocab v USING (tok)),
+corpus AS (SELECT tok, count(*) AS cq FROM b GROUP BY tok),
+ctot AS (SELECT CAST(sum(cq) AS DOUBLE) AS tq FROM corpus),
+gc AS (SELECT source, tok, count(*) AS cp FROM b GROUP BY source, tok),
+gtot AS (SELECT source, CAST(sum(cp) AS DOUBLE) AS tp FROM gc GROUP BY source),
+agg AS (
+  SELECT gc.source,
+         CAST(sum(gc.cp) AS BIGINT) AS n_tokens,
+         sum(0.5 * (gc.cp / gtot.tp)
+               * ln((gc.cp / gtot.tp)
+                    / ((gc.cp / gtot.tp + corpus.cq / ctot.tq) / 2))
+             + 0.5 * (corpus.cq / ctot.tq)
+               * ln((corpus.cq / ctot.tq)
+                    / ((gc.cp / gtot.tp + corpus.cq / ctot.tq) / 2))) AS jsd_p,
+         sum(corpus.cq / ctot.tq) AS q_present
+  FROM gc JOIN corpus USING (tok) JOIN gtot USING (source), ctot
+  GROUP BY gc.source)
+SELECT source, n_tokens,
+       {_dec4('jsd_p + (1.0 - q_present) * 0.5 * ln(2.0)')} AS jsd
+FROM agg ORDER BY source
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3503,6 +3627,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_quality_classifier": q79,
     "q80_perplexity_gate": q80,
     "q81_winsorized_stats": q81,
+    "q82_duplicated_spans": q82,
+    "q83_bm25_topk": q83,
+    "q84_source_js_divergence": q84,
 }
 
 ORACLE: dict[str, str] = {
@@ -3587,6 +3714,9 @@ ORACLE: dict[str, str] = {
     "q79_quality_classifier": Q79_SQL,
     "q80_perplexity_gate": Q80_SQL,
     "q81_winsorized_stats": Q81_SQL,
+    "q82_duplicated_spans": Q82_SQL,
+    "q83_bm25_topk": Q83_SQL,
+    "q84_source_js_divergence": Q84_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1129,3 +1129,76 @@ def test_winsorized_stats_bounds_and_clip_count(spark):
     assert r["win_mean"] < r["raw_mean"]
     assert r["p_lo"] <= r["win_mean"] <= r["p_hi"]
     assert r["n_clipped"] >= 1
+
+
+def test_duplicated_spans_merges_adjacent_hits(spark):
+    # docs 0 and 1 share a 7-token passage -> 3 overlapping 5-gram hits
+    # must merge into ONE span of 7 tokens; doc 2 contributes nothing.
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    d = docs(
+        spark,
+        [
+            shared + " unique0 tail0 end0",
+            "head1 start1 " + shared,
+            "totally different words here nothing matches at all ok",
+        ],
+    )
+    out = dedup.duplicated_spans(d, k=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[0]) == 1 and len(by_doc[1]) == 1
+    assert 2 not in by_doc
+    s0 = by_doc[0][0]
+    assert (s0["span_start"], s0["span_end"]) == (0, 6)
+    assert s0["n_tokens"] == 7 and s0["n_grams"] == 3
+    s1 = by_doc[1][0]
+    assert (s1["span_start"], s1["span_end"]) == (2, 8)
+
+
+def test_duplicated_spans_splits_on_gap(spark):
+    # two separated duplicated regions in one doc -> two islands
+    a = "one two three four five"
+    b = "six seven eight nine ten"
+    d = docs(spark, [a + " GAPX GAPY GAPZ QQQQ WWWW " + b, a + " zzz", b + " yyy"])
+    spans = sorted(
+        dedup.duplicated_spans(d, k=5).filter(F.col("doc_id") == 0).collect(),
+        key=lambda r: r["span_start"],
+    )
+    assert len(spans) == 2
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (0, 4)
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (10, 14)
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    d = docs(
+        spark,
+        [
+            "apple apple apple banana filler filler",   # tf(apple)=3
+            "apple filler filler filler filler filler", # tf(apple)=1
+            "cherry filler filler filler filler filler",# rare term
+            "filler filler filler filler filler filler",
+        ],
+    )
+    out = {r["doc_id"]: r for r in text.bm25_scores(d, ("apple", "cherry")).collect()}
+    assert set(out) == {0, 1, 2}          # doc 3 matches nothing
+    assert out[0]["score"] > out[1]["score"]  # higher tf wins same term
+    assert out[2]["score"] > out[1]["score"]  # rarer term out-idfs common one
+    assert out[0]["n_matched"] == 1 and out[2]["n_matched"] == 1
+
+
+def test_js_divergence_zero_for_identical_uniform_groups(spark):
+    rows = [("a", 0, "x y z"), ("b", 1, "x y z")]
+    d = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {r["source"]: r["jsd"] for r in text.js_divergence(d).collect()}
+    # both groups equal the corpus distribution -> JSD == 0
+    for v in out.values():
+        assert abs(v) < 1e-12
+    # a fully disjoint group is bounded by ln 2 and strictly positive
+    import math
+
+    rows2 = [("a", 0, "x x x x"), ("b", 1, "y y y y")]
+    d2 = spark.createDataFrame(rows2, "source string, doc_id long, text string")
+    out2 = {r["source"]: r["jsd"] for r in text.js_divergence(d2).collect()}
+    for v in out2.values():
+        assert 0.0 < v <= math.log(2.0) + 1e-12

@@ -106,6 +106,18 @@ FLAGSHIPS = {
     # q81: grouped exact-percentile agg + broadcast quantile join +
     # final hash agg
     "q81_winsorized_stats": (8, False),
+    # q82: positional gram agg + digest join-back + doc-keyed island
+    # windows (share one exchange) + span agg
+    "q82_duplicated_spans": (8, False),
+    # q83's nested loop = the 1-row broadcast N/avgdl stats join; the
+    # tf/df aggs run over the term-filtered (tiny) token frame
+    "q83_bm25_topk": (16, True),
+    # q84's nested loop = the 1-row corpus-total broadcast. The STATIC
+    # count is inflated: the _cache_scoped'd (group, token) table's
+    # subtree (explode + agg + two-phase vocab) reprints under every
+    # InMemoryRelation reference in explain output; at runtime those
+    # exchanges execute once (measured 2.0 s steady-state at sf0.1)
+    "q84_source_js_divergence": (60, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -160,8 +172,15 @@ BROADCAST_ALLOW = {
     # vocab: <= vocab_size rows by the two-phase top-V cut;
     # total_df: 1-row corpus token total (unigram_logloss);
     # counts/totals: B-row hashed-bucket table + 1-row totals (dsir);
-    # q: #groups-row per-group quantile frame (winsorized_stats)
-    "text.py": {"n_docs", "boiler", "vocab", "total_df", "counts", "totals", "q"},
+    # q: #groups-row per-group quantile frame (winsorized_stats);
+    # vocab.withColumn/dfreq/stats: V-row vocab membership frame
+    # (js_divergence), |Q|-row term df and 1-row N/avgdl (bm25)
+    "text.py": {
+        "n_docs", "boiler", "vocab", "total_df", "counts", "totals", "q",
+        "vocab.withColumn('__in', F.lit(1))", "dfreq", "stats",
+        # (V+1)-row bucketed corpus distribution + its 1-row total
+        "corpus", "corpus_tot",
+    },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
     "similarity.py": {"q", "qp", "cents", "ce"},       # query set (×n_probes), k centroids (ce: k-center seeds)
