@@ -17,7 +17,8 @@ PPJoin pack reverted to JVM md5 — q49 11.6->6.6, q27 6.4->5.1,
 q63 1.67->1.46 vs the round-5 MAX-of-5 baseline) and under the
 documented real-table warmup methodology (see bench.py); q73's entry
 is likewise the MAX over its first two round-6 bench runs (q74-q77 same
-convention). The host has
+convention; q78-q84, declared later in round 6, use their first full-suite
+bench run — captured under load1 ~1.7, so already noise-inflated). The host has
 a noisy co-tenant (load-average 1.5-2.7 with zero of our processes
 running) that swings whole-suite totals 75-85 s run to run and single
 queries up to ~1.5x between consecutive runs — the 1.5x ratio plus
