@@ -3,9 +3,9 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 84 declared
-queries as of round 6 (82 with oracles; the iterative trainers q68
-and q70 are rows-only — q71 is q70's md5-literal oracle twin).
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 87 declared
+queries as of round 6 (84 with oracles; the iterative trainers q68,
+q70 and q85 are rows-only — q71/q86 are their hash-verified twins).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

@@ -967,3 +967,55 @@ def duplicated_spans(
             "n_grams",
         )
     )
+
+
+def split_gram_overlap(
+    df: DataFrame,
+    split_col: Column,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X46 — cross-split leakage audit: for every pair of dataset splits,
+    count the distinct ``k``-grams present in BOTH. The companion check
+    to the leakage-safe split (X36): the splitter *prevents* same-entity
+    leakage by construction, this op *measures* whatever residual n-gram
+    overlap made it through (shared boilerplate, independently-crawled
+    copies on different domains) — the number an eval-integrity report
+    has to publish. 13-gram default matches the decontamination
+    convention (X17 / GPT-3 appendix).
+
+    Scale: the gram frame is (split, 60-bit digest) distinct rows — the
+    same 8-byte key family as :func:`ngram_hashes`; the overlap is a
+    digest-keyed self-join (equi, shuffle-partitioned, never all-pairs
+    across docs) followed by one tiny agg keyed on the split pair
+    (#splits^2 rows). Gram multiplicity inside a split is collapsed
+    BEFORE the join (distinct), so join fan-out is bounded by
+    #splits per gram, not document frequency.
+    """
+    g = (
+        df.withColumn("__split", split_col)
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col("__split"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_of(F.col("__toks"), k),
+                        lambda t: F.conv(
+                            F.substring(F.md5(t), 1, 15), 16, 10
+                        ).cast("long"),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    a = g.select(F.col("__split").alias("split_a"), "gram")
+    b = g.select(F.col("__split").alias("split_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+    )

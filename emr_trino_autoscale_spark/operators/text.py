@@ -974,3 +974,128 @@ def js_divergence(
         "n_tokens",
         (F.col("__jsd_present") + (F.lit(1.0) - F.col("__q_present")) * F.lit(0.5 * math.log(2.0))).alias("jsd"),
     )
+
+
+def _char_symbols(word: Column) -> Column:
+    """Initial BPE symbol array: one single-character symbol per char.
+    Explicit substring transform — ``split(word, '')`` edge behavior
+    varies across engines, and the oracle twin must replay the exact
+    segmentation."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
+        lambda i: F.substring(word, i, 1),
+    )
+
+
+def bpe_pair_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X45 (counting core) — adjacent character-pair frequencies over the
+    word histogram, each pair weighted by its word's corpus count: the
+    statistic a BPE/WordPiece trainer maximizes at every merge step.
+    Kept separate from :func:`bpe_learn` so the counting machinery has a
+    hash-verifiable (non-iterative) surface.
+
+    Scale: ONE corpus pass (the word-frequency hash agg — map-side
+    combinable, output is vocabulary-bounded, not corpus-bounded);
+    everything after operates on the histogram. This is the real BPE
+    trainer shape (sentencepiece trains on word counts, not raw text):
+    the 100 TB corpus is touched exactly once regardless of merge count.
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    d = words.withColumn("__sym", _char_symbols(F.col("w"))).withColumn(
+        "__n", F.size("__sym")
+    )
+    pairs = d.select(
+        F.col("wc"),
+        F.explode(
+            F.arrays_zip(
+                F.slice("__sym", 1, F.col("__n") - 1),
+                F.slice("__sym", 2, F.col("__n") - 1),
+            )
+        ).alias("__z"),
+    ).select(
+        F.col("__z.0").alias("left"), F.col("__z.1").alias("right"), "wc"
+    )
+    return pairs.groupBy("left", "right").agg(
+        F.sum("wc").cast("bigint").alias("pair_count")
+    )
+
+
+def bpe_learn(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """X45 — byte-pair-encoding vocabulary induction (Sennrich et al.,
+    ACL 2016 — public): learn the top ``n_merges`` merges over the
+    corpus. Each round counts adjacent symbol pairs (weighted by word
+    frequency), merges the argmax pair left-to-right greedily, repeats.
+
+    Scale: the corpus is scanned ONCE (word-frequency agg); every merge
+    round is two bounded jobs over the vocabulary-sized histogram (pair
+    agg + 1-row argmax collect, then a row-local re-segmentation
+    transform). Driver state is one (left, right) pair per round —
+    O(n_merges), the same bounded-control-state contract as the k-means
+    trainer. The greedy re-segmentation is an interpreted HOF fold, but
+    it folds over word-length symbol arrays on a vocab-bounded frame —
+    per the round-6 hashing rule this is NOT a corpus-sized hot path.
+    ``localCheckpoint`` truncates the per-round lineage growth (the
+    q49/connected_components rule).
+
+    Returns one row per learned merge: (rank, left, right, pair_count).
+    """
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    cur = words.withColumn("__sym", _char_symbols(F.col("w"))).select("wc", "__sym")
+    cur = cur.localCheckpoint(eager=False)
+    merges = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("__sym")
+        pairs = (
+            cur.filter(n >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__sym", 1, n - 1), F.slice("__sym", 2, n - 1)
+                    )
+                ).alias("__z"),
+            )
+            .select(F.col("__z.0").alias("l"), F.col("__z.1").alias("r"), "wc")
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
+        merges.append((rank, left, right, cnt))
+        joined = left + right
+        # left-to-right greedy merge: fold symbols into a new array,
+        # fusing every adjacent (left, right) occurrence. Standard BPE
+        # apply semantics ("aaa" with merge (a,a) -> ["aa", "a"]).
+        merged = F.aggregate(
+            F.col("__sym"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == left)
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        cur = cur.select("wc", merged.alias("__sym")).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )

@@ -3530,6 +3530,90 @@ FROM agg ORDER BY source
 """
 
 
+# Q85 — X45: BPE vocabulary induction — top-8 learned merges. Rows-only
+# check (iterative trainer, the q68/q70 convention); the counting core
+# is hash-verified by Q86 and the merge semantics are pytest-pinned.
+
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.bpe_learn(d, n_merges=8).orderBy("rank")
+
+
+# Q86 — X45 (counting core): adjacent character-pair frequencies over
+# the word histogram — the exact statistic each BPE round maximizes,
+# surfaced non-iteratively so the oracle can hash-verify it.
+
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = text.bpe_pair_stats(d)
+    return (
+        skew.two_phase_topk(
+            s,
+            part_cols=[],
+            order_cols=[
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            ],
+            k=20,
+            bucket_on=F.concat_ws("", "left", "right"),
+        )
+        .select("left", "right", "pair_count")
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+    )
+
+
+Q86_SQL = """
+WITH w AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w),
+s AS (
+  SELECT wc, list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS sym
+  FROM w),
+p AS (
+  SELECT wc, unnest(list_zip(sym[1:len(sym)-1], sym[2:len(sym)])) AS z
+  FROM s),
+c AS (
+  SELECT z[1] AS "left", z[2] AS "right", CAST(sum(wc) AS BIGINT) AS pair_count
+  FROM p GROUP BY 1, 2)
+SELECT "left", "right", pair_count
+FROM c ORDER BY pair_count DESC, "left", "right" LIMIT 20
+"""
+
+
+# Q87 — X46: cross-split leakage audit — distinct 13-grams shared
+# between each pair of the X36 md5-keyed splits.
+
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.split_gram_overlap(
+        d, split_col=skew.hash_split("source"), k=13
+    ).orderBy("split_a", "split_b")
+
+
+_G13 = " || ' ' || ".join(f"toks[i+{j}]" for j in range(13))
+
+Q87_SQL = f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT
+         CASE WHEN substr(md5(source), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(source), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(('0x' || substr(md5({_G13}), 1, 15)) AS BIGINT) AS gram
+  FROM t, unnest(range(1, len(toks) - 11)) AS u(i)
+  WHERE len(toks) >= 13)
+SELECT a.split AS split_a, b.split AS split_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b USING (gram)
+WHERE a.split < b.split
+GROUP BY a.split, b.split
+ORDER BY split_a, split_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3630,6 +3714,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_duplicated_spans": q82,
     "q83_bm25_topk": q83,
     "q84_source_js_divergence": q84,
+    "q85_bpe_learn": q85,
+    "q86_bpe_pair_stats": q86,
+    "q87_split_leakage": q87,
 }
 
 ORACLE: dict[str, str] = {
@@ -3717,11 +3804,13 @@ ORACLE: dict[str, str] = {
     "q82_duplicated_spans": Q82_SQL,
     "q83_bm25_topk": Q83_SQL,
     "q84_source_js_divergence": Q84_SQL,
+    "q86_bpe_pair_stats": Q86_SQL,
+    "q87_split_leakage": Q87_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).
 # Queries genuinely outside SQL (q68's iterative k-means) are allowed to be
 # oracle-less — the driver/mirror records a rows-only check for those.
-_NO_ORACLE = {"q68_kmeans_quantizer", "q70_pq_topk"}
+_NO_ORACLE = {"q68_kmeans_quantizer", "q70_pq_topk", "q85_bpe_learn"}
 ORACLE = {name: ORACLE[name] for name in QUERIES if name not in _NO_ORACLE}
 assert set(ORACLE) == set(QUERIES) - _NO_ORACLE, "every query needs an oracle twin"

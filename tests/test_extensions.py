@@ -1202,3 +1202,45 @@ def test_js_divergence_zero_for_identical_uniform_groups(spark):
     out2 = {r["source"]: r["jsd"] for r in text.js_divergence(d2).collect()}
     for v in out2.values():
         assert 0.0 < v <= math.log(2.0) + 1e-12
+
+
+def test_bpe_learn_merge_order_and_greedy_apply(spark):
+    # histogram: "aaab" x2, "abab" x1.
+    # round 1: (a,a)=4 ties (a,b)=4 -> lex tie-break picks (a,a).
+    # round 2: after aaab -> [aa,a,b], (a,b) = 2 (aaab) + 2 (abab) = 4.
+    d = docs(spark, ["aaab aaab", "abab"])
+    m = text.bpe_learn(d, n_merges=2).collect()
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("a", "a", 4)
+    assert (m[1]["left"], m[1]["right"], m[1]["pair_count"]) == ("a", "b", 4)
+    # exhaustion: single repeated 2-char word runs out of mergeable pairs
+    tiny = docs(spark, ["xy xy"])
+    mm = text.bpe_learn(tiny, n_merges=5).collect()
+    assert len(mm) == 1 and (mm[0]["left"], mm[0]["right"]) == ("x", "y")
+
+
+def test_bpe_pair_stats_weights_by_word_count(spark):
+    d = docs(spark, ["zz zz zz", "zq"])
+    out = {(r["left"], r["right"]): r["pair_count"]
+           for r in text.bpe_pair_stats(d).collect()}
+    assert out[("z", "z")] == 3
+    assert out[("z", "q")] == 1
+
+
+def test_split_gram_overlap_counts_shared_distinct_grams(spark):
+    shared = "w1 w2 w3 w4 w5"
+    rows = [
+        (0, shared + " traintail", "src_train"),
+        (1, shared + " valtail", "src_val"),
+        (2, "totally different words here five", "src_train2"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # force known splits via a literal CASE on source
+    split = (
+        F.when(F.col("source").isin("src_train", "src_train2"), F.lit("train"))
+        .otherwise(F.lit("val"))
+    )
+    out = dedup.split_gram_overlap(d, split_col=split, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # docs 0 and 1 share exactly one 5-gram (the shared prefix)
+    assert (r["split_a"], r["split_b"], r["n_shared_grams"]) == ("train", "val", 1)

@@ -118,6 +118,15 @@ FLAGSHIPS = {
     # InMemoryRelation reference in explain output; at runtime those
     # exchanges execute once (measured 2.0 s steady-state at sf0.1)
     "q84_source_js_divergence": (60, True),
+    # q85's declared frame is the collected merge table (createDataFrame)
+    # — the iterative work happens in bounded per-round jobs; guard only
+    # sanity (no cartesian / no Python eval in the final frame)
+    "q85_bpe_learn": (2, False),
+    # q86: word-histogram agg + pair agg + bounded two-phase top-20
+    "q86_bpe_pair_stats": (6, False),
+    # q87: distinct (split, gram) frame + digest-keyed self-join +
+    # split-pair agg
+    "q87_split_leakage": (10, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
