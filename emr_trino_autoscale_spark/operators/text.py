@@ -1099,3 +1099,84 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
+
+
+def bm25_model(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """X47 (model extraction) — collect the corpus-side BM25 state for
+    :func:`bm25_apply`: per-term idf plus N/avgdl. Bounded driver state
+    (|Q| + 2 scalars — the k-means/PQ "model collect" contract), so the
+    batch tier can hand it to a stream as literals and re-extract on
+    every index compaction without restarting the stream."""
+    import math
+
+    dl = df.select(token_count(text_col).alias("__dl"))
+    n, avgdl = dl.agg(
+        F.count("*").cast("double"), F.avg(F.col("__dl").cast("double"))
+    ).first()
+    dfreq = {
+        r["tok"]: r["df"]
+        for r in (
+            df.select(
+                F.col(id_col).alias("__rid"),
+                F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+            )
+            .filter(F.col("tok").isin(*query_terms))
+            .groupBy("tok")
+            .agg(F.countDistinct("__rid").cast("double").alias("df"))
+            .collect()
+        )
+    }
+    idf = {
+        t: math.log(1.0 + (n - dfreq.get(t, 0.0) + 0.5) / (dfreq.get(t, 0.0) + 0.5))
+        for t in query_terms
+    }
+    return {"idf": idf, "avgdl": float(avgdl), "n": float(n)}
+
+
+def bm25_apply(
+    df: DataFrame,
+    model: dict,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """X47 — row-local BM25 scoring against a literal model (the
+    stream-static leg of X43): term idfs and avgdl ride in the plan as
+    literals, tf comes from a per-row array filter, so the whole score
+    is a stateless narrow projection — it runs unchanged under
+    Structured Streaming (no state store, no watermark) and on the
+    batch tier produces values identical to :func:`bm25_scores`
+    (pytest-pinned).
+
+    The per-term array filters are interpreted HOF lambdas over |Q|
+    terms — per-micro-batch volume, not the corpus-sized batch path
+    (which uses the explode + agg form in :func:`bm25_scores`)."""
+    toks = F.split(F.col(text_col), " ")
+    d = df.withColumn("__toks", toks).withColumn(
+        "__dl", F.size("__toks").cast("double")
+    )
+    norm_tail = F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(model["avgdl"])
+    score = F.lit(0.0)
+    matched = F.lit(0)
+
+    def _is_term(term):
+        # single-arg closure: a 2-arg lambda would make Spark bind the
+        # second parameter to the ELEMENT INDEX (HOF arity dispatch)
+        return lambda x: x == F.lit(term)
+
+    for t, idf in sorted(model["idf"].items()):
+        tf = F.size(F.filter(F.col("__toks"), _is_term(t))).cast("double")
+        score = score + F.when(
+            tf > 0, F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + F.lit(k1) * norm_tail)
+        ).otherwise(F.lit(0.0))
+        matched = matched + F.when(tf > 0, 1).otherwise(0)
+    return (
+        d.withColumn("score", score)
+        .withColumn("n_matched", matched.cast("bigint"))
+        .drop("__toks", "__dl")
+    )

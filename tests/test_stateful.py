@@ -523,3 +523,56 @@ def test_embedding_neardup_stream(spark, tmp_path):
         for r in embedding_neardup_stream(sdf, index, planes, n_bands, threshold=tau).collect()
     }
     assert batch == expected
+
+
+def test_streaming_quality_gate_and_bm25(spark, tmp_path):
+    """X47 — streaming curation gate: the linear quality classifier
+    (X39) is a stateless narrow projection and the BM25 scorer (X43)
+    factors into batch model extraction + row-local literal apply, so
+    BOTH run unchanged on an ingest stream. Stream results must equal
+    the batch tier's on identical rows — including bm25_apply vs the
+    explode+agg bm25_scores form."""
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    src = tmp_path / "qg_src"
+    chk = tmp_path / "qg_chk"
+    rows = [
+        (0, "the cat sat on the mat and it was a fine day for all of them", "s0"),
+        (1, "000 111 !!!! ???? ;;;; 222 !!!! 333", "s0"),
+        (2, "vector hash merge vector the of a", "s1"),
+        (3, "plain words without any query terms at all in this one", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.repartition(2).write.parquet(str(src))
+
+    model = text_ops.bm25_model(df, ("vector", "hash", "merge"))
+    batch_q = {
+        r["doc_id"]: (r["verdict"], round(r["q_score"], 10))
+        for r in text_ops.quality_classifier(df).collect()
+    }
+    batch_b = {
+        r["doc_id"]: round(r["score"], 10)
+        for r in text_ops.bm25_scores(df, ("vector", "hash", "merge")).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    gated = text_ops.bm25_apply(
+        text_ops.quality_classifier(stream), model
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qg_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from qg_stream_test").collect()
+    assert len(got) == 4
+    for r in got:
+        assert (r["verdict"], round(r["q_score"], 10)) == batch_q[r["doc_id"]]
+        if r["doc_id"] in batch_b:
+            assert round(r["score"], 10) == batch_b[r["doc_id"]]
+        else:
+            assert r["score"] == 0.0 and r["n_matched"] == 0
