@@ -1475,3 +1475,60 @@ def md5_codebooks(m: int = 4, ksub: int = 4, dsub: int = 16) -> list[list[list[f
         ]
         for s in range(m)
     ]
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """X48 — hard-negative mining for contrastive training: for each
+    anchor vector, the top-``k`` most-cosine-similar corpus vectors
+    carrying a DIFFERENT label. The standard triplet/InfoNCE batch
+    construction — random negatives are trivially separable, so
+    embedding quality is driven by exactly these near-but-wrong pairs.
+
+    Scale: identical contract to :func:`brute_force_topk` — the anchor
+    set is bounded (contract: a training batch / probe set, broadcast),
+    the corpus streams once, the label-mismatch predicate rides the
+    broadcast join condition so same-label rows never materialize, and
+    ranking uses the 4-decimal-rounded score with id tie-break
+    (engine-replayable). For corpus-x-corpus mining, route through the
+    ANN family (IVF/PQ shortlists) and re-rank the shortlist here.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col("__v").alias("cv"),
+        F.col("__norm").alias("cn"),
+    )
+    a = with_norm(anchors, vec_col).select(
+        F.col(query_id_col),
+        F.col(label_col).alias("q_label"),
+        F.col("__v").alias("qv"),
+        F.col("__norm").alias("qn"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(a),
+            (F.col("neighbor_id") != F.col(query_id_col))
+            & (F.col("n_label") != F.col("q_label")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 4
+            ).cast("decimal(38,4)"),
+        )
+        .select(query_id_col, "q_label", "neighbor_id", "n_label", "cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -3614,6 +3614,39 @@ ORDER BY split_a, split_b
 """
 
 
+# Q88 — X48: hard-negative mining — per anchor, top-5 most-similar
+# corpus vectors with a DIFFERENT label (contrastive batch shape).
+
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    return (
+        similarity.hard_negatives(e, anchors, k=5)
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
+
+
+Q88_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+      FROM n WHERE vec_id % 125 = 0),
+p AS (SELECT q_id, q_label, vec_id AS neighbor_id, label AS n_label,
+             CAST(ROUND(list_inner_product(qv, v) / (qn * nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q, n WHERE vec_id <> q_id AND label <> q_label),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM p)
+SELECT q_id, q_label, neighbor_id, n_label,
+       CAST(cosine AS VARCHAR) AS cosine, rank
+FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3717,6 +3750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_bpe_learn": q85,
     "q86_bpe_pair_stats": q86,
     "q87_split_leakage": q87,
+    "q88_hard_negatives": q88,
 }
 
 ORACLE: dict[str, str] = {
@@ -3806,6 +3840,7 @@ ORACLE: dict[str, str] = {
     "q84_source_js_divergence": Q84_SQL,
     "q86_bpe_pair_stats": Q86_SQL,
     "q87_split_leakage": Q87_SQL,
+    "q88_hard_negatives": Q88_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

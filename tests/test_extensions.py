@@ -1244,3 +1244,22 @@ def test_split_gram_overlap_counts_shared_distinct_grams(spark):
     r = out[0]
     # docs 0 and 1 share exactly one 5-gram (the shared prefix)
     assert (r["split_a"], r["split_b"], r["n_shared_grams"]) == ("train", "val", 1)
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [0.99, 0.14], 0), # same label, very similar -> must be excluded
+        (2, [0.95, 0.31], 1), # different label, similar -> hardest negative
+        (3, [0.0, 1.0], 1),   # different label, orthogonal
+        (4, [0.9, 0.43], 0),  # same label -> excluded
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(e, anchors, k=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+    for r in out:
+        assert r["n_label"] != r["q_label"]

@@ -127,6 +127,9 @@ FLAGSHIPS = {
     # q87: distinct (split, gram) frame + digest-keyed self-join +
     # split-pair agg
     "q87_split_leakage": (10, False),
+    # q88's nested loop = the bounded broadcast anchor set with the
+    # label-mismatch predicate in the join condition (q23 contract)
+    "q88_hard_negatives": (6, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
