@@ -300,3 +300,53 @@ def test_registry_replace_rejects_renamed_columns(spark):
     with pytest.raises(ValueError):
         # same dataTypes, different column meanings — must not pass
         registry.replace_all(cur, renamed)
+
+
+def test_write_compacted_sizes_file_count(spark, tmp_path):
+    """X49 (io): the writer derives file count from measured encoded
+    bytes/row, so a many-partition frame lands as few right-sized files."""
+    import glob
+
+    from emr_trino_autoscale_spark.io import write_compacted
+
+    df = spark.range(50_000).repartition(32).selectExpr(
+        "id", "repeat('x', 200) AS payload"
+    )
+    out = tmp_path / "compacted"
+    n = write_compacted(df, str(out), target_file_mb=1)
+    files = glob.glob(str(out / "*.parquet"))
+    assert n >= 1
+    assert len(files) == n          # not 32 shuffle-partition shards
+    assert len(files) < 32
+    back = spark.read.parquet(str(out))
+    assert back.count() == 50_000
+
+    # empty frame: no crash, zero data files requested
+    out2 = tmp_path / "compacted_empty"
+    n2 = write_compacted(df.filter("id < 0"), str(out2), target_file_mb=1)
+    assert n2 == 0
+
+
+def test_load_evolving_merges_missing_and_drifted_columns(spark, tmp_path):
+    """X49 (io): old files without a column read as NULL/default; a
+    column stored int in old files and long in new casts to the target."""
+    from emr_trino_autoscale_spark.io import load_evolving
+
+    p = tmp_path / "evolving"
+    spark.createDataFrame(
+        [(1, "a")], "id int, text string"
+    ).write.parquet(str(p / "part=old"))
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, text string, q double"
+    ).write.parquet(str(p / "part=new"))
+
+    out = load_evolving(
+        spark,
+        str(p),
+        "id long, text string, q double, lang string",
+        defaults={"lang": "und"},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(out.columns) == {"id", "text", "q", "lang"}
+    assert rows[1]["q"] is None and rows[1]["lang"] == "und"
+    assert rows[2]["q"] == 0.9 and rows[2]["lang"] == "und"
