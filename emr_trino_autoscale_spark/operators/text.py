@@ -1180,3 +1180,81 @@ def bm25_apply(
         .withColumn("n_matched", matched.cast("bigint"))
         .drop("__toks", "__dl")
     )
+
+
+def cms_sketch(
+    df: DataFrame, d: int = 4, w: int = 1024, text_col: str = "text"
+) -> DataFrame:
+    """X50 (sketch build) — count-min sketch of the token stream
+    (Cormode & Muthukrishnan 2005): ``d`` md5-derived hash rows x ``w``
+    counters. The mergeable frequency summary a streaming/partitioned
+    pipeline maintains when the true vocabulary is too big to count
+    exactly per window.
+
+    Scale: ONE exploded-token pass; each token emits its d (row, bucket)
+    pairs row-locally (posexplode over a d-element literal-hash array),
+    then a single map-side-combinable hash agg. The sketch itself is
+    d*w rows — constant, broadcastable, and mergeable across partitions
+    /snapshots by plain addition (counter-wise sum), which is the whole
+    point of the structure. md5-derived buckets replay in any engine.
+    """
+    tok = F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(tok)
+        .select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    d: int = 4,
+    w: int = 1024,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """X50 (point query) — CMS count estimate for each candidate token:
+    min over the d counters the token hashes into. Guarantees (exact,
+    engine-replayable here because the hashes are md5-literal):
+    est >= true always; est <= true + (e/w)*N with prob 1-e^-d per
+    query. ``candidates`` is a bounded frame (heavy-hitter shortlist);
+    the d*w sketch is broadcast."""
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), F.col(tok_col))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            )
+            for j in range(d)
+        ]
+    )
+    cand = candidates.select(
+        tok_col, F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(tok_col)
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )

@@ -3647,6 +3647,90 @@ FROM r WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+# Q89 — X50: count-min-sketch heavy hitters — exact top-20 tokens vs
+# their CMS estimates (d=4 md5 rows x w=1024), with the CMS guarantees
+# emitted as booleans (never_under is unconditional; within_eps uses
+# the e/w bound — all deterministic here because the hashes are md5).
+
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d_rows, w = 4, 1024
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("exact_count"))
+    top = skew.two_phase_topk(
+        exact,
+        part_cols=[],
+        order_cols=[F.col("exact_count").desc(), F.col("tok").asc()],
+        k=20,
+        bucket_on=F.col("tok"),
+    ).select("tok", "exact_count")
+    sketch = text.cms_sketch(docs, d=d_rows, w=w)
+    est = text.cms_estimate(top, sketch, d=d_rows, w=w)
+    total = toks.agg(F.count("*").cast("double").alias("__N"))
+    eps = math.e / w
+    return (
+        top.join(est, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_count")).alias("never_under"),
+            (
+                F.col("cms_est").cast("double")
+                <= F.col("exact_count").cast("double") + F.lit(eps) * F.col("__N")
+            ).alias("within_eps"),
+        )
+        .orderBy(F.col("exact_count").desc(), "tok")
+    )
+
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || tok), 1, 15)) "
+    "AS BIGINT) % 1024"
+)
+
+Q89_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, exact_count FROM exact
+  ORDER BY exact_count DESC, tok ASC LIMIT 20),
+pairs AS (
+  SELECT tok, j, CASE j
+      WHEN 0 THEN {_CMS_BUCKET.format(j=0)}
+      WHEN 1 THEN {_CMS_BUCKET.format(j=1)}
+      WHEN 2 THEN {_CMS_BUCKET.format(j=2)}
+      ELSE {_CMS_BUCKET.format(j=3)} END AS bucket
+  FROM toks, range(4) r(j)),
+sketch AS (
+  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY j, bucket),
+cand AS (
+  SELECT tok, j, CASE j
+      WHEN 0 THEN {_CMS_BUCKET.format(j=0)}
+      WHEN 1 THEN {_CMS_BUCKET.format(j=1)}
+      WHEN 2 THEN {_CMS_BUCKET.format(j=2)}
+      ELSE {_CMS_BUCKET.format(j=3)} END AS bucket
+  FROM top, range(4) r(j)),
+est AS (
+  SELECT cand.tok, CAST(min(sketch.c) AS BIGINT) AS cms_est
+  FROM cand JOIN sketch USING (j, bucket) GROUP BY cand.tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks)
+SELECT top.tok, top.exact_count, est.cms_est,
+       est.cms_est >= top.exact_count AS never_under,
+       CAST(est.cms_est AS DOUBLE)
+         <= CAST(top.exact_count AS DOUBLE) + 0.0026545720981045362 * n.total
+         AS within_eps
+FROM top JOIN est USING (tok), n
+ORDER BY top.exact_count DESC, top.tok
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3751,6 +3835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_bpe_pair_stats": q86,
     "q87_split_leakage": q87,
     "q88_hard_negatives": q88,
+    "q89_cms_heavy_hitters": q89,
 }
 
 ORACLE: dict[str, str] = {
@@ -3841,6 +3926,7 @@ ORACLE: dict[str, str] = {
     "q86_bpe_pair_stats": Q86_SQL,
     "q87_split_leakage": Q87_SQL,
     "q88_hard_negatives": Q88_SQL,
+    "q89_cms_heavy_hitters": Q89_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1263,3 +1263,26 @@ def test_hard_negatives_excludes_same_label_and_self(spark):
     assert got == [(2, 1), (3, 2)]
     for r in out:
         assert r["n_label"] != r["q_label"]
+
+
+def test_cms_sketch_is_mergeable_and_never_underestimates(spark):
+    a = docs(spark, ["x x y z", "y y q"])
+    b = docs(spark, ["x z z w"])
+    both = a.union(b)
+    sk_a = text.cms_sketch(a, d=4, w=64)
+    sk_b = text.cms_sketch(b, d=4, w=64)
+    merged = (
+        sk_a.union(sk_b).groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+    )
+    direct = text.cms_sketch(both, d=4, w=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )  # counter-wise sum == sketch of the union (mergeability)
+    cands = spark.createDataFrame(
+        [("x",), ("y",), ("z",), ("q",), ("w",)], "tok string"
+    )
+    est = {r["tok"]: r["cms_est"]
+           for r in text.cms_estimate(cands, direct, d=4, w=64).collect()}
+    true = {"x": 3, "y": 3, "z": 3, "q": 1, "w": 1}
+    for t, c in true.items():
+        assert est[t] >= c

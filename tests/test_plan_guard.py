@@ -130,6 +130,10 @@ FLAGSHIPS = {
     # q88's nested loop = the bounded broadcast anchor set with the
     # label-mismatch predicate in the join condition (q23 contract)
     "q88_hard_negatives": (6, True),
+    # q89's nested loop = the 1-row broadcast token-total join; ceiling
+    # covers exact agg + two-phase top-20 + d*w sketch agg + the
+    # bounded candidate/sketch joins
+    "q89_cms_heavy_hitters": (18, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -192,6 +196,8 @@ BROADCAST_ALLOW = {
         "vocab.withColumn('__in', F.lit(1))", "dfreq", "stats",
         # (V+1)-row bucketed corpus distribution + its 1-row total
         "corpus", "corpus_tot",
+        # d*w-row CMS counter table (constant size by construction)
+        "sketch",
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
