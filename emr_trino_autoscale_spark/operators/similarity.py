@@ -1532,3 +1532,40 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def random_projection(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """X51 — Johnson-Lindenstrauss dimensionality reduction with an
+    Achlioptas sign matrix (±1 entries scaled by 1/sqrt(k); Achlioptas
+    JCSS 2003 — public): project d-dim embeddings to k dims while
+    approximately preserving pairwise geometry. At corpus scale the
+    payoff is bandwidth: every downstream shuffle, GEMM tile and ANN
+    index moves k/d of the vector bytes, and JL bounds the rank damage.
+
+    The planes are md5-derived literals (:func:`md5_sign_planes`), so
+    the projection replays bit-identically in any engine with md5 —
+    per-component dot products round to 6 decimals BEFORE the exact
+    power-of-two scale, the same two-step the SRP family uses to keep
+    fp summation order from flipping oracle comparisons.
+
+    Scale: pure row-local narrow projection (zero shuffle, codegen'd
+    zip_with/aggregate); k literal columns of driver state.
+    """
+    k = len(planes)
+    scale = 1.0 / (k ** 0.5)
+    vec = as_double(F.col(vec_col))
+    comps = []
+    for plane in planes:
+        arr = F.array(*[F.lit(x) for x in plane])
+        s = F.aggregate(
+            F.zip_with(vec, arr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(s, 6) * F.lit(scale))
+    return df.withColumn(out_col, F.array(*comps))

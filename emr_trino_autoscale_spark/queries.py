@@ -3731,6 +3731,49 @@ ORDER BY top.exact_count DESC, top.tok
 """
 
 
+# Q90 — X51: JL random projection — exact top-5 cosine neighbors in
+# the 16-dim projected space (md5 sign planes, 1/sqrt(16)=0.25 exact
+# scale) for the q23 query set; recall vs the 64-dim exact ranking is
+# pytest-asserted, the projected-space ranking itself is hash-verified.
+
+_PLANES_JL = similarity.md5_sign_planes(n_planes=16, dim=64)
+
+
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    p = similarity.random_projection(e, _PLANES_JL)
+    queries = p.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "proj"
+    )
+    return (
+        similarity.brute_force_topk(p, queries, k=5, vec_col="proj")
+        .withColumn("cosine", F.col("cosine").cast("string"))
+        .orderBy("q_id", "rank")
+    )
+
+
+Q90_SQL = f"""
+WITH pl AS (SELECT {_planes_sql_literal(_PLANES_JL)} AS planes),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT vec_id,
+         list_transform(range(16), k ->
+           ROUND(list_inner_product(v, planes[k + 1]), 6) * 0.25) AS pv
+  FROM e, pl),
+n AS (SELECT vec_id, pv, sqrt(list_inner_product(pv, pv)) AS nrm FROM p),
+q AS (SELECT vec_id AS q_id, pv AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+s AS (SELECT q_id, vec_id AS neighbor_id,
+             CAST(ROUND(list_inner_product(qv, pv) / (qn * nrm), 4)
+                  AS DECIMAL(38,4)) AS cosine
+      FROM q, n WHERE vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM s)
+SELECT q_id, neighbor_id, CAST(cosine AS VARCHAR) AS cosine, rank
+FROM r WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3836,6 +3879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_split_leakage": q87,
     "q88_hard_negatives": q88,
     "q89_cms_heavy_hitters": q89,
+    "q90_jl_projection_topk": q90,
 }
 
 ORACLE: dict[str, str] = {
@@ -3927,6 +3971,7 @@ ORACLE: dict[str, str] = {
     "q87_split_leakage": Q87_SQL,
     "q88_hard_negatives": Q88_SQL,
     "q89_cms_heavy_hitters": Q89_SQL,
+    "q90_jl_projection_topk": Q90_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

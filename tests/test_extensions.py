@@ -1286,3 +1286,47 @@ def test_cms_sketch_is_mergeable_and_never_underestimates(spark):
     true = {"x": 3, "y": 3, "z": 3, "q": 1, "w": 1}
     for t, c in true.items():
         assert est[t] >= c
+
+
+def test_jl_projection_bounds_distance_distortion(spark):
+    """X51: what JL actually guarantees — pairwise squared-distance
+    ratios within (1 +- eps). At k=16 with sign planes, eps ~
+    sqrt(ln n / k) is loose; with 435 pairs the chi-square_16 tails
+    reach ~[0.23, 2.25] (measured, deterministic md5 planes), so the
+    envelope is [0.15, 2.5] per pair with the unbiasedness assertion
+    carrying the real weight. (Rank preservation on this
+    corpus is deliberately NOT asserted: the synthetic vectors are
+    near-uniform random, so top-5 rank gaps sit far below any JL
+    distortion — measured recall@5 ~0.1 at k=16 and ~0.2 at k=48. The
+    production use is distance-THRESHOLD ops, not fine ranking; see
+    docs/SCALE.md.)"""
+    import math
+
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 30
+    )
+    planes = similarity.md5_sign_planes(n_planes=16, dim=64)
+    p = similarity.random_projection(e, planes)
+    rows = p.select("vec_id", "embedding", "proj").collect()
+    vecs = {r["vec_id"]: (r["embedding"], r["proj"]) for r in rows}
+
+    def sqdist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(vecs)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            v1, p1 = vecs[ids[i]]
+            v2, p2 = vecs[ids[j]]
+            d_true = sqdist(v1, v2)
+            if d_true == 0:
+                continue
+            ratios.append(sqdist(p1, p2) / d_true)
+    assert ratios
+    assert all(0.15 <= r <= 2.5 for r in ratios), (min(ratios), max(ratios))
+    # the mean ratio should sit near 1 (unbiased estimator)
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 <= mean <= 1.1, mean

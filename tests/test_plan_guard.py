@@ -134,6 +134,8 @@ FLAGSHIPS = {
     # covers exact agg + two-phase top-20 + d*w sketch agg + the
     # bounded candidate/sketch joins
     "q89_cms_heavy_hitters": (18, True),
+    # q90: row-local JL projection + the q23 broadcast-query ranking
+    "q90_jl_projection_topk": (6, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
