@@ -576,3 +576,41 @@ def test_streaming_quality_gate_and_bm25(spark, tmp_path):
             assert round(r["score"], 10) == batch_b[r["doc_id"]]
         else:
             assert r["score"] == 0.0 and r["n_matched"] == 0
+
+
+def test_streaming_cms_sketch_complete_mode(spark, tmp_path):
+    """X50 under Structured Streaming: the CMS build is one grouped
+    aggregation over row-local bucket emission, so it runs as a
+    streaming agg in complete mode — the d*w bounded counter table is
+    re-emitted per micro-batch and equals the batch sketch on the same
+    rows (the mergeability property makes the incremental maintenance
+    exact, not approximate)."""
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    src = tmp_path / "cms_src"
+    chk = tmp_path / "cms_chk"
+    rows = [(i, f"tok{i % 5} common word tok{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.repartition(2).write.parquet(str(src))
+
+    batch = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in text_ops.cms_sketch(df, d=4, w=64).collect()
+    }
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        text_ops.cms_sketch(stream, d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["j"], r["bucket"]): r["c"]
+        for r in spark.sql("select * from cms_stream_test").collect()
+    }
+    assert got == batch
