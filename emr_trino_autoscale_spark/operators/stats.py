@@ -1,0 +1,168 @@
+"""Statistical survey/monitoring operators (X52-X54).
+
+Corpus work at 100 TB is sampled, trended and monitored far more often
+than it is fully scanned; these are the three shapes that recur:
+optimal stratified sampling (what to label/inspect), grouped trend
+fits (is a source drifting), and rolling anomaly flags (did ingest
+break last night). All are built-in expression work — one or two
+hash aggregations plus bounded broadcast frames, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+    total_sample: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X52 — Neyman-optimal stratified sampling (Neyman 1934 — public):
+    allocate a fixed labeling/inspection budget across strata
+    proportionally to N_h * sigma_h, which minimizes the variance of the
+    stratified mean estimator — high-variance strata get inspected more
+    per document than homogeneous ones. Selection inside each stratum
+    uses a deterministic md5 coin at rate alloc/N_h (expected-count
+    selection — row-local, replayable, no per-stratum sort).
+
+    Scale: one grouped agg for (N_h, sigma_h), a #strata-row broadcast
+    with the 1-row budget total, then a narrow coin projection and one
+    audit agg. No windows, no global sort; the coin keeps the plan
+    identical whether a stratum holds 10 docs or 10 billion.
+    """
+    st = df.groupBy(stratum_col).agg(
+        F.count("*").cast("double").alias("__N"),
+        F.coalesce(F.stddev_samp(F.col(value_col).cast("double")), F.lit(0.0)).alias(
+            "__sd"
+        ),
+    )
+    tot = st.agg(
+        F.sum(F.col("__N") * F.col("__sd")).alias("__T"),
+        F.sum("__N").alias("__NT"),
+    )
+    frac = F.when(
+        F.col("__T") > 0, F.col("__N") * F.col("__sd") / F.col("__T")
+    ).otherwise(F.col("__N") / F.col("__NT"))  # all-constant strata: proportional
+    alloc = (
+        st.join(F.broadcast(tot))
+        .withColumn("__alloc", frac * F.lit(float(total_sample)))
+        .select(stratum_col, "__N", "__sd", "__alloc")
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        df.join(F.broadcast(alloc), stratum_col)
+        .withColumn("__keep", coin < F.col("__alloc") / F.col("__N"))
+        .groupBy(stratum_col)
+        .agg(
+            F.min("__N").cast("bigint").alias("n_docs"),
+            F.min("__sd").alias("sd"),
+            F.min("__alloc").alias("alloc"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """X53 — per-group ordinary-least-squares trend fit, computed in the
+    centered (covariance) form: slope = S_xy / S_xx with
+    S_xy = sum((x - mean_x) * (y - mean_y)). The centered two-pass is
+    deliberate — the raw-moment identity n*sum(xy) - sum(x)*sum(y)
+    catastrophically cancels when x is epoch seconds (~1e9, so sum(x^2)
+    carries ~1e22 and the subtraction loses every significant digit);
+    centering keeps all terms at data scale, and makes the oracle SQL
+    agree at 4 decimals.
+
+    Scale: two grouped hash aggs (means, then centered moments) joined
+    on the group key — the second agg reuses the first's broadcast.
+    Emits slope, intercept, r2 and n per group.
+    """
+    d = df.select(F.col(group_col).alias("g"), x.cast("double").alias("__x"), y.cast("double").alias("__y"))
+    means = d.groupBy("g").agg(
+        F.avg("__x").alias("__mx"), F.avg("__y").alias("__my")
+    )
+    mom = (
+        d.join(F.broadcast(means), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("__x") - F.col("__mx")) * (F.col("__y") - F.col("__my"))).alias("__sxy"),
+            F.sum(F.pow(F.col("__x") - F.col("__mx"), 2)).alias("__sxx"),
+            F.sum(F.pow(F.col("__y") - F.col("__my"), 2)).alias("__syy"),
+            F.min("__mx").alias("__mx"),
+            F.min("__my").alias("__my"),
+        )
+    )
+    slope = F.when(F.col("__sxx") > 0, F.col("__sxy") / F.col("__sxx")).otherwise(
+        F.lit(0.0)
+    )
+    r2 = F.when(
+        (F.col("__sxx") > 0) & (F.col("__syy") > 0),
+        F.pow(F.col("__sxy"), 2) / (F.col("__sxx") * F.col("__syy")),
+    ).otherwise(F.lit(0.0))
+    return mom.select(
+        F.col("g").alias(group_col),
+        "n",
+        slope.alias("slope"),
+        (F.col("__my") - slope * F.col("__mx")).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 5,
+    threshold: float = 2.0,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """X54 — rolling z-score anomaly flags: each event scored against
+    the mean/stddev of its own key's previous ``lookback`` events
+    (frame ends at the PRECEDING row — the current value never
+    contaminates its own baseline). The ingest-monitoring shape: a
+    source whose new events suddenly sit 2 sigma off their trailing
+    baseline broke upstream, and the flag must fire per event, not per
+    day.
+
+    Scale: one window partitioned by the KEY (corpus-cardinality —
+    parallelism grows with data), each in-window sort bounded by one
+    key's history. The frame is rows-based with an explicit total
+    order ((ts, tiebreak)) so replays and engines agree on which rows
+    the baseline saw.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col).cast("double")
+    base_mean = F.avg(v).over(w)
+    base_sd = F.stddev_samp(v).over(w)
+    base_n = F.count(v).over(w)
+    z = F.when(
+        (base_n >= lookback) & (base_sd > 0), (v - base_mean) / base_sd
+    )
+    return (
+        df.withColumn("baseline_mean", base_mean)
+        .withColumn("baseline_sd", base_sd)
+        .withColumn("baseline_n", base_n.cast("bigint"))
+        .withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)),
+        )
+    )

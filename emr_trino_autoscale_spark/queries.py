@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, sign_dispatch
 from .io import load_table
-from .operators import dedup, events as ev_ops, metric_store as ms, similarity, skew, text
+from .operators import dedup, events as ev_ops, metric_store as ms, similarity, skew, stats, text
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
 
 # ---------------------------------------------------------------------------
@@ -3774,6 +3774,139 @@ FROM r WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+# Q91 — X52: Neyman-optimal stratified sampling audit — per-source
+# budget allocation proportional to N_h*sigma_h with md5-coin selection.
+
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = stats.neyman_allocation(d, "source", "n_chars", total_sample=100)
+    return a.select(
+        "source",
+        "n_docs",
+        dec4(F.col("sd")).alias("sd"),
+        dec4(F.col("alloc")).alias("alloc"),
+        "n_sampled",
+    ).orderBy("source")
+
+
+Q91_SQL = f"""
+WITH st AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         COALESCE(stddev_samp(CAST(n_chars AS DOUBLE)), 0.0) AS sd
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n * sd) AS t, sum(n) AS nt FROM st),
+alloc AS (
+  SELECT source, n, sd,
+         (CASE WHEN tot.t > 0 THEN n * sd / tot.t ELSE n / tot.nt END)
+           * 100.0 AS alloc
+  FROM st, tot),
+sel AS (
+  SELECT d.source,
+         CASE WHEN (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) / 1152921504606846976.0)
+                   < a.alloc / a.n
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN alloc a USING (source))
+SELECT a.source,
+       CAST(a.n AS BIGINT) AS n_docs,
+       {_dec4('a.sd')} AS sd,
+       {_dec4('a.alloc')} AS alloc,
+       CAST((SELECT sum(keep) FROM sel WHERE sel.source = a.source) AS BIGINT)
+         AS n_sampled
+FROM alloc a ORDER BY a.source
+"""
+
+
+# Q92 — X53: per-event-type OLS trend of value over time (centered
+# covariance form — see stats.grouped_ols for the cancellation note).
+
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fit = stats.grouped_ols(
+        ev,
+        "event_type",
+        x=F.unix_timestamp(F.col("ts")),
+        y=F.col("value"),
+    )
+    return fit.select(
+        "event_type",
+        "n",
+        dec4(F.col("slope") * 3600.0).alias("slope_per_hour"),
+        dec4(F.col("intercept")).alias("intercept"),
+        dec4(F.col("r2")).alias("r2"),
+    ).orderBy("event_type")
+
+
+Q92_SQL = f"""
+WITH d AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch(ts)) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events),
+m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM d GROUP BY g),
+mom AS (
+  SELECT d.g, CAST(count(*) AS BIGINT) AS n,
+         sum((x - mx) * (y - my)) AS sxy,
+         sum(pow(x - mx, 2)) AS sxx,
+         sum(pow(y - my, 2)) AS syy,
+         min(mx) AS mx, min(my) AS my
+  FROM d JOIN m USING (g) GROUP BY d.g),
+fit AS (
+  SELECT g, n,
+         CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END AS slope,
+         my - (CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END) * mx AS intercept,
+         CASE WHEN sxx > 0 AND syy > 0 THEN pow(sxy, 2) / (sxx * syy)
+              ELSE 0.0 END AS r2
+  FROM mom)
+SELECT g AS event_type, n,
+       {_dec4('slope * 3600.0')} AS slope_per_hour,
+       {_dec4('intercept')} AS intercept,
+       {_dec4('r2')} AS r2
+FROM fit ORDER BY event_type
+"""
+
+
+# Q93 — X54: rolling z-score anomalies — events >2 sigma off their own
+# user's trailing-5 baseline (frame ends at the PRECEDING row).
+
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    z = stats.rolling_zscore(ev, lookback=5, threshold=2.0)
+    return (
+        z.filter(F.col("is_anomaly"))
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts(F.col("ts")).alias("ts"),
+            dec4(F.col("value")).alias("value"),
+            dec4(F.col("baseline_mean")).alias("baseline_mean"),
+            dec4(F.col("zscore")).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q93_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER win AS bmean,
+         stddev_samp(value) OVER win AS bsd,
+         count(value) OVER win AS bn
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT *, (value - bmean) / bsd AS zscore
+  FROM w WHERE bn >= 5 AND bsd > 0)
+SELECT event_id, user_id, {_fmt('ts')} AS ts,
+       {_dec4('value')} AS value,
+       {_dec4('bmean')} AS baseline_mean,
+       {_dec4('zscore')} AS zscore
+FROM z WHERE abs(zscore) > 2.0
+ORDER BY user_id, event_id
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -3880,6 +4013,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_hard_negatives": q88,
     "q89_cms_heavy_hitters": q89,
     "q90_jl_projection_topk": q90,
+    "q91_neyman_sampling": q91,
+    "q92_ols_trend": q92,
+    "q93_rolling_zscore": q93,
 }
 
 ORACLE: dict[str, str] = {
@@ -3972,6 +4108,9 @@ ORACLE: dict[str, str] = {
     "q88_hard_negatives": Q88_SQL,
     "q89_cms_heavy_hitters": Q89_SQL,
     "q90_jl_projection_topk": Q90_SQL,
+    "q91_neyman_sampling": Q91_SQL,
+    "q92_ols_trend": Q92_SQL,
+    "q93_rolling_zscore": Q93_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

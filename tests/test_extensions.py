@@ -1330,3 +1330,61 @@ def test_jl_projection_bounds_distance_distortion(spark):
     # the mean ratio should sit near 1 (unbiased estimator)
     mean = sum(ratios) / len(ratios)
     assert 0.9 <= mean <= 1.1, mean
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = (
+        [("flat", i, 100) for i in range(50)]
+        + [("wild", i + 100, (i % 10) * 1000) for i in range(50)]
+    )
+    d = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = {r["source"]: r for r in
+           stats_ops.neyman_allocation(d, total_sample=40).collect()}
+    assert out["flat"]["sd"] == 0.0
+    assert out["flat"]["alloc"] == 0.0          # zero variance -> zero budget
+    assert abs(out["wild"]["alloc"] - 40.0) < 1e-9
+    # all-constant corpus degenerates to proportional, not NaN/zero-div
+    d2 = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 3, 5)],
+        "source string, doc_id long, n_chars long",
+    )
+    out2 = {r["source"]: r["alloc"] for r in
+            stats_ops.neyman_allocation(d2, total_sample=30).collect()}
+    assert abs(out2["a"] - 20.0) < 1e-9 and abs(out2["b"] - 10.0) < 1e-9
+
+
+def test_grouped_ols_recovers_known_line(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    base = 1_700_000_000  # epoch-scale x: the cancellation regime the
+    rows = [("g", base + i, 3.0 * i + 7.0) for i in range(100)]
+    d = spark.createDataFrame(rows, "g string, x long, y double")
+    r = stats_ops.grouped_ols(d, "g", x=F.col("x"), y=F.col("y")).collect()[0]
+    assert abs(r["slope"] - 3.0) < 1e-6          # centered form survives 1e9 offsets
+    assert abs(r["intercept"] - (7.0 - 3.0 * base)) / abs(7.0 - 3.0 * base) < 1e-6
+    assert abs(r["r2"] - 1.0) < 1e-9
+
+
+def test_rolling_zscore_flags_spike_not_baseline(spark):
+    from datetime import datetime, timezone
+
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+
+    vals = [10.0, 11.0, 9.0, 10.0, 11.0, 10.5, 50.0]  # spike at the end
+    rows = [(i, t(i), 1, vals[i]) for i in range(len(vals))]
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = stats_ops.rolling_zscore(
+        d, lookback=5, threshold=2.0
+    ).orderBy("event_id").collect()
+    flags = [r["is_anomaly"] for r in out]
+    assert flags == [False] * 6 + [True]
+    assert out[6]["baseline_n"] == 5
+    # first 5 rows have no full baseline -> zscore NULL, never flagged
+    assert all(out[i]["zscore"] is None for i in range(5))

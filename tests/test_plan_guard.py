@@ -136,6 +136,13 @@ FLAGSHIPS = {
     "q89_cms_heavy_hitters": (18, True),
     # q90: row-local JL projection + the q23 broadcast-query ranking
     "q90_jl_projection_topk": (6, True),
+    # q91's nested loop = the 1-row budget-total broadcast; ceiling
+    # covers the strata agg + broadcast alloc join + audit agg
+    "q91_neyman_sampling": (14, True),
+    # q92: two grouped aggs (means, centered moments) + broadcast join
+    "q92_ols_trend": (8, False),
+    # q93: one key-partitioned window + presentation sort
+    "q93_rolling_zscore": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -209,6 +216,8 @@ BROADCAST_ALLOW = {
     "events.py": set(),
     "skew.py": set(),
     "bucketing.py": set(),
+    # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames
+    "stats.py": {"tot", "alloc", "means"},
     "multimodal.py": set(),
 }
 # metric_store denominator_df is caller-supplied and documented bounded
