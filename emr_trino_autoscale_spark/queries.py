@@ -3907,6 +3907,150 @@ ORDER BY user_id, event_id
 """
 
 
+# Q94 — X55: data-quality constraint audit — declarative expectations
+# (range, ordering, FK, PK-uniqueness) evaluated as conditional sums /
+# anti-join counts, one row per rule. The single lineitem pass carries
+# all three row-local rules; the FK rule is a broadcast-dim anti join;
+# the PK rule one grouped agg. Rules are deliberately tighter than the
+# data (quantity<=45, discount<=0.08) so the audit exercises nonzero
+# violation paths alongside clean ones.
+
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    row_rules = li.agg(
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45)).cast("int")
+        ).cast("bigint").alias("__v_qty"),
+        F.sum((F.col("l_discount") > 0.08).cast("int")).cast("bigint").alias("__v_disc"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("int"))
+        .cast("bigint")
+        .alias("__v_price"),
+    )
+    fk_viol = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("__v"))
+    )
+    n_orders = o.agg(F.count("*").cast("bigint").alias("__n"))
+    pk_viol = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("__v"))
+    )
+    rules = (
+        row_rules.select(
+            F.lit("l_quantity_in_1_45").alias("rule"),
+            F.col("__n").alias("n_checked"),
+            F.col("__v_qty").alias("n_violations"),
+        )
+        .unionAll(
+            row_rules.select(
+                F.lit("l_discount_le_008").alias("rule"),
+                F.col("__n").alias("n_checked"),
+                F.col("__v_disc").alias("n_violations"),
+            )
+        )
+        .unionAll(
+            row_rules.select(
+                F.lit("extendedprice_positive").alias("rule"),
+                F.col("__n").alias("n_checked"),
+                F.col("__v_price").alias("n_violations"),
+            )
+        )
+        .unionAll(
+            row_rules.select(F.lit("orderkey_fk").alias("rule"), F.col("__n").alias("n_checked"))
+            .join(fk_viol)
+            .select("rule", "n_checked", F.col("__v").alias("n_violations"))
+        )
+        .unionAll(
+            n_orders.select(F.lit("orderkey_pk_unique").alias("rule"), F.col("__n").alias("n_checked"))
+            .join(pk_viol)
+            .select("rule", "n_checked", F.col("__v").alias("n_violations"))
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        dec4(F.col("n_violations").cast("double") / F.col("n_checked")).alias(
+            "violation_rate"
+        ),
+    ).orderBy("rule")
+
+
+Q94_SQL = f"""
+WITH row_rules AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_disc,
+         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_price
+  FROM lineitem),
+fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS v
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL),
+no AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+pk AS (
+  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS v
+  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+u AS (
+  SELECT 'l_quantity_in_1_45' AS rule, n AS n_checked, v_qty AS n_violations
+  FROM row_rules
+  UNION ALL
+  SELECT 'l_discount_le_008', n, v_disc FROM row_rules
+  UNION ALL
+  SELECT 'extendedprice_positive', n, v_price FROM row_rules
+  UNION ALL
+  SELECT 'orderkey_fk', row_rules.n, fk.v FROM row_rules, fk
+  UNION ALL
+  SELECT 'orderkey_pk_unique', no.n, pk.v FROM no, pk)
+SELECT rule, n_checked, n_violations,
+       {_dec4('CAST(n_violations AS DOUBLE) / n_checked')} AS violation_rate
+FROM u ORDER BY rule
+"""
+
+
+# Q95 — X56: SCD2 history build — each user's event_type timeline as
+# effective-dated rows (effective_to = next change, NULL while current).
+# One lead() window partitioned by the corpus-cardinality user key.
+
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("__next", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("state"),
+            fmt_ts(F.col("ts")).alias("effective_from"),
+            fmt_ts(F.col("__next")).alias("effective_to"),
+            F.col("__next").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from", "event_id")
+    )
+
+
+Q95_SQL = f"""
+WITH h AS (
+  SELECT user_id, event_id, event_type AS state, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM events)
+SELECT user_id, event_id, state,
+       {_fmt('ts')} AS effective_from,
+       {_fmt('next_ts')} AS effective_to,
+       next_ts IS NULL AS is_current
+FROM h ORDER BY user_id, effective_from, event_id
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4016,6 +4160,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_neyman_sampling": q91,
     "q92_ols_trend": q92,
     "q93_rolling_zscore": q93,
+    "q94_constraint_audit": q94,
+    "q95_scd2_history": q95,
 }
 
 ORACLE: dict[str, str] = {
@@ -4111,6 +4257,8 @@ ORACLE: dict[str, str] = {
     "q91_neyman_sampling": Q91_SQL,
     "q92_ols_trend": Q92_SQL,
     "q93_rolling_zscore": Q93_SQL,
+    "q94_constraint_audit": Q94_SQL,
+    "q95_scd2_history": Q95_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -143,6 +143,12 @@ FLAGSHIPS = {
     "q92_ols_trend": (8, False),
     # q93: one key-partitioned window + presentation sort
     "q93_rolling_zscore": (4, False),
+    # q94's nested loops = the 1-row rule frames cross-joined to tag
+    # rule names; ceiling covers the lineitem pass + FK anti join +
+    # PK agg + the 5-way union of 1-row frames
+    "q94_constraint_audit": (22, True),
+    # q95: one user-keyed lead window + presentation sort
+    "q95_scd2_history": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
