@@ -329,3 +329,133 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
         (F.col("id") * 1000).cast("long").alias("meta_duration_ms"),
         F.lit("synthetic").alias("meta_format"),
     )
+
+
+def ahash64_ppm(payload: bytes) -> int | None:
+    """X57 — 64-bit average-hash (aHash) perceptual fingerprint of a P6
+    PPM image: grayscale -> 8x8 block-mean downsample -> one bit per
+    cell (above/below the 64-cell mean). Near-identical images (resize,
+    slight re-encode, small edits) land within a few bits of Hamming
+    distance; the public baseline perceptual hash (pHash's DCT variant
+    drops in behind the same signature). Returns None for undecodable
+    payloads — a corrupt image must not abort the batch."""
+    import numpy as np
+
+    try:
+        if payload is None or not payload.startswith(b"P6"):
+            return None
+        tokens: list[bytes] = []
+        i = 0
+        while len(tokens) < 4 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            tokens.append(payload[start:i])
+        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if maxval > 255 or width < 8 or height < 8:
+            return None
+        px = np.frombuffer(
+            payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
+        ).reshape(height, width, 3)
+        gray = px.astype(np.float64).mean(axis=2)
+        # 8x8 block means via truncate-to-multiple then reshape (exact,
+        # no interpolation -> deterministic across platforms)
+        bh, bw = height // 8, width // 8
+        g = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+        bits = (g > g.mean()).flatten()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        # keep within signed int64 for Spark LongType
+        return h - (1 << 64) if h >= (1 << 63) else h
+    except Exception:  # noqa: BLE001 — malformed image: signature absent
+        return None
+
+
+def image_ahash(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X57 — perceptual-hash projection over an opaque binary column:
+    Arrow-batched ``mapInPandas``, payload pruned from the output, one
+    64-bit signature per decodable image (NULL otherwise). Stateless and
+    per-batch pure, so it runs unchanged under Structured Streaming —
+    the ingest-time shape that lets a 100 TB image corpus be
+    near-dup-checked without ever re-reading raw bytes."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("ahash", LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": [ahash64_ppm(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def ahash_near_dup_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """X57 — image near-dup pairs from 64-bit aHash signatures: banded
+    exact-match candidates (4 x 16-bit bands — any pair within
+    ``max_hamming`` <= 15 bits must agree on at least one whole band by
+    pigeonhole when max_hamming < n_bands*... strictly, agreement on one
+    band is guaranteed for distance < n_bands, and probabilistically
+    near-certain for small distances; the verify step keeps the output
+    exact for whatever the bands surface), then exact Hamming verify via
+    ``bit_count(a XOR b)``.
+
+    Scale: the q47/q73 banding contract — candidates ride a narrow
+    (id, band, 16-bit key) self-join, signatures never expand to
+    per-bit rows, verify is one codegen popcount per candidate pair.
+    """
+    s = sigs.filter(F.col("ahash").isNotNull()).select(
+        F.col(id_col).alias("id"), "ahash"
+    )
+    bands = s.select(
+        "id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("int")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("ahash").alias("h_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("ahash").alias("h_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1388,3 +1388,50 @@ def test_rolling_zscore_flags_spike_not_baseline(spark):
     assert out[6]["baseline_n"] == 5
     # first 5 rows have no full baseline -> zscore NULL, never flagged
     assert all(out[i]["zscore"] is None for i in range(5))
+
+
+def _make_ppm(width, height, pixel_fn):
+    header = f"P6\n{width} {height}\n255\n".encode()
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            body += bytes((r, g, b))
+    return header + bytes(body)
+
+
+def test_image_ahash_near_dup_pairs(spark):
+    """X57: two near-identical gradient images hash within a few bits;
+    an inverted image is far; corrupt payloads yield NULL signatures and
+    never crash the batch."""
+
+    def grad(x, y):
+        v = (x * 2) % 256
+        return (v, v, v)
+
+    def grad_noisy(x, y):  # same structure, tiny perturbation
+        v = (x * 2 + (1 if (x + y) % 97 == 0 else 0)) % 256
+        return (v, v, v)
+
+    def inverted(x, y):
+        v = 255 - ((x * 2) % 256)
+        return (v, v, v)
+
+    rows = [
+        (0, _make_ppm(64, 64, grad)),
+        (1, _make_ppm(64, 64, grad_noisy)),
+        (2, _make_ppm(64, 64, inverted)),
+        (3, b"NOT A PPM AT ALL"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "media_id long, payload binary")
+    sigs = multimodal.image_ahash(d)
+    got = {r["media_id"]: r["ahash"] for r in sigs.collect()}
+    assert got[3] is None and got[4] is None
+    assert got[0] is not None and got[0] == got[1] or bin(
+        got[0] ^ got[1]
+    ).count("1") <= 6
+    pairs = multimodal.ahash_near_dup_pairs(sigs, max_hamming=6).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got_pairs
+    assert (0, 2) not in got_pairs and (1, 2) not in got_pairs
