@@ -4051,6 +4051,46 @@ FROM h ORDER BY user_id, effective_from, event_id
 """
 
 
+# Q96 — X58: TF-IDF weighted cosine near-dup join at tau=0.9. The
+# oracle is the BRUTE-FORCE relational form — equality proves the
+# prefix filter lossless, not merely high-recall.
+
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded 500-doc slice: the synthetic corpus's ~50-token vocabulary
+    # defeats prefix pruning (every doc shares every frequent token), so
+    # the all-pairs verify cost governs — see docs/SCALE.md q96 note.
+    # IDF/norms are computed WITHIN the slice (self-contained semantics).
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    p = dedup.tfidf_cosine_pairs(d, threshold=0.9, persist_fn=_cache_scoped)
+    return p.select(
+        "id_a", "id_b", F.col("cosine").cast("decimal(38,4)").cast("string").alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+Q96_SQL = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+w AS (
+  SELECT doc_id, tok,
+         CAST(tf AS DOUBLE) * ln(1.0 + n.n / CAST(df.df AS DOUBLE)) AS w
+  FROM tf JOIN df USING (tok), n),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+u AS (SELECT w.doc_id, tok, w / nrm AS w FROM w JOIN nrm USING (doc_id)),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(sum(a.w * b.w), 4) AS c
+  FROM u a JOIN u b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(CAST(c AS DECIMAL(38,4)) AS VARCHAR) AS cosine
+FROM d WHERE c >= 0.9 ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4162,6 +4202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_rolling_zscore": q93,
     "q94_constraint_audit": q94,
     "q95_scd2_history": q95,
+    "q96_tfidf_cosine_join": q96,
 }
 
 ORACLE: dict[str, str] = {
@@ -4259,6 +4300,7 @@ ORACLE: dict[str, str] = {
     "q93_rolling_zscore": Q93_SQL,
     "q94_constraint_audit": Q94_SQL,
     "q95_scd2_history": Q95_SQL,
+    "q96_tfidf_cosine_join": Q96_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1435,3 +1435,46 @@ def test_image_ahash_near_dup_pairs(spark):
     got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in got_pairs
     assert (0, 2) not in got_pairs and (1, 2) not in got_pairs
+
+
+def test_tfidf_cosine_pairs_lossless_prefix_on_zipfian_fixture(spark):
+    """X58: on a Zipfian corpus (shared stop-tokens + rare content
+    terms) the prefix filter prunes, and the output still equals the
+    brute-force relational join — the losslessness proof's empirical
+    twin."""
+    stop = "the of and a to in is it"
+    rows = [
+        (0, stop + " quantum flux capacitor"),
+        (1, stop + " quantum flux capacitor"),          # exact twin of 0
+        (2, stop + " quantum flux resistor"),           # near 0/1
+        (3, stop + " gardening tomato seeds"),          # unrelated content
+        (4, stop + " gardening tomato soil"),           # near 3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.tfidf_cosine_pairs(d, threshold=0.9).collect()
+    }
+    # brute force in-test oracle
+    import math
+    from collections import Counter
+
+    texts = {i: t.split(" ") for i, t in rows}
+    n = len(rows)
+    df_counts = Counter(t for toks in texts.values() for t in set(toks))
+    vecs = {}
+    for i, toks in texts.items():
+        tf = Counter(toks)
+        w = {t: c * math.log(1.0 + n / df_counts[t]) for t, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        vecs[i] = {t: x / nrm for t, x in w.items()}
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            dot = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
+            if round(dot, 4) >= 0.9:
+                want[(a, b)] = round(dot, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(float(got[k]) - want[k]) < 1e-9
+    assert (0, 1) in got  # the exact twin survived

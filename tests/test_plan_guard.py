@@ -149,6 +149,10 @@ FLAGSHIPS = {
     "q94_constraint_audit": (22, True),
     # q95: one user-keyed lead window + presentation sort
     "q95_scd2_history": (4, False),
+    # q96: the _cache_scoped'd unit-vector table's subtree reprints
+    # under every InMemoryRelation reference (the q84 static-count
+    # effect); runtime is 3.6 s steady at sf0.1 on the bounded slice
+    "q96_tfidf_cosine_join": (70, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
