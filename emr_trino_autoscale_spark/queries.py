@@ -4091,6 +4091,43 @@ FROM d WHERE c >= 0.9 ORDER BY id_a, id_b
 """
 
 
+# Q97 — X59: Z-order layout audit — events interleaved on
+# (user_id mod 2^16, quantized value), 16 coarse cells; per-cell
+# min/max of BOTH dimensions verify the two-dimensional clustering.
+
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bucketing
+
+    ev = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(65536))
+    y = F.least(
+        F.floor(F.col("value") * 655.35).cast("long"), F.lit(65535)
+    )
+    return (
+        bucketing.zorder_layout_audit(ev, x, y, bits=16, n_cells=16)
+        .orderBy("cell")
+    )
+
+
+Q97_SQL = f"""
+WITH d AS (
+  SELECT user_id % 65536 AS x,
+         LEAST(CAST(floor(value * 655.35) AS BIGINT), 65535) AS y
+  FROM events),
+z AS (
+  SELECT x, y,
+         {' + '.join(f"((x >> {i}) & 1) * {1 << (2 * i)} + ((y >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(16))}
+           AS zv
+  FROM d)
+SELECT CAST(zv >> 28 AS INTEGER) AS cell,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(zv) AS z_min, max(zv) AS z_max,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM z GROUP BY 1 ORDER BY cell
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4203,6 +4240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_constraint_audit": q94,
     "q95_scd2_history": q95,
     "q96_tfidf_cosine_join": q96,
+    "q97_zorder_layout": q97,
 }
 
 ORACLE: dict[str, str] = {
@@ -4301,6 +4339,7 @@ ORACLE: dict[str, str] = {
     "q94_constraint_audit": Q94_SQL,
     "q95_scd2_history": Q95_SQL,
     "q96_tfidf_cosine_join": Q96_SQL,
+    "q97_zorder_layout": Q97_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -153,6 +153,8 @@ FLAGSHIPS = {
     # under every InMemoryRelation reference (the q84 static-count
     # effect); runtime is 3.6 s steady at sf0.1 on the bounded slice
     "q96_tfidf_cosine_join": (70, False),
+    # q97: one narrow Z projection + one cell hash agg + sort
+    "q97_zorder_layout": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
