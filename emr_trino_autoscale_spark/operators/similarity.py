@@ -1569,3 +1569,71 @@ def random_projection(
         )
         comps.append(F.round(s, 6) * F.lit(scale))
     return df.withColumn(out_col, F.array(*comps))
+
+
+def pq_sdc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """X60 — PQ symmetric distance computation (SDC; Jegou et al. TPAMI
+    2011 — public): BOTH sides quantize to m-byte codes, and distance is
+    looked up from the precomputed ksub x ksub per-subspace
+    centroid-distance tables — no raw vector is touched at query time.
+    ADC (q70/q71) keeps the query exact and is more accurate; SDC is
+    the shape for code-to-code workloads: corpus self-join dedup at the
+    code level, routing between snapshots that only ship codes, or
+    query-by-example where the probe itself arrives pre-encoded.
+
+    Scale: the distance tables are m * ksub^2 literals in the plan
+    (~64 doubles here — the broadcast-model-table equivalent); the join
+    is bounded-query-set x corpus codes (the q23 contract) carrying
+    m-byte codes, never vectors; per-pair cost is m ``element_at``
+    lookups + a sum, all codegen. Encoding reuses :func:`pq_encode`
+    (stateless Arrow).
+    """
+    import numpy as np
+
+    cb = np.array(codebooks)
+    m, ksub, _ = cb.shape
+    # flat per-subspace centroid-distance tables: tab[s][i*ksub + j]
+    tabs = []
+    for s in range(m):
+        d2 = (
+            (cb[s] ** 2).sum(1)[:, None]
+            - 2.0 * cb[s] @ cb[s].T
+            + (cb[s] ** 2).sum(1)[None, :]
+        )
+        tabs.append([float(x) for x in d2.flatten()])
+    codes = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("codes").alias("__nc")
+    )
+    qcodes = pq_encode(
+        queries, codebooks, id_col=query_id_col, vec_col=vec_col
+    ).select(F.col("id").alias(query_id_col), F.col("codes").alias("__qc"))
+    dist = None
+    for s in range(m):
+        tab = F.array(*[F.lit(x) for x in tabs[s]])
+        idx = (
+            F.element_at(F.col("__qc"), s + 1) * ksub
+            + F.element_at(F.col("__nc"), s + 1)
+            + 1
+        )
+        term = F.element_at(tab, idx)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sdc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        codes.join(
+            F.broadcast(qcodes), F.col("neighbor_id") != F.col(query_id_col)
+        )
+        .withColumn("sdc_dist", F.round(dist, 6))
+        .select(query_id_col, "neighbor_id", "sdc_dist")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

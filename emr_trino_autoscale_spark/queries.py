@@ -4128,6 +4128,68 @@ FROM z GROUP BY 1 ORDER BY cell
 """
 
 
+# Q98 — X60: PQ symmetric distance (SDC) top-3 — both sides quantized
+# to md5-literal codebooks, distance from the precomputed ksub x ksub
+# centroid tables. Hash-verified end to end like q71.
+
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.md5_codebooks(m=4, ksub=4, dsub=16)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return (
+        similarity.pq_sdc_topk(e, q, cb, k=3)
+        .orderBy("q_id", "rank")
+    )
+
+
+Q98_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / (CASE WHEN sqrt(list_inner_product(v, v)) = 0
+                                          THEN 1 ELSE sqrt(list_inner_product(v, v)) END)) AS u
+  FROM e),
+cb AS (
+  SELECT s.s, c.c,
+         list_transform(range(1, 17),
+           j -> CAST(('0x' || substr(md5(s.s || '-' || c.c || '-' || (j - 1)), 1, 4)) AS BIGINT)
+                / 65535.0 * 2 - 1) AS cv
+  FROM range(4) s(s), range(4) c(c)),
+sub AS (
+  SELECT vec_id, s.s, list_slice(u, s.s * 16 + 1, s.s * 16 + 16) AS sv
+  FROM n, range(4) s(s)),
+enc AS (
+  SELECT vec_id, s, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+           ORDER BY round(list_inner_product(sv, sv)
+                          - 2 * list_inner_product(sv, cv)
+                          + list_inner_product(cv, cv), 9) ASC, c ASC) AS rn
+  FROM sub JOIN cb USING (s)),
+codes AS (SELECT vec_id, s, c FROM enc WHERE rn = 1),
+cc AS (
+  SELECT a.s, a.c AS ca, b.c AS cb_c,
+         list_inner_product(a.cv, a.cv) - 2 * list_inner_product(a.cv, b.cv)
+           + list_inner_product(b.cv, b.cv) AS d
+  FROM cb a JOIN cb b ON a.s = b.s),
+qc AS (SELECT vec_id AS q_id, s, c FROM codes WHERE vec_id < 10),
+sdc AS (
+  SELECT qc.q_id, c2.vec_id AS neighbor_id, round(sum(cc.d), 6) AS sdc_dist
+  FROM qc
+  JOIN codes c2 ON qc.s = c2.s AND c2.vec_id <> qc.q_id
+  JOIN cc ON cc.s = qc.s AND cc.ca = qc.c AND cc.cb_c = c2.c
+  GROUP BY qc.q_id, c2.vec_id),
+r AS (
+  SELECT q_id, neighbor_id, sdc_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY sdc_dist ASC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM sdc)
+SELECT q_id, neighbor_id, sdc_dist, rank FROM r WHERE rank <= 3
+ORDER BY q_id, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4241,6 +4303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_scd2_history": q95,
     "q96_tfidf_cosine_join": q96,
     "q97_zorder_layout": q97,
+    "q98_pq_sdc_topk": q98,
 }
 
 ORACLE: dict[str, str] = {
@@ -4340,6 +4403,7 @@ ORACLE: dict[str, str] = {
     "q95_scd2_history": Q95_SQL,
     "q96_tfidf_cosine_join": Q96_SQL,
     "q97_zorder_layout": Q97_SQL,
+    "q98_pq_sdc_topk": Q98_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1478,3 +1478,26 @@ def test_tfidf_cosine_pairs_lossless_prefix_on_zipfian_fixture(spark):
     for k in want:
         assert abs(float(got[k]) - want[k]) < 1e-9
     assert (0, 1) in got  # the exact twin survived
+
+
+def test_pq_sdc_exact_when_query_is_centroid_tuple(spark):
+    """X60: when a query IS a centroid-tuple vector, SDC and ADC agree
+    exactly (the quantization error on the query side is zero), and the
+    query's own code-tuple twin ranks first at distance 0."""
+    import numpy as np
+
+    cb = similarity.md5_codebooks(m=4, ksub=4, dsub=16)
+    arr = np.array(cb)
+    # vec 0: centroid tuple (0,1,2,3); vec 1: same tuple (exact twin);
+    # vec 2: different tuple
+    v0 = np.concatenate([arr[s][s % 4] for s in range(4)])
+    v2 = np.concatenate([arr[s][(s + 1) % 4] for s in range(4)])
+    rows = [(0, [float(x) for x in v0]), (1, [float(x) for x in v0]),
+            (2, [float(x) for x in v2])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.pq_sdc_topk(e, q, cb, k=2).orderBy("rank").collect()
+    assert out[0]["neighbor_id"] == 1 and out[0]["sdc_dist"] == 0.0
+    assert out[1]["neighbor_id"] == 2 and out[1]["sdc_dist"] > 0.0

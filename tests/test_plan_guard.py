@@ -155,6 +155,9 @@ FLAGSHIPS = {
     "q96_tfidf_cosine_join": (70, False),
     # q97: one narrow Z projection + one cell hash agg + sort
     "q97_zorder_layout": (4, False),
+    # q98's nested loop = the bounded broadcast query-code set (q23
+    # contract); per-pair work is m element_at lookups, codegen
+    "q98_pq_sdc_topk": (6, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
