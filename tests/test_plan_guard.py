@@ -225,7 +225,7 @@ BROADCAST_ALLOW = {
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
-    "similarity.py": {"q", "qp", "cents", "ce", "a"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives)
+    "similarity.py": {"q", "qp", "cents", "ce", "a", "qcodes"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
     "events.py": set(),
