@@ -166,3 +166,110 @@ def rolling_zscore(
             F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)),
         )
     )
+
+
+def ranking_metrics(
+    ranking: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    query_col: str = "q_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """X61 — retrieval evaluation metrics (recall@k, MRR, nDCG@k with
+    binary relevance): score a predicted ranking against a relevant
+    set, per query. The eval harness the ANN family (LSH/IVF/PQ/JL)
+    needs as a first-class operator — recall numbers quoted in docs
+    should come from the engine, re-runnable, not from a notebook.
+
+    Scale: one (query, item)-keyed join of two already-small frames
+    (rankings are per-query top-k by construction) + one agg per query.
+    The ideal-DCG term folds over ``sequence(1, min(|truth|, k))`` —
+    row-local HOF on a #queries-row frame. The log2 discount is
+    computed as ln(r+1)/ln(2) on BOTH engines so the oracle agrees to
+    the last ulp before rounding.
+    """
+    ln2 = F.log(F.lit(2.0))
+    t = truth.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("i")
+    ).withColumn("__rel", F.lit(1))
+    nt = t.groupBy("q").agg(F.count("*").cast("bigint").alias("n_truth"))
+    j = (
+        ranking.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("q"),
+            F.col(item_col).alias("i"),
+            F.col(rank_col).alias("r"),
+        )
+        .join(t, ["q", "i"], "left")
+    )
+    per_q = j.groupBy("q").agg(
+        F.sum(F.coalesce(F.col("__rel"), F.lit(0))).cast("bigint").alias("hits"),
+        F.min(F.when(F.col("__rel").isNotNull(), F.col("r"))).alias("__first"),
+        F.sum(
+            F.when(
+                F.col("__rel").isNotNull(),
+                F.lit(1.0) / (F.log(F.col("r") + 1.0) / ln2),
+            ).otherwise(0.0)
+        ).alias("__dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_truth"), F.lit(k)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / (F.log(i.cast("double") + 1.0) / ln2),
+    )
+    return (
+        per_q.join(nt, "q")
+        .select(
+            F.col("q").alias(query_col),
+            "n_truth",
+            "hits",
+            (F.col("hits").cast("double") / F.col("n_truth")).alias("recall"),
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)).alias("mrr"),
+            (F.col("__dcg") / idcg).alias("ndcg"),
+        )
+    )
+
+
+def dp_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """X62 — Laplace-mechanism histogram (Dwork et al. TCC 2006 —
+    public): per-group counts with Laplace(1/epsilon) noise, the
+    release shape for sharing corpus composition stats without exposing
+    individual membership (unit sensitivity: one document changes one
+    count by one).
+
+    DETERMINISM CAVEAT (deliberate, documented): the Laplace draw here
+    is the inverse CDF applied to an md5-derived uniform of the GROUP
+    KEY — replayable across engines/retries, which is what makes the
+    mechanism's plumbing oracle-checkable and idempotent on re-release.
+    Replayable noise is NOT private: a real deployment swaps the coin
+    for a cryptographic RNG (one line) and releases ONLY the noisy
+    column. The engine contract — per-group noise addition, post-
+    processing on noisy values only, sensitivity-1 counting query — is
+    what this operator pins.
+
+    Scale: one hash agg + a narrow noise projection.
+    """
+    b = 1.0 / epsilon
+    counts = df.groupBy(group_col).agg(F.count("*").cast("bigint").alias("true_count"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        group_col,
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count") + noise).alias("noisy_count"),
+    )

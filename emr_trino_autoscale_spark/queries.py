@@ -4190,6 +4190,118 @@ ORDER BY q_id, rank
 """
 
 
+# Q99 — X61: retrieval eval metrics — the JL-projected ranking (q90)
+# scored against the exact 64-dim top-5 (q23 semantics): per-query
+# recall@5 / MRR / nDCG@5, hash-verified. This is the honest number
+# behind the SCALE.md JL rank-damage note, produced by the engine.
+
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q64 = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    truth = similarity.brute_force_topk(e, q64, k=5)
+    p = similarity.random_projection(e, _PLANES_JL)
+    q16 = p.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "proj")
+    pred = similarity.brute_force_topk(p, q16, k=5, vec_col="proj")
+    m = stats.ranking_metrics(pred, truth, k=5)
+    return m.select(
+        "q_id",
+        "n_truth",
+        "hits",
+        dec4(F.col("recall")).alias("recall"),
+        dec4(F.col("mrr")).alias("mrr"),
+        dec4(F.col("ndcg")).alias("ndcg"),
+    ).orderBy("q_id")
+
+
+Q99_SQL = f"""
+WITH pl AS (SELECT {_planes_sql_literal(_PLANES_JL)} AS planes),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+tq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+tp AS (SELECT q_id, vec_id AS i,
+              CAST(ROUND(list_inner_product(qv, v) / (qn * nrm), 4)
+                   AS DECIMAL(38,4)) AS c
+       FROM tq, n WHERE vec_id <> q_id),
+truth AS (
+  SELECT q_id, i FROM (
+    SELECT q_id, i, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY c DESC, i) AS rnk FROM tp) WHERE rnk <= 5),
+p AS (
+  SELECT vec_id,
+         list_transform(range(16), k ->
+           ROUND(list_inner_product(v, planes[k + 1]), 6) * 0.25) AS pv
+  FROM e, pl),
+pn AS (SELECT vec_id, pv, sqrt(list_inner_product(pv, pv)) AS nrm FROM p),
+pq AS (SELECT vec_id AS q_id, pv AS qv, nrm AS qn FROM pn WHERE vec_id < 10),
+pp AS (SELECT q_id, vec_id AS i,
+              CAST(ROUND(list_inner_product(qv, pv) / (qn * nrm), 4)
+                   AS DECIMAL(38,4)) AS c
+       FROM pq, pn WHERE vec_id <> q_id),
+pred AS (
+  SELECT q_id, i, rnk AS r FROM (
+    SELECT q_id, i, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY c DESC, i) AS rnk FROM pp) WHERE rnk <= 5),
+nt AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY q_id),
+j AS (
+  SELECT pred.q_id, pred.r,
+         CASE WHEN truth.i IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM pred LEFT JOIN truth ON pred.q_id = truth.q_id AND pred.i = truth.i),
+per_q AS (
+  SELECT q_id,
+         CAST(sum(rel) AS BIGINT) AS hits,
+         min(CASE WHEN rel = 1 THEN r END) AS first_rel,
+         sum(CASE WHEN rel = 1 THEN 1.0 / (ln(r + 1.0) / ln(2.0))
+                  ELSE 0.0 END) AS dcg
+  FROM j GROUP BY q_id),
+m AS (
+  SELECT per_q.q_id, nt.n_truth, per_q.hits,
+         CAST(per_q.hits AS DOUBLE) / nt.n_truth AS recall,
+         COALESCE(1.0 / first_rel, 0.0) AS mrr,
+         dcg / list_sum(list_transform(range(1, LEAST(nt.n_truth, 5) + 1),
+                        i -> 1.0 / (ln(i + 1.0) / ln(2.0)))) AS ndcg
+  FROM per_q JOIN nt USING (q_id))
+SELECT q_id, n_truth, hits, {_dec4('recall')} AS recall,
+       {_dec4('mrr')} AS mrr, {_dec4('ndcg')} AS ndcg
+FROM m ORDER BY q_id
+"""
+
+
+# Q100 — X62: Laplace-mechanism histogram — per-source doc counts with
+# deterministic md5-CDF noise at epsilon=1 (mechanism audit; see the
+# operator's determinism caveat).
+
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = stats.dp_histogram(d, "source", epsilon=1.0)
+    return h.select(
+        "source",
+        "true_count",
+        dec4(F.col("noise")).alias("noise"),
+        dec4(F.col("noisy_count")).alias("noisy_count"),
+    ).orderBy("source")
+
+
+Q100_SQL = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY source),
+u AS (
+  SELECT source, true_count,
+         (CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0) - 0.5 AS cu
+  FROM c),
+z AS (
+  SELECT source, true_count,
+         -1.0 * sign(cu) * ln(1.0 - 2.0 * abs(cu)) AS noise
+  FROM u)
+SELECT source, true_count, {_dec4('noise')} AS noise,
+       {_dec4('true_count + noise')} AS noisy_count
+FROM z ORDER BY source
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4304,6 +4416,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_tfidf_cosine_join": q96,
     "q97_zorder_layout": q97,
     "q98_pq_sdc_topk": q98,
+    "q99_ranking_metrics": q99,
+    "q100_dp_histogram": q100,
 }
 
 ORACLE: dict[str, str] = {
@@ -4404,6 +4518,8 @@ ORACLE: dict[str, str] = {
     "q96_tfidf_cosine_join": Q96_SQL,
     "q97_zorder_layout": Q97_SQL,
     "q98_pq_sdc_topk": Q98_SQL,
+    "q99_ranking_metrics": Q99_SQL,
+    "q100_dp_histogram": Q100_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

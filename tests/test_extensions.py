@@ -1501,3 +1501,48 @@ def test_pq_sdc_exact_when_query_is_centroid_tuple(spark):
     out = similarity.pq_sdc_topk(e, q, cb, k=2).orderBy("rank").collect()
     assert out[0]["neighbor_id"] == 1 and out[0]["sdc_dist"] == 0.0
     assert out[1]["neighbor_id"] == 2 and out[1]["sdc_dist"] > 0.0
+
+
+def test_ranking_metrics_known_values(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    # truth for q0: items 1,2,3. predicted: [1(rank1), 9(rank2), 3(rank3)]
+    truth = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 7)], "q_id long, neighbor_id long"
+    )
+    pred = spark.createDataFrame(
+        [(0, 1, 1), (0, 9, 2), (0, 3, 3), (1, 8, 1), (1, 6, 2)],
+        "q_id long, neighbor_id long, rank int",
+    )
+    out = {r["q_id"]: r for r in
+           stats_ops.ranking_metrics(pred, truth, k=5).collect()}
+    import math
+
+    r0 = out[0]
+    assert r0["hits"] == 2 and abs(r0["recall"] - 2 / 3) < 1e-12
+    assert abs(r0["mrr"] - 1.0) < 1e-12
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert abs(r0["ndcg"] - dcg / idcg) < 1e-12
+    # query 1: nothing relevant retrieved
+    r1 = out[1]
+    assert r1["hits"] == 0 and r1["recall"] == 0.0 and r1["mrr"] == 0.0
+    assert r1["ndcg"] == 0.0
+
+
+def test_dp_histogram_noise_is_laplace_shaped_and_deterministic(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [(f"s{i % 7}", i) for i in range(70)]
+    d = spark.createDataFrame(rows, "source string, doc_id long")
+    h1 = {r["source"]: r for r in stats_ops.dp_histogram(d, epsilon=1.0).collect()}
+    h2 = {r["source"]: r for r in stats_ops.dp_histogram(d, epsilon=1.0).collect()}
+    for s in h1:
+        assert h1[s]["noise"] == h2[s]["noise"]          # replayable
+        assert h1[s]["noisy_count"] == h1[s]["true_count"] + h1[s]["noise"]
+        assert h1[s]["true_count"] == 10
+    # epsilon scaling: half the epsilon doubles every noise draw
+    h05 = {r["source"]: r["noise"]
+           for r in stats_ops.dp_histogram(d, epsilon=0.5).collect()}
+    for s in h1:
+        assert abs(h05[s] - 2.0 * h1[s]["noise"]) < 1e-9

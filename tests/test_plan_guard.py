@@ -158,6 +158,11 @@ FLAGSHIPS = {
     # q98's nested loop = the bounded broadcast query-code set (q23
     # contract); per-pair work is m element_at lookups, codegen
     "q98_pq_sdc_topk": (6, True),
+    # q99's nested loop = the two bounded broadcast query sets (exact
+    # + projected rankings, q23 contract) feeding the metrics join
+    "q99_ranking_metrics": (20, True),
+    # q100: one hash agg + narrow noise projection + sort
+    "q100_dp_histogram": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
