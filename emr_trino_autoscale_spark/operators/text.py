@@ -1253,8 +1253,16 @@ def cms_estimate(
     cand = candidates.select(
         tok_col, F.posexplode(buckets).alias("j", "bucket")
     )
+    # LEFT join + coalesce(0): a candidate hashing into a bucket no
+    # token ever touched must contribute a ZERO to the min (canonical
+    # CMS — an inner join would silently drop the empty counter and
+    # overestimate absent tokens)
     return (
-        cand.join(F.broadcast(sketch), ["j", "bucket"])
+        cand.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(tok_col)
-        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )

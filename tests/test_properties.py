@@ -397,3 +397,74 @@ def test_hash_split_is_keywise_constant(spark, keys):
         h = hashlib.md5(k.encode()).hexdigest()[0]
         want = "train" if h < "c" else ("val" if h < "e" else "test")
         assert s == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcde ", min_size=1, max_size=40), min_size=1, max_size=12
+    ),
+    probe=st.text(alphabet="abcde", min_size=1, max_size=6),
+)
+@settings(**SETTINGS)
+def test_cms_never_underestimates_any_token(spark, texts, probe):
+    """X50 property: for EVERY probed token (present or absent), the CMS
+    estimate is >= the true corpus count — the one-sided error guarantee
+    holds on arbitrary generated corpora."""
+    from collections import Counter
+
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sketch = text_ops.cms_sketch(d, d=3, w=32)
+    true = Counter(tok for t in texts for tok in t.split(" "))
+    probes = list(set([probe] + list(true)[:5]))
+    cands = spark.createDataFrame([(p,) for p in probes], "tok string")
+    est = {
+        r["tok"]: r["cms_est"]
+        for r in text_ops.cms_estimate(cands, sketch, d=3, w=32).collect()
+    }
+    for p in probes:
+        assert est[p] >= true.get(p, 0), (p, est[p], true.get(p, 0))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=2, max_size=10
+    )
+)
+@settings(**SETTINGS)
+def test_duplicated_spans_cover_every_duplicated_gram(spark, texts):
+    """X42 property: every positional gram whose digest occurs >= 2
+    times corpus-wide lies inside exactly one reported span of its doc,
+    and spans never overlap within a doc."""
+    from collections import Counter
+
+    from emr_trino_autoscale_spark.operators import dedup as dedup_ops
+
+    k = 3
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = {}
+    for r in dedup_ops.duplicated_spans(d, k=k).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    # reference: positional grams + corpus counts in Python
+    grams = {}
+    counts = Counter()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        g = [" ".join(toks[j : j + k]) for j in range(max(len(toks) - k + 1, 0))]
+        grams[i] = g
+        counts.update(g)
+    for i, g in grams.items():
+        doc_spans = sorted(spans.get(i, []))
+        # non-overlap
+        for (s1, e1), (s2, e2) in zip(doc_spans, doc_spans[1:]):
+            assert e1 < s2
+        for pos, gram in enumerate(g):
+            dup = counts[gram] >= 2
+            inside = any(s <= pos and pos + k - 1 <= e for s, e in doc_spans)
+            if dup:
+                assert inside, (i, pos, gram)
