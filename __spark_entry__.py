@@ -3,8 +3,8 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 100 declared
-queries as of round 6 (97 with oracles; the iterative trainers q68,
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 102 declared
+queries as of round 6 (99 with oracles; the iterative trainers q68,
 q70 and q85 are rows-only — q71/q86 are their hash-verified twins).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is

@@ -133,3 +133,104 @@ def sessionize(
     return df.withColumn("__new", new_session).withColumn(
         "session_idx", F.sum("__new").over(run).cast("bigint")
     ).drop("__new")
+
+
+def sequence_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X63 — ordered-sequence funnel: per user, the earliest time each
+    stage completes AFTER the previous stage's completion (a 'view'
+    before the signup does not count), rolled up to per-stage user
+    counts and conversion vs stage 1. The product-analytics twin of the
+    q67 curation funnel — ORDER matters here, which plain per-type mins
+    get wrong.
+
+    Scale: one narrow (user, type, ts) projection, then one user-keyed
+    min-agg + join per stage — len(stages) passes over user-keyed
+    frames (each strictly shrinking), no windows, no per-user sort. At
+    100 TB each pass is a hash agg + equi join on the user key; AQE
+    broadcasts the shrinking stage frames automatically.
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    reached = None  # (u, stage_ts) of users who completed the prefix
+    counts = []
+    for i, stage in enumerate(stages):
+        e = ev.filter(F.col("t") == stage)
+        if reached is None:
+            reached = e.groupBy("u").agg(F.min("ts").alias("__sts"))
+        else:
+            reached = (
+                e.join(reached, "u")
+                .filter(F.col("ts") >= F.col("__sts"))
+                .groupBy("u")
+                .agg(F.min("ts").alias("__sts"))
+            )
+        counts.append(
+            reached.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    base = counts[0].select(F.col("n_users").alias("__base"))
+    return (
+        out.join(base)
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("__base")).alias("conversion"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 4,
+) -> DataFrame:
+    """X64 — weekly cohort retention: users grouped by first-seen week,
+    each later week's activity expressed as a fraction of the cohort.
+    The standard growth/engagement matrix; for a data pipeline it doubles
+    as an ingest-source liveness report (which crawl cohorts still emit).
+
+    Scale: two hash aggs (first-seen per user — user-keyed; the
+    (cohort, offset) distinct-user count) + a user-keyed join; week
+    arithmetic is row-local date_trunc/epoch math identical in both
+    engines (ISO Monday truncation).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
+    )
+    first = ev.groupBy("u").agg(F.min("w").alias("cohort_w"))
+    act = (
+        ev.join(first, "u")
+        .withColumn(
+            "week_offset",
+            ((F.unix_timestamp("w") - F.unix_timestamp("cohort_w")) / 604800)
+            .cast("int"),
+        )
+        .filter(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_w", "week_offset")
+        .agg(F.countDistinct("u").cast("bigint").alias("n_active"))
+    )
+    size = first.groupBy("cohort_w").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return act.join(size, "cohort_w").select(
+        "cohort_w",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )

@@ -4302,6 +4302,74 @@ FROM z ORDER BY source
 """
 
 
+# Q101 — X63: ordered-sequence funnel signup -> view -> click ->
+# purchase: per-stage user counts where each stage completes AFTER the
+# previous one.
+
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev_ops.sequence_funnel(ev, ("signup", "view", "click", "purchase"))
+    return f.select(
+        "stage_idx", "stage", "n_users", dec4(F.col("conversion")).alias("conversion")
+    ).orderBy("stage_idx")
+
+
+Q101_SQL = f"""
+WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+s1 AS (SELECT u, min(ts) AS sts FROM e WHERE t = 'signup' GROUP BY u),
+s2 AS (SELECT e.u, min(e.ts) AS sts FROM e JOIN s1 USING (u)
+       WHERE e.t = 'view' AND e.ts >= s1.sts GROUP BY e.u),
+s3 AS (SELECT e.u, min(e.ts) AS sts FROM e JOIN s2 USING (u)
+       WHERE e.t = 'click' AND e.ts >= s2.sts GROUP BY e.u),
+s4 AS (SELECT e.u, min(e.ts) AS sts FROM e JOIN s3 USING (u)
+       WHERE e.t = 'purchase' AND e.ts >= s3.sts GROUP BY e.u),
+c AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL SELECT 3, 'click', CAST((SELECT count(*) FROM s3) AS BIGINT)
+  UNION ALL SELECT 4, 'purchase', CAST((SELECT count(*) FROM s4) AS BIGINT)),
+b AS (SELECT CAST(count(*) AS DOUBLE) AS base FROM s1)
+SELECT stage_idx, stage, n_users,
+       {_dec4('CAST(n_users AS DOUBLE) / b.base')} AS conversion
+FROM c, b ORDER BY stage_idx
+"""
+
+
+# Q102 — X64: weekly cohort retention matrix (offsets 0-4) — users by
+# first-seen ISO week, later-week active fractions.
+
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    r = ev_ops.cohort_retention(ev, max_offset=4)
+    return r.select(
+        fmt_ts(F.col("cohort_w")).alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        dec4(F.col("retention")).alias("retention"),
+    ).orderBy("cohort_week", "week_offset")
+
+
+Q102_SQL = f"""
+WITH e AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS w FROM events),
+first AS (SELECT u, min(w) AS cw FROM e GROUP BY u),
+act AS (
+  SELECT cw, CAST((epoch(w) - epoch(cw)) / 604800 AS INTEGER) AS week_offset,
+         CAST(count(DISTINCT u) AS BIGINT) AS n_active
+  FROM e JOIN first USING (u)
+  WHERE (epoch(w) - epoch(cw)) / 604800 <= 4
+  GROUP BY cw, 2),
+sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY cw)
+SELECT {_fmt('act.cw')} AS cohort_week, act.week_offset, act.n_active,
+       sz.cohort_size,
+       {_dec4('CAST(act.n_active AS DOUBLE) / sz.cohort_size')} AS retention
+FROM act JOIN sz USING (cw)
+ORDER BY cohort_week, week_offset
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4418,6 +4486,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_pq_sdc_topk": q98,
     "q99_ranking_metrics": q99,
     "q100_dp_histogram": q100,
+    "q101_sequence_funnel": q101,
+    "q102_cohort_retention": q102,
 }
 
 ORACLE: dict[str, str] = {
@@ -4520,6 +4590,8 @@ ORACLE: dict[str, str] = {
     "q98_pq_sdc_topk": Q98_SQL,
     "q99_ranking_metrics": Q99_SQL,
     "q100_dp_histogram": Q100_SQL,
+    "q101_sequence_funnel": Q101_SQL,
+    "q102_cohort_retention": Q102_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

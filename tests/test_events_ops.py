@@ -82,3 +82,51 @@ def test_tumbling_counts_and_idle(spark):
     ).orderBy("win_start").collect()
     assert [r["n_total"] for r in out] == [2, 1]
     assert [r["is_idle"] for r in out] == [False, True]
+
+
+def test_sequence_funnel_enforces_stage_order(spark):
+    from datetime import datetime
+
+    from emr_trino_autoscale_spark.operators import events as ev_ops
+
+    def t(m):
+        return datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # user 1: full ordered journey
+        (1, "signup", t(0)), (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: view BEFORE signup (must not count), then stops at view
+        (2, "view", t(0)), (2, "signup", t(1)), (2, "view", t(2)),
+        # user 3: purchase before click -> purchase stage not reached
+        (3, "signup", t(0)), (3, "view", t(1)), (3, "purchase", t(2)), (3, "click", t(3)),
+        # user 4: never signs up
+        (4, "view", t(0)), (4, "click", t(1)),
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    f = {r["stage"]: r for r in ev_ops.sequence_funnel(
+        d, ("signup", "view", "click", "purchase")).collect()}
+    assert f["signup"]["n_users"] == 3        # users 1, 2, 3
+    assert f["view"]["n_users"] == 3          # u2's post-signup view counts
+    assert f["click"]["n_users"] == 2         # users 1, 3
+    assert f["purchase"]["n_users"] == 1      # only user 1 in order
+    assert abs(f["purchase"]["conversion"] - 1 / 3) < 1e-12
+
+
+def test_cohort_retention_offsets_and_rates(spark):
+    from datetime import datetime
+
+    from emr_trino_autoscale_spark.operators import events as ev_ops
+
+    # week of 2026-01-05 (Mon). u1 active weeks 0 and 1; u2 week 0 only.
+    rows = [
+        (1, datetime(2026, 1, 6)), (1, datetime(2026, 1, 13)),
+        (2, datetime(2026, 1, 7)),
+    ]
+    d = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(str(r["cohort_w"]), r["week_offset"]): r
+           for r in ev_ops.cohort_retention(d).collect()}
+    assert len(out) == 2
+    (k0,), (k1,) = [[k for k in out if k[1] == i] for i in (0, 1)]
+    assert out[k0]["n_active"] == 2 and out[k0]["cohort_size"] == 2
+    assert out[k0]["retention"] == 1.0
+    assert out[k1]["n_active"] == 1 and abs(out[k1]["retention"] - 0.5) < 1e-12

@@ -163,6 +163,13 @@ FLAGSHIPS = {
     "q99_ranking_metrics": (20, True),
     # q100: one hash agg + narrow noise projection + sort
     "q100_dp_histogram": (4, False),
+    # q101's nested loops = the 1-row stage-count/base frames tagged and
+    # cross-joined for the 4-way union; per-stage work is user-keyed
+    # min-agg + equi join on shrinking frames
+    "q101_sequence_funnel": (40, True),
+    # q102: first-seen agg + user-keyed join + distinct-count agg +
+    # cohort-size join
+    "q102_cohort_retention": (16, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
