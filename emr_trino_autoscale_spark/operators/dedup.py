@@ -942,12 +942,21 @@ def duplicated_spans(
     run = Window.partitionBy("id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # islands merge while gram EXTENTS overlap (gap <= k-1), not only
+    # while gram positions are adjacent: hits at positions p and p+k-1
+    # cover overlapping token ranges, and a span report with overlapping
+    # rows is useless to a surgical removal pass. With gap > k-1 the
+    # next span's first token starts strictly after the previous span's
+    # last, so output spans are disjoint by construction
+    # (property-tested).
     isl = (
         hits.withColumn("__prev", F.lag("pos").over(w))
         .withColumn(
             "__new",
             F.when(
-                F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > 1), 1
+                F.col("__prev").isNull()
+                | (F.col("pos") - F.col("__prev") > k - 1),
+                1,
             ).otherwise(0),
         )
         .withColumn("__isl", F.sum("__new").over(run))

@@ -3429,7 +3429,7 @@ d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gram)),
 i AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
               THEN 1 ELSE 0 END AS new_isl
   FROM d),
 s AS (
