@@ -4373,16 +4373,73 @@ ORDER BY cohort_week, week_offset
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
-# Round-6 rotation (VERDICT r5 task 2): q34-q50 were last driver-hashed in
-# r01-r03 and q68-q72 have NEVER appeared in a driver signal file — declare
-# those 22 FIRST, then fill the window with q01-q28 (driver-green r01-r03 and
-# again r04-r05).  The tail (q29-q33, q51-q67) is all r05-driver-green and
-# stays covered by the in-repo mirror (tests/test_queries_oracle.py), which
-# runs all 72 queries against the same DuckDB oracle every pytest run.
-# History: r04-r05 window was q51-q67 + q01-q33.  The window is pinned by
+# Round-7 rotation (VERDICT r6 task 1): q73-q102 have NEVER appeared in a
+# driver signal file (declared mid-round 6, outside the r6 window) — declare
+# those 30 FIRST, then fill positions 31-50 with the stalest driver-green set
+# (q29-q33 + q51-q65, last driver-hashed in r05).  The tail (q66-q67,
+# q34-q50, q68-q72, q01-q28) is all driver-green in r05-r06 and stays covered
+# by the in-repo mirror (tests/test_queries_oracle.py), which runs all 102
+# queries against the same DuckDB oracle every pytest run.
+# History: r04-r05 window was q51-q67 + q01-q33; r06 window was q34-q50 +
+# q68-q72 + q01-q28.  The window is pinned by
 # tests/test_queries_oracle.py::test_driver_window_pinned and documented in
 # README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q73_cosine_neardup_lsh": q73,
+    "q74_token_chunking": q74,
+    "q75_unigram_logloss": q75,
+    "q76_leakage_safe_split": q76,
+    "q77_dsir_importance": q77,
+    "q78_bigram_stats": q78,
+    "q79_quality_classifier": q79,
+    "q80_perplexity_gate": q80,
+    "q81_winsorized_stats": q81,
+    "q82_duplicated_spans": q82,
+    "q83_bm25_topk": q83,
+    "q84_source_js_divergence": q84,
+    "q85_bpe_learn": q85,
+    "q86_bpe_pair_stats": q86,
+    "q87_split_leakage": q87,
+    "q88_hard_negatives": q88,
+    "q89_cms_heavy_hitters": q89,
+    "q90_jl_projection_topk": q90,
+    "q91_neyman_sampling": q91,
+    "q92_ols_trend": q92,
+    "q93_rolling_zscore": q93,
+    "q94_constraint_audit": q94,
+    "q95_scd2_history": q95,
+    "q96_tfidf_cosine_join": q96,
+    "q97_zorder_layout": q97,
+    "q98_pq_sdc_topk": q98,
+    "q99_ranking_metrics": q99,
+    "q100_dp_histogram": q100,
+    "q101_sequence_funnel": q101,
+    "q102_cohort_retention": q102,
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
+    "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
+    "q60_ngram_novelty": q60,
+    "q61_incremental_dedup": q61,
+    "q62_boilerplate_strip": q62,
+    "q63_memorization_risk": q63,
+    "q64_cluster_profile": q64,
+    "q65_cluster_balanced_sample": q65,
+    # tail (positions 51+, outside the driver window this round): all
+    # driver-green in r05-r06, mirror-verified every pytest run (README
+    # "Verification coverage map")
+    "q66_top_duplicated_passages": q66,
+    "q67_curation_funnel": q67,
     "q34_asof_join": q34,
     "q35_percentiles": q35,
     "q36_topk_per_segment": q36,
@@ -4433,61 +4490,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_simhash_clusters": q26,
     "q27_ngram_jaccard_pairs": q27,
     "q28_embedding_near_dup": q28,
-    "q29_lsh_topk": q29,
-    "q30_ivf_topk": q30,
-    "q31_langid_quality": q31,
-    "q32_fingerprint_tokens": q32,
-    "q33_rollup_stats": q33,
-    # tail (positions 51+, outside the driver window this round): all
-    # driver-green in r04-r05, mirror-verified every pytest run (README
-    # "Verification coverage map")
-    "q51_value_histogram": q51,
-    "q52_pii_scrub": q52,
-    "q53_quality_topk_per_lang": q53,
-    "q54_token_packing": q54,
-    "q55_repetition_filter": q55,
-    "q56_mixing_weights": q56,
-    "q57_lsh_multiprobe": q57,
-    "q58_ivf_multiprobe": q58,
-    "q59_contamination": q59,
-    "q60_ngram_novelty": q60,
-    "q61_incremental_dedup": q61,
-    "q62_boilerplate_strip": q62,
-    "q63_memorization_risk": q63,
-    "q64_cluster_profile": q64,
-    "q65_cluster_balanced_sample": q65,
-    "q66_top_duplicated_passages": q66,
-    "q67_curation_funnel": q67,
-    "q73_cosine_neardup_lsh": q73,
-    "q74_token_chunking": q74,
-    "q75_unigram_logloss": q75,
-    "q76_leakage_safe_split": q76,
-    "q77_dsir_importance": q77,
-    "q78_bigram_stats": q78,
-    "q79_quality_classifier": q79,
-    "q80_perplexity_gate": q80,
-    "q81_winsorized_stats": q81,
-    "q82_duplicated_spans": q82,
-    "q83_bm25_topk": q83,
-    "q84_source_js_divergence": q84,
-    "q85_bpe_learn": q85,
-    "q86_bpe_pair_stats": q86,
-    "q87_split_leakage": q87,
-    "q88_hard_negatives": q88,
-    "q89_cms_heavy_hitters": q89,
-    "q90_jl_projection_topk": q90,
-    "q91_neyman_sampling": q91,
-    "q92_ols_trend": q92,
-    "q93_rolling_zscore": q93,
-    "q94_constraint_audit": q94,
-    "q95_scd2_history": q95,
-    "q96_tfidf_cosine_join": q96,
-    "q97_zorder_layout": q97,
-    "q98_pq_sdc_topk": q98,
-    "q99_ranking_metrics": q99,
-    "q100_dp_histogram": q100,
-    "q101_sequence_funnel": q101,
-    "q102_cohort_retention": q102,
 }
 
 ORACLE: dict[str, str] = {

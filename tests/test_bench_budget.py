@@ -10,24 +10,21 @@ driver exactly (own JVM, local[$SPARK_GRAFT_CPUS] = 32, sf0.1) instead
 of piggybacking on the 8-cpu test session. Marked ``slow``: one full
 bench (~1.5 min) per pytest run.
 
-Baseline provenance: ``bench_baseline.json`` is the per-query MAX over
-two round-6 bench runs on this box (suite totals 78.9 s / 82.7 s,
-load1 ~2), captured AFTER the round-6 perf fixes (ngram_hashes and the
-PPJoin pack reverted to JVM md5 — q49 11.6->6.6, q27 6.4->5.1,
-q63 1.67->1.46 vs the round-5 MAX-of-5 baseline) and under the
-documented real-table warmup methodology (see bench.py); q73's entry
-is likewise the MAX over its first two round-6 bench runs (q74-q77 same
-convention; q78-q84, declared later in round 6, use their first full-suite
-bench run — captured under load1 ~1.7, so already noise-inflated). The host has
-a noisy co-tenant (load-average 1.5-2.7 with zero of our processes
-running) that swings whole-suite totals 75-85 s run to run and single
-queries up to ~1.5x between consecutive runs — the 1.5x ratio plus
-0.75 s floor absorbs that. ``bench_baseline_r03.json`` is kept for
-reference. Per VERDICT r5 task 4, once a driver-parsed BENCH_r06
-exists (the round-6 bench tail fix makes that possible), re-anchor to
-the driver's numbers x this same stated factor. Guarding against a
-same-box ceiling is what catches real code regressions; guarding
-against another machine's numbers would only measure the machine.
+Baseline provenance (switched round 7, closing VERDICT r5 task 4 /
+r6 task 2): ``bench_baseline.json`` is now the DRIVER-parsed per-query
+times from ``BENCH_r06.json`` (the first fully machine-readable driver
+bench since r02 — 102 queries, suite total 111.8 s at sf0.1, rc=0),
+verbatim, one entry per declared query. The guard therefore fails iff
+a query exceeds driver-r6 x 1.5 (+0.75 s floor) — an independent
+anchor rather than the previous self-captured MAX-of-two ceiling,
+which embedded whatever slowness existed at capture time. The driver
+bench runs on this same box, so the anchor still measures this
+machine, not another one. Known anchor caveats: q02's driver-r6 time
+(1.34 s) is itself the suite-position anomaly under A/B in round 7
+(docs/SCALE.md), so its budget is generous; sub-second queries jitter
+up to ~1.5x run-to-run under the host's noisy co-tenant (load-average
+1.5-2.7 with zero of our processes running), which the ratio + floor
+absorb. ``bench_baseline_r03.json`` is kept for history.
 """
 
 from __future__ import annotations

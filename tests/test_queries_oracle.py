@@ -29,12 +29,13 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-6 rotation: q34-q50 (last driver-hashed r01-r03) + q68-q72
-    (never driver-hashed) first, then q01-q28; the tail (q29-q33,
-    q51-q67) is all r05-driver-green."""
+    Round-7 rotation: q73-q102 (never driver-hashed — declared mid-round 6,
+    outside the r6 window) first, then q29-q33 + q51-q65 (stalest
+    driver-green, last hashed r05); the tail (q66-q67, q34-q50, q68-q72,
+    q01-q28) is all r05/r06-driver-green."""
     expected = [
         f"q{i:02d}"
-        for i in list(range(34, 51)) + list(range(68, 73)) + list(range(1, 29))
+        for i in list(range(73, 103)) + list(range(29, 34)) + list(range(51, 66))
     ]
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
