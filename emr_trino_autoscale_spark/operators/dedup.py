@@ -1036,6 +1036,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_fn=None,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """X58 — weighted (TF-IDF) cosine similarity join with a LOSSLESS
     prefix filter (the AllPairs family, Bayardo et al. WWW 2007 —
@@ -1062,10 +1063,21 @@ def tfidf_cosine_pairs(
     small end of the Zipf curve, while stop-token blowup lands in the
     tail the filter never indexes. Verify is two id-keyed equi joins +
     one agg per candidate pair. On pathological flat-weight corpora
-    (like this synthetic fixture) prefixes approach whole documents and
-    pruning degrades gracefully to the exact relational join — never to
-    wrong answers. N (the corpus count) is collected driver-side — the
-    1-scalar bounded-control-state convention (k-means/BPE).
+    (uniform document frequency — every token equally common, so no
+    token is rare) prefixes approach whole documents and pruning
+    degrades gracefully to the exact relational join — never to wrong
+    answers, but quadratic in candidate pairs. That failure mode is a
+    TESTED CONTRACT, not prose: pass ``candidate_budget`` to make the
+    operator pre-count the prefix-join fan-out (one cheap per-token
+    hash agg: sum over tokens of C(df_prefix, 2), an upper bound on
+    candidate pairs before dedup) and raise ``ValueError`` BEFORE the
+    quadratic join is ever scheduled when the bound exceeds the budget
+    — the 100 TB-safe mode. ``candidate_budget=None`` (default) keeps
+    the quadratic-with-correct-answers degradation for bounded inputs.
+    See tests/test_extensions.py::test_tfidf_cosine_pairs_uniform_df_stress.
+    N (the corpus count) and the 1-row bound count are collected
+    driver-side — the 1-scalar bounded-control-state convention
+    (k-means/BPE).
     """
     n = df.count()
     toks = df.select(
@@ -1088,7 +1100,12 @@ def tfidf_cosine_pairs(
     # u feeds the prefix window and BOTH verify sides; without
     # materialization the tf/df/norm chain replays three times
     # (measured 92 static exchanges). persist_fn follows the
-    # ppjoin/js_divergence convention.
+    # ppjoin/js_divergence convention. Cache lifecycle is CALLER-OWNED:
+    # the returned plan references the cached frame, so it cannot be
+    # unpersisted here — pass persist_fn (e.g. queries._cache_scoped,
+    # released on the next declared query) from long-lived sessions, or
+    # call spark.catalog.clearCache() after materializing. The default
+    # bare persist is for one-shot jobs.
     if persist_fn is None:
         from pyspark import StorageLevel
 
@@ -1109,6 +1126,27 @@ def tfidf_cosine_pairs(
         .filter(F.col("__rev_sq") >= F.lit(bound_sq))
         .select("id", "tok")
     )
+    if candidate_budget is not None:
+        bound = (
+            prefix.groupBy("tok")
+            .agg(F.count("*").alias("__dfp"))
+            .agg(
+                F.sum(
+                    F.col("__dfp") * (F.col("__dfp") - F.lit(1)) / F.lit(2)
+                ).alias("__pairs")
+            )
+            .collect()[0]["__pairs"]
+        )
+        if bound is not None and bound > candidate_budget:
+            if persist_fn is None:
+                u.unpersist()
+            raise ValueError(
+                "tfidf_cosine_pairs: prefix-join candidate bound "
+                f"{int(bound)} exceeds candidate_budget={candidate_budget} "
+                "(uniform-df/adversarial corpus — the prefix filter cannot "
+                "prune; raise the budget, raise the threshold, or pre-filter "
+                "boilerplate tokens)"
+            )
     cand = (
         prefix.alias("pa")
         .join(prefix.alias("pb"), "tok")

@@ -919,7 +919,10 @@ def js_divergence(
     # subplan elimination, so without materialization the exploded agg
     # replays per branch (measured: 64 exchanges vs 14). persist_fn
     # follows the dedup.ppjoin convention — the declared-query path
-    # passes queries._cache_scoped for release-on-next-query.
+    # passes queries._cache_scoped for release-on-next-query. Cache
+    # lifecycle is CALLER-OWNED (the returned plan references the
+    # cached frame): long-lived sessions calling this repeatedly should
+    # pass a scoped persist_fn or clearCache() after materializing.
     if persist_fn is None:
         from pyspark import StorageLevel
 

@@ -1546,3 +1546,67 @@ def test_dp_histogram_noise_is_laplace_shaped_and_deterministic(spark):
            for r in stats_ops.dp_histogram(d, epsilon=0.5).collect()}
     for s in h1:
         assert abs(h05[s] - 2.0 * h1[s]["noise"]) < 1e-9
+
+
+def test_tfidf_cosine_pairs_uniform_df_stress(spark):
+    """X58 adversarial contract (VERDICT r6 task 4): on a uniform-df
+    corpus (every token appears in every document — no token is rare)
+    the prefix filter cannot prune, prefixes approach whole documents,
+    and the candidate count approaches the brute-force pair count.
+    Pin the documented behavior:
+
+    1. quadratic-with-correct-answers by default — the candidate bound
+       on 40 identical-vocabulary docs is ~the full C(40,2) pair count;
+    2. candidate_budget turns that into an early ValueError BEFORE the
+       quadratic join is scheduled (the 100 TB-safe mode);
+    3. a generous budget leaves the result untouched and exact.
+    """
+    import pytest as _pytest
+
+    vocab = [f"tok{i}" for i in range(12)]
+    ndocs = 40
+    rows = [
+        # rotate the shared vocabulary so docs differ in token ORDER
+        # (and one doubled token each) but every token's df == ndocs
+        (i, " ".join(vocab[i % 12:] + vocab[: i % 12] + [vocab[i % 12]]))
+        for i in range(ndocs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    brute_pairs = ndocs * (ndocs - 1) // 2
+    # tight budget: the bound must blow through it (uniform df -> no pruning)
+    with _pytest.raises(ValueError, match="candidate_budget"):
+        tfidf_cosine_pairs_fn = dedup.tfidf_cosine_pairs
+        tfidf_cosine_pairs_fn(d, threshold=0.9, candidate_budget=brute_pairs // 4)
+
+    # default mode (and a generous budget): degrades to the exact join
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.tfidf_cosine_pairs(
+            d, threshold=0.9, candidate_budget=brute_pairs * len(vocab) * 2
+        ).collect()
+    }
+    # brute-force in-test oracle (same arithmetic as the Zipfian test)
+    import math
+    from collections import Counter
+
+    texts = {i: t.split(" ") for i, t in rows}
+    df_counts = Counter(t for toks in texts.values() for t in set(toks))
+    vecs = {}
+    for i, toks in texts.items():
+        tf = Counter(toks)
+        w = {t: c * math.log(1.0 + ndocs / df_counts[t]) for t, c in tf.items()}
+        nrm = math.sqrt(sum(x * x for x in w.values()))
+        vecs[i] = {t: x / nrm for t, x in w.items()}
+    want = {}
+    for a in range(ndocs):
+        for b in range(a + 1, ndocs):
+            dot = sum(vecs[a][t] * vecs[b].get(t, 0.0) for t in vecs[a])
+            if round(dot, 4) >= 0.9:
+                want[(a, b)] = round(dot, 4)
+    assert got == want
+    # sanity: the adversarial corpus really is the dense regime — with
+    # uniform df every pair collides (identical unit vectors up to the
+    # one doubled token), so the survivor set is a large fraction of
+    # all pairs, not a sparse near-dup set
+    assert len(want) > brute_pairs // 4
