@@ -331,6 +331,48 @@ def synthetic_media(spark, n: int = 32) -> DataFrame:
     )
 
 
+def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
+    """Deterministic P6-PPM image corpus for perceptual-hash evidence
+    (q103): ``n`` 64x64 grayscale gradients in groups of 4 — variant 0
+    is the group's base gradient, variant 1 a near-duplicate (one pixel
+    in ~97 nudged by +1, the same perturbation the X57 unit test uses),
+    variants 2/3 visually distinct (inverted / steeper slope). Every
+    payload is a pure function of ``media_id``, so Spark and any
+    re-reader regenerate byte-identical images. Built executor-side via
+    ``mapInPandas`` over ``spark.range`` — no driver-side byte blobs,
+    the generation distributes like any other scan."""
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _ppm(media_id: int) -> bytes:
+        import numpy as np
+
+        group, variant = divmod(media_id, 4)
+        w = h = 64
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        a, b = 2 + (group % 5), 1 + (group % 3)
+        v = (a * x + b * y + 7 * group) % 256
+        if variant == 1:
+            v = (v + ((x + y) % 97 == 0)) % 256
+        elif variant == 2:
+            v = 255 - v
+        elif variant == 3:
+            v = (3 * a * x + b * y + 11 * group) % 256
+        rgb = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_ppm(int(i)) for i in ids]}
+            )
+
+    return spark.range(n).mapInPandas(batches, schema=out_schema)
+
+
 def ahash64_ppm(payload: bytes) -> int | None:
     """X57 — 64-bit average-hash (aHash) perceptual fingerprint of a P6
     PPM image: grayscale -> 8x8 block-mean downsample -> one bit per
@@ -406,22 +448,42 @@ def image_ahash(
 def ahash_near_dup_pairs(
     sigs: DataFrame,
     max_hamming: int = 6,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     id_col: str = "media_id",
 ) -> DataFrame:
     """X57 — image near-dup pairs from 64-bit aHash signatures: banded
-    exact-match candidates (4 x 16-bit bands — any pair within
-    ``max_hamming`` <= 15 bits must agree on at least one whole band by
-    pigeonhole when max_hamming < n_bands*... strictly, agreement on one
-    band is guaranteed for distance < n_bands, and probabilistically
-    near-certain for small distances; the verify step keeps the output
-    exact for whatever the bands surface), then exact Hamming verify via
+    exact-match candidate generation, then exact Hamming verify via
     ``bit_count(a XOR b)``.
 
+    Recall guarantee (pigeonhole, stated precisely): splitting 64 bits
+    into ``n_bands`` equal bands, a pair at Hamming distance d can
+    differ in at most d bands, so it MUST agree on at least one whole
+    band whenever ``d < n_bands`` — candidate generation is exhaustive
+    for ``max_hamming < n_bands`` and the verified output is then
+    EXACTLY the brute-force pair set. For ``max_hamming >= n_bands``
+    the banding is a high-recall heuristic only: a pair whose differing
+    bits touch every band is silently missed (never a false positive —
+    the verify is exact either way). Default ``n_bands=None``
+    auto-selects the smallest divisor of 64 strictly greater than
+    ``max_hamming`` (e.g. max_hamming=6 -> 8 bands of 8 bits), keeping
+    the exhaustive regime; pass a smaller explicit ``n_bands`` (wider
+    bands, 2^width buckets, stronger pruning) only when approximate
+    recall is acceptable.
+
     Scale: the q47/q73 banding contract — candidates ride a narrow
-    (id, band, 16-bit key) self-join, signatures never expand to
-    per-bit rows, verify is one codegen popcount per candidate pair.
+    (id, band, band-key) self-join, signatures never expand to per-bit
+    rows, verify is one codegen popcount per candidate pair. Band width
+    trades pruning against recall: 8-bit bands give 256 buckets per
+    band (fan-out ~n^2/256 per band on a corpus with no structure), so
+    at very large n prefer raising ``max_hamming``'s band width via an
+    explicit ``n_bands`` plus a secondary partition key, or pre-bucket
+    by a coarse content key.
     """
+    if n_bands is None:
+        n_bands = next(nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb > max_hamming)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     s = sigs.filter(F.col("ahash").isNotNull()).select(
         F.col(id_col).alias("id"), "ahash"
     )
@@ -431,9 +493,9 @@ def ahash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("ahash"), 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .cast("int")
+                    F.shiftrightunsigned(F.col("ahash"), width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
                     for b in range(n_bands)
                 ]
             )

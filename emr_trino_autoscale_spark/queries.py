@@ -4370,6 +4370,49 @@ ORDER BY cohort_week, week_offset
 """
 
 
+
+# Q103 — X57 image perceptual near-dup with oracle-grade evidence
+# (VERDICT r6 task 6): a deterministic synthetic PPM corpus
+# (multimodal.synthetic_image_corpus — payloads are pure functions of
+# media_id) is decoded to 64-bit aHash signatures, the signatures are
+# WRITTEN TO PARQUET first (spark-warehouse/q103_media_sigs) so DuckDB
+# verifies from the same input, and the oracle replays the brute-force
+# bit_count(xor()) pair join. With the round-7 auto-banding
+# (max_hamming=6 -> 8x8-bit bands) the banded candidate join is
+# provably exhaustive, so banded == brute force exactly; the decode
+# itself (payload -> ahash) is pinned by the X57 unit tests.
+
+import os as _os
+
+_Q103_SIGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q103_media_sigs",
+)
+
+
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.synthetic_image_corpus(spark, n=96)
+    multimodal.image_ahash(media).write.mode("overwrite").parquet(_Q103_SIGS_PATH)
+    s = spark.read.parquet(_Q103_SIGS_PATH)
+    return multimodal.ahash_near_dup_pairs(s, max_hamming=6).orderBy("id_a", "id_b")
+
+
+Q103_SQL = f"""
+WITH s AS (
+  SELECT media_id, ahash
+  FROM read_parquet('{_Q103_SIGS_PATH}/*.parquet')
+  WHERE ahash IS NOT NULL)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4490,6 +4533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_simhash_clusters": q26,
     "q27_ngram_jaccard_pairs": q27,
     "q28_embedding_near_dup": q28,
+    "q103_image_ahash_pairs": q103,
 }
 
 ORACLE: dict[str, str] = {
@@ -4594,6 +4638,7 @@ ORACLE: dict[str, str] = {
     "q100_dp_histogram": Q100_SQL,
     "q101_sequence_funnel": Q101_SQL,
     "q102_cohort_retention": Q102_SQL,
+    "q103_image_ahash_pairs": Q103_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -81,3 +81,26 @@ def test_spark_sql_surface_matches_dataframe_api(spark, sf_dir):
     ).collect()
     want = QUERIES["q51_value_histogram"](spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want] and len(got) > 0
+
+
+def test_q85_bpe_merge_sequence_golden(spark):
+    """q85's mirror check is rows-only (iterative trainer, no SQL
+    oracle), which was near-vacuous (VERDICT r6 gap 4). Pin the exact
+    8-row merge sequence on the sf0.001 fixture as a golden: a changed
+    merge order — different tie-break, wrong pair statistic, a broken
+    apply-merges round — fails here instead of passing len>=0."""
+    if SF_SMOKE != "/root/testdata/sf0.001":
+        import pytest as _p
+
+        _p.skip("golden captured on the sf0.001 fixture")
+    got = [tuple(r) for r in QUERIES["q85_bpe_learn"](spark, SF_SMOKE).collect()]
+    assert got == [
+        (1, "e", "r", 4650),
+        (2, "o", "r", 2880),
+        (3, "i", "n", 2858),
+        (4, "o", "w", 2763),
+        (5, "s", "t", 2721),
+        (6, "l", "u", 1928),
+        (7, "a", "r", 1873),
+        (8, "p", "ar", 1873),
+    ]
