@@ -100,3 +100,23 @@ def config_zip_dimension(instance_types: list[str], weights: list[int]) -> Colum
         F.array(*[F.lit(t) for t in instance_types]).alias("name"),
         F.array(*[F.lit(int(w)) for w in weights]).alias("weight"),
     )
+
+
+# Shared 60-bit digest (VERDICT r6 task 7): THE canonical JVM-side
+# hashing expression for signature / shingle / bucketing operators.
+# Why this exact form everywhere:
+# - md5-rooted so every oracle (DuckDB has no xxhash64) can replay the
+#   identical values in SQL: conv(substring(md5(x),1,15),16,10);
+# - 15 hex chars = 60 bits, safely inside signed int64 for both engines;
+# - JVM expression, NOT a Python/Arrow loop: rounds 5-6 measured that
+#   per-element cryptographic hashing with no repeat structure loses
+#   1.4-2x when routed through Arrow (docs/SCALE.md "refined rule" —
+#   the ngram_hashes and PPJoin-pack A/Bs). New hashing operators must
+#   call this helper instead of re-deriving the expression so that
+#   regression can't be reintroduced one call site at a time.
+def md5_long60(col: Column) -> Column:
+    """60-bit integer digest of any string column/expression:
+    ``conv(substring(md5(x), 1, 15), 16, 10)`` cast to long. Usable
+    directly or inside higher-order-function lambdas
+    (``F.transform(toks, md5_long60)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

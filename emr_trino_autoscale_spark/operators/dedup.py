@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_long60
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -176,7 +178,7 @@ def md5_long_hashes(text_col: str = "text") -> Column:
     """array<long>: 60-bit integer form of each token's md5 digest."""
     return F.transform(
         F.split(F.col(text_col), " "),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        md5_long60,
     )
 
 
@@ -451,9 +453,7 @@ def ngram_jaccard_pairs_prefix(
             F.array_distinct(
                 F.transform(
                     shingles_of(F.col("__toks"), k),
-                    lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                        "long"
-                    ),
+                    md5_long60,
                 )
             ).alias("sh"),
         )
@@ -638,9 +638,7 @@ def ngram_hashes(
                 F.array_distinct(
                     F.transform(
                         shingles_of(F.col("__toks"), k),
-                        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
-                            "long"
-                        ),
+                        md5_long60,
                     )
                 )
             ).alias("gram"),
@@ -932,7 +930,7 @@ def duplicated_spans(
         F.posexplode(
             F.transform(
                 shingles_of(F.col("__toks"), k),
-                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+                md5_long60,
             )
         ).alias("pos", "gram"),
     )

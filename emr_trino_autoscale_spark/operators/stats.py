@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_long60
+
 
 def neyman_allocation(
     df: DataFrame,
@@ -53,7 +55,7 @@ def neyman_allocation(
         .select(stratum_col, "__N", "__sd", "__alloc")
     )
     coin = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        md5_long60(F.col(id_col).cast("string"))
         .cast("double")
         / F.lit(float(1 << 60))
     )
@@ -257,7 +259,7 @@ def dp_histogram(
     b = 1.0 / epsilon
     counts = df.groupBy(group_col).agg(F.count("*").cast("bigint").alias("true_count"))
     u = (
-        F.conv(F.substring(F.md5(F.col(group_col).cast("string")), 1, 15), 16, 10)
+        md5_long60(F.col(group_col).cast("string"))
         .cast("double")
         / F.lit(float(1 << 60))
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_long60
+
 # Small multilingual stopword sample for heuristic scoring; deliberately
 # tiny and hard-coded (deterministic, no model files).
 _STOPWORDS = (
@@ -554,7 +556,7 @@ def dsir_logratio(
         "id",
         "__is_t",
         F.pmod(
-            F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long"),
+            md5_long60(F.col("__tok")),
             F.lit(n_buckets),
         ).alias("b"),
     )
@@ -759,7 +761,7 @@ def perplexity_gate(
     )
     # uniform in [0,1): 60-bit md5 prefix of the id, scaled
     coin = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        md5_long60(F.col(id_col).cast("string"))
         .cast("double")
         / F.lit(float(1 << 60))
     )

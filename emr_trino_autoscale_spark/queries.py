@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import ci_eq, dec4, fmt_ts, host_from_uri, sign_dispatch
+from .functions import ci_eq, dec4, fmt_ts, host_from_uri, md5_long60, sign_dispatch
 from .io import load_table
 from .operators import dedup, events as ev_ops, metric_store as ms, similarity, skew, stats, text
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
@@ -1841,8 +1841,7 @@ ORDER BY id_a, id_b
 def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+        md5_long60(F.col("doc_id").cast("string"))
         % 100
     )
     split = (
@@ -2403,8 +2402,7 @@ FROM per ORDER BY doc_id
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+        md5_long60(F.col("doc_id").cast("string"))
         % 100
     )
     corpus = d.filter(bucket < 70)
@@ -2651,9 +2649,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 60-bit integer digest as the group key (same md5 root as the
         # oracle's GROUP BY md5(gram) — counts identical, 8-byte key)
         grams.groupBy(
-            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("gram_hash")
+            md5_long60(F.col("gram")).alias("gram_hash")
         )
         .agg(
             F.min("gram").alias("gram"),
