@@ -206,8 +206,15 @@ def cohort_retention(
 
     Scale: two hash aggs (first-seen per user — user-keyed; the
     (cohort, offset) distinct-user count) + a user-keyed join; week
-    arithmetic is row-local date_trunc/epoch math identical in both
-    engines (ISO Monday truncation).
+    arithmetic is row-local date_trunc math identical in both engines
+    (ISO Monday truncation). The offset is CALENDAR arithmetic
+    (``datediff/7``), not epoch-seconds division: both columns are
+    week-truncated Mondays so datediff is an exact multiple of 7 in any
+    timezone, whereas an epoch difference across a DST transition is
+    604800±3600 s and a truncating cast mis-buckets the week (ADVICE
+    r6). The declared-query oracle replays epoch division, which only
+    agrees because load_table pins spark.sql.session.timeZone=UTC —
+    this operator no longer depends on that.
     """
     ev = events.select(
         F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
@@ -217,8 +224,7 @@ def cohort_retention(
         ev.join(first, "u")
         .withColumn(
             "week_offset",
-            ((F.unix_timestamp("w") - F.unix_timestamp("cohort_w")) / 604800)
-            .cast("int"),
+            (F.datediff(F.col("w"), F.col("cohort_w")) / 7).cast("int"),
         )
         .filter(F.col("week_offset") <= max_offset)
         .groupBy("cohort_w", "week_offset")

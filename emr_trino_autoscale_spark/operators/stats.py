@@ -190,6 +190,13 @@ def ranking_metrics(
     row-local HOF on a #queries-row frame. The log2 discount is
     computed as ln(r+1)/ln(2) on BOTH engines so the oracle agrees to
     the last ulp before rounding.
+
+    Output covers EVERY query present in ``truth`` (ADVICE r6): a
+    query with zero prediction rows scores recall/mrr/ndcg = 0 instead
+    of silently disappearing and inflating averaged metrics — per_q is
+    left-joined from the truth-derived frame with hits/dcg coalesced
+    to 0. Queries present only in ``ranking`` (no truth) stay excluded:
+    with an empty relevant set every metric is undefined (0/0).
     """
     ln2 = F.log(F.lit(2.0))
     t = truth.select(
@@ -221,14 +228,17 @@ def ranking_metrics(
         lambda acc, i: acc + F.lit(1.0) / (F.log(i.cast("double") + 1.0) / ln2),
     )
     return (
-        per_q.join(nt, "q")
+        nt.join(per_q, "q", "left")
         .select(
             F.col("q").alias(query_col),
             "n_truth",
-            "hits",
-            (F.col("hits").cast("double") / F.col("n_truth")).alias("recall"),
+            F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_truth")
+            ).alias("recall"),
             F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)).alias("mrr"),
-            (F.col("__dcg") / idcg).alias("ndcg"),
+            (F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg).alias("ndcg"),
         )
     )
 

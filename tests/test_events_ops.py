@@ -130,3 +130,31 @@ def test_cohort_retention_offsets_and_rates(spark):
     assert out[k0]["n_active"] == 2 and out[k0]["cohort_size"] == 2
     assert out[k0]["retention"] == 1.0
     assert out[k1]["n_active"] == 1 and abs(out[k1]["retention"] - 0.5) < 1e-12
+
+
+def test_cohort_retention_dst_transition_weeks(spark):
+    """ADVICE r6: week_offset is calendar datediff/7, not epoch/604800 —
+    weeks that cross a DST transition are 604800±3600 s and the old
+    truncating epoch division mis-bucketed them under a non-UTC session
+    timezone. Pin the fix by running under America/New_York across the
+    2026-03-08 spring-forward."""
+    from datetime import datetime
+
+    from emr_trino_autoscale_spark.operators import events as ev_ops
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # Mon 2026-03-02 cohort week; the next week (Mon 03-09) follows
+        # the 03-08 spring-forward, so it is 604800-3600 s later — the
+        # epoch form truncates (603600/604800)=0 and mis-buckets it.
+        rows = [
+            (1, datetime(2026, 3, 3)), (1, datetime(2026, 3, 11)),
+            (2, datetime(2026, 3, 4)),
+        ]
+        d = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {r["week_offset"]: r for r in ev_ops.cohort_retention(d).collect()}
+        assert set(out) == {0, 1}
+        assert out[1]["n_active"] == 1 and abs(out[1]["retention"] - 0.5) < 1e-12
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

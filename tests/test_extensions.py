@@ -1610,3 +1610,26 @@ def test_tfidf_cosine_pairs_uniform_df_stress(spark):
     # one doubled token), so the survivor set is a large fraction of
     # all pairs, not a sparse near-dup set
     assert len(want) > brute_pairs // 4
+
+
+def test_ranking_metrics_truth_only_query_scores_zero(spark):
+    """ADVICE r6: a query present in truth but with ZERO prediction rows
+    must emit a zero-valued metrics row instead of disappearing (which
+    silently inflated averaged recall/MRR/nDCG)."""
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    truth = spark.createDataFrame(
+        [(0, 1), (0, 2), (5, 7), (5, 8)], "q_id long, neighbor_id long"
+    )
+    pred = spark.createDataFrame(
+        [(0, 1, 1), (0, 9, 2)], "q_id long, neighbor_id long, rank int"
+    )
+    out = {r["q_id"]: r for r in
+           stats_ops.ranking_metrics(pred, truth, k=5).collect()}
+    assert set(out) == {0, 5}                       # q5 no longer dropped
+    r5 = out[5]
+    assert r5["n_truth"] == 2 and r5["hits"] == 0
+    assert r5["recall"] == 0.0 and r5["mrr"] == 0.0 and r5["ndcg"] == 0.0
+    # the averaged headline metric the advisor flagged: with q5 present,
+    # mean recall halves
+    assert abs(sum(r["recall"] for r in out.values()) / 2 - 0.25) < 1e-12
