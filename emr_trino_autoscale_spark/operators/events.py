@@ -149,44 +149,58 @@ def sequence_funnel(
     q67 curation funnel — ORDER matters here, which plain per-type mins
     get wrong.
 
-    Scale: one narrow (user, type, ts) projection, then one user-keyed
-    min-agg + join per stage — len(stages) passes over user-keyed
-    frames (each strictly shrinking), no windows, no per-user sort. At
-    100 TB each pass is a hash agg + equi join on the user key; AQE
-    broadcasts the shrinking stage frames automatically.
+    Scale: ONE user-keyed hash agg builds a per-stage timestamp array
+    per user (unsorted — every consumer is an array_min fold), then the sequential dependency runs as a row-local
+    column cascade — ``t_i = array_min(filter(a_i, x >= t_{i-1}))`` —
+    and one tiny rollup emits the per-stage counts. Exchange count is
+    therefore CONSTANT in len(stages) (pinned by
+    test_plan_guard.py::test_sequence_funnel_exchange_count_linear_in_stages);
+    the round-6 formulation (one min-agg + join pass per stage) re-shuffled
+    the user key len(stages) times and its unioned branch plans re-embedded
+    every stage prefix, growing the static plan quadratically. Per-user
+    state is that user's event timestamps for the funnel's stages only —
+    the same per-user bound as sessionization; each ``t_i`` is
+    materialized as a named column so the HOF lambda binds a column
+    reference, not a re-evaluated expression (no CSE in lambda bodies).
     """
     ev = events.select(
         F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    ).filter(F.col("t").isin(*stages))
+    per_user = ev.groupBy("u").agg(
+        *[
+            F.collect_list(F.when(F.col("t") == s, F.col("ts"))).alias(
+                f"__a{i}"
+            )
+            for i, s in enumerate(stages)
+        ]
     )
-    reached = None  # (u, stage_ts) of users who completed the prefix
-    counts = []
-    for i, stage in enumerate(stages):
-        e = ev.filter(F.col("t") == stage)
-        if reached is None:
-            reached = e.groupBy("u").agg(F.min("ts").alias("__sts"))
-        else:
-            reached = (
-                e.join(reached, "u")
-                .filter(F.col("ts") >= F.col("__sts"))
-                .groupBy("u")
-                .agg(F.min("ts").alias("__sts"))
-            )
-        counts.append(
-            reached.agg(F.count("*").cast("bigint").alias("n_users")).select(
-                F.lit(i + 1).alias("stage_idx"),
-                F.lit(stage).alias("stage"),
-                "n_users",
-            )
+    # array_min is NULL-safe for users with no stage-1 events
+    # (element_at(.., 1) would throw under ANSI on the empty array)
+    per_user = per_user.withColumn("__t0", F.array_min(F.col("__a0")))
+    for i in range(1, len(stages)):
+        prev = F.col(f"__t{i - 1}")
+        per_user = per_user.withColumn(
+            f"__t{i}",
+            F.array_min(F.filter(F.col(f"__a{i}"), lambda x: x >= prev)),
         )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionAll(c)
-    base = counts[0].select(F.col("n_users").alias("__base"))
+    totals = per_user.agg(
+        *[
+            F.count(F.col(f"__t{i}")).cast("bigint").alias(f"__n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    stage_rows = totals.select(
+        F.posexplode(
+            F.array(*[F.col(f"__n{i}") for i in range(len(stages))])
+        ).alias("__pos", "n_users")
+    )
+    names = F.array(*[F.lit(s) for s in stages])
+    base = totals.select(F.col("__n0").alias("__base"))
     return (
-        out.join(base)
+        stage_rows.join(F.broadcast(base))
         .select(
-            "stage_idx",
-            "stage",
+            (F.col("__pos") + 1).cast("int").alias("stage_idx"),
+            F.element_at(names, F.col("__pos") + 1).alias("stage"),
             "n_users",
             (F.col("n_users").cast("double") / F.col("__base")).alias("conversion"),
         )

@@ -319,3 +319,34 @@ def test_scoped_caches_released(spark, sf_dir):
     release_caches()
     cached = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert cached <= baseline, f"{cached - baseline} cached RDDs leaked"
+
+
+def test_sequence_funnel_exchange_count_linear_in_stages(spark):
+    """X63 scaling pin (VERDICT r6 task 8): each funnel stage adds one
+    user-keyed agg + join pass, and every counts[i] branch embeds the
+    whole stage-prefix plan — so the UNIONED plan is only linear in
+    stages because ReuseExchange dedupes the shared prefix subplans.
+    Assert exchange count grows linearly (constant per-stage increment),
+    not quadratically, on a 10-stage fixture."""
+    from emr_trino_autoscale_spark.operators import events as ev_ops
+
+    rows = [
+        (u, f"s{i}", __import__("datetime").datetime(2026, 1, 1 + i))
+        for u in range(20)
+        for i in range(10)
+        if u % (i + 1) == 0
+    ]
+    d = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    def n_exchanges(n_stages: int) -> int:
+        stages = tuple(f"s{i}" for i in range(n_stages))
+        return _plan(ev_ops.sequence_funnel(d, stages)).count("Exchange")
+
+    e4, e7, e10 = n_exchanges(4), n_exchanges(7), n_exchanges(10)
+    per_stage_a = (e7 - e4) / 3
+    per_stage_b = (e10 - e7) / 3
+    # linear growth: the per-stage increment is constant (quadratic
+    # growth would make the second increment ~2x the first)
+    assert per_stage_b <= per_stage_a + 1, (e4, e7, e10)
+    # and the absolute count stays in the linear envelope
+    assert e10 <= e4 + 6 * (per_stage_a + 1), (e4, e7, e10)
