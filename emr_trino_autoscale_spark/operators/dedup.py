@@ -1161,3 +1161,51 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum(F.col("__wa") * F.col("__wb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_prefix_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """X66 — blocking-key entity resolution: candidate record pairs
+    share a blocking key (a ``block_prefix_len`` name prefix — the
+    classic sorted-neighborhood/standard-blocking key, public record-
+    linkage practice since Fellegi-Sunter), verified with the exact
+    Levenshtein edit distance <= ``max_dist``. Returns
+    (id_a, id_b, dist) with id_a < id_b.
+
+    Recall caveat (stated, not hidden): prefix blocking misses true
+    matches whose edits fall INSIDE the prefix. Production recall at
+    100 TB stacks several cheap keys (prefix, suffix, phonetic code)
+    as union'd blocking passes — each pass is this same operator with
+    a different key expression; the union of pass outputs is then
+    distinct'd on (id_a, id_b).
+
+    Scale: the join runs on the narrow (id, name, block) frame —
+    block-key equi-shuffle, never a cross join; per-block work is
+    C(block_size, 2) Levenshtein evaluations (JVM codegen), so the
+    block key must be chosen to bound block size (longer prefix =
+    smaller blocks = less recall), the PPJoin-style tradeoff. A hot
+    block (shared boilerplate prefix) is the skew axis — lengthen the
+    prefix or add a secondary key component.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.substring(F.col(name_col), 1, block_prefix_len).alias("blk"),
+    )
+    pa, pb = b.alias("pa"), b.alias("pb")
+    return (
+        pa.join(pb, "blk")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("pa.nm"), F.col("pb.nm")).cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"), "dist"
+        )
+    )

@@ -1637,3 +1637,109 @@ def pq_sdc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def md5_centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic coarse centroids derived from md5 — the
+    :func:`kmeans_fit` stand-in that makes cluster ASSIGNMENT
+    oracle-checkable, exactly as :func:`md5_codebooks` does for PQ:
+    DuckDB recomputes the same values from the same md5 strings.
+    Component j of centroid c is ``int(md5(f"sem-{c}-{j}")[:4], 16)
+    / 65535 * 2 - 1``."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"sem-{c}-{j}".encode()).hexdigest()[:4], 16)
+            / 65535.0
+            * 2
+            - 1
+            for j in range(dim)
+        ]
+        for c in range(k)
+    ]
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist_fn=None,
+) -> DataFrame:
+    """X65 — semantic deduplication, the SemDeDup shape (Abbas et al.,
+    arXiv 2023, public): coarse-cluster the corpus, then mark a
+    document as a semantic duplicate iff some SMALLER-id document in
+    the SAME cluster has cosine >= ``threshold``; ``dup_of`` is the
+    minimum such neighbor (the canonical survivor chain's local edge).
+    Returns (id, cluster_id, dup_of, is_dup) for every corpus row.
+
+    Composition: assignment is :func:`coarse_assign` (broadcast
+    centroids, max_by hash agg, cosine rounded to 6 decimals, ties to
+    the smaller centroid id); the within-cluster verify joins on the
+    CLUSTER key so pair work is sum(cluster_size^2), not n^2.
+
+    Scale: at 100 TB the within-cluster exact pair join is the
+    oracle-checkable core but clusters are still large — swap the
+    verify stage for the banded-SRP candidate contract
+    (:func:`near_dup_pairs_lsh` keyed by (cluster, band, bucket)) and
+    keep this exact form as the per-cluster recall oracle, the same
+    split as q28 (exact) vs q73 (banded). Cluster skew is governed by
+    the centroid count and the k-means balance; a hot cluster is the
+    operator's documented skew axis (salt the pair join on an id
+    sub-bucket within the hot cluster). Pair cosine is rounded to 4
+    decimals (the q28 convention) so the oracle replays every value.
+    """
+    assigned = coarse_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col="c_id"
+    )
+    # assignment feeds the pair join's BOTH sides and the final output —
+    # without materialization the broadcast-scoring subtree replays 3x
+    # (measured 46 static exchanges). persist_fn follows the
+    # ppjoin/tfidf convention (caller-owned lifecycle; declared query
+    # passes queries._cache_scoped).
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        assigned = persist_fn(assigned)
+    n = (
+        with_norm(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("__v").alias("v"),
+            _safe_norm(F.col("__norm")).alias("nrm"),
+        )
+        .join(assigned.select(F.col(id_col).alias("id"), "assigned"), "id")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.assigned") == F.col("b.assigned"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn(
+            "__cos",
+            F.round(
+                cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 4
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.min(F.col("a.id")).alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col), F.col("assigned").alias("cluster_id"))
+        .join(
+            dup_of.select(F.col("id").alias(id_col), "dup_of"), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )

@@ -285,3 +285,134 @@ def dp_histogram(
         noise.alias("noise"),
         (F.col("true_count") + noise).alias("noisy_count"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 10,
+    strata_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X67 — weighted sampling WITHOUT replacement, the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006, public): each row draws
+    a deterministic uniform coin u in (0,1) and is ranked by
+    ``ln(u) / w`` descending (equivalent to u^(1/w) — larger weight =>
+    stochastically larger key), the top-k per stratum forming an exact
+    weighted sample. Rows with weight <= 0 are excluded (zero mass).
+
+    Determinism/oracle: the coin is the shared 60-bit md5 digest of the
+    id (``functions.md5_long60``), shifted to (0,1) as (h+1)/(2^60+1),
+    so DuckDB replays the identical keys; only ids/ranks are emitted
+    (the float key stays internal — ordering agrees across engines for
+    any non-pathological coin gap).
+
+    Scale: one narrow projection computes the key row-locally; the
+    per-stratum top-k runs through :func:`..skew.two_phase_topk`-style
+    partial ranking when strata are low-cardinality — here a plain
+    window per stratum key, documented as the X16 primitive's job.
+    """
+    from ..functions import md5_long60
+
+    w = F.col(weight_col).cast("double")
+    coin = (
+        (md5_long60(F.col(id_col).cast("string")).cast("double") + F.lit(1.0))
+        / F.lit(float((1 << 60) + 1))
+    )
+    keyed = (
+        df.filter(w > 0)
+        .withColumn("__key", F.log(coin) / w)
+        .select(*strata_cols, id_col, F.col(weight_col), "__key")
+    )
+    win = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+        F.col("__key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .drop("__key")
+    )
+
+
+def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """X68 — per-column data profile (the audit every ingest should
+    publish): row count, null count, exact distinct count, and
+    lexicographic min/max of the STRING form, one output row per
+    column. String-form min/max is deliberate: it gives one stable,
+    type-agnostic ordering both engines agree on (a typed per-column
+    profile is a trivial per-column variant).
+
+    Scale: ONE pass — each row explodes to len(cols) narrow
+    (column, value) structs, then a single hash agg per column key;
+    no per-column re-scan of the table, no expand-based multi-distinct
+    plan (the q43 gotcha). Distinct counting is exact and shuffles
+    only (col, value) pairs.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.val")
+    return pairs.groupBy("column").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def concentration_curve(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """X69 — Lorenz/concentration curve over group mass: groups ranked
+    by total ``value_col`` descending, each with its share of the
+    corpus and the cumulative share — the mixture-monitoring view that
+    tells a pipeline when one crawl/source starts dominating the token
+    budget. Shares rounded to 4 decimals (oracle convention).
+
+    Scale: one hash agg contracts the corpus to #groups rows; the
+    ranking window then runs on that tiny frame (single partition of
+    group cardinality, NOT corpus cardinality — same argument as the
+    q56 mixing-weights rollup)."""
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("__mass")
+    )
+    grand = totals.agg(F.sum("__mass").alias("__grand"))
+    win = Window.orderBy(F.col("__mass").desc(), F.col(group_col).asc())
+    return (
+        totals.join(F.broadcast(grand))
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .withColumn(
+            "share", F.round(F.col("__mass") / F.col("__grand"), 4)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum(F.col("__mass")).over(
+                    win.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__grand"),
+                4,
+            ),
+        )
+        .select(
+            "rank",
+            F.col(group_col),
+            F.col("__mass").cast("bigint").alias("total_mass"),
+            "share",
+            "cum_share",
+        )
+    )

@@ -4367,6 +4367,162 @@ ORDER BY cohort_week, week_offset
 
 
 
+# Q104 — X65 semantic dedup (SemDeDup, Abbas et al. 2023): coarse
+# cluster assignment against LITERAL md5-derived centroids (the q71
+# codebook trick — DuckDB recomputes identical centroid values), then
+# within-cluster cosine pairs mark smaller-id near-neighbors as dup_of.
+
+_SEM_CENTROIDS = similarity.md5_centroids(k=8, dim=64)
+
+
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(_SEM_CENTROIDS)],
+        "c_id int, embedding array<double>",
+    )
+    return similarity.semantic_dedup(
+        e, cents, threshold=0.4, persist_fn=_cache_scoped
+    ).orderBy("vec_id")
+
+
+Q104_SQL = """
+WITH c AS (
+  SELECT CAST(cc.c AS INT) AS c_id,
+         list_transform(range(1, 65),
+           j -> CAST(('0x' || substr(md5('sem-' || cc.c || '-' || (j - 1)), 1, 4)) AS BIGINT)
+                / 65535.0 * 2 - 1) AS cv
+  FROM range(8) cc(c)),
+cn AS (SELECT c_id, cv,
+              CASE WHEN sqrt(list_inner_product(cv, cv)) = 0 THEN 1
+                   ELSE sqrt(list_inner_product(cv, cv)) END AS cnrm
+       FROM c),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1
+                  ELSE sqrt(list_inner_product(v, v)) END AS nrm
+      FROM e),
+sim AS (SELECT vec_id, c_id,
+               ROUND(list_inner_product(v, cv) / (nrm * cnrm), 6) AS s
+        FROM n, cn),
+asg AS (SELECT vec_id, c_id FROM (
+          SELECT vec_id, c_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id ASC) AS rn
+          FROM sim) WHERE rn = 1),
+na AS (SELECT n.vec_id, n.v, n.nrm, asg.c_id FROM n JOIN asg USING (vec_id)),
+p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM na a JOIN na b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4),
+dup AS (SELECT ib AS vec_id, MIN(ia) AS dup_of FROM p GROUP BY ib)
+SELECT asg.vec_id, asg.c_id AS cluster_id, dup.dup_of,
+       dup.dup_of IS NOT NULL AS is_dup
+FROM asg LEFT JOIN dup USING (vec_id)
+ORDER BY asg.vec_id
+"""
+
+
+# Q105 — X66 blocking-key entity resolution over the customer dimension:
+# 16-char name-prefix blocks, exact Levenshtein <= 1 verify (levenshtein
+# exists in both engines).
+
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return dedup.blocked_levenshtein_pairs(
+        c, id_col="c_custkey", name_col="c_name", block_prefix_len=16, max_dist=1
+    ).orderBy("id_a", "id_b")
+
+
+Q105_SQL = """
+WITH b AS (SELECT c_custkey AS id, c_name AS nm, substr(c_name, 1, 16) AS blk
+           FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT a.id AS id_a, c.id AS id_b, CAST(levenshtein(a.nm, c.nm) AS INT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+WHERE levenshtein(a.nm, c.nm) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+# Q106 — X67 Efraimidis-Spirakis weighted sampling without replacement:
+# deterministic md5 coins (the shared md5_long60 digest shifted into
+# (0,1)), key = ln(u)/w, per-language top-10.
+
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stats.weighted_sample(d, "n_chars", k=10, strata_cols=("lang",))
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+Q106_SQL = """
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rnk
+      FROM k)
+SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 10 ORDER BY lang, rank
+"""
+
+
+# Q107 — X68 one-pass per-column data profile over the orders fact
+# (string-typed columns only: double/timestamp string forms are
+# engine-specific — the profile contract is the STRING form, see
+# operator docstring).
+
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return stats.profile_columns(
+        o, ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    ).orderBy("column")
+
+
+Q107_SQL = """
+WITH p AS (
+  SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS val FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+SELECT "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM p GROUP BY "column" ORDER BY "column"
+"""
+
+
+# Q108 — X69 source concentration (Lorenz) curve: which sources hold
+# the corpus mass, cumulatively.
+
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return stats.concentration_curve(d, group_col="source", value_col="n_chars").orderBy(
+        "rank"
+    )
+
+
+Q108_SQL = """
+WITH t AS (SELECT source, SUM(CAST(n_chars AS DOUBLE)) AS mass
+           FROM documents GROUP BY source),
+g AS (SELECT SUM(mass) AS grand FROM t),
+r AS (SELECT source, mass,
+             row_number() OVER (ORDER BY mass DESC, source ASC) AS rnk,
+             SUM(mass) OVER (ORDER BY mass DESC, source ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT CAST(rnk AS INT) AS rank, source, CAST(mass AS BIGINT) AS total_mass,
+       ROUND(mass / grand, 4) AS share, ROUND(cum / grand, 4) AS cum_share
+FROM r, g ORDER BY rank
+"""
+
+
 # Q103 — X57 image perceptual near-dup with oracle-grade evidence
 # (VERDICT r6 task 6): a deterministic synthetic PPM corpus
 # (multimodal.synthetic_image_corpus — payloads are pure functions of
@@ -4530,6 +4686,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_ngram_jaccard_pairs": q27,
     "q28_embedding_near_dup": q28,
     "q103_image_ahash_pairs": q103,
+    "q104_semantic_dedup": q104,
+    "q105_entity_resolution": q105,
+    "q106_weighted_sample": q106,
+    "q107_column_profile": q107,
+    "q108_source_concentration": q108,
 }
 
 ORACLE: dict[str, str] = {
@@ -4635,6 +4796,11 @@ ORACLE: dict[str, str] = {
     "q101_sequence_funnel": Q101_SQL,
     "q102_cohort_retention": Q102_SQL,
     "q103_image_ahash_pairs": Q103_SQL,
+    "q104_semantic_dedup": Q104_SQL,
+    "q105_entity_resolution": Q105_SQL,
+    "q106_weighted_sample": Q106_SQL,
+    "q107_column_profile": Q107_SQL,
+    "q108_source_concentration": Q108_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1633,3 +1633,105 @@ def test_ranking_metrics_truth_only_query_scores_zero(spark):
     # the averaged headline metric the advisor flagged: with q5 present,
     # mean recall halves
     assert abs(sum(r["recall"] for r in out.values()) / 2 - 0.25) < 1e-12
+
+
+def test_semantic_dedup_min_neighbor_rule_and_cluster_blocking(spark):
+    """X65: a doc is dup iff a smaller-id SAME-CLUSTER neighbor has
+    cosine >= threshold; dup_of is the minimum such neighbor; near
+    pairs split across clusters are NOT marked (the SemDeDup blocking
+    semantics, by design)."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    # two orthogonal 4-dim clusters; ids 0,1,2 identical direction,
+    # id 3 orthogonal, id 4 = same direction as 3
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0, 0.0]),
+        (2, [0.999, 0.0, 0.001, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [0.0, 0.0, 0.001, 1.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0, 1.0])],
+        "c_id int, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in sim.semantic_dedup(d, cents, threshold=0.9).collect()}
+    assert out[0]["cluster_id"] == 0 and not out[0]["is_dup"]
+    assert out[1]["dup_of"] == 0 and out[2]["dup_of"] == 0
+    assert out[3]["cluster_id"] == 1 and not out[3]["is_dup"]
+    assert out[4]["dup_of"] == 3
+    # cross-cluster near pair is not marked: nothing in cluster 1 dups
+    # against cluster 0 members even at high cosine within the cluster
+    assert out[3]["dup_of"] is None
+
+
+def test_blocked_levenshtein_pairs_recall_contract(spark):
+    """X66: suffix edits within a shared block are found; an edit
+    INSIDE the blocking prefix is missed (the documented recall
+    caveat); distance is exact."""
+    from emr_trino_autoscale_spark.operators import dedup as dd
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),   # suffix edit, same block
+        (3, "Customer#100000001"),   # edit inside the 16-char prefix
+        (4, "Customer#000000011"),   # two suffix edits from id 1? (dist 1 vs id2? )
+    ]
+    d = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dd.blocked_levenshtein_pairs(
+            d, block_prefix_len=16, max_dist=1
+        ).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert (1, 3) not in got          # blocked away despite dist 1
+    assert got[(1, 4)] == 1
+    assert (2, 4) not in got          # dist 2 ("...002" vs "...011") > max_dist
+
+
+def test_weighted_sample_contract(spark):
+    """X67: deterministic (same coins both runs), k-bounded per
+    stratum, non-positive weights excluded, ranks contiguous."""
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [(i, "a" if i % 2 else "b", float(i % 7 - 1)) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    out1 = stats_ops.weighted_sample(
+        d, "w", k=5, strata_cols=("lang",), id_col="doc_id"
+    ).collect()
+    out2 = stats_ops.weighted_sample(
+        d, "w", k=5, strata_cols=("lang",), id_col="doc_id"
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_lang = {}
+    for r in out1:
+        assert r["w"] > 0
+        by_lang.setdefault(r["lang"], []).append(r["rank"])
+    for lang, ranks in by_lang.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
+def test_profile_columns_counts(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [(1, "x"), (2, None), (3, "x"), (None, "y")]
+    d = spark.createDataFrame(rows, "a int, b string")
+    out = {r["column"]: r for r in stats_ops.profile_columns(d, ("a", "b")).collect()}
+    assert out["a"]["n_rows"] == 4 and out["a"]["n_null"] == 1
+    assert out["a"]["n_distinct"] == 3
+    assert out["b"]["n_distinct"] == 2 and out["b"]["n_null"] == 1
+    assert out["b"]["min_val"] == "x" and out["b"]["max_val"] == "y"
+
+
+def test_concentration_curve_shares(spark):
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [("s1", 60), ("s1", 20), ("s2", 15), ("s3", 5)]
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["rank"]: r for r in stats_ops.concentration_curve(d).collect()}
+    assert out[1]["source"] == "s1" and out[1]["share"] == 0.8
+    assert out[2]["cum_share"] == 0.95 and out[3]["cum_share"] == 1.0
+    assert out[1]["total_mass"] == 80

@@ -35,6 +35,15 @@ FLAGSHIPS = {
     # q28's FlatMapGroupsInPandas (Arrow applyInPandas) is the sanctioned
     # vectorized path — not in FORBIDDEN
     "q28_embedding_near_dup": (4, False),
+    # round-7 additions (audited counts at declaration): q104's nested
+    # loops are the 8-row literal-centroid broadcasts in coarse_assign,
+    # q108's the 1-row grand-total broadcast
+    "q103_image_ahash_pairs": (8, False),
+    "q104_semantic_dedup": (24, True),
+    "q105_entity_resolution": (6, False),
+    "q106_weighted_sample": (6, False),
+    "q107_column_profile": (8, False),
+    "q108_source_concentration": (12, True),
     "q31_langid_quality": (4, False),
     "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
@@ -240,11 +249,13 @@ BROADCAST_ALLOW = {
     "similarity.py": {"q", "qp", "cents", "ce", "a", "qcodes"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
-    "events.py": set(),
+    # base: 1-row stage-1 user total (sequence_funnel conversion)
+    "events.py": {"base"},
     "skew.py": set(),
     "bucketing.py": set(),
-    # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames
-    "stats.py": {"tot", "alloc", "means"},
+    # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames;
+    # grand: 1-row corpus mass total (concentration_curve)
+    "stats.py": {"tot", "alloc", "means", "grand"},
     "multimodal.py": set(),
 }
 # metric_store denominator_df is caller-supplied and documented bounded
