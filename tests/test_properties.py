@@ -468,3 +468,77 @@ def test_duplicated_spans_cover_every_duplicated_gram(spark, texts):
             inside = any(s <= pos and pos + k - 1 <= e for s, e in doc_spans)
             if dup:
                 assert inside, (i, pos, gram)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    weights=st.lists(
+        st.integers(min_value=-3, max_value=50), min_size=5, max_size=30
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_weighted_sample_topk_nesting_property(spark, weights, k):
+    """X67 A-ES property: the top-k sample is a PREFIX of the top-(k+1)
+    sample under the same coins (nesting — the whole point of key-based
+    sampling: growing the budget never evicts an already-chosen row),
+    and excluded rows are exactly the non-positive weights."""
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    small = stats_ops.weighted_sample(d, "w", k=k, id_col="doc_id").collect()
+    big = stats_ops.weighted_sample(d, "w", k=k + 1, id_col="doc_id").collect()
+    ids_small = {r["doc_id"] for r in small}
+    ids_big = {r["doc_id"] for r in big}
+    assert ids_small <= ids_big
+    n_pos = sum(1 for w in weights if w > 0)
+    assert len(ids_small) == min(k, n_pos)
+    assert all(r["w"] > 0 for r in big)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=1000), min_size=2, max_size=12
+    )
+)
+def test_concentration_curve_properties(spark, masses):
+    """X69: cum_share is non-decreasing, ends at 1.0, shares ordered
+    descending, total_mass conserved."""
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+
+    rows = [(f"s{i}", m) for i, m in enumerate(masses)]
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    out = sorted(
+        stats_ops.concentration_curve(d).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in out] == list(range(1, len(masses) + 1))
+    shares = [r["share"] for r in out]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    cums = [r["cum_share"] for r in out]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-9
+    assert sum(r["total_mass"] for r in out) == sum(masses)
+
+
+def test_semantic_dedup_dup_of_invariants(spark):
+    """X65 invariants on the real fixture: dup_of < id always; dup_of
+    is in the SAME cluster; is_dup == dup_of presence; output covers
+    every corpus row exactly once."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+    from emr_trino_autoscale_spark import queries as Q
+    from emr_trino_autoscale_spark.io import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(sim.md5_centroids(k=8, dim=64))],
+        "c_id int, embedding array<double>",
+    )
+    out = sim.semantic_dedup(e, cents, threshold=0.4).collect()
+    assert len(out) == e.count()
+    cluster = {r["vec_id"]: r["cluster_id"] for r in out}
+    for r in out:
+        assert r["is_dup"] == (r["dup_of"] is not None)
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vec_id"]
+            assert cluster[r["dup_of"]] == r["cluster_id"]
