@@ -233,6 +233,57 @@ def boilerplate_strip_stream(
     )
 
 
+def entity_resolution_stream(
+    records: DataFrame,
+    master: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    block_prefix_len: int = 16,
+    max_dist: int = 1,
+) -> DataFrame:
+    """X70 live twin of Q105 (`dedup.blocked_levenshtein_pairs`): an
+    arriving record is matched against the STATIC master entity table
+    through the same blocking contract — equi-join on the
+    ``block_prefix_len`` name-prefix key, exact JVM Levenshtein
+    verify <= ``max_dist``. Emits one VERDICT row per (arriving record,
+    surviving master candidate): ``is_match`` true with the master id
+    and distance, or a single ``master_id IS NULL`` row when the
+    record's block has no master rows at all.
+
+    Stream-static LEFT OUTER equi-join only — zero streaming state, no
+    stream-side aggregation (collapsing to one link-or-create decision
+    per record is a per-record agg, which append-mode streaming can't
+    do statelessly; that collapse belongs to the batch reconciliation
+    tier, which also recovers the near-miss case: a record whose block
+    exists but holds no within-distance master emits no is_match row
+    here). The master side is re-planned every micro-batch, so the
+    Q105 tier's periodic recompaction is picked up without restart —
+    the X19/X33 stream-static pattern. Per-batch work is batch_rows x
+    block_size Levenshtein evaluations; the blocking key bounds it
+    exactly as in the batch operator."""
+    r = records.withColumn(
+        "__blk", F.substring(F.col(name_col), 1, block_prefix_len)
+    )
+    m = master.select(
+        F.col(id_col).alias("master_id"),
+        F.col(name_col).alias("__mnm"),
+        F.substring(F.col(name_col), 1, block_prefix_len).alias("__blk"),
+    )
+    joined = r.join(m, "__blk", "left_outer").withColumn(
+        "dist", F.levenshtein(F.col(name_col), F.col("__mnm")).cast("int")
+    )
+    return (
+        joined.filter(
+            F.col("master_id").isNull() | (F.col("dist") <= max_dist)
+        )
+        .withColumn("is_match", F.col("master_id").isNotNull())
+        .withColumn(
+            "dist", F.when(F.col("is_match"), F.col("dist")).cast("int")
+        )
+        .select(id_col, name_col, "master_id", "dist", "is_match")
+    )
+
+
 def embedding_neardup_stream(
     vecs: DataFrame,
     corpus_index: DataFrame,

@@ -614,3 +614,50 @@ def test_streaming_cms_sketch_complete_mode(spark, tmp_path):
         for r in spark.sql("select * from cms_stream_test").collect()
     }
     assert got == batch
+
+
+@pytest.mark.slow
+def test_entity_resolution_stream_matches_blocking_contract(spark, tmp_path):
+    """X70: stream-static blocked Levenshtein — suffix-edit match links
+    to the master id, an edit inside the blocking prefix stays
+    unlinked (block miss -> NULL-master verdict row), a near-miss
+    (block hit, dist > max) emits nothing (batch tier recovers it)."""
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    src = tmp_path / "er_src"
+    chk = tmp_path / "er_chk"
+    rows = [
+        (101, "Customer#000000002"),  # dist 1 from master 1 -> match
+        (102, "Customer#100000001"),  # prefix edit -> block miss -> new
+        (103, "Customer#000000099"),  # block hit, dist 2 -> no row
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    df.repartition(1).write.parquet(str(src))
+    master = spark.createDataFrame(
+        [(1, "Customer#000000001")], "c_custkey long, c_name string"
+    )
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.entity_resolution_stream(stream, master)
+        .writeStream.format("memory")
+        .queryName("er_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["c_custkey"]: r for r in spark.sql("select * from er_stream_test").collect()}
+    assert got[101]["is_match"] and got[101]["master_id"] == 1 and got[101]["dist"] == 1
+    assert not got[102]["is_match"] and got[102]["master_id"] is None
+    assert 103 not in got
+    # batch-equivalence: the matched pairs equal the batch operator's
+    # pair set over the unioned frames restricted to (new x master)
+    from emr_trino_autoscale_spark.operators import dedup as dd
+
+    both = master.unionByName(df)
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.blocked_levenshtein_pairs(both).collect()
+    }
+    assert (1, 101) in batch_pairs and (1, 102) not in batch_pairs
