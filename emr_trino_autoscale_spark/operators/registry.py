@@ -95,3 +95,54 @@ def append_bounded(
         .filter(F.col("__rn") <= capacity)
         .drop("__rn")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """X71 — CDC-style snapshot diff: given two versions of a keyed
+    table, classify every key as ``added`` / ``removed`` / ``changed``
+    (/ ``unchanged`` when requested). The audit that belongs between
+    any two compaction runs of a 100 TB table: what did this rebuild
+    actually touch?
+
+    Scale: each side contracts to (key, digest) BEFORE the join — the
+    payload never rides the shuffle, the full-outer join carries one
+    fixed-width md5 per row. The digest is md5 over the compare columns
+    with a NULL sentinel and a 0x1f field separator (unambiguous,
+    engine-portable; callers choose compare columns whose STRING forms
+    are engine-stable — integers/strings always, doubles only if the
+    producer pins formatting). ``include_unchanged=False`` (default)
+    keeps the output delta-sized, not table-sized.
+    """
+    def digest(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in compare_cols
+                    ],
+                )
+            ).alias(alias),
+        )
+
+    j = digest(old, "__h_old").join(
+        digest(new, "__h_new"), list(key_cols), "full_outer"
+    )
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("status", status).select(*key_cols, "status")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

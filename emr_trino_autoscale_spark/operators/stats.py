@@ -416,3 +416,90 @@ def concentration_curve(
             "cum_share",
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    period_b: Column,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    epsilon: float = 0.5,
+    persist_fn=None,
+) -> DataFrame:
+    """X72 — population stability index between two periods, per group:
+    PSI = sum_buckets (p_b - p_a) * ln(p_b / p_a) over fixed-width
+    value buckets, with additive (epsilon) smoothing so empty buckets
+    contribute finitely. The standard model-monitoring drift score
+    (PSI > 0.25 = major shift, > 0.1 = drifting — the usual industry
+    reading); here it answers "did this source's value distribution
+    move between ingest windows".
+
+    ``period_b`` is a boolean Column splitting rows into baseline
+    (false) and comparison (true). Smoothed shares:
+    p = (n + eps) / (N + eps * n_buckets). Buckets empty in BOTH
+    periods contribute exactly zero (p_a = p_b after smoothing), so
+    they are never enumerated.
+
+    Scale: ONE corpus-touching hash agg contracts to
+    (group, bucket, n_baseline, n_comparison) — conditional sums, no
+    per-period branch, no full-outer bucket join — then a #groups-row
+    broadcast of the period totals and one row-local fold. The
+    contracted frame is persisted (it feeds the totals agg and the
+    final fold; persist_fn follows the ppjoin/tfidf caller-owned
+    convention). ln is engine-portable at the 4-decimal rounding the
+    output carries (the q84 JS-divergence precedent). Groups present in
+    only ONE period are excluded (no baseline to compare against —
+    surface those through the X71 snapshot diff / a presence audit
+    instead, where "new group appeared" is a first-class status rather
+    than an infinite PSI).
+    """
+    b = F.least(
+        F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    wide = (
+        df.select(
+            F.col(group_col).alias("g"),
+            period_b.cast("boolean").alias("__b"),
+            b.alias("__bkt"),
+        )
+        .groupBy("g", "__bkt")
+        .agg(
+            F.sum(F.when(~F.col("__b"), 1.0).otherwise(0.0)).alias("__n_a"),
+            F.sum(F.when(F.col("__b"), 1.0).otherwise(0.0)).alias("__n_b"),
+        )
+    )
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        wide = persist_fn(wide)
+    tot = wide.groupBy("g").agg(
+        F.sum("__n_a").alias("__na"), F.sum("__n_b").alias("__nb")
+    )
+    eps = F.lit(float(epsilon))
+    nb = F.lit(float(n_buckets))
+    j = (
+        wide.join(F.broadcast(tot), "g")
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .withColumn("__pa", (F.col("__n_a") + eps) / (F.col("__na") + eps * nb))
+        .withColumn("__pb", (F.col("__n_b") + eps) / (F.col("__nb") + eps * nb))
+    )
+    return (
+        j.groupBy("g")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("__pb") - F.col("__pa"))
+                    * F.log(F.col("__pb") / F.col("__pa"))
+                ),
+                4,
+            ).alias("psi"),
+            F.max("__na").cast("bigint").alias("n_baseline"),
+            F.max("__nb").cast("bigint").alias("n_comparison"),
+        )
+        .select(F.col("g").alias(group_col), "psi", "n_baseline", "n_comparison")
+    )

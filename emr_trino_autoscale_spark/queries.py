@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, md5_long60, sign_dispatch
 from .io import load_table
-from .operators import dedup, events as ev_ops, metric_store as ms, similarity, skew, stats, text
+from .operators import dedup, events as ev_ops, metric_store as ms, registry, similarity, skew, stats, text
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
 
 # ---------------------------------------------------------------------------
@@ -4565,6 +4565,96 @@ ORDER BY id_a, id_b
 """
 
 
+# Q109 — X71 CDC-style snapshot diff: two deterministic versions of
+# orders (v_old drops orderkey%11==0; v_new drops %7==0 and
+# reclassifies %13==0), classified added/removed/changed on a
+# digest-contracted full-outer join.
+
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 0)
+    new = o.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("RECLASSIFIED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return registry.snapshot_diff(
+        old, new, ("o_orderkey",), ("o_custkey", "o_orderstatus", "o_orderpriority")
+    ).orderBy("o_orderkey")
+
+
+Q109_SQL = """
+WITH v_old AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+v_new AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 13 = 0 THEN 'RECLASSIFIED'
+                      ELSE o_orderpriority END AS o_orderpriority
+          FROM orders WHERE o_orderkey % 7 <> 0),
+oh AS (SELECT o_orderkey,
+              md5(concat_ws(chr(31),
+                            coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                            coalesce(o_orderstatus, chr(0)),
+                            coalesce(o_orderpriority, chr(0)))) AS h
+       FROM v_old),
+nh AS (SELECT o_orderkey,
+              md5(concat_ws(chr(31),
+                            coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+                            coalesce(o_orderstatus, chr(0)),
+                            coalesce(o_orderpriority, chr(0)))) AS h
+       FROM v_new),
+j AS (SELECT coalesce(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+             oh.h AS ho, nh.h AS hn
+      FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM j
+WHERE (CASE WHEN ho IS NULL THEN 'added'
+            WHEN hn IS NULL THEN 'removed'
+            WHEN ho <> hn THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY o_orderkey
+"""
+
+
+# Q110 — X72 PSI drift between the first and second half of the month,
+# per event type, over fixed 50-wide value buckets.
+
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.psi_drift(
+        e, period_b=F.dayofmonth("ts") > 15, persist_fn=_cache_scoped
+    ).orderBy("event_type")
+
+
+Q110_SQL = """
+WITH d AS (SELECT event_type AS g, (extract(day FROM ts) > 15) AS b,
+                  CAST(least(floor(value / 50.0), 9) AS INT) AS bkt
+           FROM events),
+c AS (SELECT g, b, bkt, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY 1, 2, 3),
+t AS (SELECT g, b, sum(n) AS nt FROM c GROUP BY 1, 2),
+s AS (SELECT c.g, c.b, c.bkt, (c.n + 0.5) / (t.nt + 0.5 * 10) AS p
+      FROM c JOIN t USING (g, b)),
+pa AS (SELECT g, bkt, p FROM s WHERE NOT b),
+pb AS (SELECT g, bkt, p FROM s WHERE b),
+ta AS (SELECT g, nt FROM t WHERE NOT b),
+tb AS (SELECT g, nt FROM t WHERE b),
+j AS (SELECT coalesce(pa.g, pb.g) AS g, coalesce(pa.bkt, pb.bkt) AS bkt,
+             pa.p AS p_a, pb.p AS p_b
+      FROM pa FULL OUTER JOIN pb ON pa.g = pb.g AND pa.bkt = pb.bkt),
+f AS (SELECT j.g, ta.nt AS na, tb.nt AS nb,
+             coalesce(j.p_a, 0.5 / (ta.nt + 5)) AS pa2,
+             coalesce(j.p_b, 0.5 / (tb.nt + 5)) AS pb2
+      FROM j JOIN ta ON j.g = ta.g JOIN tb ON j.g = tb.g)
+SELECT g AS event_type, ROUND(SUM((pb2 - pa2) * ln(pb2 / pa2)), 4) AS psi,
+       CAST(MAX(na) AS BIGINT) AS n_baseline,
+       CAST(MAX(nb) AS BIGINT) AS n_comparison
+FROM f GROUP BY g ORDER BY event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4691,6 +4781,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_weighted_sample": q106,
     "q107_column_profile": q107,
     "q108_source_concentration": q108,
+    "q109_snapshot_diff": q109,
+    "q110_psi_drift": q110,
 }
 
 ORACLE: dict[str, str] = {
@@ -4801,6 +4893,8 @@ ORACLE: dict[str, str] = {
     "q106_weighted_sample": Q106_SQL,
     "q107_column_profile": Q107_SQL,
     "q108_source_concentration": Q108_SQL,
+    "q109_snapshot_diff": Q109_SQL,
+    "q110_psi_drift": Q110_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1735,3 +1735,50 @@ def test_concentration_curve_shares(spark):
     assert out[1]["source"] == "s1" and out[1]["share"] == 0.8
     assert out[2]["cum_share"] == 0.95 and out[3]["cum_share"] == 1.0
     assert out[1]["total_mass"] == 80
+
+
+def test_snapshot_diff_statuses(spark):
+    """X71: added/removed/changed classified on the digest join; NULL
+    payload distinguished from the string 'None' by the sentinel;
+    unchanged excluded by default, included on request."""
+    from emr_trino_autoscale_spark.operators import registry as reg
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "None"), (5, "e")], "k long, v string"
+    )
+    got = {r["k"]: r["status"] for r in
+           reg.snapshot_diff(old, new, ("k",), ("v",)).collect()}
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+    full = {r["k"]: r["status"] for r in
+            reg.snapshot_diff(old, new, ("k",), ("v",), include_unchanged=True).collect()}
+    assert full[1] == "unchanged" and len(full) == 5
+
+
+def test_psi_drift_known_shift_and_null_shift(spark):
+    """X72: identical distributions -> psi ~ 0; a hard shift between
+    periods -> large psi; single-period groups excluded."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+    from pyspark.sql import functions as F
+
+    d1 = dt.datetime(2024, 1, 5)
+    d2 = dt.datetime(2024, 1, 25)
+    rows = []
+    # 'stable': same values both halves; 'shifted': low -> high buckets
+    for i in range(200):
+        rows.append((i, d1, "stable", float(i % 400)))
+        rows.append((i, d2, "stable", float(i % 400)))
+        rows.append((i, d1, "shifted", float(i % 100)))
+        rows.append((i, d2, "shifted", 400.0 + i % 90))
+    rows.append((0, d1, "only_baseline", 10.0))
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r["event_type"]: r for r in
+           stats_ops.psi_drift(d, period_b=F.dayofmonth("ts") > 15).collect()}
+    assert abs(out["stable"]["psi"]) < 0.01
+    assert out["shifted"]["psi"] > 1.0
+    assert "only_baseline" not in out
+    assert out["stable"]["n_baseline"] == 200 and out["stable"]["n_comparison"] == 200

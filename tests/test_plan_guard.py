@@ -44,6 +44,8 @@ FLAGSHIPS = {
     "q106_weighted_sample": (6, False),
     "q107_column_profile": (8, False),
     "q108_source_concentration": (12, True),
+    "q109_snapshot_diff": (8, False),
+    "q110_psi_drift": (13, False),
     "q31_langid_quality": (4, False),
     "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
