@@ -501,6 +501,7 @@ def near_dup_pairs_blocked(
     vec_col: str = "embedding",
     n_blocks: int | None = None,
     tile_mem_bytes: int = 256 << 20,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine via blocked GEMM — the scalable form of
     :func:`near_dup_pairs`.
@@ -522,6 +523,12 @@ def near_dup_pairs_blocked(
     UDF pre-filters at threshold - 1e-6; the exact >= threshold cut
     happens after Spark-side 4-decimal rounding, identical to the
     baseline op.
+
+    ``group_col`` (round 7): when given, the tile routing key becomes
+    (group, block_a, block_b) and pairs only materialize WITHIN a
+    group — the semantic-dedup (X65) within-cluster verify, still
+    exact per group, with the same tile-memory bound applying to each
+    group's blocks independently.
     """
     import pandas as pd
 
@@ -536,17 +543,22 @@ def near_dup_pairs_blocked(
             df.sparkSession.sparkContext.defaultParallelism,
         )
 
+    grp = [F.col(group_col).alias("__grp")] if group_col else []
     base = df.select(
+        *grp,
         F.col(id_col).alias("id"),
         as_double(F.col(vec_col)).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+    gcols = ["__grp"] if group_col else []
     repl = base.select(
+        *gcols,
         "id",
         "v",
         "blk",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("p"),
     ).select(
+        *gcols,
         "id",
         "v",
         "blk",
@@ -559,7 +571,7 @@ def near_dup_pairs_blocked(
     def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        ba, bb = int(key[0]), int(key[1])
+        ba, bb = int(key[-2]), int(key[-1])
         order = np.argsort(pdf["id"].to_numpy(), kind="stable")
         ids = pdf["id"].to_numpy()[order]
         blks = pdf["blk"].to_numpy()[order]
@@ -584,7 +596,7 @@ def near_dup_pairs_blocked(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sims[ia, ib][keep]}
         )
 
-    pairs = repl.groupBy("ba", "bb").applyInPandas(
+    pairs = repl.groupBy(*gcols, "ba", "bb").applyInPandas(
         score, schema="id_a long, id_b long, cosine double"
     )
     return (
@@ -1705,31 +1717,22 @@ def semantic_dedup(
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         assigned = persist_fn(assigned)
-    n = (
-        with_norm(corpus, vec_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col("__v").alias("v"),
-            _safe_norm(F.col("__norm")).alias("nrm"),
-        )
-        .join(assigned.select(F.col(id_col).alias("id"), "assigned"), "id")
+    # within-cluster verify rides the q28 blocked-GEMM machinery with
+    # the cluster as the routing group: tiles only form inside a
+    # cluster, BLAS scores them (round 7 — the interpreted per-pair HOF
+    # cosine join this replaces measured 5.2 s at sf0.1 vs ~1 s GEMM;
+    # exactness and the 4-decimal Spark-side rounding are the q28
+    # contract, hash-verified there and in q104)
+    joined = corpus.join(assigned.select(id_col, "assigned"), id_col)
+    pairs = near_dup_pairs_blocked(
+        joined,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col="assigned",
     )
-    a, b = n.alias("a"), n.alias("b")
-    dup_of = (
-        a.join(
-            b,
-            (F.col("a.assigned") == F.col("b.assigned"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn(
-            "__cos",
-            F.round(
-                cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")), 4
-            ),
-        )
-        .filter(F.col("__cos") >= threshold)
-        .groupBy(F.col("b.id").alias("id"))
-        .agg(F.min(F.col("a.id")).alias("dup_of"))
+    dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min(F.col("id_a")).alias("dup_of")
     )
     return (
         assigned.select(F.col(id_col), F.col("assigned").alias("cluster_id"))
