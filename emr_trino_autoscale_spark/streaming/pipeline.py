@@ -354,6 +354,85 @@ def embedding_neardup_stream(
     return scored.dropDuplicates([id_col, "corpus_id"])
 
 
+def make_drift_scorer(
+    baseline: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_width: float = 50.0,
+    n_buckets: int = 10,
+    epsilon: float = 0.5,
+):
+    """Streaming drift monitor (X73, the live twin of X72/Q110): a
+    ``foreachBatch`` transform scoring each micro-batch's value
+    distribution against a STATIC baseline via the population stability
+    index — the ingest alarm that fires the moment a source's values
+    shift, instead of at the next batch audit.
+
+    ``baseline`` is the raw baseline-period frame; its bucketed
+    histogram is computed once here (cache the result upstream for hot
+    reuse — model-sized: |groups| x n_buckets rows). Per batch, the
+    comparison histogram aggregates WITHIN the micro-batch (batch-local
+    grouping, the make_contamination_scorer contract — no unbounded
+    stateful stream aggregation), joins the broadcast baseline, and
+    folds the smoothed PSI exactly as :func:`..operators.stats.psi_drift`
+    (same epsilon floor for buckets empty on one side; groups absent
+    from the baseline are excluded, the X72 contract). Returned
+    callable: (batch, epoch_id) -> (group, psi, n_baseline, n_batch)
+    DataFrame; wire into ``foreachBatch`` with the caller's sink."""
+    b_bkt = F.least(
+        F.floor(F.col(value_col).cast("double") / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    base_hist = (
+        baseline.select(F.col(group_col).alias("g"), b_bkt.alias("__bkt"))
+        .groupBy("g", "__bkt")
+        .agg(F.count("*").cast("double").alias("__n_a"))
+    )
+    base_tot = base_hist.groupBy("g").agg(F.sum("__n_a").alias("__na"))
+    eps = F.lit(float(epsilon))
+    nb = F.lit(float(n_buckets))
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        cur = (
+            batch.select(F.col(group_col).alias("g"), b_bkt.alias("__bkt"))
+            .groupBy("g", "__bkt")
+            .agg(F.count("*").cast("double").alias("__n_b"))
+        )
+        cur_tot = cur.groupBy("g").agg(F.sum("__n_b").alias("__nb"))
+        j = (
+            base_hist.join(cur, ["g", "__bkt"], "full_outer")
+            .join(F.broadcast(base_tot), "g")
+            .join(F.broadcast(cur_tot), "g")
+            .withColumn(
+                "__pa",
+                (F.coalesce(F.col("__n_a"), F.lit(0.0)) + eps)
+                / (F.col("__na") + eps * nb),
+            )
+            .withColumn(
+                "__pb",
+                (F.coalesce(F.col("__n_b"), F.lit(0.0)) + eps)
+                / (F.col("__nb") + eps * nb),
+            )
+        )
+        return (
+            j.groupBy("g")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("__pb") - F.col("__pa"))
+                        * F.log(F.col("__pb") / F.col("__pa"))
+                    ),
+                    4,
+                ).alias("psi"),
+                F.max("__na").cast("bigint").alias("n_baseline"),
+                F.max("__nb").cast("bigint").alias("n_batch"),
+            )
+            .select(F.col("g").alias(group_col), "psi", "n_baseline", "n_batch")
+        )
+
+    return score
+
+
 def make_contamination_scorer(
     benchmark_grams: DataFrame,
     text_col: str = "text",

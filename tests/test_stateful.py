@@ -661,3 +661,50 @@ def test_entity_resolution_stream_matches_blocking_contract(spark, tmp_path):
         for r in dd.blocked_levenshtein_pairs(both).collect()
     }
     assert (1, 101) in batch_pairs and (1, 102) not in batch_pairs
+
+
+@pytest.mark.slow
+def test_streaming_drift_scorer_matches_batch_psi(spark, tmp_path):
+    """X73: per-micro-batch PSI against a static baseline equals the
+    batch X72 operator run over (baseline UNION batch) with the batch
+    rows as the comparison period."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import stats as stats_ops
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    src = str(tmp_path / "drift_src")
+    out = str(tmp_path / "drift_out")
+    chk = str(tmp_path / "drift_chk")
+    d1 = dt.datetime(2024, 1, 5)
+    d2 = dt.datetime(2024, 1, 25)
+    base_rows = [(i, d1, "s", float(i % 100)) for i in range(100)]
+    batch_rows = [(i, d2, "s", 400.0 + i % 90) for i in range(80)]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    baseline = spark.createDataFrame(base_rows, schema)
+    batch_df = spark.createDataFrame(batch_rows, schema)
+    batch_df.repartition(1).write.parquet(src)
+
+    scorer = pipeline.make_drift_scorer(baseline)
+
+    def sink(b, epoch_id):
+        scorer(b, epoch_id).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_type"]: r for r in spark.read.parquet(out).collect()}
+    want = {
+        r["event_type"]: r
+        for r in stats_ops.psi_drift(
+            baseline.unionByName(batch_df), period_b=F.dayofmonth("ts") > 15
+        ).collect()
+    }
+    assert got["s"]["psi"] == want["s"]["psi"] > 1.0
+    assert got["s"]["n_baseline"] == 100 and got["s"]["n_batch"] == 80
