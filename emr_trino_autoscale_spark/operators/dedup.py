@@ -1209,3 +1209,122 @@ def blocked_levenshtein_pairs(
             F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"), "dist"
         )
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_fn=None,
+) -> DataFrame:
+    """X74 — the full banded MinHash+LSH pipeline (Broder 1997 resemblance
+    sketches + the banding trick, MMDS ch.3 — public), completing the X2
+    family's shingle -> minhash -> band -> bucket-join bullet beyond the
+    deterministic 1-permutation form: ``n_bands * rows_per_band``
+    deterministic permutations via Kirsch-Mitzenmacher double hashing
+    (ESA 2006 — public; the standard way Bloom filters and MinHash get
+    k hashes from one): permutation i of shingle digest d is
+    ``(h1(d) + i * h2(d)) mod P`` where h1/h2 are two 28-bit md5
+    substrings and P = 1073741789 (prime < 2^30) — ONE md5 per gram
+    instead of n_perms, every value replayable by the oracle. Per-band
+    key = md5 of that band's ``rows_per_band`` mins, candidates share
+    ANY band key, then an EXACT set-Jaccard verify on candidate pairs
+    only. (The 30-bit permutation domain collides distinct grams with
+    probability ~|grams|^2/2^31 per document — immaterial for minhash,
+    and identical in both engines.)
+
+    Collision probability follows the standard S-curve
+    ``1 - (1 - j^r)^b`` (b=8, r=2 puts the 50% knee near j=0.29, ~99%
+    at j=0.7); the verify makes every EMITTED pair exact, banding only
+    bounds recall — tune (b, r) to place the knee below ``threshold``.
+
+    Scale: the signature matrix is b*r longs per doc computed in one
+    narrow projection (the distinct-digest array is materialized once —
+    the no-CSE-in-lambdas rule); the candidate join runs on
+    (band, 32-char key) — never on shingles — and the gram-set arrays
+    rehydrate for CANDIDATE pairs only. Same contract as the q47 banded
+    SimHash and q73 banded SRP joins: sub-quadratic by construction,
+    bucket skew governed by the band-key entropy (r mins per key).
+    """
+    n_perms = n_bands * rows_per_band
+    base = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(shingles_of(F.col("__toks"), k), F.md5)
+            ).alias("__ds"),
+        )
+    )
+    # base (the shingle-digest arrays) feeds the signature chain AND
+    # both verify sides — 3x shingle+md5 replay without materialization.
+    # persist_fn follows the ppjoin/tfidf caller-owned convention.
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        base = persist_fn(base)
+    # signature matrix via explode + ONE hash agg with n_perms min()
+    # columns (the repo's HOF-vs-explode rule: whole-stage codegen, and
+    # the agg's id-key exchange is reused by the verify joins). One md5
+    # per gram: h1/h2 are 28-bit substrings of the digest the gram
+    # array already carries; perm i is the KM affine combination -
+    # 16 integer ops instead of 16 md5s (interleaved A/B at sf0.1:
+    # 8.9 s HOF 16-md5 -> 7.2 s explode 16-md5 -> this form).
+    km_p = 1073741789
+    grams = base.select("id", F.explode("__ds").alias("__d")).select(
+        "id",
+        F.conv(F.substring("__d", 1, 7), 16, 10).cast("long").alias("__h1"),
+        F.conv(F.substring("__d", 17, 7), 16, 10).cast("long").alias("__h2"),
+    )
+    sig = grams.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(km_p))
+            ).alias(f"__m{i}")
+            for i in range(n_perms)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"__m{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "id", F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        bands.alias("ba")
+        .join(bands.alias("bb"), ["band", "key"])
+        .filter(F.col("ba.id") < F.col("bb.id"))
+        .select(F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b"))
+        .distinct()
+    )
+    sets = base.select(F.col("id"), F.col("__ds"))
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("__ds").alias("__sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("__ds").alias("__sb")), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("__sa", "__sb")).cast("bigint"))
+        .withColumn("__union", F.size(F.array_union("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / F.col("__union"), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

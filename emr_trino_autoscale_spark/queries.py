@@ -4655,6 +4655,64 @@ FROM f GROUP BY g ORDER BY event_type
 """
 
 
+# Q111 — X74 full banded MinHash+LSH (8 bands x 2 rows, md5-derived
+# permutations so DuckDB replays the identical signature matrix),
+# exact set-Jaccard verify on candidates.
+
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, threshold=0.5, persist_fn=_cache_scoped
+    ).orderBy("id_a", "id_b")
+
+
+Q111_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+g AS (SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS ds
+      FROM f),
+sig AS (SELECT id, ds,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 0 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m0,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 1 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m1,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 2 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m2,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 3 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m3,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 4 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m4,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 5 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m5,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 6 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m6,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 7 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m7,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 8 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m8,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 9 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m9,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 10 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m10,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 11 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m11,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 12 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m12,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 13 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m13,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 14 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m14,
+       list_min(list_transform(ds, d -> (CAST(('0x' || substr(d, 1, 7)) AS BIGINT) + 15 * CAST(('0x' || substr(d, 17, 7)) AS BIGINT)) % 1073741789)) AS m15
+        FROM g),
+bands AS (
+  SELECT id, 0 AS band, md5(CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 1 AS band, md5(CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 2 AS band, md5(CAST(m4 AS VARCHAR) || '-' || CAST(m5 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 3 AS band, md5(CAST(m6 AS VARCHAR) || '-' || CAST(m7 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 4 AS band, md5(CAST(m8 AS VARCHAR) || '-' || CAST(m9 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 5 AS band, md5(CAST(m10 AS VARCHAR) || '-' || CAST(m11 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 6 AS band, md5(CAST(m12 AS VARCHAR) || '-' || CAST(m13 AS VARCHAR)) AS key FROM sig
+  UNION ALL SELECT id, 7 AS band, md5(CAST(m14 AS VARCHAR) || '-' || CAST(m15 AS VARCHAR)) AS key FROM sig),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         WHERE a.id < b.id),
+v AS (SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(x.ds, y.ds)) AS BIGINT) AS n_common,
+             ROUND(CAST(len(list_intersect(x.ds, y.ds)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.ds, y.ds))), 4) AS jaccard
+      FROM cand c JOIN g x ON c.id_a = x.id JOIN g y ON c.id_b = y.id)
+SELECT id_a, id_b, n_common, jaccard FROM v
+WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4783,6 +4841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_source_concentration": q108,
     "q109_snapshot_diff": q109,
     "q110_psi_drift": q110,
+    "q111_minhash_lsh": q111,
 }
 
 ORACLE: dict[str, str] = {
@@ -4895,6 +4954,7 @@ ORACLE: dict[str, str] = {
     "q108_source_concentration": Q108_SQL,
     "q109_snapshot_diff": Q109_SQL,
     "q110_psi_drift": Q110_SQL,
+    "q111_minhash_lsh": Q111_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1782,3 +1782,37 @@ def test_psi_drift_known_shift_and_null_shift(spark):
     assert out["shifted"]["psi"] > 1.0
     assert "only_baseline" not in out
     assert out["stable"]["n_baseline"] == 200 and out["stable"]["n_comparison"] == 200
+
+
+def test_minhash_lsh_pairs_exactness_and_banding(spark):
+    """X74: identical docs share the full signature (guaranteed
+    collision in every band); disjoint docs never collide; every
+    EMITTED pair carries the exact set-Jaccard (verified against a
+    brute-force in-test oracle)."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),       # identical to 0
+        (2, "alpha beta gamma delta epsilon eta"),        # near 0/1
+        (3, "one two three four five six"),               # disjoint
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0
+    assert all(3 not in p for p in got)
+    # exactness of emitted pairs vs brute force
+    import itertools
+
+    sh = {
+        i: {
+            " ".join(t.split()[j:j + 3])
+            for j in range(len(t.split()) - 2)
+        }
+        for i, t in rows
+    }
+    for (a, b), (nc, jac) in got.items():
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        assert nc == inter and jac == round(inter / union, 4)

@@ -46,6 +46,9 @@ FLAGSHIPS = {
     "q108_source_concentration": (12, True),
     "q109_snapshot_diff": (8, False),
     "q110_psi_drift": (13, False),
+    # q111: shingle-set agg + KM signature agg + (band,key) self-join +
+    # candidate distinct + two id-keyed set-rehydration joins
+    "q111_minhash_lsh": (14, False),
     "q31_langid_quality": (4, False),
     "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
