@@ -1169,6 +1169,7 @@ def blocked_levenshtein_pairs(
     name_col: str = "c_name",
     block_prefix_len: int = 16,
     max_dist: int = 1,
+    block_expr: Column | None = None,
 ) -> DataFrame:
     """X66 — blocking-key entity resolution: candidate record pairs
     share a blocking key (a ``block_prefix_len`` name prefix — the
@@ -1180,9 +1181,9 @@ def blocked_levenshtein_pairs(
     Recall caveat (stated, not hidden): prefix blocking misses true
     matches whose edits fall INSIDE the prefix. Production recall at
     100 TB stacks several cheap keys (prefix, suffix, phonetic code)
-    as union'd blocking passes — each pass is this same operator with
-    a different key expression; the union of pass outputs is then
-    distinct'd on (id_a, id_b).
+    as union'd blocking passes — :func:`multi_pass_entity_pairs`
+    composes this operator over a list of ``block_expr`` keys and
+    dedups the union on (id_a, id_b).
 
     Scale: the join runs on the narrow (id, name, block) frame —
     block-key equi-shuffle, never a cross join; per-block work is
@@ -1192,10 +1193,12 @@ def blocked_levenshtein_pairs(
     block (shared boilerplate prefix) is the skew axis — lengthen the
     prefix or add a secondary key component.
     """
+    if block_expr is None:
+        block_expr = F.substring(F.col(name_col), 1, block_prefix_len)
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("nm"),
-        F.substring(F.col(name_col), 1, block_prefix_len).alias("blk"),
+        block_expr.alias("blk"),
     )
     pa, pb = b.alias("pa"), b.alias("pb")
     return (
@@ -1209,6 +1212,37 @@ def blocked_levenshtein_pairs(
             F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"), "dist"
         )
     )
+
+
+def multi_pass_entity_pairs(
+    df: DataFrame,
+    block_exprs: list,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """X66 (multi-pass form) — the production-recall composition the
+    single-pass docstring points at: run :func:`blocked_levenshtein_pairs`
+    once per blocking key (e.g. name prefix AND name suffix — a suffix
+    block catches edits that fall inside the prefix and vice versa),
+    union the pass outputs and keep each pair once. A pair is missed
+    only if its edits break EVERY key — recall stacks multiplicatively
+    per independent key while each pass stays block-bounded.
+
+    Scale: each pass is the bounded block-join of the single-pass
+    operator; the union is pass-count linear and the final dedup
+    groups on the (id_a, id_b) pair key. Exactness: distance is
+    re-verified per pass, so min(dist) over passes is the exact
+    Levenshtein distance wherever a pair surfaces.
+    """
+    out = None
+    for expr in block_exprs:
+        p = blocked_levenshtein_pairs(
+            df, id_col=id_col, name_col=name_col, max_dist=max_dist,
+            block_expr=expr,
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.groupBy("id_a", "id_b").agg(F.min("dist").cast("int").alias("dist"))
 
 
 def minhash_lsh_pairs(

@@ -4713,6 +4713,36 @@ WHERE jaccard >= 0.5 ORDER BY id_a, id_b
 """
 
 
+# Q112 — X66 multi-pass entity resolution: prefix-16 AND suffix-6
+# blocking keys union'd, min exact distance per pair.
+
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    passes = [
+        F.substring(F.col("c_name"), 1, 16),
+        F.expr("right(c_name, 6)"),
+    ]
+    return dedup.multi_pass_entity_pairs(c, passes).orderBy("id_a", "id_b")
+
+
+Q112_SQL = """
+WITH b AS (SELECT c_custkey AS id, c_name AS nm,
+                  substr(c_name, 1, 16) AS blk_p, right(c_name, 6) AS blk_s
+           FROM customer WHERE c_mktsegment = 'BUILDING'),
+p1 AS (SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.nm, c.nm) AS dist
+       FROM b a JOIN b c ON a.blk_p = c.blk_p AND a.id < c.id
+       WHERE levenshtein(a.nm, c.nm) <= 1),
+p2 AS (SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.nm, c.nm) AS dist
+       FROM b a JOIN b c ON a.blk_s = c.blk_s AND a.id < c.id
+       WHERE levenshtein(a.nm, c.nm) <= 1),
+u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+SELECT id_a, id_b, CAST(MIN(dist) AS INT) AS dist
+FROM u GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4842,6 +4872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_snapshot_diff": q109,
     "q110_psi_drift": q110,
     "q111_minhash_lsh": q111,
+    "q112_entity_multi_pass": q112,
 }
 
 ORACLE: dict[str, str] = {
@@ -4955,6 +4986,7 @@ ORACLE: dict[str, str] = {
     "q109_snapshot_diff": Q109_SQL,
     "q110_psi_drift": Q110_SQL,
     "q111_minhash_lsh": Q111_SQL,
+    "q112_entity_multi_pass": Q112_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1816,3 +1816,51 @@ def test_minhash_lsh_pairs_exactness_and_banding(spark):
         inter = len(sh[a] & sh[b])
         union = len(sh[a] | sh[b])
         assert nc == inter and jac == round(inter / union, 4)
+
+
+def test_minhash_lsh_recall_vs_exact_ppjoin(spark):
+    """X74 vs X2-exact evidence on the real fixture: every LSH-emitted
+    pair is in the exact jaccard>=0.5 pair set (verify exactness =>
+    subset is structural), and measured recall at the fixture geometry
+    is high (the b=8,r=2 S-curve gives ~90% at j=0.5, ~99% at j=0.7 —
+    pin a conservative floor so a broken banding shows up)."""
+    from emr_trino_autoscale_spark.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"banding recall collapsed: {recall:.2f}"
+
+
+def test_multi_pass_entity_pairs_recovers_prefix_edit(spark):
+    """X66 multi-pass: a prefix-internal edit (missed by the prefix
+    block) is recovered by the suffix block; pairs surfacing in both
+    passes appear once with the exact distance."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),   # suffix edit: prefix pass finds it
+        (3, "Customer#100000001"),   # prefix edit: only the suffix pass
+    ]
+    d = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    passes = [
+        F.substring(F.col("c_name"), 1, 16),            # prefix key
+        F.substring(F.col("c_name"), -6, 6),            # suffix key
+    ]
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.multi_pass_entity_pairs(d, passes).collect()
+    }
+    assert got[(1, 2)] == 1          # found by prefix pass
+    assert got[(1, 3)] == 1          # recovered by suffix pass
+    assert (2, 3) not in got         # dist 2 everywhere
