@@ -24,11 +24,14 @@ machine, not another one. Known anchor caveats: q02's driver-r6 time
 (docs/SCALE.md), so its budget is generous; sub-second queries jitter
 up to ~1.5x run-to-run under the host's noisy co-tenant (load-average
 1.5-2.7 with zero of our processes running), which the ratio + floor
-absorb. ``bench_baseline_r03.json`` is kept for history. The six
-round-7 queries (q103-q108) have no driver bench yet; their anchors
-are the builder's first idle-box sf0.1 full-suite run (total 112.6 s
-for 108 queries) — swap them for driver-r7 numbers next round, same
-as this round did for q01-q102.
+absorb. ``bench_baseline_r03.json`` is kept for history. The ten
+round-7 queries (q103-q112) have no driver bench yet; their anchors
+are builder idle-box sf0.1 full-suite runs — swap them for driver-r7
+numbers next round, same as this round did for q01-q102. q103's
+anchor carries extra headroom (3.4 vs 2.4-2.6 observed idle): its
+cost is fixed Python-decode + parquet round-trip overhead that
+inflates under co-tenant load more than compute-bound queries
+(observed 4.1 s at suite-tail load, 2.4 s idle).
 """
 
 from __future__ import annotations
