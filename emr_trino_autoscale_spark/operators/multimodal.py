@@ -521,3 +521,190 @@ def ahash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """REAL resize for P6 PPM payloads: exact block-mean downsample to
+    (out_w, out_h) — the same interpolation-free arithmetic as
+    :func:`ahash64_ppm`'s 8x8 stage, so results are byte-deterministic
+    across platforms. Input dimensions must be >= the target;
+    non-multiple edges are truncated to the largest covered multiple
+    (documented, deterministic). Returns a re-encoded P6 payload, or
+    None for undecodable/too-small inputs."""
+    import numpy as np
+
+    try:
+        if payload is None or not payload.startswith(b"P6"):
+            return None
+        tokens: list[bytes] = []
+        i = 0
+        while len(tokens) < 4 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            tokens.append(payload[start:i])
+        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if maxval > 255 or width < out_w or height < out_h:
+            return None
+        px = np.frombuffer(
+            payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
+        ).reshape(height, width, 3)
+        bh, bw = height // out_h, width // out_w
+        small = (
+            px[: bh * out_h, : bw * out_w]
+            .reshape(out_h, bh, out_w, bw, 3)
+            .mean(axis=(1, 3))
+            .round()
+            .astype(np.uint8)
+        )
+        return f"P6\n{out_w} {out_h}\n255\n".encode() + small.tobytes()
+    except Exception:  # noqa: BLE001 — malformed image: no output payload
+        return None
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """X6 (resize stage) — opaque-binary image resize as an Arrow
+    ``mapInPandas`` projection: (id, payload) -> (id, resized payload,
+    out dims), NULL for undecodable inputs, batch shape unchanged
+    (streaming-safe, same contract as :func:`image_ahash`). At 100 TB
+    this is the thumbnail/normalization pass that runs once at ingest
+    so downstream feature extraction reads fixed-size payloads."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [resize_ppm(p, out_w, out_h) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": resized,
+                    "width": [out_w if r is not None else None for r in resized],
+                    "height": [out_h if r is not None else None for r in resized],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def frame_sample(
+    media: DataFrame,
+    max_frames: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """X6 (frame-sample stage) — first-class evenly-strided frame
+    sampling from YUV4MPEG2 video payloads: each input row EXPLODES to
+    at most ``max_frames`` rows (id, frame_idx, frame payload as a
+    grayscale P6 PPM built from the luma plane, width, height). The
+    shape that makes a video corpus feed the image pipeline (ahash
+    near-dup, resize, feature extraction) without a codec dependency.
+
+    Arrow ``mapInPandas`` with a row-multiplying yield — the sanctioned
+    fan-out shape (the output row count is bounded by
+    rows x max_frames); corrupt payloads contribute zero rows rather
+    than failing the batch."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+
+    def _frames(payload: bytes) -> list[tuple[int, bytes, int, int]]:
+        import numpy as np
+
+        try:
+            if payload is None or not payload.startswith(b"YUV4MPEG2"):
+                return []
+            nl = payload.index(b"\n")
+            width = height = 0
+            chroma = "420"
+            for tok in payload[9:nl].split():
+                tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+                if tag == b"W":
+                    width = int(val)
+                elif tag == b"H":
+                    height = int(val)
+                elif tag == b"C":
+                    chroma = val
+            if width <= 0 or height <= 0:
+                return []
+            luma = width * height
+            if chroma.startswith("420"):
+                fsize = luma + luma // 2
+            elif chroma.startswith("444"):
+                fsize = luma * 3
+            elif chroma.startswith("mono"):
+                fsize = luma
+            else:
+                return []
+            body = payload[nl + 1 :]
+            frames = []
+            pos = 0
+            while pos < len(body):
+                fh = body.index(b"\n", pos)
+                frames.append(body[fh + 1 : fh + 1 + fsize])
+                pos = fh + 1 + fsize
+            if not frames:
+                return []
+            idxs = sorted(
+                {
+                    int(round(i * (len(frames) - 1) / max(1, max_frames - 1)))
+                    for i in range(min(max_frames, len(frames)))
+                }
+            )
+            out = []
+            header = f"P6\n{width} {height}\n255\n".encode()
+            for fi in idxs:
+                y = np.frombuffer(frames[fi][:luma], dtype=np.uint8).reshape(
+                    height, width
+                )
+                rgb = np.repeat(y[:, :, None], 3, axis=2)
+                out.append((fi, header + rgb.tobytes(), width, height))
+            return out
+        except Exception:  # noqa: BLE001 — corrupt clip: contribute no rows
+            return []
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, pays, ws, hs = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for fi, fp, w, h in _frames(payload):
+                    ids.append(mid)
+                    fidx.append(fi)
+                    pays.append(fp)
+                    ws.append(w)
+                    hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "payload": pays,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
