@@ -1030,6 +1030,27 @@ def bpe_pair_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _merge_fold(sym: Column, left: str, right: str) -> Column:
+    """One greedy left-to-right BPE merge pass over a symbol array:
+    every adjacent (left, right) occurrence fuses (standard BPE apply
+    semantics — "aaa" with merge (a,a) -> ["aa", "a"]). Shared by the
+    trainer (:func:`bpe_learn`) and the encoder (:func:`bpe_encode`)
+    so apply-time segmentation can never drift from training."""
+    joined = left + right
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_learn(
     df: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> DataFrame:
@@ -1083,22 +1104,7 @@ def bpe_learn(
             break
         left, right, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["c"])
         merges.append((rank, left, right, cnt))
-        joined = left + right
-        # left-to-right greedy merge: fold symbols into a new array,
-        # fusing every adjacent (left, right) occurrence. Standard BPE
-        # apply semantics ("aaa" with merge (a,a) -> ["aa", "a"]).
-        merged = F.aggregate(
-            F.col("__sym"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == left)
-                & (s == F.lit(right)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
+        merged = _merge_fold(F.col("__sym"), left, right)
         cur = cur.select("wc", merged.alias("__sym")).localCheckpoint(eager=False)
     spark = df.sparkSession
     return spark.createDataFrame(
@@ -1269,5 +1275,103 @@ def cms_estimate(
             F.min(F.coalesce(F.col("c"), F.lit(0)))
             .cast("bigint")
             .alias("cms_est")
+        )
+    )
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """X75 — canonical text normalization, the first stage of every
+    dedup/tokenize pass: lowercase, non-printable-ASCII characters to
+    spaces, whitespace runs collapsed, ends trimmed. Deliberately
+    ASCII-scoped (``[^ -~]``): Unicode NFC/NFKC needs ICU and is
+    engine-specific, while this exact pipeline is byte-identical in
+    Spark (Java regex) and the DuckDB oracle (RE2) — the normalization
+    CONTRACT is what matters at 100 TB, the character-class choice is a
+    config knob. Pure narrow codegen projection — zero shuffle."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^ -~]", " "),
+            r" +",
+            " ",
+        )
+    )
+
+
+def normalized_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X75 — exact dedup AFTER normalization: documents differing only
+    in case/whitespace/non-printables collapse into one group (the
+    near-trivial dup class exact-hash dedup misses and MinHash
+    overpays for). Same single-shuffle digest-group shape as X1."""
+    return (
+        df.withColumn("__norm", normalize_text(text_col))
+        .groupBy(F.md5(F.col("__norm")).alias("norm_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min(F.length("__norm")).cast("bigint").alias("n_chars_norm"),
+        )
+    )
+
+
+def bpe_word_segments(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """X45 (apply stage) — segment the corpus VOCABULARY with a learned
+    merge list: (word, pieces array<string>, n_pieces). The merge folds
+    run over the distinct-word frame (vocabulary-sized, never
+    corpus-sized — the bpe_learn scale argument), one
+    :func:`_merge_fold` pass per merge in rank order, the exact
+    training-time segmentation."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    cur = words.withColumn("__sym", _char_symbols(F.col("w")))
+    for left, right in merges:
+        cur = cur.select(
+            "w", _merge_fold(F.col("__sym"), left, right).alias("__sym")
+        ).localCheckpoint(eager=False)
+    return cur.select(
+        "w",
+        F.col("__sym").alias("pieces"),
+        F.size("__sym").cast("int").alias("n_pieces"),
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X45 (apply stage, corpus rollup) — per-document BPE token counts
+    under a learned merge list: the tokenizer-application pass every
+    training pipeline runs after vocabulary induction. Composition:
+    :func:`bpe_word_segments` segments the VOCABULARY, then a
+    (word -> n_pieces) lookup join rolls the corpus up per document —
+    the corpus is scanned once and never carries piece arrays. The
+    lookup join is left to AQE: a natural-language vocabulary is
+    usually broadcastable, but it GROWS with the corpus (heavy tail),
+    so no unconditional broadcast hint (the plan-guard rule). Emits
+    (id, n_words, n_bpe_tokens, avg pieces per word)."""
+    seg = bpe_word_segments(df, merges, text_col).select("w", "n_pieces")
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    return (
+        toks.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
         )
     )

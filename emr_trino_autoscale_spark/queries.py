@@ -4743,6 +4743,28 @@ FROM u GROUP BY id_a, id_b ORDER BY id_a, id_b
 """
 
 
+# Q113 — X75 normalization-aware exact dedup: lower + ASCII-scrub +
+# whitespace-collapse (byte-identical in Java regex and RE2), then the
+# X1 digest-group shape.
+
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.normalized_exact_dedup(d).orderBy("norm_hash")
+
+
+Q113_SQL = """
+WITH n AS (SELECT doc_id,
+                  regexp_replace(trim(regexp_replace(lower(text), '[^ -~]', ' ', 'g')),
+                                 ' +', ' ', 'g') AS norm
+           FROM documents)
+SELECT md5(norm) AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(strlen(norm)) AS BIGINT) AS n_chars_norm
+FROM n GROUP BY md5(norm) ORDER BY norm_hash
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4873,6 +4895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_psi_drift": q110,
     "q111_minhash_lsh": q111,
     "q112_entity_multi_pass": q112,
+    "q113_normalized_dedup": q113,
 }
 
 ORACLE: dict[str, str] = {
@@ -4987,6 +5010,7 @@ ORACLE: dict[str, str] = {
     "q110_psi_drift": Q110_SQL,
     "q111_minhash_lsh": Q111_SQL,
     "q112_entity_multi_pass": Q112_SQL,
+    "q113_normalized_dedup": Q113_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1908,3 +1908,51 @@ def test_frame_sample_stride_and_corrupt_degrade(spark):
         # constant-luma frame fi has luma 10*(fi+1)
         assert p[len(b"P6\n8 8\n255\n")] == 10 * (fi + 1)
         assert (r["width"], r["height"]) == (8, 8)
+
+
+def test_bpe_encode_golden_segmentations(spark):
+    """X45 apply stage: hand-computed golden segmentations — greedy
+    left-to-right non-overlap ('aaaa' -> [aa, aa]), merge chaining
+    ((a,b) then (ab,c) -> 'abc' one piece), unseen words fall back to
+    characters; doc rollup counts match."""
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    d = spark.createDataFrame(
+        [(1, "abc aaaa xy"), (2, "abc abc")], "doc_id long, text string"
+    )
+    merges = [("a", "b"), ("ab", "c"), ("a", "a")]
+    seg = {
+        r["w"]: list(r["pieces"])
+        for r in text_ops.bpe_word_segments(d, merges).collect()
+    }
+    assert seg["abc"] == ["abc"]
+    assert seg["aaaa"] == ["aa", "aa"]
+    assert seg["xy"] == ["x", "y"]
+    enc = {r["doc_id"]: r for r in text_ops.bpe_encode(d, merges).collect()}
+    assert enc[1]["n_words"] == 3 and enc[1]["n_bpe_tokens"] == 1 + 2 + 2
+    assert enc[2]["n_words"] == 2 and enc[2]["n_bpe_tokens"] == 2
+    assert enc[2]["pieces_per_word"] == 1.0
+
+
+def test_bpe_learn_apply_round_trip(spark):
+    """X45 learn->apply: segmenting with the merges bpe_learn just
+    produced reproduces the trainer's own final segmentation (the
+    shared _merge_fold means apply can't drift from training)."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import text as text_ops
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    merges = [
+        (r["left"], r["right"])
+        for r in text_ops.bpe_learn(d, n_merges=4).collect()
+    ]
+    assert len(merges) == 4
+    seg = text_ops.bpe_word_segments(d, merges)
+    # every piece is either a learned merge product or a single char
+    vocab = {l + r for l, r in merges}
+    for r in seg.collect():
+        for piece in r["pieces"]:
+            assert len(piece) == 1 or piece in vocab or any(
+                piece == l + r for l, r in merges
+            )
+        assert "".join(r["pieces"]) == r["w"]

@@ -50,6 +50,7 @@ FLAGSHIPS = {
     # candidate distinct + two id-keyed set-rehydration joins
     "q111_minhash_lsh": (14, False),
     "q112_entity_multi_pass": (16, False),
+    "q113_normalized_dedup": (8, False),
     "q31_langid_quality": (4, False),
     "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
