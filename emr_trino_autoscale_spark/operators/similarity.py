@@ -1746,3 +1746,119 @@ def semantic_dedup(
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
     )
+
+
+def dimension_stats(
+    corpus: DataFrame,
+    group_col: str | None = None,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """X76 — per-dimension feature statistics over an embedding column:
+    (group?, dim, mean, std) — the normalization/whitening stats every
+    ANN/classifier pipeline computes before touching distances. Sample
+    std in the raw-moment form sqrt((sum_sq - n*mean^2)/(n-1)) written
+    IDENTICALLY in the oracle (same arithmetic, not the same summation
+    order — 4-decimal rounding carries the usual cross-engine float
+    convention).
+
+    Scale: NO explode of the corpus — ONE hash agg whose state is
+    2*dim+1 doubles per group (dim sums + dim sums-of-squares + count),
+    map-side combinable; the per-dimension rows only materialize AFTER
+    the contraction, via posexplode of two dim-length arrays on the
+    #groups-row frame. At 100 TB the shuffle carries model-sized agg
+    state, never per-(row, dim) pairs. ``dim`` defaults to a 1-row
+    bounded schema probe (the k-means control-state convention).
+    """
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        )
+    v = as_double(F.col(vec_col))
+    gcols = [F.col(group_col)] if group_col else []
+    agged = corpus.select(*gcols, v.alias("__v")).groupBy(
+        *([group_col] if group_col else [])
+    ).agg(
+        F.count("*").cast("double").alias("__n"),
+        *[
+            F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.sum(
+                F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
+            ).alias(f"__q{i}")
+            for i in range(dim)
+        ],
+    )
+    sums = F.array(*[F.col(f"__s{i}") for i in range(dim)])
+    sqs = F.array(*[F.col(f"__q{i}") for i in range(dim)])
+    out_keys = [F.col(group_col)] if group_col else []
+    return (
+        agged.select(
+            *out_keys,
+            F.col("__n"),
+            F.posexplode(F.arrays_zip(sums.alias("s"), sqs.alias("q"))).alias(
+                "__i", "__sq"
+            ),
+        )
+        .select(
+            *out_keys,
+            (F.col("__i") + 1).cast("int").alias("dim"),
+            # + 0.0 canonicalizes IEEE -0.0 after rounding (engines
+            # disagree on the sign of a rounded-to-zero negative mean)
+            (F.round(F.col("__sq.s") / F.col("__n"), 4) + F.lit(0.0)).alias(
+                "mean"
+            ),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("__sq.q")
+                        - F.col("__n")
+                        * F.pow(F.col("__sq.s") / F.col("__n"), 2)
+                    )
+                    / (F.col("__n") - 1)
+                ),
+                4,
+            ).alias("std"),
+        )
+    )
+
+
+def standardize_vectors(
+    corpus: DataFrame,
+    stats: DataFrame,
+    group_col: str | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X76 — z-score standardization of an embedding column against
+    :func:`dimension_stats` output: v'_i = (v_i - mean_i) / std_i
+    (std 0 -> dimension passes through centered). The stats frame
+    contracts to per-group (means array, stds array) and broadcasts —
+    model-sized by construction; the transform is one row-local
+    zip_with projection, zero corpus shuffle."""
+    packed = (
+        stats.groupBy(*([group_col] if group_col else []))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mean", "std"))
+            ).alias("__p")
+        )
+        .select(
+            *([group_col] if group_col else []),
+            F.transform(F.col("__p"), lambda p: p["mean"]).alias("__means"),
+            F.transform(F.col("__p"), lambda p: p["std"]).alias("__stds"),
+        )
+    )
+    joined = (
+        corpus.join(F.broadcast(packed), group_col)
+        if group_col
+        else corpus.crossJoin(F.broadcast(packed))
+    )
+    v = as_double(F.col(vec_col))
+    z = F.zip_with(
+        F.zip_with(v, F.col("__means"), lambda x, m: x - m),
+        F.col("__stds"),
+        lambda c, s: F.when(s > 0, c / s).otherwise(c),
+    )
+    return joined.withColumn("standardized", z).drop("__means", "__stds")

@@ -4765,6 +4765,29 @@ FROM n GROUP BY md5(norm) ORDER BY norm_hash
 """
 
 
+# Q114 — X76 per-dimension embedding statistics per label (the
+# feature-normalization stats pass), raw-moment std written identically
+# in both engines.
+
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.dimension_stats(e, group_col="label").orderBy(
+        "label", "dim"
+    )
+
+
+Q114_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+p AS (SELECT label, CAST(dim AS INT) AS dim, v[dim] AS val FROM x)
+SELECT label, dim,
+       ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS mean,
+       ROUND(sqrt((SUM(val * val) - COUNT(*) * POW(SUM(val) / COUNT(*), 2))
+                  / (COUNT(*) - 1)), 4) AS std
+FROM p GROUP BY label, dim ORDER BY label, dim
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4896,6 +4919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_minhash_lsh": q111,
     "q112_entity_multi_pass": q112,
     "q113_normalized_dedup": q113,
+    "q114_embedding_dim_stats": q114,
 }
 
 ORACLE: dict[str, str] = {
@@ -5011,6 +5035,7 @@ ORACLE: dict[str, str] = {
     "q111_minhash_lsh": Q111_SQL,
     "q112_entity_multi_pass": Q112_SQL,
     "q113_normalized_dedup": Q113_SQL,
+    "q114_embedding_dim_stats": Q114_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -1956,3 +1956,33 @@ def test_bpe_learn_apply_round_trip(spark):
                 piece == l + r for l, r in merges
             )
         assert "".join(r["pieces"]) == r["w"]
+
+
+def test_dimension_stats_and_standardize(spark):
+    """X76: per-dim stats match numpy; standardized vectors have ~0
+    mean and ~1 sample std per dimension; zero-std dims pass through
+    centered."""
+    import numpy as np
+
+    rng = [[float(i + j * 2) for i in range(4)] for j in range(6)]
+    for row in rng:
+        row[3] = 7.0                       # constant dim -> std 0
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    stats = sim.dimension_stats(d)
+    got = {r["dim"]: (r["mean"], r["std"]) for r in stats.collect()}
+    m = np.array(rng)
+    for i in range(4):
+        assert abs(got[i + 1][0] - round(float(m[:, i].mean()), 4)) < 1e-9
+        assert abs(got[i + 1][1] - round(float(m[:, i].std(ddof=1)), 4)) < 1e-9
+    assert got[4][1] == 0.0
+    std = sim.standardize_vectors(d, stats)
+    z = np.array([list(r["standardized"]) for r in std.orderBy("vec_id").collect()])
+    for i in range(3):
+        assert abs(z[:, i].mean()) < 1e-4
+        assert abs(z[:, i].std(ddof=1) - 1.0) < 1e-3
+    # constant dim: centered, not divided
+    assert np.allclose(z[:, 3], 0.0)

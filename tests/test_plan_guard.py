@@ -51,6 +51,7 @@ FLAGSHIPS = {
     "q111_minhash_lsh": (14, False),
     "q112_entity_multi_pass": (16, False),
     "q113_normalized_dedup": (8, False),
+    "q114_embedding_dim_stats": (6, False),
     "q31_langid_quality": (4, False),
     "q44_pivot_counts": (6, False),
     # 8 (was 6): the exploded-groupBy signature adds its aggregation
@@ -253,7 +254,7 @@ BROADCAST_ALLOW = {
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
-    "similarity.py": {"q", "qp", "cents", "ce", "a", "qcodes"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk)
+    "similarity.py": {"q", "qp", "cents", "ce", "a", "qcodes", "packed"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
     # base: 1-row stage-1 user total (sequence_funnel conversion)
