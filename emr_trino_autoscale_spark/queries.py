@@ -4791,18 +4791,108 @@ FROM p GROUP BY label, dim ORDER BY label, dim
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
-# Round-7 rotation (VERDICT r6 task 1): q73-q102 have NEVER appeared in a
-# driver signal file (declared mid-round 6, outside the r6 window) — declare
-# those 30 FIRST, then fill positions 31-50 with the stalest driver-green set
-# (q29-q33 + q51-q65, last driver-hashed in r05).  The tail (q66-q67,
-# q34-q50, q68-q72, q01-q28) is all driver-green in r05-r06 and stays covered
-# by the in-repo mirror (tests/test_queries_oracle.py), which runs all 102
-# queries against the same DuckDB oracle every pytest run.
+# Round-8 rotation (VERDICT r7 task 1): q103-q114 have NEVER appeared in a
+# driver signal file (declared mid-round 7, outside the r7 window) — declare
+# those 12 FIRST, then q66-q67 (last driver-hashed r05, the stalest green
+# set), then fill positions 15-50 with 36 of the r6-driver-green block
+# (q01-q28 + q34-q41).  The tail (q29-q33, q42-q65, q68-q102) is all
+# driver-green in r05-r07 and stays covered by the in-repo mirror
+# (tests/test_queries_oracle.py), which runs all 114 queries against the
+# same DuckDB oracle every pytest run.  After this rotation every declared
+# query has a driver signal within the last 3 rounds.
 # History: r04-r05 window was q51-q67 + q01-q33; r06 window was q34-q50 +
-# q68-q72 + q01-q28.  The window is pinned by
+# q68-q72 + q01-q28; r07 window was q73-q102 + q29-q33 + q51-q65.  The
+# window is pinned by
 # tests/test_queries_oracle.py::test_driver_window_pinned and documented in
 # README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q103_image_ahash_pairs": q103,
+    "q104_semantic_dedup": q104,
+    "q105_entity_resolution": q105,
+    "q106_weighted_sample": q106,
+    "q107_column_profile": q107,
+    "q108_source_concentration": q108,
+    "q109_snapshot_diff": q109,
+    "q110_psi_drift": q110,
+    "q111_minhash_lsh": q111,
+    "q112_entity_multi_pass": q112,
+    "q113_normalized_dedup": q113,
+    "q114_embedding_dim_stats": q114,
+    "q66_top_duplicated_passages": q66,
+    "q67_curation_funnel": q67,
+    "q01_json_projection": q01,
+    "q02_registry_filter": q02,
+    "q03_json_path_groupcount": q03,
+    "q04_map_explode_fanout": q04,
+    "q05_regex_host_extract": q05,
+    "q06_semi_join_running": q06,
+    "q07_anti_join_excluded": q07,
+    "q08_ci_join_containment": q08,
+    "q09_window_avg_zero_fill": q09,
+    "q10_quorum_predicates": q10,
+    "q11_capacity_sums": q11,
+    "q12_last_snapshot": q12,
+    "q13_distinct_first_name": q13,
+    "q14_distribute_allocator": q14,
+    "q15_suspension_carry_forward": q15,
+    "q16_tumbling_idle": q16,
+    "q17_cooldown_gate": q17,
+    "q18_step_clamp": q18,
+    "q19_epoch_roundtrip": q19,
+    "q20_full_classifier": q20,
+    "q21_exact_dedup": q21,
+    "q22_minhash_near_dup": q22,
+    "q23_cosine_topk": q23,
+    "q24_token_stats": q24,
+    "q25_sessionize": q25,
+    "q26_simhash_clusters": q26,
+    "q27_ngram_jaccard_pairs": q27,
+    "q28_embedding_near_dup": q28,
+    "q34_asof_join": q34,
+    "q35_percentiles": q35,
+    "q36_topk_per_segment": q36,
+    "q37_multimodal_meta": q37,
+    "q38_full_outer_calendar": q38,
+    "q39_interval_join": q39,
+    "q40_distinct_aggs": q40,
+    "q41_range_window": q41,
+    # tail (positions 51+, outside the round-8 driver window): all
+    # driver-green in r05-r07, mirror-verified every pytest run (README
+    # "Verification coverage map")
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q42_pandas_udf_vowels": q42,
+    "q43_approx_sketches": q43,
+    "q44_pivot_counts": q44,
+    "q45_map_roundtrip": q45,
+    "q46_revenue_join": q46,
+    "q47_simhash_hamming": q47,
+    "q48_train_test_split": q48,
+    "q49_dedup_components": q49,
+    "q50_tfidf_top_terms": q50,
+    "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
+    "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
+    "q60_ngram_novelty": q60,
+    "q61_incremental_dedup": q61,
+    "q62_boilerplate_strip": q62,
+    "q63_memorization_risk": q63,
+    "q64_cluster_profile": q64,
+    "q65_cluster_balanced_sample": q65,
+    "q68_kmeans_quantizer": q68,
+    "q69_vocab_coverage": q69,
+    "q70_pq_topk": q70,
+    "q71_pq_literal": q71,
+    "q72_pq_code_dedup": q72,
     "q73_cosine_neardup_lsh": q73,
     "q74_token_chunking": q74,
     "q75_unigram_logloss": q75,
@@ -4833,93 +4923,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_dp_histogram": q100,
     "q101_sequence_funnel": q101,
     "q102_cohort_retention": q102,
-    "q29_lsh_topk": q29,
-    "q30_ivf_topk": q30,
-    "q31_langid_quality": q31,
-    "q32_fingerprint_tokens": q32,
-    "q33_rollup_stats": q33,
-    "q51_value_histogram": q51,
-    "q52_pii_scrub": q52,
-    "q53_quality_topk_per_lang": q53,
-    "q54_token_packing": q54,
-    "q55_repetition_filter": q55,
-    "q56_mixing_weights": q56,
-    "q57_lsh_multiprobe": q57,
-    "q58_ivf_multiprobe": q58,
-    "q59_contamination": q59,
-    "q60_ngram_novelty": q60,
-    "q61_incremental_dedup": q61,
-    "q62_boilerplate_strip": q62,
-    "q63_memorization_risk": q63,
-    "q64_cluster_profile": q64,
-    "q65_cluster_balanced_sample": q65,
-    # tail (positions 51+, outside the driver window this round): all
-    # driver-green in r05-r06, mirror-verified every pytest run (README
-    # "Verification coverage map")
-    "q66_top_duplicated_passages": q66,
-    "q67_curation_funnel": q67,
-    "q34_asof_join": q34,
-    "q35_percentiles": q35,
-    "q36_topk_per_segment": q36,
-    "q37_multimodal_meta": q37,
-    "q38_full_outer_calendar": q38,
-    "q39_interval_join": q39,
-    "q40_distinct_aggs": q40,
-    "q41_range_window": q41,
-    "q42_pandas_udf_vowels": q42,
-    "q43_approx_sketches": q43,
-    "q44_pivot_counts": q44,
-    "q45_map_roundtrip": q45,
-    "q46_revenue_join": q46,
-    "q47_simhash_hamming": q47,
-    "q48_train_test_split": q48,
-    "q49_dedup_components": q49,
-    "q50_tfidf_top_terms": q50,
-    "q68_kmeans_quantizer": q68,
-    "q69_vocab_coverage": q69,
-    "q70_pq_topk": q70,
-    "q71_pq_literal": q71,
-    "q72_pq_code_dedup": q72,
-    "q01_json_projection": q01,
-    "q02_registry_filter": q02,
-    "q03_json_path_groupcount": q03,
-    "q04_map_explode_fanout": q04,
-    "q05_regex_host_extract": q05,
-    "q06_semi_join_running": q06,
-    "q07_anti_join_excluded": q07,
-    "q08_ci_join_containment": q08,
-    "q09_window_avg_zero_fill": q09,
-    "q10_quorum_predicates": q10,
-    "q11_capacity_sums": q11,
-    "q12_last_snapshot": q12,
-    "q13_distinct_first_name": q13,
-    "q14_distribute_allocator": q14,
-    "q15_suspension_carry_forward": q15,
-    "q16_tumbling_idle": q16,
-    "q17_cooldown_gate": q17,
-    "q18_step_clamp": q18,
-    "q19_epoch_roundtrip": q19,
-    "q20_full_classifier": q20,
-    "q21_exact_dedup": q21,
-    "q22_minhash_near_dup": q22,
-    "q23_cosine_topk": q23,
-    "q24_token_stats": q24,
-    "q25_sessionize": q25,
-    "q26_simhash_clusters": q26,
-    "q27_ngram_jaccard_pairs": q27,
-    "q28_embedding_near_dup": q28,
-    "q103_image_ahash_pairs": q103,
-    "q104_semantic_dedup": q104,
-    "q105_entity_resolution": q105,
-    "q106_weighted_sample": q106,
-    "q107_column_profile": q107,
-    "q108_source_concentration": q108,
-    "q109_snapshot_diff": q109,
-    "q110_psi_drift": q110,
-    "q111_minhash_lsh": q111,
-    "q112_entity_multi_pass": q112,
-    "q113_normalized_dedup": q113,
-    "q114_embedding_dim_stats": q114,
 }
 
 ORACLE: dict[str, str] = {

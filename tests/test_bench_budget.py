@@ -24,14 +24,17 @@ machine, not another one. Known anchor caveats: q02's driver-r6 time
 (docs/SCALE.md), so its budget is generous; sub-second queries jitter
 up to ~1.5x run-to-run under the host's noisy co-tenant (load-average
 1.5-2.7 with zero of our processes running), which the ratio + floor
-absorb. ``bench_baseline_r03.json`` is kept for history. The ten
-round-7 queries (q103-q112) have no driver bench yet; their anchors
-are builder idle-box sf0.1 full-suite runs — swap them for driver-r7
-numbers next round, same as this round did for q01-q102. q103's
-anchor carries extra headroom (3.4 vs 2.4-2.6 observed idle): its
-cost is fixed Python-decode + parquet round-trip overhead that
-inflates under co-tenant load more than compute-bound queries
-(observed 4.1 s at suite-tail load, 2.4 s idle).
+absorb. ``bench_baseline_r03.json`` is kept for history.
+
+Round-8 provenance update (VERDICT r7 task 2): the twelve round-7
+queries (q103-q114) now carry DRIVER-parsed times from
+``BENCH_r07.json`` (including dropping q103's hand-widened 3.4 s
+idle-box anchor for the driver's 2.54 s), so ALL 114 anchors are
+driver provenance: q01-q102 from BENCH_r06, q103-q114 from BENCH_r07.
+q01-q102 deliberately stay on their r6 anchors rather than re-basing
+to r7 — re-anchoring every round would let a slow regression ratchet
+the budget up behind itself (q85's r7 time is 98% of its r6-anchored
+budget and is under active A/B, docs/SCALE.md).
 """
 
 from __future__ import annotations

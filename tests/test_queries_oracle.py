@@ -29,14 +29,15 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-7 rotation: q73-q102 (never driver-hashed — declared mid-round 6,
-    outside the r6 window) first, then q29-q33 + q51-q65 (stalest
-    driver-green, last hashed r05); the tail (q66-q67, q34-q50, q68-q72,
-    q01-q28) is all r05/r06-driver-green."""
-    expected = [
-        f"q{i:02d}"
-        for i in list(range(73, 103)) + list(range(29, 34)) + list(range(51, 66))
-    ]
+    Round-8 rotation: q103-q114 (never driver-hashed — declared mid-round 7,
+    outside the r7 window) first, then q66-q67 (stalest driver-green, last
+    hashed r05), then 36 of the r6-green block (q01-q28 + q34-q41); the tail
+    (q29-q33, q42-q65, q68-q102) is all r05/r07-driver-green."""
+    expected = (
+        [f"q{i}" for i in range(103, 115)]
+        + ["q66", "q67"]
+        + [f"q{i:02d}" for i in list(range(1, 29)) + list(range(34, 42))]
+    )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
         "driver correctness window changed — new queries must be appended "
@@ -104,3 +105,54 @@ def test_q85_bpe_merge_sequence_golden(spark):
         (7, "a", "r", 1873),
         (8, "p", "ar", 1873),
     ]
+
+
+def test_driver_staleness_guard():
+    """Self-enforcing rotation discipline (VERDICT r7 task 7): every
+    oracle-bearing declared query must carry a driver correctness signal
+    (presence in some CORRECTNESS_r{N}.json) from within the last 3
+    completed rounds, OR sit in the current first-50 window (it will be
+    hashed this round), OR be newly declared (<2 rounds old — a query
+    cannot be driver-hashed before its first window slot).  A future
+    round that adds queries without rotating the window turns this red
+    instead of relying on the judge to notice."""
+    import glob
+    import json
+    import re
+
+    last_hashed: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        for qname in json.load(open(path)):
+            last_hashed[qname] = max(last_hashed.get(qname, 0), rnd)
+    assert rounds, "no driver CORRECTNESS files found"
+    current_round = max(rounds) + 1  # the round in progress
+
+    # Declaration round for queries that have never been driver-hashed.
+    # MUST be extended whenever a new query is declared (the guard below
+    # fails loudly on an unknown never-hashed query).
+    declared_round = {f"q{i}": 7 for i in range(103, 115)}
+
+    window = set(list(QUERIES)[:50])
+    stale = []
+    for name in QUERIES:
+        if name in window:
+            continue
+        last = last_hashed.get(name)
+        if last is not None:
+            if current_round - last > 3:
+                stale.append(f"{name} (last driver-hashed r{last})")
+        else:
+            decl = declared_round.get(name.split("_")[0])
+            assert decl is not None, (
+                f"{name} has never been driver-hashed and has no declared "
+                "round — add it to declared_round in this test"
+            )
+            if current_round - decl >= 2:
+                stale.append(f"{name} (declared r{decl}, never driver-hashed)")
+    assert not stale, (
+        "driver coverage went stale — rotate these into the first-50 "
+        f"window: {stale}"
+    )
