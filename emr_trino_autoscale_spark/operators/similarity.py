@@ -614,12 +614,20 @@ def near_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, sub-quadratic — the LSH-banded
     100 TB path of :func:`near_dup_pairs` (same output contract: every
     emitted pair has exact cosine >= threshold after the shared
     4-decimal rounding, so the result is always a SUBSET of the exact
     baseline; only recall is approximate).
+
+    ``group_col`` (round 8, VERDICT r7 task 4) scopes candidate
+    generation WITHIN a group: the band key becomes (group, band,
+    bucket) and only same-group vectors can collide — the contract
+    :func:`semantic_dedup`'s ``verify='banded'`` needs, where the
+    group is the coarse cluster id. Pairs across groups are never
+    emitted.
 
     MinHash-banding transplanted to SRP space: ``planes`` are split
     into ``n_bands`` contiguous bands of ``r = len(planes)/n_bands``
@@ -656,23 +664,32 @@ def near_dup_pairs_lsh(
     r = len(planes) // n_bands
     bands = [planes[b * r : (b + 1) * r] for b in range(n_bands)]
 
-    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__e"))
+    gsel = [F.col(group_col).alias("__g")] if group_col else []
+    src = corpus.select(
+        *gsel, F.col(id_col).alias("id"), F.col(vec_col).alias("__e")
+    )
     if vectorized:
         from ..functions.arrow_udfs import srp_bucket_vectorized
 
         bucket_cols = [srp_bucket_vectorized(bp)(F.col("__e")) for bp in bands]
     else:
         bucket_cols = [srp_bucket_literal(F.col("__e"), bp) for bp in bands]
-    sig = src.select("id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"))
+    sig = src.select(
+        *(["__g"] if group_col else []),
+        "id",
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
 
     a, b = sig.alias("a"), sig.alias("b")
+    same_bucket = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if group_col:
+        same_bucket = (F.col("a.__g") == F.col("b.__g")) & same_bucket
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, same_bucket)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -1679,6 +1696,9 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist_fn=None,
+    verify: str = "exact",
+    planes: list[list[float]] | None = None,
+    n_bands: int = 8,
 ) -> DataFrame:
     """X65 — semantic deduplication, the SemDeDup shape (Abbas et al.,
     arXiv 2023, public): coarse-cluster the corpus, then mark a
@@ -1693,16 +1713,28 @@ def semantic_dedup(
     CLUSTER key so pair work is sum(cluster_size^2), not n^2.
 
     Scale: at 100 TB the within-cluster exact pair join is the
-    oracle-checkable core but clusters are still large — swap the
-    verify stage for the banded-SRP candidate contract
-    (:func:`near_dup_pairs_lsh` keyed by (cluster, band, bucket)) and
-    keep this exact form as the per-cluster recall oracle, the same
-    split as q28 (exact) vs q73 (banded). Cluster skew is governed by
-    the centroid count and the k-means balance; a hot cluster is the
-    operator's documented skew axis (salt the pair join on an id
-    sub-bucket within the hot cluster). Pair cosine is rounded to 4
-    decimals (the q28 convention) so the oracle replays every value.
+    oracle-checkable core but clusters are still large — pair work is
+    sum(cluster_size^2), quadratic in the hot cluster. For that regime
+    pass ``verify='banded'`` (round 8, VERDICT r7 task 4): the verify
+    stage becomes :func:`near_dup_pairs_lsh` with ``group_col`` set to
+    the cluster assignment, i.e. the banded-SRP candidate contract
+    keyed by (cluster, band, bucket) — sub-quadratic per cluster, and
+    every emitted pair still passes the exact-cosine check, so banded
+    duplicates are a SUBSET of the exact form's (pytest-pinned:
+    tests/test_extensions.py::test_semantic_dedup_banded_verify).
+    ``planes`` defaults to 24 md5 sign planes (the q73 convention);
+    recall follows the SRP S-curve — add bands to recover recall,
+    raise r (planes per band) to thin hot buckets. Keep ``'exact'``
+    as the per-cluster recall oracle, the same split as q28 (exact)
+    vs q73 (banded). Cluster skew is governed by the centroid count
+    and the k-means balance; a hot cluster is the operator's
+    documented skew axis (the banded form replaces the prose salting
+    advice that stood here through round 7). Pair cosine is rounded
+    to 4 decimals (the q28 convention) so the oracle replays every
+    value.
     """
+    if verify not in ("exact", "banded"):
+        raise ValueError(f"verify={verify!r} must be 'exact' or 'banded'")
     assigned = coarse_assign(
         corpus, centroids, id_col=id_col, vec_col=vec_col, centroid_id_col="c_id"
     )
@@ -1724,13 +1756,30 @@ def semantic_dedup(
     # exactness and the 4-decimal Spark-side rounding are the q28
     # contract, hash-verified there and in q104)
     joined = corpus.join(assigned.select(id_col, "assigned"), id_col)
-    pairs = near_dup_pairs_blocked(
-        joined,
-        threshold=threshold,
-        id_col=id_col,
-        vec_col=vec_col,
-        group_col="assigned",
-    )
+    if verify == "banded":
+        if planes is None:
+            dim = int(
+                corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+            )
+            planes = md5_sign_planes(n_planes=24, dim=dim)
+        pairs = near_dup_pairs_lsh(
+            joined,
+            planes,
+            n_bands=n_bands,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            vectorized=True,
+            group_col="assigned",
+        )
+    else:
+        pairs = near_dup_pairs_blocked(
+            joined,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            group_col="assigned",
+        )
     dup_of = pairs.groupBy(F.col("id_b").alias("id")).agg(
         F.min(F.col("id_a")).alias("dup_of")
     )
@@ -1756,70 +1805,95 @@ def dimension_stats(
 ) -> DataFrame:
     """X76 — per-dimension feature statistics over an embedding column:
     (group?, dim, mean, std) — the normalization/whitening stats every
-    ANN/classifier pipeline computes before touching distances. Sample
-    std in the raw-moment form sqrt((sum_sq - n*mean^2)/(n-1)) written
-    IDENTICALLY in the oracle (same arithmetic, not the same summation
-    order — 4-decimal rounding carries the usual cross-engine float
-    convention).
+    ANN/classifier pipeline computes before touching distances.
 
-    Scale: NO explode of the corpus — ONE hash agg whose state is
-    2*dim+1 doubles per group (dim sums + dim sums-of-squares + count),
-    map-side combinable; the per-dimension rows only materialize AFTER
-    the contraction, via posexplode of two dim-length arrays on the
-    #groups-row frame. At 100 TB the shuffle carries model-sized agg
-    state, never per-(row, dim) pairs. ``dim`` defaults to a 1-row
-    bounded schema probe (the k-means control-state convention).
+    Numerical form (changed round 8, VERDICT r7 "wrong #2"): CENTERED
+    two-pass — pass 1 computes per-group per-dimension means (one hash
+    agg, dim+1 doubles of state), pass 2 broadcasts the model-sized
+    means frame back and sums (x - mean)^2. The previous raw-moment
+    identity sqrt((sum_sq - n*mean^2)/(n-1)) suffers catastrophic
+    cancellation when mean >> std (counts, timestamps, un-centered
+    activations: at mean=1e6, std=0.1, float64 keeps zero significant
+    digits of the difference) — the same failure X53 banished from
+    grouped_ols (stats.py). The oracle uses DuckDB's Welford-based
+    STDDEV_SAMP; both forms are stable, agreeing at the 4-decimal
+    rounding convention (large-offset pytest:
+    tests/test_extensions.py::test_dimension_stats_large_offset).
+
+    Scale: NO explode of the corpus — two hash aggs whose state is
+    dim+1 doubles per group each, map-side combinable; the means frame
+    that joins back is #groups rows (model-sized, broadcast — zero
+    corpus shuffle added); the per-dimension rows only materialize
+    AFTER the contraction, via posexplode of two dim-length arrays on
+    the #groups-row frame. At 100 TB the cost is two corpus scans
+    (the price of the stable form — the X53 precedent), shuffling
+    model-sized agg state, never per-(row, dim) pairs. ``dim``
+    defaults to a 1-row bounded schema probe (the k-means
+    control-state convention).
     """
     if dim is None:
         dim = int(
             corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
         )
     v = as_double(F.col(vec_col))
-    gcols = [F.col(group_col)] if group_col else []
-    agged = corpus.select(*gcols, v.alias("__v")).groupBy(
-        *([group_col] if group_col else [])
-    ).agg(
-        F.count("*").cast("double").alias("__n"),
-        *[
-            F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
-            for i in range(dim)
-        ],
+    gb = [group_col] if group_col else []
+    base = corpus.select(*[F.col(c) for c in gb], v.alias("__v"))
+    # pass 1: per-group per-dimension means (full precision, unrounded)
+    means = (
+        base.groupBy(*gb)
+        .agg(
+            F.count("*").cast("double").alias("__n"),
+            *[
+                F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                for i in range(dim)
+            ],
+        )
+        .select(
+            *gb,
+            F.col("__n"),
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__ms"),
+        )
+    )
+    # pass 2: centered sums of squares against the broadcast means
+    centered = (
+        base.join(F.broadcast(means), gb)
+        if gb
+        else base.crossJoin(F.broadcast(means))
+    )
+    css = centered.groupBy(*gb).agg(
         *[
             F.sum(
-                F.element_at("__v", i + 1) * F.element_at("__v", i + 1)
-            ).alias(f"__q{i}")
+                F.pow(
+                    F.element_at("__v", i + 1) - F.element_at("__ms", i + 1),
+                    2,
+                )
+            ).alias(f"__c{i}")
             for i in range(dim)
-        ],
+        ]
     )
-    sums = F.array(*[F.col(f"__s{i}") for i in range(dim)])
-    sqs = F.array(*[F.col(f"__q{i}") for i in range(dim)])
+    css = css.select(
+        *gb, F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("__cs")
+    )
+    stats = (
+        means.join(css, gb) if gb else means.crossJoin(css)
+    )
     out_keys = [F.col(group_col)] if group_col else []
     return (
-        agged.select(
+        stats.select(
             *out_keys,
             F.col("__n"),
-            F.posexplode(F.arrays_zip(sums.alias("s"), sqs.alias("q"))).alias(
-                "__i", "__sq"
-            ),
+            F.posexplode(
+                F.arrays_zip(F.col("__ms").alias("m"), F.col("__cs").alias("c"))
+            ).alias("__i", "__mc"),
         )
         .select(
             *out_keys,
             (F.col("__i") + 1).cast("int").alias("dim"),
             # + 0.0 canonicalizes IEEE -0.0 after rounding (engines
             # disagree on the sign of a rounded-to-zero negative mean)
-            (F.round(F.col("__sq.s") / F.col("__n"), 4) + F.lit(0.0)).alias(
-                "mean"
-            ),
+            (F.round(F.col("__mc.m"), 4) + F.lit(0.0)).alias("mean"),
             F.round(
-                F.sqrt(
-                    (
-                        F.col("__sq.q")
-                        - F.col("__n")
-                        * F.pow(F.col("__sq.s") / F.col("__n"), 2)
-                    )
-                    / (F.col("__n") - 1)
-                ),
-                4,
+                F.sqrt(F.col("__mc.c") / (F.col("__n") - 1)), 4
             ).alias("std"),
         )
     )

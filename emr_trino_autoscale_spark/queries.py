@@ -4781,9 +4781,8 @@ WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 x AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
 p AS (SELECT label, CAST(dim AS INT) AS dim, v[dim] AS val FROM x)
 SELECT label, dim,
-       ROUND(SUM(val) / COUNT(*), 4) + 0.0 AS mean,
-       ROUND(sqrt((SUM(val * val) - COUNT(*) * POW(SUM(val) / COUNT(*), 2))
-                  / (COUNT(*) - 1)), 4) AS std
+       ROUND(AVG(val), 4) + 0.0 AS mean,
+       ROUND(STDDEV_SAMP(val), 4) AS std
 FROM p GROUP BY label, dim ORDER BY label, dim
 """
 
