@@ -334,9 +334,11 @@ def weighted_sample(
     )
 
 
-def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: tuple[str, ...], approx: bool = False
+) -> DataFrame:
     """X68 — per-column data profile (the audit every ingest should
-    publish): row count, null count, exact distinct count, and
+    publish): row count, null count, distinct count, and
     lexicographic min/max of the STRING form, one output row per
     column. String-form min/max is deliberate: it gives one stable,
     type-agnostic ordering both engines agree on (a typed per-column
@@ -345,9 +347,26 @@ def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     Scale: ONE pass — each row explodes to len(cols) narrow
     (column, value) structs, then a single hash agg per column key;
     no per-column re-scan of the table, no expand-based multi-distinct
-    plan (the q43 gotcha). Distinct counting is exact and shuffles
-    only (col, value) pairs.
+    plan (the q43 gotcha). Distinct counting is exact by default and
+    shuffles only (col, value) pairs.
+
+    ``approx=True`` (round 8, VERDICT r7 task 8 — the switch a 100 TB
+    user actually flips): swaps the exact ``countDistinct`` for
+    ``approx_count_distinct`` (HyperLogLog++, default rsd 0.05) in the
+    SAME single-agg shape — the agg state per column collapses from
+    the full distinct-value set to one fixed ~1.5 KB sketch, so the
+    shuffle carries O(#cols) state instead of O(distinct values).
+    Every other statistic (n_rows, n_null, min/max) stays exact; only
+    n_distinct carries the HLL error bound
+    (tests/test_extensions.py::test_profile_columns_approx pins the
+    row set and bounded ndv error against the exact mode). The
+    declared q107 stays on the exact mode (it is the DuckDB oracle).
     """
+    ndv = (
+        F.approx_count_distinct("val")
+        if approx
+        else F.countDistinct("val")
+    )
     pairs = df.select(
         F.explode(
             F.array(
@@ -366,7 +385,7 @@ def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
         F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_null"),
-        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        ndv.cast("bigint").alias("n_distinct"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )

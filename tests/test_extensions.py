@@ -2077,3 +2077,30 @@ def test_semantic_dedup_banded_verify(spark, sf_dir):
     assert agree >= 0.7 * max(len(banded_dups), 1)
     assert len(exact_dups) > 0
     assert len(banded_dups) / len(exact_dups) >= 0.8  # (3) recall
+
+
+def test_profile_columns_approx(spark, sf_dir):
+    """X68 approx mode (VERDICT r7 task 8): approx_count_distinct in
+    the same single-agg shape. Pins: identical row set (one row per
+    profiled column), exact n_rows/n_null/min/max (only ndv is
+    sketched), and ndv within 3x the HLL++ default rsd (5%) of the
+    exact count on the real documents table. Also pins the plan shape:
+    no Expand node creeps in (the q43 multi-distinct gotcha)."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    d = load_table(spark, sf_dir, "documents")
+    cols = ("doc_id", "lang", "source", "text")
+    exact = {r["column"]: r for r in st.profile_columns(d, cols).collect()}
+    appr_df = st.profile_columns(d, cols, approx=True)
+    assert "Expand" not in appr_df._jdf.queryExecution().executedPlan().toString()
+    appr = {r["column"]: r for r in appr_df.collect()}
+    assert set(exact) == set(appr) == set(cols)
+    for c in cols:
+        e, a = exact[c], appr[c]
+        assert (e["n_rows"], e["n_null"], e["min_val"], e["max_val"]) == (
+            a["n_rows"], a["n_null"], a["min_val"], a["max_val"]
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            0.15 * e["n_distinct"], 2
+        ), (c, e["n_distinct"], a["n_distinct"])
