@@ -3,11 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 110 declared
-queries as of round 7 (107 with oracles; the iterative trainers q68,
-q70 and q85 are rows-only — q71/q86 are their hash-verified twins).
-The driver hashes the FIRST 50 entries; round 7 rotated q73-q102 into
-that window (see README "Verification coverage map").
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 120 declared
+queries as of round 8 (116 with oracles; the iterative trainers q68,
+q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
+q120's pick sequence is golden-pinned in-repo). The driver hashes the
+FIRST 50 entries; round 8 rotated q103-q114 into that window (see
+README "Verification coverage map").
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

@@ -1362,3 +1362,86 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    persist_fn=None,
+) -> DataFrame:
+    """X80 — exact shingle CONTAINMENT pairs: emit (id_a, id_b,
+    containment) for every ordered pair with
+    C(A,B) = |S(A) ∩ S(B)| / |S(A)| >= threshold, id_a != id_b.
+    Containment is Broder's asymmetric resemblance twin (SEQUENCES
+    '97, public): it catches near-SUBSET documents — a quote, an
+    excerpt, a doc embedded in a boilerplate wrapper — that symmetric
+    Jaccard misses (a small doc inside a big one has tiny Jaccard but
+    containment ~1 on the small side).
+
+    Scale shape (the PPJoin argument, asymmetricized): order A's
+    shingles by ascending global document frequency; A PROBES with
+    only its first |A| - ceil(t*|A|) + 1 rarest shingles (pigeonhole:
+    any B sharing >= ceil(t*|A|) of A's shingles must hit that
+    prefix), while B INDEXES all shingles. Probe keys are rare by
+    construction, so no hot join key; the exact verify
+    (array_intersect over the packed 60-bit digest arrays) touches
+    candidates only. Two narrow (id, digest) shuffles + the
+    candidate-key shuffle, like :func:`ngram_jaccard_pairs_prefix` —
+    whose persist convention (caller-scoped ``persist_fn``) this
+    follows.
+    """
+    docs = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .filter(F.size("__toks") >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(shingles_of(F.col("__toks"), k), md5_long60)
+            ).alias("sh"),
+        )
+        .withColumn("sz", F.size("sh"))
+    )
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        docs = persist_fn(docs)
+    ex = docs.select("id", "sz", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    probe = (
+        ex.join(dfreq, "s")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= prefix_len)
+        .select(F.col("id").alias("id_a"), "s")
+    )
+    index = ex.select(F.col("id").alias("id_b"), "s")
+    cand = (
+        probe.join(index, "s")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("__sha"), F.col("sz").alias("__sza")
+    )
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__sha", "__shb"))
+                / F.col("__sza"),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -1375,3 +1375,250 @@ def bpe_encode(
             F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4),
         )
     )
+
+
+def char_trigrams(text_col: Column) -> Column:
+    """Distinct character 3-grams of a string column (positions
+    1..len-2), the posting-list key of :func:`substring_search`.
+    Pure codegen: sequence + substr(Column, Column) — no UDF."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - 2, F.lit(0))),
+            lambda i: text_col.substr(i, F.lit(3)),
+        )
+    )
+
+
+def substring_search(
+    df: DataFrame,
+    queries: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_probe_grams: int = 4,
+) -> DataFrame:
+    """X77 — inverted-index substring search (the pg_trgm pattern,
+    public): find every (query, doc) where ``query`` occurs verbatim in
+    the document, WITHOUT a per-query full corpus scan. Each query must
+    be >= 3 chars (the trigram floor).
+
+    Plan: (1) corpus posting list (doc_id, trigram) — one explode of
+    the distinct char 3-grams; (2) per-query probe set = its
+    ``max_probe_grams`` RAREST trigrams by global document frequency
+    (rarer probes -> smaller candidate fan-out; using a SUBSET of the
+    query's trigrams keeps the candidate set a SUPERSET of true
+    matches, so pruning hot grams is lossless); (3) candidates = docs
+    matching ALL probe grams (group count == n_probes — the AND
+    pigeonhole); (4) exact ``contains`` verify on candidates only.
+
+    Scale: the posting list is built once for ANY number of queries
+    (queries broadcast — a bounded literal set by contract); candidate
+    generation is an equi-join on the trigram key whose hot keys are
+    pruned by the rarest-probe rule; the contains verify touches only
+    candidate rows, never the corpus. The df probe-pick is a bounded
+    collect: |queries| x max_probe_grams rows (the sanctioned
+    model-state shape).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    for q in queries:
+        if len(q) < 3:
+            raise ValueError(f"query {q!r} shorter than the 3-char trigram floor")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+    qgrams = qdf.select(
+        "query", F.explode(char_trigrams(F.col("query"))).alias("g")
+    )
+    posting = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(char_trigrams(F.col(text_col))).alias("g"),
+    )
+    gdf = posting.groupBy("g").agg(F.count("*").alias("__df"))
+    # rarest-probe pick: join the query grams (a tiny frame) with the
+    # corpus gram dfs; grams absent from the corpus get df 0 — they
+    # prove zero matches and stay in the probe set (the AND fails fast)
+    w = Window.partitionBy("query").orderBy(
+        F.col("__df").asc(), F.col("g").asc()
+    )
+    probes = (
+        qgrams.join(gdf, "g", "left")
+        .withColumn("__df", F.coalesce("__df", F.lit(0)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_probe_grams)
+        .groupBy("query")
+        .agg(F.collect_set("g").alias("__probes"), F.count("*").alias("__np"))
+        .select("query", F.explode("__probes").alias("g"), "__np")
+    )
+    cand = (
+        posting.join(F.broadcast(probes), "g")
+        .groupBy("query", "__id", "__np")
+        .agg(F.countDistinct("g").alias("__hits"))
+        .filter(F.col("__hits") == F.col("__np"))
+        .select("query", "__id")
+    )
+    verified = (
+        cand.join(
+            df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")),
+            "__id",
+        )
+        .filter(F.contains(F.col("__t"), F.col("query")))
+        .select("query", F.col("__id").alias(id_col))
+    )
+    return verified
+
+
+def blocklist_matches(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X78 — token-sequence blocklist filter (the safety/quality phrase
+    scrub every curation pipeline runs): emit (doc_id, phrase) for
+    every document whose whitespace token stream contains the phrase's
+    token sequence contiguously. One pass for ALL phrases — never N
+    regex scans of the corpus.
+
+    Plan: each phrase picks an ANCHOR token — its globally RAREST
+    token by corpus document frequency (a bounded collect of
+    |distinct phrase tokens| counts, the sanctioned model-state
+    shape); the corpus explodes to (doc, pos, token) once; the anchor
+    join keys candidates on the anchor token (rare by construction →
+    no hot key), and a row-local array-slice comparison verifies the
+    full phrase at the anchored offset. Candidate volume is the
+    anchor's df, not the corpus.
+
+    Scale: one posexplode + one narrow equi-join on the anchor token +
+    zero-shuffle verify; phrase list broadcasts. A phrase made
+    entirely of stop-words is the documented worst case (its rarest
+    token is still hot) — the fix is the X77 trigram route for those.
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    phrase_toks = {p: p.split(" ") for p in phrases}
+    vocab = sorted({t for toks in phrase_toks.values() for t in toks})
+    spark = df.sparkSession
+    toks_frame = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    # bounded model-state collect: df counts for phrase tokens only
+    vdf = spark.createDataFrame([(t,) for t in vocab], "__tok string")
+    counts = {
+        r["__tok"]: r["__n"]
+        for r in toks_frame.select(F.explode("__toks").alias("__tok"))
+        .join(F.broadcast(vdf), "__tok")
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    }
+    anchors = []
+    for p, toks in phrase_toks.items():
+        # rarest token wins; ties by earliest position (deterministic)
+        off, anchor = min(
+            enumerate(toks), key=lambda it: (counts.get(it[1], 0), it[0])
+        )
+        anchors.append((p, anchor, off, len(toks), toks))
+    adf = spark.createDataFrame(
+        anchors,
+        "phrase string, __anchor string, __off int, __len int, __ptoks array<string>",
+    )
+    pos = toks_frame.select(
+        "__id", "__toks", F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    return (
+        pos.join(F.broadcast(adf), pos["__tok"] == adf["__anchor"])
+        .filter(
+            (F.col("__pos") - F.col("__off") >= 0)
+            & (
+                F.slice(
+                    "__toks", F.col("__pos") - F.col("__off") + 1, F.col("__len")
+                )
+                == F.col("__ptoks")
+            )
+        )
+        .select(F.col("__id").alias(id_col), "phrase")
+        .distinct()
+    )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """X79 — windowed PMI co-occurrence (Church & Hanks 1990, public):
+    token pairs within ``window`` positions, scored
+    pmi = ln( (n_pair/P) / ((n_a/T) * (n_b/T)) ) with T = total tokens
+    and P = total emitted pairs; the association statistic feeding
+    collocation mining and embedding-corpus diagnostics. Pairs are
+    canonicalized (tok_a <= tok_b); pairs under ``min_count`` drop.
+
+    Plan shape: the pair stream is built ROW-LOCALLY — for each offset
+    d in 1..window, zip the token array against itself shifted by d
+    (pure HOF transform, no posexplode self-join on doc_id), then ONE
+    explode feeds one hash agg on the canonical pair key. Unigram
+    counts join back on the narrow token key; T and P broadcast as
+    1-row totals. At 100 TB: corpus is touched once, every exchange
+    carries (token-pair, count) rows, and there is NO per-doc
+    self-join (the naive form shuffles O(len * window) rows per doc
+    on the doc_id key — same volume but a skewed key; this shape has
+    no doc-keyed exchange at all).
+    """
+    toks = df.select(F.split(F.col(text_col), " ").alias("__toks"))
+
+    def _pairs_at(d: int) -> Column:
+        # 1-arg lambda closing over the Python int d — a 2-arg HOF
+        # lambda would be interpreted as (element, index) and silently
+        # rebind d to the array index. Guard the short-doc case: Spark's
+        # sequence(1, 0) yields the DESCENDING [1, 0], not empty.
+        seq = F.sequence(F.lit(1), F.size("__toks") - d)
+        return F.when(
+            F.size("__toks") > d,
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at("__toks", i),
+                        F.element_at("__toks", i + F.lit(d)),
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at("__toks", i),
+                        F.element_at("__toks", i + F.lit(d)),
+                    ).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pair_arrays = [_pairs_at(d) for d in range(1, window + 1)]
+    pairs = toks.select(
+        F.explode(F.concat(*pair_arrays)).alias("__p")
+    ).select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
+    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count("*").alias("pair_count")
+    )
+    uni = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("__n"))
+    )
+    totals = pair_counts.agg(
+        F.sum("pair_count").cast("double").alias("__P")
+    ).crossJoin(uni.agg(F.sum("__n").cast("double").alias("__T")))
+    return (
+        pair_counts.filter(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("__n").alias("__na")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("__n").alias("__nb")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("__P"))
+                    / ((F.col("__na") / F.col("__T")) * (F.col("__nb") / F.col("__T")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -4787,6 +4787,149 @@ FROM p GROUP BY label, dim ORDER BY label, dim
 """
 
 
+# Q115 — trigram inverted-index substring search (X77): find every
+# (query, doc) where the query string occurs verbatim, via posting-list
+# candidates + contains verify — never a per-query corpus scan.
+
+_SEARCH_QUERIES = ["scan merge", "window window", "batch stream", "dup"]
+
+
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.substring_search(d, _SEARCH_QUERIES).orderBy("query", "doc_id")
+
+
+Q115_SQL = """
+WITH q(query) AS (
+  SELECT unnest(['scan merge', 'window window', 'batch stream', 'dup']))
+SELECT q.query, d.doc_id
+FROM documents d, q
+WHERE contains(d.text, q.query)
+ORDER BY query, doc_id
+"""
+
+
+# Q116 — token-sequence blocklist filter (X78): one anchored pass for
+# all phrases instead of N regex scans.
+
+_BLOCK_PHRASES = ["batch batch batch", "scan merge", "spark window window"]
+
+
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.blocklist_matches(d, _BLOCK_PHRASES).orderBy("doc_id", "phrase")
+
+
+Q116_SQL = """
+WITH p(phrase) AS (
+  SELECT unnest(['batch batch batch', 'scan merge', 'spark window window']))
+SELECT d.doc_id, p.phrase
+FROM documents d, p
+WHERE contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+ORDER BY doc_id, phrase
+"""
+
+
+# Q117 — windowed PMI co-occurrence (X79), window 2, min pair count 5.
+
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        text.pmi_cooccurrence(d, window=2, min_count=5)
+        .select("tok_a", "tok_b", "pair_count", dec4("pmi").alias("pmi"))
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+Q117_SQL = f"""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+pairs AS (
+  SELECT least(toks[i], toks[i+1]) AS a, greatest(toks[i], toks[i+1]) AS b
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  UNION ALL
+  SELECT least(toks[i], toks[i+2]) AS a, greatest(toks[i], toks[i+2]) AS b
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+pc AS (SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY a, b),
+uc AS (SELECT unnest(toks) AS tok FROM t),
+un AS (SELECT tok, COUNT(*) AS n FROM uc GROUP BY tok),
+tot AS (SELECT (SELECT SUM(n) FROM pc) * 1.0 AS p_tot,
+               (SELECT SUM(n) FROM un) * 1.0 AS t_tot)
+SELECT pc.a AS tok_a, pc.b AS tok_b, CAST(pc.n AS BIGINT) AS pair_count,
+       {_dec4('ROUND(ln((pc.n / p_tot) / ((ua.n / t_tot) * (ub.n / t_tot))), 4)')} AS pmi
+FROM pc
+JOIN un ua ON pc.a = ua.tok
+JOIN un ub ON pc.b = ub.tok
+CROSS JOIN tot
+WHERE pc.n >= 5
+ORDER BY tok_a, tok_b
+"""
+
+
+# Q118 — exact shingle containment pairs (X80): asymmetric near-subset
+# detection, prefix-filtered candidate generation, tau = 0.6.
+
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(d, threshold=0.6, persist_fn=_cache_scoped)
+    return pairs.select(
+        "id_a", "id_b", dec4("containment").alias("containment")
+    ).orderBy("id_a", "id_b")
+
+
+Q118_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+g AS (SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      FROM f),
+s AS (SELECT id, unnest(sh) AS x FROM g),
+i AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+      FROM s a JOIN s b ON a.x = b.x AND a.id <> b.id GROUP BY 1, 2),
+z AS (SELECT id, len(sh) AS sz FROM g)
+SELECT id_a, id_b, {_dec4('i.n / z.sz')} AS containment
+FROM i JOIN z ON id_a = z.id
+WHERE ROUND(i.n / z.sz, 4) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+# Q119 — per-label per-dimension robust stats (X81): median/q25/q75/IQR,
+# exact linear-interpolation quantiles (the oracle form; approx=True is
+# the sketch-backed 100 TB path, pytest-pinned).
+
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.robust_dimension_stats(e, group_col="label").orderBy(
+        "label", "dim"
+    )
+
+
+Q119_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+p AS (SELECT label, CAST(dim AS INT) AS dim, v[dim] AS val FROM x)
+SELECT label, dim,
+       ROUND(quantile_cont(val, 0.5), 4) + 0.0 AS median,
+       ROUND(quantile_cont(val, 0.25), 4) + 0.0 AS q25,
+       ROUND(quantile_cont(val, 0.75), 4) + 0.0 AS q75,
+       ROUND(quantile_cont(val, 0.75) - quantile_cont(val, 0.25), 4) + 0.0 AS iqr
+FROM p GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+# Q120 — MMR diverse top-k selection (X82): iterative greedy trainer
+# (the q68/q85 class — no SQL oracle; the pick sequence is golden-pinned
+# in tests/test_extensions.py::test_mmr_select_golden_sequence).
+
+_MMR_QUERY_VEC = similarity.md5_centroids(k=1, dim=64)[0]
+
+
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_select(e, _MMR_QUERY_VEC, k=10, lam=0.7).orderBy("step")
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4922,6 +5065,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_dp_histogram": q100,
     "q101_sequence_funnel": q101,
     "q102_cohort_retention": q102,
+    "q115_substring_search": q115,
+    "q116_blocklist_filter": q116,
+    "q117_pmi_cooccurrence": q117,
+    "q118_containment_pairs": q118,
+    "q119_robust_dim_stats": q119,
+    "q120_mmr_select": q120,
 }
 
 ORACLE: dict[str, str] = {
@@ -5038,11 +5187,21 @@ ORACLE: dict[str, str] = {
     "q112_entity_multi_pass": Q112_SQL,
     "q113_normalized_dedup": Q113_SQL,
     "q114_embedding_dim_stats": Q114_SQL,
+    "q115_substring_search": Q115_SQL,
+    "q116_blocklist_filter": Q116_SQL,
+    "q117_pmi_cooccurrence": Q117_SQL,
+    "q118_containment_pairs": Q118_SQL,
+    "q119_robust_dim_stats": Q119_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).
 # Queries genuinely outside SQL (q68's iterative k-means) are allowed to be
 # oracle-less — the driver/mirror records a rows-only check for those.
-_NO_ORACLE = {"q68_kmeans_quantizer", "q70_pq_topk", "q85_bpe_learn"}
+_NO_ORACLE = {
+    "q68_kmeans_quantizer",
+    "q70_pq_topk",
+    "q85_bpe_learn",
+    "q120_mmr_select",  # iterative greedy selection (golden-pinned in-repo)
+}
 ORACLE = {name: ORACLE[name] for name in QUERIES if name not in _NO_ORACLE}
 assert set(ORACLE) == set(QUERIES) - _NO_ORACLE, "every query needs an oracle twin"

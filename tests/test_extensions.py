@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from emr_trino_autoscale_spark.operators import dedup, multimodal, similarity, text
@@ -2104,3 +2105,167 @@ def test_profile_columns_approx(spark, sf_dir):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
             0.15 * e["n_distinct"], 2
         ), (c, e["n_distinct"], a["n_distinct"])
+
+
+def test_substring_search_matches_naive_contains(spark, sf_dir):
+    """X77: the trigram posting-list route must equal the naive
+    per-query contains scan exactly (the probe-gram pruning is
+    lossless: candidates are a superset, verify is exact). Also pins
+    the <3-char contract and the no-match query."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    qs = ["scan merge", "window window", "zz-never-present"]
+    got = sorted(
+        (r["query"], r["doc_id"]) for r in T.substring_search(d, qs).collect()
+    )
+    want = []
+    for q in qs:
+        want += [
+            (q, r["doc_id"])
+            for r in d.filter(F.contains(F.col("text"), F.lit(q))).collect()
+        ]
+    assert got == sorted(want)
+    assert not [g for g in got if g[0] == "zz-never-present"]
+    with pytest.raises(ValueError):
+        T.substring_search(d, ["ab"])
+
+
+def test_blocklist_matches_token_boundaries(spark):
+    """X78: phrase matching is TOKEN-sequence containment — 'cat dog'
+    must not match inside 'concat dogma'; phrases match at doc start,
+    doc end, and repeated; the anchor offset logic survives the anchor
+    token appearing in non-matching positions."""
+    from emr_trino_autoscale_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [
+            (1, "cat dog runs"),
+            (2, "concat dogma runs"),
+            (3, "big cat dog"),
+            (4, "dog cat dog cat dog"),
+            (5, "cat nap dog"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["phrase"])
+        for r in T.blocklist_matches(d, ["cat dog", "nap"]).collect()
+    )
+    assert got == [(1, "cat dog"), (3, "cat dog"), (4, "cat dog"), (5, "nap")]
+
+
+def test_pmi_cooccurrence_known_values(spark):
+    """X79: hand-computed PMI on a 2-doc corpus (window 2): pairs
+    include the distance-2 (a,a)/(b,b) self-pairs; P=8 pairs, T=7
+    tokens; PMI(a,b)=ln((4/8)/((3/7)^2))."""
+    import math
+
+    from emr_trino_autoscale_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["pair_count"], r["pmi"])
+        for r in T.pmi_cooccurrence(d, window=2, min_count=1).collect()
+    }
+    assert got[("a", "b")] == (4, round(math.log((4 / 8) / ((3 / 7) ** 2)), 4))
+    assert got[("a", "c")] == (1, round(math.log((1 / 8) / ((3 / 7) * (1 / 7))), 4))
+    assert got[("a", "a")][0] == 1  # distance-2 self-pair exists
+    # single-token docs emit no pairs; min_count prunes
+    assert T.pmi_cooccurrence(
+        spark.createDataFrame([(1, "solo")], "doc_id long, text string"),
+        min_count=1,
+    ).count() == 0
+
+
+def test_containment_pairs_asymmetry_and_subset(spark):
+    """X80: a doc fully contained in a bigger one scores 1.0 on ITS
+    side only (the asymmetric point of containment vs Jaccard); the
+    reverse direction falls below threshold; prefix filtering is
+    lossless vs the naive all-pairs form."""
+    from emr_trino_autoscale_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h i j k l m n o p q r s t"),
+            (3, "x y z w v u t s"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in D.containment_pairs(d, threshold=0.6).collect()}
+    assert got == {(1, 2): 1.0}  # 6 shingles of doc1 all inside doc2
+    # lossless vs naive: drop the prefix filter by setting threshold
+    # low enough that every probe survives, then re-filter
+    naive = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in D.containment_pairs(d, threshold=0.0001).collect()
+        if r["containment"] >= 0.6
+    }
+    assert naive == got
+
+
+def test_robust_dimension_stats_approx_bounded(spark, sf_dir):
+    """X81 approx mode: same row universe as exact, quantiles within a
+    tolerance band (percentile_approx default accuracy) — the 100 TB
+    sketch path; constant dimension yields IQR 0 in both modes."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["label"], r["dim"]): r
+        for r in sim.robust_dimension_stats(e, group_col="label").collect()
+    }
+    appr = {
+        (r["label"], r["dim"]): r
+        for r in sim.robust_dimension_stats(
+            e, group_col="label", approx=True
+        ).collect()
+    }
+    assert set(exact) == set(appr)
+    for k in exact:
+        for c in ("median", "q25", "q75"):
+            assert abs(exact[k][c] - appr[k][c]) < 0.05, (k, c)
+    const = spark.createDataFrame(
+        [(i, [5.0, float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in sim.robust_dimension_stats(const).collect()}
+    assert rows[1]["iqr"] == 0.0 and rows[1]["median"] == 5.0
+
+
+def test_mmr_select_golden_sequence(spark):
+    """X82: the full greedy MMR pick sequence on the sf0.001
+    embeddings, golden-pinned (the q85 convention for iterative
+    trainers — q120's driver check is rows-only, this is the real
+    pin). Also: first pick IS the max-relevance row (no penalty yet),
+    picks are distinct, mmr scores non-increasing."""
+    from conftest import SF_SMOKE
+
+    if SF_SMOKE != "/root/testdata/sf0.001":
+        pytest.skip("golden captured on the sf0.001 fixture")
+    from emr_trino_autoscale_spark.queries import QUERIES
+
+    rows = [tuple(r) for r in QUERIES["q120_mmr_select"](spark, SF_SMOKE).collect()]
+    assert rows == [
+        (1, 328, 0.354813, 0.248369),
+        (2, 72, 0.347766, 0.23103),
+        (3, 59, 0.354599, 0.205847),
+        (4, 169, 0.278933, 0.180104),
+        (5, 475, 0.304631, 0.178195),
+        (6, 30, 0.310566, 0.158306),
+        (7, 439, 0.223966, 0.135605),
+        (8, 101, 0.244877, 0.132699),
+        (9, 86, 0.245989, 0.132196),
+        (10, 31, 0.313603, 0.125736),
+    ]
+    ids = [r[1] for r in rows]
+    assert len(set(ids)) == 10
+    assert rows[0][3] == round(0.7 * rows[0][2], 6)
+    scores = [r[3] for r in rows]
+    assert scores == sorted(scores, reverse=True)
