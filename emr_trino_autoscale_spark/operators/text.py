@@ -1395,6 +1395,7 @@ def substring_search(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_probe_grams: int = 4,
+    persist_fn=None,
 ) -> DataFrame:
     """X77 — inverted-index substring search (the pg_trgm pattern,
     public): find every (query, doc) where ``query`` occurs verbatim in
@@ -1414,9 +1415,11 @@ def substring_search(
     (queries broadcast — a bounded literal set by contract); candidate
     generation is an equi-join on the trigram key whose hot keys are
     pruned by the rarest-probe rule; the contains verify touches only
-    candidate rows, never the corpus. The df probe-pick is a bounded
-    collect: |queries| x max_probe_grams rows (the sanctioned
-    model-state shape).
+    candidate rows, never the corpus. The probe pick is a per-query
+    row_number window over the (tiny) query-gram frame — no collect.
+    The posting list feeds both the df agg and the candidate join and
+    is persisted (``persist_fn``, caller-scoped — the ppjoin
+    convention).
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -1432,6 +1435,15 @@ def substring_search(
         F.col(id_col).alias("__id"),
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
     )
+    # the posting list feeds the gram-df agg AND the candidate join;
+    # persist it (ppjoin convention, caller-scoped) so the trigram
+    # explode runs once
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        posting = persist_fn(posting)
     gdf = posting.groupBy("g").agg(F.count("*").alias("__df"))
     # rarest-probe pick: join the query grams (a tiny frame) with the
     # corpus gram dfs; grams absent from the corpus get df 0 — they
@@ -1545,6 +1557,7 @@ def pmi_cooccurrence(
     window: int = 2,
     min_count: int = 5,
     text_col: str = "text",
+    persist_fn=None,
 ) -> DataFrame:
     """X79 — windowed PMI co-occurrence (Church & Hanks 1990, public):
     token pairs within ``window`` positions, scored
@@ -1553,16 +1566,19 @@ def pmi_cooccurrence(
     collocation mining and embedding-corpus diagnostics. Pairs are
     canonicalized (tok_a <= tok_b); pairs under ``min_count`` drop.
 
-    Plan shape: the pair stream is built ROW-LOCALLY — for each offset
-    d in 1..window, zip the token array against itself shifted by d
-    (pure HOF transform, no posexplode self-join on doc_id), then ONE
-    explode feeds one hash agg on the canonical pair key. Unigram
-    counts join back on the narrow token key; T and P broadcast as
-    1-row totals. At 100 TB: corpus is touched once, every exchange
-    carries (token-pair, count) rows, and there is NO per-doc
-    self-join (the naive form shuffles O(len * window) rows per doc
-    on the doc_id key — same volume but a skewed key; this shape has
-    no doc-keyed exchange at all).
+    Plan shape: pair AND unigram events are built ROW-LOCALLY in one
+    combined stream — for each offset d in 1..window, zip the token
+    array against itself shifted by d (pure HOF transform, no
+    posexplode self-join on doc_id), concatenated with the unigram
+    stream (b = NULL marker), then ONE explode feeds ONE hash agg on
+    the (a, b) key. That single vocabulary-sized counts frame is
+    persisted (``persist_fn``, the ppjoin convention) and every
+    downstream reference — pair counts, unigram counts, the 1-row
+    P/T totals — reads the cache. At 100 TB: the corpus is touched
+    exactly ONCE, every exchange carries (token-pair, count) rows,
+    and there is NO per-doc self-join (the naive form shuffles
+    O(len * window) rows per doc on the skewed doc_id key; this
+    shape has no doc-keyed exchange at all).
     """
     toks = df.select(F.split(F.col(text_col), " ").alias("__toks"))
 
@@ -1590,16 +1606,32 @@ def pmi_cooccurrence(
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
     pair_arrays = [_pairs_at(d) for d in range(1, window + 1)]
-    pairs = toks.select(
-        F.explode(F.concat(*pair_arrays)).alias("__p")
-    ).select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
-    pair_counts = pairs.groupBy("tok_a", "tok_b").agg(
-        F.count("*").alias("pair_count")
+    # unigram events ride the same stream with a NULL b-marker, so one
+    # explode + one hash agg covers pairs AND unigrams in a single
+    # corpus pass
+    unigrams = F.transform(
+        F.col("__toks"),
+        lambda t: F.struct(
+            t.alias("a"), F.lit(None).cast("string").alias("b")
+        ),
     )
-    uni = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("__n"))
+    events = toks.select(
+        F.explode(F.concat(*pair_arrays, unigrams)).alias("__p")
+    ).select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
+    counts = events.groupBy("tok_a", "tok_b").agg(
+        F.count("*").alias("__n")
+    )
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        counts = persist_fn(counts)
+    pair_counts = counts.filter(F.col("tok_b").isNotNull()).select(
+        "tok_a", "tok_b", F.col("__n").alias("pair_count")
+    )
+    uni = counts.filter(F.col("tok_b").isNull()).select(
+        F.col("tok_a").alias("tok"), F.col("__n")
     )
     totals = pair_counts.agg(
         F.sum("pair_count").cast("double").alias("__P")

@@ -4796,7 +4796,9 @@ _SEARCH_QUERIES = ["scan merge", "window window", "batch stream", "dup"]
 
 def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return text.substring_search(d, _SEARCH_QUERIES).orderBy("query", "doc_id")
+    return text.substring_search(
+        d, _SEARCH_QUERIES, persist_fn=_cache_scoped
+    ).orderBy("query", "doc_id")
 
 
 Q115_SQL = """
@@ -4835,7 +4837,7 @@ ORDER BY doc_id, phrase
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        text.pmi_cooccurrence(d, window=2, min_count=5)
+        text.pmi_cooccurrence(d, window=2, min_count=5, persist_fn=_cache_scoped)
         .select("tok_a", "tok_b", "pair_count", dec4("pmi").alias("pmi"))
         .orderBy("tok_a", "tok_b")
     )

@@ -187,6 +187,27 @@ FLAGSHIPS = {
     # q102: first-seen agg + user-keyed join + distinct-count agg +
     # cohort-size join
     "q102_cohort_retention": (16, False),
+    # round-8 additions (audited counts at declaration, sf0.001):
+    # q115: the _cache_scoped'd posting list's subtree reprints under
+    # its InMemoryRelation references (the q84 static-count effect);
+    # runtime = one trigram explode + df agg + probe window + AND-count
+    # agg + contains-verify join
+    "q115_substring_search": (16, False),
+    # q116: one anchor-df agg (bounded collect) + posexplode +
+    # broadcast anchor join + distinct
+    "q116_blocklist_filter": (6, False),
+    # q117's nested loop = the 1-row P/T totals broadcast; the cached
+    # combined counts frame reprints per reference (q84 effect) —
+    # runtime is ONE corpus pass + vocabulary-sized joins
+    "q117_pmi_cooccurrence": (20, True),
+    # q118: shingle agg + df agg + prefix window + candidate join +
+    # two id-keyed set-rehydration joins (the q27 shape)
+    "q118_containment_pairs": (14, False),
+    # q119: one explode + one grouped exact-percentile agg + sort
+    "q119_robust_dim_stats": (4, False),
+    # q120's declared frame is the collected pick table
+    # (createDataFrame, q85 convention) — guard sanity only
+    "q120_mmr_select": (2, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -251,6 +272,13 @@ BROADCAST_ALLOW = {
         "corpus", "corpus_tot",
         # d*w-row CMS counter table (constant size by construction)
         "sketch",
+        # |phrases|-row anchor table (blocklist_matches) and
+        # |queries| x max_probe_grams probe frame (substring_search) —
+        # bounded literal sets by contract
+        "adf", "probes",
+        # |distinct phrase tokens|-row vocab frame (blocklist anchor
+        # df pre-count) — bounded literal set by contract
+        "vdf",
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
