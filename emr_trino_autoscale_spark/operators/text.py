@@ -1504,19 +1504,42 @@ def blocklist_matches(
     entirely of stop-words is the documented worst case (its rarest
     token is still hot) — the fix is the X77 trigram route for those.
     """
+    spark = df.sparkSession
+    anchors = phrase_anchors(df, phrases, text_col=text_col)
+    adf = spark.createDataFrame(
+        anchors,
+        "phrase string, __anchor string, __off int, __len int, __ptoks array<string>",
+    )
+    toks_frame = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    return (
+        _blocklist_verdicts(toks_frame, adf)
+        .select(F.col("__id").alias(id_col), "phrase")
+        .distinct()
+    )
+
+
+def phrase_anchors(
+    df: DataFrame, phrases: list[str], text_col: str = "text"
+) -> list[tuple]:
+    """Batch-side anchor model for the blocklist family: per phrase,
+    its globally RAREST token (by corpus document frequency — a
+    bounded |distinct phrase tokens| collect, the sanctioned
+    model-state shape) with its offset. Returned as plain rows so the
+    streaming twin (X83) can embed the model without a corpus scan
+    per micro-batch."""
     if not phrases:
         raise ValueError("phrases must be non-empty")
     phrase_toks = {p: p.split(" ") for p in phrases}
     vocab = sorted({t for toks in phrase_toks.values() for t in toks})
     spark = df.sparkSession
-    toks_frame = df.select(
-        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__toks")
-    )
-    # bounded model-state collect: df counts for phrase tokens only
     vdf = spark.createDataFrame([(t,) for t in vocab], "__tok string")
     counts = {
         r["__tok"]: r["__n"]
-        for r in toks_frame.select(F.explode("__toks").alias("__tok"))
+        for r in df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+        )
         .join(F.broadcast(vdf), "__tok")
         .groupBy("__tok")
         .agg(F.count("*").alias("__n"))
@@ -1529,26 +1552,26 @@ def blocklist_matches(
             enumerate(toks), key=lambda it: (counts.get(it[1], 0), it[0])
         )
         anchors.append((p, anchor, off, len(toks), toks))
-    adf = spark.createDataFrame(
-        anchors,
-        "phrase string, __anchor string, __off int, __len int, __ptoks array<string>",
-    )
+    return anchors
+
+
+def _blocklist_verdicts(toks_frame: DataFrame, adf: DataFrame) -> DataFrame:
+    """Shared X78/X83 core: posexplode the token arrays, join on the
+    broadcast anchor table, verify the full phrase with a row-local
+    array-slice equality at the anchored offset. ``toks_frame`` must
+    carry (__id, __toks); emits (__id, __toks, phrase, ...) candidate
+    rows (caller projects/dedups)."""
     pos = toks_frame.select(
         "__id", "__toks", F.posexplode("__toks").alias("__pos", "__tok")
     )
-    return (
-        pos.join(F.broadcast(adf), pos["__tok"] == adf["__anchor"])
-        .filter(
-            (F.col("__pos") - F.col("__off") >= 0)
-            & (
-                F.slice(
-                    "__toks", F.col("__pos") - F.col("__off") + 1, F.col("__len")
-                )
-                == F.col("__ptoks")
+    return pos.join(F.broadcast(adf), pos["__tok"] == adf["__anchor"]).filter(
+        (F.col("__pos") - F.col("__off") >= 0)
+        & (
+            F.slice(
+                "__toks", F.col("__pos") - F.col("__off") + 1, F.col("__len")
             )
+            == F.col("__ptoks")
         )
-        .select(F.col("__id").alias(id_col), "phrase")
-        .distinct()
     )
 
 

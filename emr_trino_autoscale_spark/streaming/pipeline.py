@@ -233,6 +233,48 @@ def boilerplate_strip_stream(
     )
 
 
+def blocklist_stream(
+    docs: DataFrame,
+    anchors: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X83 live twin of Q116 (`text.blocklist_matches`): arriving
+    documents are checked against the phrase blocklist through the
+    SAME anchored-verify contract — posexplode tokens, join the
+    broadcast anchor table, row-local array-slice equality at the
+    anchored offset. Emits (doc_id, phrase) per hit (distinct within
+    the row's own matches via the batch-side dedup being per-document
+    and the verify emitting one row per matching anchor position —
+    the stream keeps repeated positions, the batch tier's distinct is
+    a per-doc collapse the caller applies downstream if needed).
+
+    ``anchors`` is the batch tier's `text.phrase_anchors(corpus,
+    phrases)` output — the rarest-anchor model computed ONCE from
+    corpus document frequency and recompacted periodically; the
+    stream embeds it as a broadcast literal table (|phrases| rows,
+    model-sized) and never scans the corpus. Stateless per row: no
+    watermark, no keyed state; per-batch work is batch_rows x
+    anchor-df verify evaluations, the batch operator's own bound.
+    Parity with the batch form is pytest-pinned
+    (test_blocklist_stream_matches_batch)."""
+    from ..operators.text import _blocklist_verdicts
+
+    spark = docs.sparkSession
+    adf = spark.createDataFrame(
+        anchors,
+        "phrase string, __anchor string, __off int, __len int, __ptoks array<string>",
+    )
+    toks_frame = docs.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    return (
+        _blocklist_verdicts(toks_frame, adf)
+        .select(F.col("__id").alias(id_col), "phrase")
+    )
+
+
 def entity_resolution_stream(
     records: DataFrame,
     master: DataFrame,

@@ -708,3 +708,48 @@ def test_streaming_drift_scorer_matches_batch_psi(spark, tmp_path):
     }
     assert got["s"]["psi"] == want["s"]["psi"] > 1.0
     assert got["s"]["n_baseline"] == 100 and got["s"]["n_batch"] == 80
+
+def test_blocklist_stream_matches_batch(spark, tmp_path):
+    """X83: streaming blocklist twin — arriving docs verdict against
+    the batch-computed rarest-anchor model through the identical
+    slice-equality verify; distinct-collapsed stream output equals the
+    batch operator on the same rows (exact parity), and token-boundary
+    semantics hold in the stream ('concat dogma' never matches
+    'cat dog')."""
+    from emr_trino_autoscale_spark.operators import text as T
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    src = tmp_path / "bl_src"
+    chk = tmp_path / "bl_chk"
+    rows = [
+        (1, "cat dog runs"),
+        (2, "concat dogma runs"),
+        (3, "big cat dog"),
+        (4, "dog cat dog cat dog"),
+        (5, "cat nap dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.repartition(1).write.parquet(str(src))
+    phrases = ["cat dog", "nap"]
+    anchors = T.phrase_anchors(df, phrases)
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        pipeline.blocklist_stream(stream, anchors)
+        .writeStream.format("memory")
+        .queryName("bl_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["doc_id"], r["phrase"])
+        for r in spark.sql("select * from bl_stream_test").collect()
+    }
+    want = {
+        (r["doc_id"], r["phrase"])
+        for r in T.blocklist_matches(df, phrases).collect()
+    }
+    assert got == want
+    assert (2, "cat dog") not in got and (1, "cat dog") in got
