@@ -522,3 +522,74 @@ def psi_drift(
         )
         .select(F.col("g").alias(group_col), "psi", "n_baseline", "n_comparison")
     )
+
+
+def distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    shard_col: Column | str | None = None,
+    lg_config_k: int = 12,
+    persist_fn=None,
+) -> DataFrame:
+    """X84 — mergeable distinct-count rollup via DataSketches HLL
+    (Spark 3.5+ ``hll_sketch_agg``/``hll_union_agg``): per-shard
+    sketches roll up to per-group AND global distinct estimates
+    WITHOUT re-touching the raw data — the canonical 100 TB datacube
+    pattern, where daily/partition sketches are materialized once and
+    every coarser rollup is a cheap sketch union (impossible with
+    plain ``approx_count_distinct``, whose result is a scalar that
+    cannot merge).
+
+    Plan: stage 1 = one hash agg to (group, shard, sketch) — at scale
+    this is the frame a pipeline persists incrementally per ingest
+    batch; stage 2 = per-group sketch union + estimate; stage 3 = one
+    more union over the #groups-row frame for the global row. Raw
+    data is scanned ONCE; every exchange above stage 1 carries
+    fixed-size (~2^lg_config_k bytes) sketch blobs.
+
+    Output: ('group', key, estimate) rows plus one ('total', NULL,
+    estimate) row. Estimates carry HLL error (~1.04/sqrt(2^lgK));
+    the declared query (q121) emits bound-validation booleans against
+    exact distinct counts, the q43 oracle convention.
+    """
+    shard = (
+        (F.col(shard_col) if isinstance(shard_col, str) else shard_col)
+        if shard_col is not None
+        else F.spark_partition_id()
+    )
+    shards = df.select(
+        F.col(group_col).alias("key"), shard.alias("__shard"),
+        F.col(value_col).alias("__v"),
+    ).groupBy("key", "__shard").agg(
+        F.hll_sketch_agg("__v", F.lit(lg_config_k)).alias("__sk")
+    )
+    # the per-shard sketch frame is the natural materialization point
+    # (it feeds the per-group AND the global union; unpersisted, the
+    # raw scan + sketch agg replay once per reference) — persist it
+    # (ppjoin convention, caller-scoped); groups x shards rows of
+    # fixed-size blobs, model-bounded
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        shards = shards.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        shards = persist_fn(shards)
+    per_group = shards.groupBy("key").agg(
+        F.hll_union_agg("__sk", F.lit(False)).alias("__sk")
+    )
+    groups = per_group.select(
+        F.lit("group").alias("level"),
+        F.col("key").cast("string").alias("key"),
+        F.hll_sketch_estimate("__sk").cast("bigint").alias("estimate"),
+    )
+    total = shards.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("__sk", F.lit(False))
+        ).cast("bigint").alias("estimate")
+    ).select(
+        F.lit("total").alias("level"),
+        F.lit(None).cast("string").alias("key"),
+        "estimate",
+    )
+    return groups.unionByName(total)

@@ -4932,6 +4932,53 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(e, _MMR_QUERY_VEC, k=10, lam=0.7).orderBy("step")
 
 
+# Q121 — mergeable HLL distinct rollup (X84): per-(event_type, day)
+# sketches union upward to per-type and global distinct-user estimates;
+# raw data scanned once. Emits bound-validation booleans against exact
+# distinct counts (the q43 oracle convention; lgK=12 -> ~1.6% rel err,
+# the 6% bound is 4x that — robustly true, not knife-edge).
+
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    roll = stats.distinct_rollup(
+        e,
+        "event_type",
+        "user_id",
+        shard_col=F.to_date("ts").cast("string"),
+        persist_fn=_cache_scoped,
+    )
+    # exact side in ONE pass: rollup() emits per-type rows plus the
+    # grand-total row (NULL key) from a single scan
+    exact = e.rollup("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_ndv")
+    ).select(F.col("event_type").cast("string").alias("key"), "exact_ndv")
+    return (
+        roll.join(exact, roll["key"].eqNullSafe(exact["key"]))
+        .select(
+            "level",
+            roll["key"].alias("key"),
+            "exact_ndv",
+            (
+                F.abs(F.col("estimate") - F.col("exact_ndv"))
+                <= 0.06 * F.col("exact_ndv")
+            ).alias("ndv_within_bound"),
+        )
+        .orderBy("level", "key")
+    )
+
+
+Q121_SQL = """
+SELECT 'group' AS level, event_type AS key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'total', NULL, CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+FROM events
+ORDER BY level, key
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5073,6 +5120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_containment_pairs": q118,
     "q119_robust_dim_stats": q119,
     "q120_mmr_select": q120,
+    "q121_distinct_rollup": q121,
 }
 
 ORACLE: dict[str, str] = {
@@ -5194,6 +5242,7 @@ ORACLE: dict[str, str] = {
     "q117_pmi_cooccurrence": Q117_SQL,
     "q118_containment_pairs": Q118_SQL,
     "q119_robust_dim_stats": Q119_SQL,
+    "q121_distinct_rollup": Q121_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2269,3 +2269,43 @@ def test_mmr_select_golden_sequence(spark):
     assert rows[0][3] == round(0.7 * rows[0][2], 6)
     scores = [r[3] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_distinct_rollup_merge_equivalence(spark, sf_dir):
+    """X84: the sketch-merge property that makes the rollup a real
+    datacube primitive — per-shard sketches unioned upward must give
+    the SAME estimate as sketching the whole column in one pass (HLL
+    union is lossless over sketches of the same lgK), and estimates
+    sit within the 3-sigma HLL band of exact. The total row must
+    estimate the union (<= sum of groups), not the sum."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    e = load_table(spark, sf_dir, "events")
+    sharded = {
+        (r["level"], r["key"]): r["estimate"]
+        for r in st.distinct_rollup(
+            e, "event_type", "user_id", shard_col=F.to_date("ts").cast("string")
+        ).collect()
+    }
+    one_shard = {
+        (r["level"], r["key"]): r["estimate"]
+        for r in st.distinct_rollup(
+            e, "event_type", "user_id", shard_col=F.lit(0)
+        ).collect()
+    }
+    assert sharded == one_shard  # merge-equivalence, exact
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        est = sharded[("group", k)]
+        assert abs(est - n) <= max(3 * 1.04 / (2**6) * n, 2), (k, est, n)
+    total_exact = e.select("user_id").distinct().count()
+    assert abs(sharded[("total", None)] - total_exact) <= max(
+        3 * 1.04 / (2**6) * total_exact, 2
+    )
+    assert sharded[("total", None)] <= sum(sharded[k] for k in sharded if k[0] == "group")

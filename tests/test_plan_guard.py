@@ -208,6 +208,11 @@ FLAGSHIPS = {
     # q120's declared frame is the collected pick table
     # (createDataFrame, q85 convention) — guard sanity only
     "q120_mmr_select": (2, False),
+    # q121: the _cache_scoped'd shard-sketch frame's subtree reprints
+    # under both InMemoryRelation references (q84 static-count effect);
+    # runtime = one raw scan -> sketch agg, then model-sized union
+    # aggs + the one-pass rollup() exact side + validation join
+    "q121_distinct_rollup": (16, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
