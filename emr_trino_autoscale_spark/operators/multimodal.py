@@ -450,8 +450,11 @@ def ahash_near_dup_pairs(
     max_hamming: int = 6,
     n_bands: int | None = None,
     id_col: str = "media_id",
+    sig_col: str = "ahash",
 ) -> DataFrame:
-    """X57 — image near-dup pairs from 64-bit aHash signatures: banded
+    """X57 — image near-dup pairs from 64-bit perceptual signatures
+    (aHash by default; pass ``sig_col="phash"`` for the X85 DCT
+    variant — the banding/verify contract is signature-agnostic): banded
     exact-match candidate generation, then exact Hamming verify via
     ``bit_count(a XOR b)``.
 
@@ -484,16 +487,16 @@ def ahash_near_dup_pairs(
     assert 64 % n_bands == 0, "n_bands must divide 64"
     width = 64 // n_bands
     mask = (1 << width) - 1
-    s = sigs.filter(F.col("ahash").isNotNull()).select(
-        F.col(id_col).alias("id"), "ahash"
+    s = sigs.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
     )
     bands = s.select(
         "id",
-        "ahash",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("ahash"), width * b)
+                    F.shiftrightunsigned(F.col("__sig"), width * b)
                     .bitwiseAND(F.lit(mask))
                     .cast("long")
                     for b in range(n_bands)
@@ -502,10 +505,10 @@ def ahash_near_dup_pairs(
         ).alias("band", "key"),
     )
     a = bands.select(
-        F.col("id").alias("id_a"), F.col("ahash").alias("h_a"), "band", "key"
+        F.col("id").alias("id_a"), F.col("__sig").alias("h_a"), "band", "key"
     )
     b = bands.select(
-        F.col("id").alias("id_b"), F.col("ahash").alias("h_b"), "band", "key"
+        F.col("id").alias("id_b"), F.col("__sig").alias("h_b"), "band", "key"
     )
     cand = (
         a.join(b, ["band", "key"])
@@ -704,6 +707,106 @@ def frame_sample(
                     "payload": pays,
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def _parse_ppm_gray(payload: bytes):
+    """Parse a P6 PPM payload to a float64 grayscale matrix, or None
+    for undecodable input (shared by the X57 aHash and X85 pHash
+    signatures; identical token walk to the original ahash parser)."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        return None
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval > 255:
+        return None
+    px = np.frombuffer(
+        payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
+    )
+    if px.size < width * height * 3:
+        return None
+    return px.reshape(height, width, 3).astype(np.float64).mean(axis=2)
+
+
+def phash64_ppm(payload: bytes) -> int | None:
+    """X85 — 64-bit DCT perceptual hash (pHash; the public algorithm
+    behind the pHash library): grayscale -> exact 32x32 block-mean
+    downsample -> orthonormal 2-D DCT-II -> top-left 8x8 coefficient
+    block -> one bit per coefficient (above/below the median of the 63
+    AC coefficients; the DC term is excluded and its bit forced 0).
+    Captures low-frequency image STRUCTURE: affine intensity changes
+    (brightness shift moves only the excluded DC term; contrast
+    scaling multiplies every AC coefficient AND their median by the
+    same positive factor) leave all 64 bits untouched, and
+    high-frequency noise (the corpus's one-pixel nudges) lands in
+    coefficients outside the kept 8x8 block. A global inversion
+    negates the AC coefficients and flips every bit — by design:
+    a negative is a DIFFERENT image. The
+    DCT is a plain matrix triple product (no scipy/FFT dependency);
+    all arithmetic is float64 numpy — deterministic on one platform,
+    and the oracle reads the Spark-written signature parquet, so
+    cross-engine bit parity is never assumed. None for undecodable or
+    sub-32x32 payloads."""
+    import numpy as np
+
+    try:
+        gray = _parse_ppm_gray(payload)
+        if gray is None or gray.shape[0] < 32 or gray.shape[1] < 32:
+            return None
+        h, w = gray.shape
+        bh, bw = h // 32, w // 32
+        g = gray[: bh * 32, : bw * 32].reshape(32, bh, 32, bw).mean(axis=(1, 3))
+        k = np.arange(32)[:, None]
+        n = np.arange(32)[None, :]
+        d = np.cos(np.pi * (2 * n + 1) * k / 64) * np.sqrt(2.0 / 32)
+        d[0, :] = np.sqrt(1.0 / 32)
+        coeffs = d @ g @ d.T
+        block = coeffs[:8, :8].flatten()
+        ac = block[1:]
+        med = np.median(ac)
+        bits = [False] + [bool(c > med) for c in ac]
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+    except Exception:  # noqa: BLE001 — malformed image: signature absent
+        return None
+
+
+def image_phash(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X85 — DCT perceptual-hash projection: identical plumbing to
+    :func:`image_ahash` (Arrow mapInPandas, payload pruned, NULL on
+    corrupt input, streaming-safe), different signature column
+    (``phash``)."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("phash", LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [phash64_ppm(p) for p in pdf[payload_col]],
                 }
             )
 

@@ -4979,6 +4979,43 @@ ORDER BY level, key
 """
 
 
+# Q122 — DCT perceptual-hash (pHash) image near-dup pairs (X85): the
+# q103 evidence pattern — Spark writes the signature parquet, DuckDB
+# brute-forces bit_count(xor) over the same file, so the banded
+# candidate generation is oracle-checked as exactly the brute-force
+# pair set (exhaustive regime: max_hamming < n_bands).
+
+_Q122_SIGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q122_media_phash_sigs",
+)
+
+
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.synthetic_image_corpus(spark, n=96)
+    multimodal.image_phash(media).write.mode("overwrite").parquet(_Q122_SIGS_PATH)
+    s = spark.read.parquet(_Q122_SIGS_PATH)
+    return multimodal.ahash_near_dup_pairs(
+        s, max_hamming=6, sig_col="phash"
+    ).orderBy("id_a", "id_b")
+
+
+Q122_SQL = f"""
+WITH s AS (
+  SELECT media_id, phash
+  FROM read_parquet('{_Q122_SIGS_PATH}/*.parquet')
+  WHERE phash IS NOT NULL)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5121,6 +5158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_robust_dim_stats": q119,
     "q120_mmr_select": q120,
     "q121_distinct_rollup": q121,
+    "q122_image_phash_pairs": q122,
 }
 
 ORACLE: dict[str, str] = {
@@ -5243,6 +5281,7 @@ ORACLE: dict[str, str] = {
     "q118_containment_pairs": Q118_SQL,
     "q119_robust_dim_stats": Q119_SQL,
     "q121_distinct_rollup": Q121_SQL,
+    "q122_image_phash_pairs": Q122_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2309,3 +2309,50 @@ def test_distinct_rollup_merge_equivalence(spark, sf_dir):
         3 * 1.04 / (2**6) * total_exact, 2
     )
     assert sharded[("total", None)] <= sum(sharded[k] for k in sharded if k[0] == "group")
+
+
+def test_phash_invariances_and_pairs(spark):
+    """X85: DCT pHash properties on crafted PPMs — (1) brightness
+    shift (+20 clipped-free range) and contrast scaling (x2 within
+    range) leave the hash IDENTICAL (DC excluded, median scales with
+    the ACs); (2) the corpus's one-pixel high-frequency nudge stays
+    within the q122 hamming budget; (3) banded pairs over phash equal
+    brute force (the signature-agnostic exhaustive-banding contract);
+    (4) corrupt payload -> NULL, never an exception."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators import multimodal as mm
+
+    def ppm(v):
+        rgb = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        return f"P6\n{v.shape[1]} {v.shape[0]}\n255\n".encode() + rgb.tobytes()
+
+    x = np.arange(64)[None, :]
+    y = np.arange(64)[:, None]
+    base = (2 * x + 3 * y) % 200  # keep headroom for +20 and x2? scale clips
+    h0 = mm.phash64_ppm(ppm(base))
+    assert h0 is not None
+    assert mm.phash64_ppm(ppm(base + 20)) == h0  # max 219, no clipping
+    half = (base // 2).astype(np.int64)
+    assert mm.phash64_ppm(ppm(half * 2)) == mm.phash64_ppm(ppm(half))
+    nudged = (base + ((x + y) % 97 == 0)).astype(np.int64)
+    d = bin((h0 ^ mm.phash64_ppm(ppm(nudged))) & ((1 << 64) - 1)).count("1")
+    assert d <= 6
+    assert mm.phash64_ppm(b"P6 garbage") is None
+    assert mm.phash64_ppm(None) is None
+
+    media = mm.synthetic_image_corpus(spark, n=32)
+    sigs = mm.image_phash(media)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.ahash_near_dup_pairs(sigs, max_hamming=6, sig_col="phash").collect()
+    }
+    rows = {r["media_id"]: r["phash"] for r in sigs.collect() if r["phash"] is not None}
+    brute = {}
+    for a in rows:
+        for b in rows:
+            if a < b:
+                dd = bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+                if dd <= 6:
+                    brute[(a, b)] = dd
+    assert got == brute  # exhaustive for max_hamming < n_bands

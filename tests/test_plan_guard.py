@@ -213,6 +213,9 @@ FLAGSHIPS = {
     # runtime = one raw scan -> sketch agg, then model-sized union
     # aggs + the one-pass rollup() exact side + validation join
     "q121_distinct_rollup": (16, False),
+    # q122: reads the signature parquet it just wrote (q103 pattern) —
+    # band posexplode + (band, key) self-join + distinct + verify
+    "q122_image_phash_pairs": (8, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
