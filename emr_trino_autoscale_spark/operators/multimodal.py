@@ -811,3 +811,131 @@ def image_phash(
             )
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def synthetic_audio_corpus(spark, n: int = 96) -> DataFrame:
+    """Deterministic 16-bit PCM WAV corpus for audio-fingerprint
+    evidence (q123) — the audio twin of :func:`synthetic_image_corpus`:
+    ``n`` half-second 8 kHz mono clips in groups of 4 — variant 0 a
+    two-tone chord (frequencies a function of the group), variant 1 a
+    near-duplicate (the same chord at 1% lower amplitude plus a tiny
+    deterministic third tone 40 dB down), variants 2/3 audibly distinct
+    (transposed chord / different chord shape). Payloads are pure
+    functions of ``media_id`` — byte-identical on regeneration,
+    executor-side via ``mapInPandas``."""
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _wav(media_id: int) -> bytes:
+        import io
+        import wave
+
+        import numpy as np
+
+        group, variant = divmod(media_id, 4)
+        rate, secs = 8000, 0.5
+        t = np.arange(int(rate * secs), dtype=np.float64) / rate
+        f1, f2 = 220.0 + 15.0 * (group % 7), 440.0 + 20.0 * (group % 5)
+        if variant == 2:
+            f1, f2 = f1 * 1.5, f2 * 1.5
+        elif variant == 3:
+            f2 = f1 * 1.25
+        x = 0.45 * np.sin(2 * np.pi * f1 * t) + 0.35 * np.sin(2 * np.pi * f2 * t)
+        if variant == 1:
+            x = 0.99 * x + 0.005 * np.sin(2 * np.pi * (f1 * 3.01) * t)
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [_wav(int(i)) for i in ids]}
+            )
+
+    return spark.range(n).mapInPandas(batches, schema=out_schema)
+
+
+def afp64_wav(payload: bytes) -> int | None:
+    """X86 — 64-bit audio fingerprint from band-energy structure (the
+    Haitsma-Kalker band-energy family, Philips ISMIR 2002 — public;
+    simplified to an absolute hot-band indicator, which is the stable
+    statistic for steady-state content where H-K's temporal derivative
+    degenerates to float noise): mono samples -> 4 fixed 1000-sample
+    frames -> per-frame energies in 16 linear bands over 180-820 Hz
+    (|rFFT|^2 partial sums) -> one bit per (frame, band): is the band
+    HOT (energy > frame_total / 16)? 4 x 16 = 64 bits.
+
+    Robust to gain changes (the hot criterion is a ratio) and to
+    additive content far below the band energies; transposition moves
+    energy across bands and flips the hot set. None for undecodable or
+    too-short (< 4000 samples) payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            rate = w.getframerate()
+            samples = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            )
+            if w.getnchannels() > 1:
+                samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
+        x = np.asarray(samples, dtype=np.float64) / 32768.0
+        n_frames, frame_len, n_bands = 4, 1000, 16
+        if x.size < n_frames * frame_len or rate <= 0:
+            return None
+        edges = np.linspace(180.0, 820.0, n_bands + 1)
+        freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
+        bits = []
+        for f in range(n_frames):
+            seg = x[f * frame_len : (f + 1) * frame_len]
+            spec = np.abs(np.fft.rfft(seg * np.hanning(frame_len))) ** 2
+            band_e = np.array(
+                [
+                    spec[(freqs >= edges[b]) & (freqs < edges[b + 1])].sum()
+                    for b in range(n_bands)
+                ]
+            )
+            thresh = band_e.sum() / n_bands
+            bits.extend(bool(e > thresh) for e in band_e)
+        v = 0
+        for bit in bits:
+            v = (v << 1) | int(bit)
+        return v - (1 << 64) if v >= (1 << 63) else v
+    except Exception:  # noqa: BLE001 — malformed audio: signature absent
+        return None
+
+
+def audio_fingerprint(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X86 — audio-fingerprint projection: identical Arrow mapInPandas
+    plumbing to :func:`image_ahash`/:func:`image_phash`, signature
+    column ``afp``; near-dup pairs reuse the signature-agnostic banded
+    contract (``ahash_near_dup_pairs(sig_col='afp')``)."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("afp", LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": [afp64_wav(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

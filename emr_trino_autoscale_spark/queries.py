@@ -5016,6 +5016,44 @@ ORDER BY id_a, id_b
 """
 
 
+# Q123 — audio-fingerprint near-dup pairs (X86): the q103/q122 evidence
+# pattern over the deterministic WAV corpus — Spark writes the
+# fingerprint parquet, DuckDB brute-forces bit_count(xor) on the same
+# file (exhaustive banding regime: max_hamming 4 < 8 bands).
+
+_Q123_SIGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q123_media_afp_sigs",
+)
+
+
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.synthetic_audio_corpus(spark, n=96)
+    multimodal.audio_fingerprint(media).write.mode("overwrite").parquet(
+        _Q123_SIGS_PATH
+    )
+    s = spark.read.parquet(_Q123_SIGS_PATH)
+    return multimodal.ahash_near_dup_pairs(
+        s, max_hamming=4, sig_col="afp"
+    ).orderBy("id_a", "id_b")
+
+
+Q123_SQL = f"""
+WITH s AS (
+  SELECT media_id, afp
+  FROM read_parquet('{_Q123_SIGS_PATH}/*.parquet')
+  WHERE afp IS NOT NULL)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5159,6 +5197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_mmr_select": q120,
     "q121_distinct_rollup": q121,
     "q122_image_phash_pairs": q122,
+    "q123_audio_fp_pairs": q123,
 }
 
 ORACLE: dict[str, str] = {
@@ -5282,6 +5321,7 @@ ORACLE: dict[str, str] = {
     "q119_robust_dim_stats": Q119_SQL,
     "q121_distinct_rollup": Q121_SQL,
     "q122_image_phash_pairs": Q122_SQL,
+    "q123_audio_fp_pairs": Q123_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2356,3 +2356,61 @@ def test_phash_invariances_and_pairs(spark):
                 if dd <= 6:
                     brute[(a, b)] = dd
     assert got == brute  # exhaustive for max_hamming < n_bands
+
+
+def test_audio_fingerprint_invariances_and_pairs(spark):
+    """X86: band-energy audio fingerprint — (1) gain change (x0.5)
+    leaves the hash IDENTICAL (hot criterion is a ratio); (2) the
+    corpus's near-dup variant (1% gain + faint third tone) is
+    hash-identical to its base; (3) transposed / different-chord
+    variants sit >= 8 bits away; (4) banded pairs equal brute force
+    at max_hamming=4 (exhaustive regime); (5) corrupt/short payload ->
+    NULL."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators import multimodal as mm
+
+    def wav(x, rate=8000):
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    t = np.arange(4000) / 8000.0
+    x = 0.4 * np.sin(2 * np.pi * 250 * t) + 0.3 * np.sin(2 * np.pi * 470 * t)
+    h0 = mm.afp64_wav(wav(x))
+    assert h0 is not None
+    assert mm.afp64_wav(wav(0.5 * x)) == h0  # gain invariance
+    assert mm.afp64_wav(b"RIFFgarbage") is None
+    assert mm.afp64_wav(wav(x[:1000])) is None  # too short
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    media = mm.synthetic_audio_corpus(spark, n=32)
+    sigs = {r["media_id"]: r["afp"] for r in mm.audio_fingerprint(media).collect()}
+    for g in range(8):
+        assert ham(sigs[4 * g], sigs[4 * g + 1]) <= 4  # near-dup
+        assert ham(sigs[4 * g], sigs[4 * g + 2]) >= 8  # transposed
+        assert ham(sigs[4 * g], sigs[4 * g + 3]) >= 8  # other chord
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.ahash_near_dup_pairs(
+            mm.audio_fingerprint(media), max_hamming=4, sig_col="afp"
+        ).collect()
+    }
+    brute = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b and sigs[a] is not None and sigs[b] is not None:
+                d = ham(sigs[a], sigs[b])
+                if d <= 4:
+                    brute[(a, b)] = d
+    assert got == brute

@@ -216,6 +216,8 @@ FLAGSHIPS = {
     # q122: reads the signature parquet it just wrote (q103 pattern) —
     # band posexplode + (band, key) self-join + distinct + verify
     "q122_image_phash_pairs": (8, False),
+    # q123: same parquet-signature read + banded self-join shape
+    "q123_audio_fp_pairs": (8, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
