@@ -445,6 +445,38 @@ def image_ahash(
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def signature_bands(
+    sigs: DataFrame,
+    n_bands: int,
+    sig_col: str = "ahash",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Shared X57/X85/X86/X87 banding projection: split a 64-bit
+    signature into ``n_bands`` equal-width band keys — (id, __sig,
+    band, key) rows, one narrow posexplode, streaming-safe (pure
+    row-local)."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    s = sigs.filter(F.col(sig_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
+    )
+    return s.select(
+        "id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+
+
 def ahash_near_dup_pairs(
     sigs: DataFrame,
     max_hamming: int = 6,
@@ -484,26 +516,7 @@ def ahash_near_dup_pairs(
     """
     if n_bands is None:
         n_bands = next(nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb > max_hamming)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    s = sigs.filter(F.col(sig_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig")
-    )
-    bands = s.select(
-        "id",
-        "__sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("__sig"), width * b)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("long")
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "key"),
-    )
+    bands = signature_bands(sigs, n_bands, sig_col=sig_col, id_col=id_col)
     a = bands.select(
         F.col("id").alias("id_a"), F.col("__sig").alias("h_a"), "band", "key"
     )

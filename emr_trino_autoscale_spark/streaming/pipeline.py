@@ -396,6 +396,62 @@ def embedding_neardup_stream(
     return scored.dropDuplicates([id_col, "corpus_id"])
 
 
+def media_neardup_stream(
+    media: DataFrame,
+    sig_index: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int | None = None,
+    sig_col: str = "ahash",
+    id_col: str = "media_id",
+    signature_fn=None,
+) -> DataFrame:
+    """X87 live twin of q103/q122/q123 (`multimodal.ahash_near_dup_pairs`
+    with any 64-bit signature): an arriving media payload is signatured
+    with the SAME Arrow mapInPandas projection as the batch tier
+    (``signature_fn`` — defaults to `multimodal.image_ahash`; pass
+    `image_phash` / `audio_fingerprint` with the matching ``sig_col``),
+    banded with the SAME `signature_bands` geometry, candidate-joined
+    stream-static against the compacted signature INDEX, and verified
+    with the exact popcount — every emitted (arriving_id, corpus_id,
+    hamming) row passes ``bit_count(xor) <= max_hamming``.
+
+    Stream-static inner equi-join on (band, key) only — zero streaming
+    state; the index side is re-planned per micro-batch so periodic
+    recompaction is picked up without restart (the X33/X70 pattern). A
+    pair agreeing in multiple bands emits once per agreeing band;
+    collapsing to distinct pairs is a stream-side agg append mode
+    cannot do statelessly — the batch reconciliation tier owns the
+    dedup, exactly as it owns X70's link-or-create collapse. Exhaustive
+    recall in the ``max_hamming < n_bands`` regime, per the batch
+    operator's pigeonhole contract."""
+    from ..operators import multimodal as _mm
+
+    if signature_fn is None:
+        signature_fn = _mm.image_ahash
+    if n_bands is None:
+        n_bands = next(nb for nb in (1, 2, 4, 8, 16, 32, 64) if nb > max_hamming)
+    arriving = signature_fn(media)
+    a = _mm.signature_bands(arriving, n_bands, sig_col=sig_col, id_col=id_col)
+    b = _mm.signature_bands(sig_index, n_bands, sig_col=sig_col, id_col=id_col)
+    joined = a.join(
+        b.select(
+            F.col("id").alias("corpus_id"),
+            F.col("__sig").alias("__csig"),
+            "band",
+            "key",
+        ),
+        ["band", "key"],
+    ).filter(F.col("id") != F.col("corpus_id"))
+    return (
+        joined.withColumn(
+            "hamming",
+            F.bit_count(F.col("__sig").bitwiseXOR(F.col("__csig"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("id").alias(id_col), "corpus_id", "hamming")
+    )
+
+
 def make_drift_scorer(
     baseline: DataFrame,
     group_col: str = "event_type",

@@ -753,3 +753,50 @@ def test_blocklist_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert (2, "cat dog") not in got and (1, "cat dog") in got
+
+def test_media_neardup_stream_matches_batch(spark, tmp_path):
+    """X87: streaming media-fingerprint near-dup — arriving images
+    signature + band + verify against the static signature index
+    through the identical geometry; the distinct-collapsed stream
+    output equals the batch pair set restricted to (arriving x index),
+    and every emitted hamming passes the exact bound."""
+    from emr_trino_autoscale_spark.operators import multimodal as mm
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    corpus = mm.synthetic_image_corpus(spark, n=16)
+    # index = the even ids; "arriving" = the odd ids (near-dups exist
+    # across the split: variant 1 of each group arrives, base indexed)
+    index_sigs = mm.image_ahash(corpus.filter(F.col("media_id") % 2 == 0))
+    index_pdf = index_sigs.collect()
+    index_static = spark.createDataFrame(index_pdf, index_sigs.schema)
+    arriving = corpus.filter(F.col("media_id") % 2 == 1)
+    src = tmp_path / "media_src"
+    chk = tmp_path / "media_chk"
+    arriving.repartition(1).write.parquet(str(src))
+    stream = spark.readStream.schema(arriving.schema).parquet(str(src))
+    q = (
+        pipeline.media_neardup_stream(stream, index_static, max_hamming=6)
+        .writeStream.format("memory")
+        .queryName("media_stream_test")
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["media_id"], r["corpus_id"]): r["hamming"]
+        for r in spark.sql("select * from media_stream_test").collect()
+    }
+    # brute-force truth over the split
+    arr = {r["media_id"]: r["ahash"] for r in mm.image_ahash(arriving).collect()
+           if r["ahash"] is not None}
+    idx = {r["media_id"]: r["ahash"] for r in index_pdf if r["ahash"] is not None}
+    want = {}
+    for a, ha in arr.items():
+        for c, hc in idx.items():
+            d = bin((ha ^ hc) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                want[(a, c)] = d
+    assert got == want and len(want) > 0
+    assert all(v <= 6 for v in got.values())
