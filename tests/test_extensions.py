@@ -2117,8 +2117,18 @@ def test_substring_search_matches_naive_contains(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     qs = ["scan merge", "window window", "zz-never-present"]
+    cached = []
+
+    def _track(df):
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(df)
+        return df
+
     got = sorted(
-        (r["query"], r["doc_id"]) for r in T.substring_search(d, qs).collect()
+        (r["query"], r["doc_id"])
+        for r in T.substring_search(d, qs, persist_fn=_track).collect()
     )
     want = []
     for q in qs:
@@ -2128,6 +2138,8 @@ def test_substring_search_matches_naive_contains(spark, sf_dir):
         ]
     assert got == sorted(want)
     assert not [g for g in got if g[0] == "zz-never-present"]
+    for df in cached:
+        df.unpersist(blocking=False)
     with pytest.raises(ValueError):
         T.substring_search(d, ["ab"])
 
@@ -2282,16 +2294,33 @@ def test_distinct_rollup_merge_equivalence(spark, sf_dir):
     from emr_trino_autoscale_spark.operators import stats as st
 
     e = load_table(spark, sf_dir, "events")
+    # track the operator's internal persists and release them: a leaked
+    # cache here gets substituted into q121's plan by Spark's cache
+    # manager and flips the plan-guard's exchange count (seen in the
+    # full-suite run)
+    cached = []
+
+    def _track(df):
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        cached.append(df)
+        return df
+
     sharded = {
         (r["level"], r["key"]): r["estimate"]
         for r in st.distinct_rollup(
-            e, "event_type", "user_id", shard_col=F.to_date("ts").cast("string")
+            e,
+            "event_type",
+            "user_id",
+            shard_col=F.to_date("ts").cast("string"),
+            persist_fn=_track,
         ).collect()
     }
     one_shard = {
         (r["level"], r["key"]): r["estimate"]
         for r in st.distinct_rollup(
-            e, "event_type", "user_id", shard_col=F.lit(0)
+            e, "event_type", "user_id", shard_col=F.lit(0), persist_fn=_track
         ).collect()
     }
     assert sharded == one_shard  # merge-equivalence, exact
@@ -2309,6 +2338,8 @@ def test_distinct_rollup_merge_equivalence(spark, sf_dir):
         3 * 1.04 / (2**6) * total_exact, 2
     )
     assert sharded[("total", None)] <= sum(sharded[k] for k in sharded if k[0] == "group")
+    for df in cached:
+        df.unpersist(blocking=False)
 
 
 def test_phash_invariances_and_pairs(spark):
