@@ -542,3 +542,116 @@ def test_semantic_dedup_dup_of_invariants(spark):
         if r["dup_of"] is not None:
             assert r["dup_of"] < r["vec_id"]
             assert cluster[r["dup_of"]] == r["cluster_id"]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=30), min_size=1, max_size=12
+    ),
+    queries=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=6), min_size=1, max_size=3
+    ),
+)
+@settings(**SETTINGS)
+def test_substring_search_equals_brute_contains(spark, texts, queries):
+    """X77 property: for ANY corpus and ANY >=3-char queries, the
+    trigram-index route equals the brute-force contains scan exactly —
+    the probe-subset pruning can never lose a match (superset
+    candidates) nor add one (exact verify)."""
+    from emr_trino_autoscale_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["query"], r["doc_id"])
+        for r in T.substring_search(d, list(dict.fromkeys(queries))).collect()
+    }
+    want = {
+        (q, i)
+        for q in dict.fromkeys(queries)
+        for i, t in enumerate(texts)
+        if q in t
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=5, max_size=40), min_size=2, max_size=10
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(**SETTINGS)
+def test_containment_pairs_match_set_arithmetic(spark, texts, threshold):
+    """X80 property: containment_pairs equals python set arithmetic
+    over distinct 3-token shingles for every ordered pair — the
+    asymmetric prefix filter is lossless at any threshold."""
+    from emr_trino_autoscale_spark.operators import dedup as D
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): float(r["containment"])
+        for r in D.containment_pairs(d, threshold=threshold).collect()
+    }
+    sh = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if len(toks) >= 3:
+            sh[i] = {
+                " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+            }
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a != b and sh[a]:
+                c = round(len(sh[a] & sh[b]) / len(sh[a]), 4)
+                if c >= threshold:
+                    want[(a, b)] = c
+    assert got.keys() == want.keys()
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=25), min_size=1, max_size=8
+    ),
+    window=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_pmi_pair_counts_match_reference(spark, texts, window):
+    """X79 property: the row-local shifted-zip pair stream produces
+    exactly the reference skip-gram pair multiset (canonical sorted
+    pairs, distances 1..window), and PMI recomputes from the counts."""
+    import math
+
+    from emr_trino_autoscale_spark.operators import text as T
+
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["tok_a"], r["tok_b"]): (r["pair_count"], r["pmi"])
+        for r in T.pmi_cooccurrence(d, window=window, min_count=1).collect()
+    }
+    pairs: dict = {}
+    unigrams: dict = {}
+    for t in texts:
+        toks = t.split(" ")
+        for tok in toks:
+            unigrams[tok] = unigrams.get(tok, 0) + 1
+        for dd in range(1, window + 1):
+            for i in range(len(toks) - dd):
+                a, b = sorted((toks[i], toks[i + dd]))
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    P = sum(pairs.values())
+    T_ = sum(unigrams.values())
+    assert {k: v[0] for k, v in got.items()} == pairs
+    for (a, b), (n, pmi) in got.items():
+        want = round(
+            math.log((n / P) / ((unigrams[a] / T_) * (unigrams[b] / T_))), 4
+        )
+        assert abs(pmi - want) < 1e-9
