@@ -208,3 +208,66 @@ def hash_split(
         .when(b < F.lit(test_digit), F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def scalable_ntile(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    n_tiles: int,
+    bucket_width: float = 64.0,
+    out_col: str = "tile",
+) -> DataFrame:
+    """X88 — exact NTILE over low-cardinality partitions without the
+    single-task per-group sort (the q36/bucketed_prefix_sum argument
+    applied to ranking): ``bucket = floor(order_col / bucket_width)``
+    is monotone in the order column, so the global rank decomposes as
+    (rows in earlier buckets) + (intra-bucket row_number). The intra
+    window sorts only one bucket's rows; the bucket-offset window runs
+    over #buckets rows; group totals broadcast. The tile is then pure
+    arithmetic on (rank, n): with n rows and k tiles the first n mod k
+    tiles hold ceil(n/k) rows — exactly Spark's and DuckDB's NTILE
+    contract, equivalence pytest-pinned against F.ntile.
+
+    ``order_col`` must be numeric; (order_col, tiebreak_col) must be a
+    total order within each partition (the determinism convention every
+    ranking query here follows).
+    """
+    base = df.withColumn(
+        "__bkt", F.floor(F.col(order_col) / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc()
+    )
+    intra = base.withColumn("__irnk", F.row_number().over(w_in))
+    # one bucket-count agg carries BOTH the running offset and the
+    # group total (a second window over the same #buckets-row frame) —
+    # the corpus is scanned exactly twice (intra ranks + this agg),
+    # never a third time for totals
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
+    w_tot = Window.partitionBy(*part_cols)
+    offsets = (
+        base.groupBy(*part_cols, "__bkt")
+        .agg(F.count("*").alias("__bn"))
+        .withColumn("__off", F.sum("__bn").over(w_b) - F.col("__bn"))
+        .withColumn("__n", F.sum("__bn").over(w_tot))
+        .select(*part_cols, "__bkt", "__off", "__n")
+    )
+    rank = F.col("__off") + F.col("__irnk")
+    k = F.lit(n_tiles)
+    base_sz = F.floor(F.col("__n") / k)
+    rem = F.col("__n") % k
+    boundary = rem * (base_sz + 1)
+    tile = F.when(
+        rank <= boundary, F.floor((rank - 1) / (base_sz + 1)) + 1
+    ).otherwise(
+        # greatest(.., 1): base_sz = 0 only when n < k, where every rank
+        # falls in the first branch — guard the dead division anyway
+        rem + F.floor((rank - 1 - boundary) / F.greatest(base_sz, F.lit(1))) + 1
+    )
+    return (
+        intra.join(offsets, [*part_cols, "__bkt"])
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__bkt", "__irnk", "__off", "__n")
+    )

@@ -5054,6 +5054,86 @@ ORDER BY id_a, id_b
 """
 
 
+# Q124 — CUBE with grouping indicators (the one multi-dimensional
+# grouping shape q33's ROLLUP left uncovered): per-(source, lang) doc
+# stats at all four grouping levels, with explicit grouping() flags so
+# engines agree on which NULLs are subtotal markers.
+
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source", "lang", "g_source", "g_lang", "n_docs", "total_chars"
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
+
+
+Q124_SQL = """
+SELECT source, lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (source, lang)
+ORDER BY g_source, g_lang, source, lang
+"""
+
+
+# Q125 — decile banding (NTILE) with per-band stats: equal-frequency
+# bucketing of event values within each type, the feature-binning
+# shape quantile histograms don't give (exact equal counts, not equal
+# widths). Total order pinned by (value, event_id) so both engines
+# assign identical tiles. Implementation is the X88 two-phase rank
+# (skew.scalable_ntile) — event_type has ~5 values, so a plain NTILE
+# window is the low-cardinality single-task-sort anti-pattern at
+# 100 TB; the decomposed form sorts one value-bucket per task and is
+# pytest-pinned equal to F.ntile. The oracle stays the plain NTILE.
+
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        skew.scalable_ntile(
+            e,
+            ["event_type"],
+            "value",
+            "event_id",
+            n_tiles=10,
+            bucket_width=25.0,
+            out_col="decile",
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dec4(F.min("value")).alias("lo"),
+            dec4(F.max("value")).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+Q125_SQL = f"""
+WITH t AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value ASC, event_id ASC) AS decile
+  FROM events)
+SELECT event_type, CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('MIN(value)')} AS lo,
+       {_dec4('MAX(value)')} AS hi
+FROM t GROUP BY event_type, decile ORDER BY event_type, decile
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5198,6 +5278,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_distinct_rollup": q121,
     "q122_image_phash_pairs": q122,
     "q123_audio_fp_pairs": q123,
+    "q124_cube_grouping": q124,
+    "q125_decile_bands": q125,
 }
 
 ORACLE: dict[str, str] = {
@@ -5322,6 +5404,8 @@ ORACLE: dict[str, str] = {
     "q121_distinct_rollup": Q121_SQL,
     "q122_image_phash_pairs": Q122_SQL,
     "q123_audio_fp_pairs": Q123_SQL,
+    "q124_cube_grouping": Q124_SQL,
+    "q125_decile_bands": Q125_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -218,6 +218,12 @@ FLAGSHIPS = {
     "q122_image_phash_pairs": (8, False),
     # q123: same parquet-signature read + banded self-join shape
     "q123_audio_fp_pairs": (8, False),
+    # q124: one Expand-based cube agg + sort
+    "q124_cube_grouping": (4, False),
+    # q125: X88 two-phase ntile — intra-bucket window + bucket-offset
+    # window (sharing the (type, bkt) exchange) + broadcast totals +
+    # final band agg
+    "q125_decile_bands": (10, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the

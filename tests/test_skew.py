@@ -172,3 +172,36 @@ def test_salted_agg_rejects_unmergeable(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_scalable_ntile_matches_builtin(spark):
+    """X88: the two-phase decomposed NTILE equals F.ntile row for row —
+    including the n < k regime (every tile gets one row until rows run
+    out), ties broken by the tiebreak column, and values straddling
+    bucket boundaries."""
+    import random
+
+    from pyspark.sql import Window
+
+    from emr_trino_autoscale_spark.operators import skew as sk
+
+    rng = random.Random(88)
+    rows = [
+        (i, "g%d" % (i % 3), float(rng.randint(0, 300)))
+        for i in range(500)
+    ] + [(1000 + j, "tiny", float(j)) for j in range(4)]  # n=4 < k=10
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {
+        r["event_id"]: r["tile"]
+        for r in sk.scalable_ntile(
+            df, ["event_type"], "value", "event_id", n_tiles=10, bucket_width=25.0
+        ).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    want = {
+        r["event_id"]: r["t"]
+        for r in df.withColumn("t", F.ntile(10).over(w).cast("int")).collect()
+    }
+    assert got == want
