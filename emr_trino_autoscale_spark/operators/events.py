@@ -254,3 +254,60 @@ def cohort_retention(
         "cohort_size",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+def binned_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str = "ts",
+    int_start: str = "w_start",
+    int_end: str = "w_end",
+    equi_cols: tuple[str, ...] = (),
+    bin_seconds: int = 86400,
+) -> DataFrame:
+    """X89 — point-in-interval join for LARGE fact x LARGE interval
+    tables: the scale form of q39's broadcast non-equi join, which
+    plans a BroadcastNestedLoopJoin and dies the moment the interval
+    side outgrows the broadcast threshold (promo windows, maintenance
+    windows, per-entity validity ranges — all corpus-scale in
+    practice).
+
+    Decomposition: both sides key into fixed ``bin_seconds`` time bins
+    — a point belongs to exactly ONE bin, an interval explodes into
+    the bins it covers (row-local ``sequence``) — so the candidate
+    join is a plain EQUI join on (equi_cols..., bin) that shuffles and
+    AQE-balances like any other; the exact ``start <= ts < end``
+    predicate filters candidates after the join. Because the point
+    lands in one bin and an interval covers each bin once, no
+    dedup is needed (windowed-fact variants dedup on id pairs).
+    Candidate volume per fact = intervals overlapping its bin; pick
+    ``bin_seconds`` near the typical interval length so each interval
+    explodes into O(1) bins. Semantics: half-open [start, end),
+    matching the engine's window convention; the q126 oracle replays
+    it as a plain non-equi join.
+    """
+    fb = facts.withColumn(
+        "__bin",
+        F.floor(F.unix_timestamp(F.col(fact_ts)) / F.lit(bin_seconds)).cast(
+            "long"
+        ),
+    )
+    ib = intervals.withColumn(
+        "__bins",
+        F.sequence(
+            F.floor(
+                F.unix_timestamp(F.col(int_start)) / F.lit(bin_seconds)
+            ).cast("long"),
+            F.floor(
+                (F.unix_timestamp(F.col(int_end)) - 1) / F.lit(bin_seconds)
+            ).cast("long"),
+        ),
+    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    return (
+        fb.join(ib, [*equi_cols, "__bin"])
+        .filter(
+            (F.col(fact_ts) >= F.col(int_start))
+            & (F.col(fact_ts) < F.col(int_end))
+        )
+        .drop("__bin")
+    )

@@ -5134,6 +5134,71 @@ FROM t GROUP BY event_type, decile ORDER BY event_type, decile
 """
 
 
+# Q126 — binned interval join (X89): events against 30 per-type promo
+# windows through the bin-decomposed EQUI join — the large x large
+# range-join shape q39's broadcast non-equi form cannot survive. The
+# oracle replays it as a plain non-equi join, so the decomposition is
+# hash-proven lossless.
+
+_IIJ_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        spark.range(30)
+        .select(
+            F.col("id").cast("bigint").alias("interval_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in _IIJ_TYPES]),
+                F.floor(F.col("id") / 6).cast("int") + 1,
+            ).alias("event_type"),
+            (
+                (F.col("id") % 6) * 4 + F.floor(F.col("id") / 6)
+            ).cast("int").alias("__d"),
+        )
+        .withColumn(
+            "w_start",
+            F.to_timestamp(F.lit("2024-01-01")) + F.expr("make_interval(0,0,0,__d)"),
+        )
+        .withColumn(
+            "w_end",
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.expr("make_interval(0,0,0,__d + 2)"),
+        )
+        .drop("__d")
+    )
+    return (
+        ev_ops.binned_interval_join(
+            e, iv, equi_cols=("event_type",), bin_seconds=86400
+        )
+        .groupBy("interval_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dec4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+Q126_SQL = f"""
+WITH iv AS (
+  SELECT CAST(i AS BIGINT) AS interval_id,
+         ['click', 'error', 'purchase', 'signup', 'view'][CAST(i // 6 AS INT) + 1]
+           AS event_type,
+         TIMESTAMP '2024-01-01' + INTERVAL ((i % 6) * 4 + i // 6) DAY AS w_start,
+         TIMESTAMP '2024-01-01' + INTERVAL ((i % 6) * 4 + i // 6 + 2) DAY AS w_end
+  FROM range(30) t(i))
+SELECT iv.interval_id, iv.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_dec4('SUM(e.value)')} AS sum_value
+FROM events e
+JOIN iv ON e.event_type = iv.event_type
+       AND e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2 ORDER BY interval_id
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5280,6 +5345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_audio_fp_pairs": q123,
     "q124_cube_grouping": q124,
     "q125_decile_bands": q125,
+    "q126_interval_join_binned": q126,
 }
 
 ORACLE: dict[str, str] = {
@@ -5406,6 +5472,7 @@ ORACLE: dict[str, str] = {
     "q123_audio_fp_pairs": Q123_SQL,
     "q124_cube_grouping": Q124_SQL,
     "q125_decile_bands": Q125_SQL,
+    "q126_interval_join_binned": Q126_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -158,3 +158,51 @@ def test_cohort_retention_dst_transition_weeks(spark):
         assert out[1]["n_active"] == 1 and abs(out[1]["retention"] - 0.5) < 1e-12
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_binned_interval_join_matches_nonequi(spark):
+    """X89: the bin-decomposed equi join equals the plain non-equi
+    join exactly, including events on interval boundaries (start
+    inclusive, end exclusive), intervals shorter than / spanning
+    multiple bins, and non-matching equi keys."""
+    from datetime import datetime
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    facts = spark.createDataFrame(
+        [
+            (1, "a", datetime(2024, 1, 2, 0, 0, 0)),    # == start: in
+            (2, "a", datetime(2024, 1, 4, 0, 0, 0)),    # == end: out
+            (3, "a", datetime(2024, 1, 3, 12, 30, 0)),  # inside
+            (4, "b", datetime(2024, 1, 3, 0, 0, 0)),    # wrong key
+            (5, "a", datetime(2024, 1, 10, 5, 0, 0)),   # inside short iv
+            (6, "a", datetime(2024, 1, 20, 0, 0, 1)),   # no interval
+        ],
+        "event_id long, event_type string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, "a", datetime(2024, 1, 2), datetime(2024, 1, 4)),     # 2 bins
+            (1, "a", datetime(2024, 1, 10, 4), datetime(2024, 1, 10, 6)),  # sub-bin
+            (2, "b", datetime(2024, 1, 1), datetime(2024, 1, 8)),     # 7 bins
+        ],
+        "interval_id long, event_type string, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in ev.binned_interval_join(
+            facts, ivs, equi_cols=("event_type",)
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["interval_id"])
+        for r in facts.alias("f")
+        .join(
+            ivs.alias("i"),
+            (F.col("f.event_type") == F.col("i.event_type"))
+            & (F.col("f.ts") >= F.col("i.w_start"))
+            & (F.col("f.ts") < F.col("i.w_end")),
+        )
+        .collect()
+    }
+    assert got == want == {(1, 0), (3, 0), (4, 2), (5, 1)}

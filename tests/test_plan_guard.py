@@ -224,6 +224,9 @@ FLAGSHIPS = {
     # window (sharing the (type, bkt) exchange) + broadcast totals +
     # final band agg
     "q125_decile_bands": (10, False),
+    # q126: the 30-row exploded interval side broadcasts under AQE (a
+    # plain equi join at scale); bin join + band agg + sort
+    "q126_interval_join_binned": (6, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
