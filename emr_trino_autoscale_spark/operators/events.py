@@ -264,6 +264,7 @@ def binned_interval_join(
     int_end: str = "w_end",
     equi_cols: tuple[str, ...] = (),
     bin_seconds: int = 86400,
+    fact_end: str | None = None,
 ) -> DataFrame:
     """X89 — point-in-interval join for LARGE fact x LARGE interval
     tables: the scale form of q39's broadcast non-equi join, which
@@ -285,13 +286,34 @@ def binned_interval_join(
     explodes into O(1) bins. Semantics: half-open [start, end),
     matching the engine's window convention; the q126 oracle replays
     it as a plain non-equi join.
+
+    ``fact_end`` switches to the WINDOWED-fact overlap join (ranges on
+    BOTH sides — q39's semantic at any scale): the fact side explodes
+    into ITS covered bins too, overlap is
+    ``fact_ts < int_end AND fact_end > int_start``, and the one new
+    cost is a full-row ``dropDuplicates`` (a range pair can agree in
+    several bins); candidates stay bin-local. The q127 oracle replays
+    this variant as the plain non-equi overlap join.
     """
-    fb = facts.withColumn(
-        "__bin",
-        F.floor(F.unix_timestamp(F.col(fact_ts)) / F.lit(bin_seconds)).cast(
-            "long"
-        ),
-    )
+    if fact_end is not None:
+        fb = facts.withColumn(
+            "__bins",
+            F.sequence(
+                F.floor(
+                    F.unix_timestamp(F.col(fact_ts)) / F.lit(bin_seconds)
+                ).cast("long"),
+                F.floor(
+                    (F.unix_timestamp(F.col(fact_end)) - 1) / F.lit(bin_seconds)
+                ).cast("long"),
+            ),
+        ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    else:
+        fb = facts.withColumn(
+            "__bin",
+            F.floor(F.unix_timestamp(F.col(fact_ts)) / F.lit(bin_seconds)).cast(
+                "long"
+            ),
+        )
     ib = intervals.withColumn(
         "__bins",
         F.sequence(
@@ -303,6 +325,16 @@ def binned_interval_join(
             ).cast("long"),
         ),
     ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    if fact_end is not None:
+        overlap = (F.col(fact_ts) < F.col(int_end)) & (
+            F.col(fact_end) > F.col(int_start)
+        )
+        return (
+            fb.join(ib, [*equi_cols, "__bin"])
+            .filter(overlap)
+            .drop("__bin")
+            .dropDuplicates()
+        )
     return (
         fb.join(ib, [*equi_cols, "__bin"])
         .filter(

@@ -5199,6 +5199,57 @@ GROUP BY 1, 2 ORDER BY interval_id
 """
 
 
+# Q127 — windowed-fact binned overlap join (X89 fact_end variant):
+# q39's order-window x quarter-grid semantic rebuilt through the
+# bin-decomposed equi join — no broadcast, no nested loop, the form
+# that survives an interval side too big to broadcast. Overlap is the
+# operator's half-open convention (w_s < q_end AND w_e > q_start);
+# the oracle replays the plain non-equi overlap join.
+
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        "o_orderkey",
+        F.to_timestamp("o_orderdate").alias("w_s"),
+        (F.to_timestamp("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("w_e"),
+    )
+    grid = (
+        o.select(F.date_trunc("quarter", "o_orderdate").alias("q_start"))
+        .distinct()
+        .withColumn("q_end", F.expr("q_start + INTERVAL 3 MONTH"))
+    )
+    return (
+        ev_ops.binned_interval_join(
+            facts,
+            grid,
+            fact_ts="w_s",
+            int_start="q_start",
+            int_end="q_end",
+            bin_seconds=86400 * 30,
+            fact_end="w_e",
+        )
+        .groupBy(F.date_format("q_start", "yyyy-MM-dd").alias("quarter"))
+        .agg(F.count("*").cast("bigint").alias("n_active_orders"))
+        .orderBy("quarter")
+    )
+
+
+Q127_SQL = """
+WITH f AS (
+  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS w_s,
+         CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS w_e
+  FROM orders),
+grid AS (
+  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS q_start,
+         date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS q_end
+  FROM orders)
+SELECT strftime(q_start, '%Y-%m-%d') AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_active_orders
+FROM f JOIN grid ON f.w_s < grid.q_end AND f.w_e > grid.q_start
+GROUP BY 1 ORDER BY quarter
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5346,6 +5397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_cube_grouping": q124,
     "q125_decile_bands": q125,
     "q126_interval_join_binned": q126,
+    "q127_overlap_join_binned": q127,
 }
 
 ORACLE: dict[str, str] = {
@@ -5473,6 +5525,7 @@ ORACLE: dict[str, str] = {
     "q124_cube_grouping": Q124_SQL,
     "q125_decile_bands": Q125_SQL,
     "q126_interval_join_binned": Q126_SQL,
+    "q127_overlap_join_binned": Q127_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

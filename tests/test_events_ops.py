@@ -206,3 +206,43 @@ def test_binned_interval_join_matches_nonequi(spark):
         .collect()
     }
     assert got == want == {(1, 0), (3, 0), (4, 2), (5, 1)}
+
+
+def test_binned_interval_join_windowed_facts(spark):
+    """X89 fact_end variant: range x range overlap through the bin
+    join equals the plain non-equi overlap join — pairs agreeing in
+    several bins collapse to one row (the dropDuplicates contract),
+    and the half-open convention holds on both boundaries."""
+    from datetime import datetime
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    facts = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10)),  # spans 3 ivs
+            (2, datetime(2024, 1, 5), datetime(2024, 1, 6)),   # inside iv1
+            (3, datetime(2024, 1, 8), datetime(2024, 1, 8, 0, 0, 1)),
+            (4, datetime(2024, 2, 1), datetime(2024, 2, 2)),   # no overlap
+        ],
+        "fact_id long, f_s timestamp, f_e timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (0, datetime(2023, 12, 30), datetime(2024, 1, 2)),
+            (1, datetime(2024, 1, 4), datetime(2024, 1, 7)),
+            (2, datetime(2024, 1, 8), datetime(2024, 1, 9)),
+            (3, datetime(2024, 1, 10), datetime(2024, 1, 12)),  # f1 ends AT start: out
+        ],
+        "interval_id long, w_start timestamp, w_end timestamp",
+    )
+    out = ev.binned_interval_join(
+        facts, ivs, fact_ts="f_s", fact_end="f_e", bin_seconds=86400
+    ).collect()
+    got = sorted((r["fact_id"], r["interval_id"]) for r in out)
+    want_df = facts.alias("f").join(
+        ivs.alias("i"),
+        (F.col("f.f_s") < F.col("i.w_end")) & (F.col("f.f_e") > F.col("i.w_start")),
+    )
+    want = sorted((r["fact_id"], r["interval_id"]) for r in want_df.collect())
+    assert got == want == [(1, 0), (1, 1), (1, 2), (2, 1), (3, 2)]
+    assert len(got) == len(set(got))  # dedup held

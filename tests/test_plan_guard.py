@@ -227,6 +227,9 @@ FLAGSHIPS = {
     # q126: the 30-row exploded interval side broadcasts under AQE (a
     # plain equi join at scale); bin join + band agg + sort
     "q126_interval_join_binned": (6, False),
+    # q127: both sides explode to bins, equi join + full-row dedup +
+    # quarter agg + sort (grid side is distinct-agg derived)
+    "q127_overlap_join_binned": (10, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
