@@ -593,3 +593,38 @@ def distinct_rollup(
         "estimate",
     )
     return groups.unionByName(total)
+
+
+def purged_time_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    test_start: str = "2024-01-22",
+    embargo_hours: int = 24,
+) -> DataFrame:
+    """X90 — purged/embargoed temporal split (the de Prado
+    time-series CV discipline, "Advances in Financial Machine
+    Learning" 2018 — public): rows strictly before
+    ``test_start - embargo`` are TRAIN, rows at/after ``test_start``
+    are TEST, and the embargo band in between is DROPPED from both —
+    the gap that stops look-ahead leakage when features aggregate a
+    trailing window (a train row whose feature window reaches into
+    test time is memorizing the future). Random/hash splits (X36)
+    cannot give this guarantee for temporal features; this operator
+    completes the leakage family (q48 hash split, q76 group-safe
+    split, q87 cross-split audit).
+
+    Pure row-local projection — one scan, zero shuffle; the split
+    column composes with any downstream stratified sampling.
+    Returns the frame with a ``split`` column
+    ('train' | 'embargo' | 'test').
+    """
+    boundary = F.to_timestamp(F.lit(test_start))
+    purge_start = boundary - F.expr(
+        f"make_interval(0, 0, 0, 0, {int(embargo_hours)})"
+    )
+    split = (
+        F.when(F.col(ts_col) < purge_start, F.lit("train"))
+        .when(F.col(ts_col) >= boundary, F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn("split", split)

@@ -5250,6 +5250,38 @@ GROUP BY 1 ORDER BY quarter
 """
 
 
+# Q128 — purged temporal split audit (X90): per-(split, event_type)
+# counts + time bounds, proving the embargo band separates train from
+# test by the full gap.
+
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        stats.purged_time_split(e, test_start="2024-01-22", embargo_hours=24)
+        .groupBy("split", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .orderBy("split", "event_type")
+    )
+
+
+Q128_SQL = """
+WITH t AS (
+  SELECT event_type, ts,
+         CASE WHEN ts < TIMESTAMP '2024-01-22' - INTERVAL 24 HOUR THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-22' THEN 'test'
+              ELSE 'embargo' END AS split
+  FROM events)
+SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM t GROUP BY split, event_type ORDER BY split, event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5398,6 +5430,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_decile_bands": q125,
     "q126_interval_join_binned": q126,
     "q127_overlap_join_binned": q127,
+    "q128_purged_time_split": q128,
 }
 
 ORACLE: dict[str, str] = {
@@ -5526,6 +5559,7 @@ ORACLE: dict[str, str] = {
     "q125_decile_bands": Q125_SQL,
     "q126_interval_join_binned": Q126_SQL,
     "q127_overlap_join_binned": Q127_SQL,
+    "q128_purged_time_split": Q128_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2445,3 +2445,29 @@ def test_audio_fingerprint_invariances_and_pairs(spark):
                 if d <= 4:
                     brute[(a, b)] = d
     assert got == brute
+
+
+def test_purged_time_split_guarantee(spark, sf_dir):
+    """X90: the embargo gap guarantee — max(train ts) + embargo <=
+    test_start <= min(test ts); embargo rows sit strictly inside the
+    band; every row lands in exactly one split."""
+    from datetime import datetime, timedelta
+
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    e = load_table(spark, sf_dir, "events")
+    out = st.purged_time_split(e, test_start="2024-01-22", embargo_hours=24)
+    agg = {
+        r["split"]: (r["lo"], r["hi"], r["n"])
+        for r in out.groupBy("split")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    boundary = datetime(2024, 1, 22)
+    purge = boundary - timedelta(hours=24)
+    assert agg["train"][1] < purge
+    assert agg["test"][0] >= boundary
+    if "embargo" in agg:
+        assert purge <= agg["embargo"][0] and agg["embargo"][1] < boundary
+    assert sum(v[2] for v in agg.values()) == e.count()

@@ -230,6 +230,8 @@ FLAGSHIPS = {
     # q127: both sides explode to bins, equi join + full-row dedup +
     # quarter agg + sort (grid side is distinct-agg derived)
     "q127_overlap_join_binned": (10, False),
+    # q128: one narrow split projection + grouped agg + sort
+    "q128_purged_time_split": (4, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
