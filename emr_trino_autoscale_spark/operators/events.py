@@ -343,3 +343,70 @@ def binned_interval_join(
         )
         .drop("__bin")
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """X95 — audience-overlap (co-occurrence) matrix between category
+    pairs: for every pair of categories, how many entities touch BOTH,
+    and the Jaccard of their entity sets — the source/segment-overlap
+    report a corpus mix is planned from (how much of source A's user
+    base is also in B decides whether their token budgets double-count).
+
+    Scale shape: the CLASSIC trap is the distinct (entity, cat)
+    self-join on entity — at 100 TB that shuffles the corpus against
+    itself. Here the corpus contracts FIRST to one row per entity
+    carrying its sorted distinct-category set (a combinable
+    collect_set agg; the set is bounded by the category alphabet, not
+    the event count), pairs are generated ROW-LOCALLY from that array
+    (<= |alphabet| choose 2 per entity), and one hash agg counts each
+    pair. Per-category entity totals reuse the SAME contracted frame
+    (explode + count), so raw events are scanned exactly once; the
+    totals join is a broadcast of #categories rows. Only co-occurring
+    pairs emit rows (n_co >= 1), matching the inner-join oracle form.
+    """
+    sets = df.groupBy(entity_col).agg(
+        F.array_sort(F.collect_set(F.col(cat_col))).alias("__cats")
+    )
+    arr = F.col("__cats")
+    pair_arr = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    co = (
+        sets.select(F.explode(pair_arr).alias("__p"))
+        .groupBy(
+            F.col("__p.a").alias("type_a"), F.col("__p.b").alias("type_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+    )
+    tot = (
+        sets.select(F.explode(arr).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").cast("bigint").alias("__n"))
+    )
+    return (
+        co.join(
+            F.broadcast(tot.select(F.col("__t"), F.col("__n").alias("n_a"))),
+            co["type_a"] == F.col("__t"),
+        )
+        .drop("__t")
+        .join(
+            F.broadcast(tot.select(F.col("__t"), F.col("__n").alias("n_b"))),
+            co["type_b"] == F.col("__t"),
+        )
+        .drop("__t")
+        .withColumn(
+            "jaccard",
+            F.col("n_co")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_co")).cast("double"),
+        )
+    )

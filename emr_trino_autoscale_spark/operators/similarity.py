@@ -2043,3 +2043,42 @@ def mmr_select(
     return spark.createDataFrame(
         picked, "step int, id long, relevance double, mmr_score double"
     )
+
+
+def mahalanobis_scores(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """X94 — diagonal-covariance Mahalanobis outlier score per vector:
+    score = sum_i ((v_i - mean_i) / std_i)^2 — the embedding-space
+    outlier gate (corrupt encoders, dead inputs, adversarial points)
+    every curation pipeline runs after :func:`dimension_stats`. With a
+    diagonal covariance this is exactly "sum of squared z-scores",
+    i.e. one :func:`standardize_vectors` pass plus a row-local fold —
+    the full-covariance form needs a dim x dim inverse (model-sized,
+    out of declared scope; the diagonal form is the standard
+    first-line gate, e.g. scikit-learn's EllipticEnvelope docs treat
+    it as the fast path — public).
+
+    Scale: the stats frame is model-sized (dim rows -> one packed
+    broadcast row); the score is ONE zip_with/aggregate projection —
+    zero corpus shuffle beyond the stats agg itself. Stats enter at
+    the 4-decimal rounding contract of :func:`dimension_stats`, which
+    is what lets the DuckDB oracle reproduce scores bit-comparably.
+    """
+    st = dimension_stats(corpus, group_col=None, vec_col=vec_col, dim=dim)
+    standardized = standardize_vectors(
+        corpus, st, group_col=None, vec_col=vec_col
+    )
+    score = F.aggregate(
+        F.col("standardized"),
+        F.lit(0.0),
+        lambda acc, z: acc + z * z,
+    )
+    return standardized.select(
+        F.col(id_col),
+        *(c for c in corpus.columns if c not in (id_col, vec_col)),
+        score.alias("maha_sq"),
+    )

@@ -271,3 +271,41 @@ def scalable_ntile(
         .withColumn(out_col, tile.cast("int"))
         .drop("__bkt", "__irnk", "__off", "__n")
     )
+
+
+def scalable_rank(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    bucket_width: float = 64.0,
+    out_col: str = "rnk",
+) -> DataFrame:
+    """X88 machinery, factored for reuse — exact global ROW_NUMBER over
+    (part_cols) ordered by (order_col, tiebreak_col) without the
+    single-task per-group sort: the scalable_ntile decomposition
+    (bucket monotone in the order column; global rank = earlier-bucket
+    counts + intra-bucket row_number) minus the tile arithmetic.
+    ``order_col`` must be numeric; (order_col, tiebreak_col) must be a
+    total order within each partition. Rank DESCENDING by negating the
+    order column first.
+    """
+    base = df.withColumn(
+        "__bkt", F.floor(F.col(order_col) / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc()
+    )
+    intra = base.withColumn("__irnk", F.row_number().over(w_in))
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
+    offsets = (
+        base.groupBy(*part_cols, "__bkt")
+        .agg(F.count("*").alias("__bn"))
+        .withColumn("__off", F.sum("__bn").over(w_b) - F.col("__bn"))
+        .select(*part_cols, "__bkt", "__off")
+    )
+    return (
+        intra.join(offsets, [*part_cols, "__bkt"])
+        .withColumn(out_col, (F.col("__off") + F.col("__irnk")).cast("bigint"))
+        .drop("__bkt", "__irnk", "__off")
+    )

@@ -628,3 +628,128 @@ def purged_time_split(
         .otherwise(F.lit("embargo"))
     )
     return df.withColumn("split", split)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """X92 — k-anonymity / l-diversity audit over a quasi-identifier
+    tuple (Sweeney's k-anonymity, IJUFKS 2002; Machanavajjhala's
+    l-diversity, TKDD 2007 — both public): every release of
+    user-adjacent training data needs the "smallest crowd you can
+    hide in" number before it ships. A row is k-anonymous iff at
+    least ``k`` rows share its QI tuple; its l-diversity is the
+    number of distinct sensitive values inside that crowd (a crowd of
+    50 that all share one diagnosis still leaks).
+
+    Shape: ONE hash agg on the QI tuple — group size +
+    distinct-sensitive count per equivalence class — which is also
+    the model frame a suppression pass would join back on. At 100 TB
+    this is a plain combinable groupBy; no windows, no self-joins.
+    Returns one row per equivalence class:
+    (*qi_cols, class_size, l_distinct, violates_k).
+    """
+    return df.groupBy(*qi_cols).agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias(
+            "l_distinct"
+        ),
+    ).withColumn("violates_k", F.col("class_size") < F.lit(int(k)))
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_width: float = 16.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X93 — exact two-sample Kolmogorov-Smirnov statistic between two
+    groups' value distributions: D = sup_x |F_a(x) - F_b(x)|. The
+    nonparametric complement of PSI (X72): PSI needs a binning
+    choice and goes blind inside a bin; KS is binning-free and exact,
+    the standard drift/shift test when the value is continuous.
+
+    Scale shape: the corpus contracts FIRST to one row per distinct
+    value carrying (cnt_a, cnt_b) — a plain combinable hash agg — and
+    that distinct-value frame is the ONLY thing every later stage
+    reads (``persist_fn`` scopes its cache; the totals/max/argmax
+    stages would otherwise replay the corpus scan). Both CDF running
+    totals ride ONE bucket-decomposed pass (the X16
+    bucketed_prefix_sum argument, fused for the two count columns:
+    intra-bucket window + #buckets-row offset frame), so no single
+    task ever sorts the whole domain (the naive global
+    ``Window.orderBy(value)`` is the low-cardinality window trap).
+    The final sup-reduction is an ordinary max agg; the argmax value
+    is tie-broken to the smallest x attaining D. Totals join as a
+    1-row broadcast.
+
+    Returns ONE row: (n_a, n_b, d_stat, d_at_value). Both engines
+    compute the same integer cumsums and the same float64 divisions
+    in the same order, so d_stat agrees bit-for-bit before rounding.
+    """
+    two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per_val = two.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cb"),
+    )
+    if persist_fn is not None:
+        per_val = persist_fn(per_val)
+    # Both running totals in ONE bucket-decomposed pass: __v is the
+    # (distinct, hence unique) numeric order key.
+    base = per_val.withColumn(
+        "__bkt", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__v")
+    intra = base.withColumn("__ia", F.sum("__ca").over(w_in)).withColumn(
+        "__ib", F.sum("__cb").over(w_in)
+    )
+    w_b = Window.orderBy("__bkt")
+    offsets = (
+        base.groupBy("__bkt")
+        .agg(F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb"))
+        .withColumn("__offa", F.sum("__ba").over(w_b) - F.col("__ba"))
+        .withColumn("__offb", F.sum("__bb").over(w_b) - F.col("__bb"))
+        .select("__bkt", "__offa", "__offb")
+    )
+    cum = (
+        intra.join(offsets, "__bkt")
+        .withColumn("__cuma", F.col("__ia") + F.col("__offa"))
+        .withColumn("__cumb", F.col("__ib") + F.col("__offb"))
+    )
+    totals = per_val.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+    )
+    diffs = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        "__v",
+        F.abs(
+            F.col("__cuma") / F.col("n_a") - F.col("__cumb") / F.col("n_b")
+        ).alias("__diff"),
+    )
+    dmax = diffs.groupBy("n_a", "n_b").agg(F.max("__diff").alias("__d"))
+    return (
+        diffs.join(F.broadcast(dmax), ["n_a", "n_b"])
+        .filter(F.col("__diff") == F.col("__d"))
+        .groupBy("n_a", "n_b", "__d")
+        .agg(F.min("__v").alias("__dv"))
+    ).select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("__d"), 4) + F.lit(0.0)).alias("d_stat"),
+        (F.round(F.col("__dv"), 4) + F.lit(0.0)).alias("d_at_value"),
+    )

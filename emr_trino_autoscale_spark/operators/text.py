@@ -1677,3 +1677,61 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    bucket_width: float = 64.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X91 — per-group Zipf rank-frequency fit: OLS of ln(freq) on
+    ln(rank) over the token frequency table (Zipf's law, public; the
+    slope ~ -1 diagnostic is the standard corpus-health check —
+    boilerplate-flooded or synthetic-looped sources bend the log-log
+    line, so the (slope, r2) pair is a per-source quality signal a
+    100 TB curation pass reads before any sampling decision).
+
+    Scale shape: the corpus contracts FIRST to the vocab-sized
+    (group, token, count) frame — one combinable hash agg; ranking by
+    descending count rides :func:`..operators.skew.scalable_rank`
+    (X88 decomposition on the negated count, tokens tie-break
+    ascending), so no single task sorts a whole source's vocabulary;
+    the fit is :func:`..operators.stats.grouped_ols` (X53 centered
+    form — ln values are O(10), no cancellation). ``persist_fn``
+    scopes the vocab-sized frequency frame's cache — rank intra/offset
+    and the OLS means/moments stages all read it, and without the
+    cache each replays the corpus token explode. Emits
+    (group, n, slope, intercept, r2) with n = vocabulary size.
+    """
+    from . import skew as _skew
+    from .stats import grouped_ols
+
+    freq = (
+        df.select(
+            F.col(group_col).alias(group_col),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), " ")
+            ).alias("__tok"),
+        )
+        .groupBy(group_col, "__tok")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+        .withColumn("__negc", -F.col("__c").cast("double"))
+    )
+    if persist_fn is not None:
+        freq = persist_fn(freq)
+    ranked = _skew.scalable_rank(
+        freq,
+        [group_col],
+        "__negc",
+        "__tok",
+        bucket_width=bucket_width,
+        out_col="__rnk",
+    )
+    return grouped_ols(
+        ranked,
+        group_col,
+        x=F.log(F.col("__rnk").cast("double")),
+        y=F.log(F.col("__c").cast("double")),
+    )

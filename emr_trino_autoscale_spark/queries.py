@@ -5282,6 +5282,231 @@ FROM t GROUP BY split, event_type ORDER BY split, event_type
 """
 
 
+# Q129 — Zipf rank-frequency fit per source (X91): OLS of ln(freq) on
+# ln(rank) over the token frequency table — the corpus-health slope a
+# curation pass reads per source. Rank rides the X88 decomposition
+# (scalable_rank on negated count); the fit is the X53 centered form;
+# the oracle mirrors both with a plain window rank + centered SQL.
+
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fit = text.zipf_fit(d, "text", "source", persist_fn=_cache_scoped)
+    return fit.select(
+        "source",
+        "n",
+        dec4(F.col("slope")).alias("slope"),
+        dec4(F.col("intercept")).alias("intercept"),
+        dec4(F.col("r2")).alias("r2"),
+    ).orderBy("source")
+
+
+Q129_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents),
+freq AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+d AS (
+  SELECT source AS g,
+         ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM freq),
+m AS (SELECT g, avg(x) AS mx, avg(y) AS my FROM d GROUP BY g),
+mom AS (
+  SELECT d.g, CAST(count(*) AS BIGINT) AS n,
+         sum((x - mx) * (y - my)) AS sxy,
+         sum(pow(x - mx, 2)) AS sxx,
+         sum(pow(y - my, 2)) AS syy,
+         min(mx) AS mx, min(my) AS my
+  FROM d JOIN m USING (g) GROUP BY d.g),
+fit AS (
+  SELECT g, n,
+         CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END AS slope,
+         my - (CASE WHEN sxx > 0 THEN sxy / sxx ELSE 0.0 END) * mx AS intercept,
+         CASE WHEN sxx > 0 AND syy > 0 THEN pow(sxy, 2) / (sxx * syy)
+              ELSE 0.0 END AS r2
+  FROM mom)
+SELECT g AS source, n,
+       {_dec4('slope')} AS slope,
+       {_dec4('intercept')} AS intercept,
+       {_dec4('r2')} AS r2
+FROM fit ORDER BY source
+"""
+
+
+# Q130 — k-anonymity / l-diversity audit (X92): per-market-segment
+# privacy report over the (segment, nation) quasi-identifier with the
+# account-balance thousand-band as the sensitive attribute.
+
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    aud = stats.k_anonymity_audit(
+        c, ["c_mktsegment", "c_nationkey"], "bal_band", k=5
+    )
+    viol_rows = F.sum(
+        F.when(F.col("violates_k"), F.col("class_size")).otherwise(F.lit(0))
+    )
+    return (
+        aud.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("violates_k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("viol_classes"),
+            viol_rows.cast("bigint").alias("viol_rows"),
+            F.min("class_size").cast("bigint").alias("min_class_size"),
+            F.min(F.when(~F.col("violates_k"), F.col("l_distinct")))
+            .cast("bigint")
+            .alias("min_l_compliant"),
+            dec4(viol_rows / F.sum("class_size")).alias("suppression_rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q130_SQL = f"""
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+              AS BIGINT) AS l_distinct
+  FROM customer GROUP BY 1, 2)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS viol_classes,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS viol_rows,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+       CAST(MIN(CASE WHEN class_size >= 5 THEN l_distinct END) AS BIGINT)
+         AS min_l_compliant,
+       {_dec4('SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)'
+              ' * 1.0 / SUM(class_size)')} AS suppression_rate
+FROM cls GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# Q131 — exact two-sample Kolmogorov-Smirnov (X93): click vs purchase
+# value distributions. The oracle computes the same distinct-value
+# cumsums with a plain window; the operator's bucketed prefix sums are
+# thereby hash-proven equal to the textbook form.
+
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.ks_two_sample(
+        e, "event_type", "value", "click", "purchase", persist_fn=_cache_scoped
+    ).select("n_a", "n_b", "d_stat", "d_at_value")
+
+
+Q131_SQL = """
+WITH two AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click', 'purchase')),
+per_val AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM two GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM per_val),
+diffs AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, v,
+         abs(cuma * 1.0 / na - cumb * 1.0 / nb) AS diff
+  FROM cum),
+dmax AS (SELECT MAX(diff) AS d FROM diffs)
+SELECT n_a, n_b,
+       ROUND(d, 4) + 0.0 AS d_stat,
+       ROUND(MIN(v), 4) + 0.0 AS d_at_value
+FROM diffs, dmax WHERE diff = d
+GROUP BY n_a, n_b, d
+"""
+
+
+# Q132 — diagonal Mahalanobis outlier gate (X94): top-20 embedding
+# outliers by summed squared z-score against the q114 stats contract
+# (4-decimal rounded means/stds on BOTH sides — what makes the scores
+# bit-comparable).
+
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = similarity.mahalanobis_scores(emb)
+    return (
+        s.select(
+            "vec_id",
+            "label",
+            (F.round(F.col("maha_sq"), 4) + F.lit(0.0)).alias("maha_sq"),
+        )
+        .orderBy(F.col("maha_sq").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+Q132_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+dims AS (
+  SELECT vec_id, label, CAST(dim AS INT) AS dim, v[dim] AS x FROM x),
+st AS (
+  SELECT dim,
+         ROUND(AVG(x), 4) + 0.0 AS m,
+         ROUND(STDDEV_SAMP(x), 4) AS s
+  FROM dims GROUP BY dim),
+z AS (
+  SELECT d.vec_id, d.label,
+         CASE WHEN st.s > 0 THEN (d.x - st.m) / st.s ELSE d.x - st.m END AS zv
+  FROM dims d JOIN st USING (dim))
+SELECT vec_id, label, ROUND(SUM(zv * zv), 4) + 0.0 AS maha_sq
+FROM z GROUP BY vec_id, label
+ORDER BY maha_sq DESC, vec_id ASC LIMIT 20
+"""
+
+
+# Q133 — audience-overlap matrix (X95): pairwise user-set overlap and
+# Jaccard between event types. The oracle is the naive distinct
+# (user, type) self-join — exactly the shape the operator's row-local
+# pair generation avoids at scale — so the contraction is hash-proven
+# lossless.
+
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ov = ev_ops.audience_overlap(e, "user_id", "event_type")
+    return ov.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_co",
+        dec4(F.col("jaccard")).alias("jaccard"),
+    ).orderBy("type_a", "type_b")
+
+
+Q133_SQL = f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+co AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1)
+SELECT co.type_a, co.type_b, ta.n AS n_a, tb.n AS n_b, co.n_co,
+       {_dec4('co.n_co * 1.0 / (ta.n + tb.n - co.n_co)')} AS jaccard
+FROM co
+JOIN tot ta ON co.type_a = ta.event_type
+JOIN tot tb ON co.type_b = tb.event_type
+ORDER BY type_a, type_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5431,6 +5656,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_interval_join_binned": q126,
     "q127_overlap_join_binned": q127,
     "q128_purged_time_split": q128,
+    "q129_zipf_fit": q129,
+    "q130_k_anonymity": q130,
+    "q131_ks_two_sample": q131,
+    "q132_mahalanobis_outliers": q132,
+    "q133_audience_overlap": q133,
 }
 
 ORACLE: dict[str, str] = {
@@ -5560,6 +5790,11 @@ ORACLE: dict[str, str] = {
     "q126_interval_join_binned": Q126_SQL,
     "q127_overlap_join_binned": Q127_SQL,
     "q128_purged_time_split": Q128_SQL,
+    "q129_zipf_fit": Q129_SQL,
+    "q130_k_anonymity": Q130_SQL,
+    "q131_ks_two_sample": Q131_SQL,
+    "q132_mahalanobis_outliers": Q132_SQL,
+    "q133_audience_overlap": Q133_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

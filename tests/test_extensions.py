@@ -2471,3 +2471,148 @@ def test_purged_time_split_guarantee(spark, sf_dir):
     if "embargo" in agg:
         assert purge <= agg["embargo"][0] and agg["embargo"][1] < boundary
     assert sum(v[2] for v in agg.values()) == e.count()
+
+
+def test_scalable_rank_matches_row_number(spark):
+    """X88 factored rank: scalable_rank == plain row_number over
+    (order asc, tiebreak asc) on a frame with duplicate order values
+    and multiple partitions."""
+    from pyspark.sql import Window
+
+    from emr_trino_autoscale_spark.operators import skew as sk
+
+    rows = [
+        (g, float(v), f"t{i:03d}")
+        for i, (g, v) in enumerate(
+            [(g, v) for g in ("a", "b") for v in [3, 1, 1, 7, 3, 3, 2, 9, 1]]
+        )
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, tb string")
+    got = {
+        (r["g"], r["tb"]): r["rnk"]
+        for r in sk.scalable_rank(
+            df, ["g"], "v", "tb", bucket_width=2.0
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("tb").asc())
+    want = {
+        (r["g"], r["tb"]): r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_zipf_fit_recovers_synthetic_slope(spark):
+    """X91: a corpus built to follow freq(rank) = C * rank^-1 exactly
+    must fit slope ~ -1 with r2 ~ 1; a uniform corpus fits slope 0."""
+    from emr_trino_autoscale_spark.operators import text as tx
+
+    # rank r token repeated floor(1200/r) times -> slope -1 in log-log
+    zipf_tokens = " ".join(
+        " ".join([f"w{r:02d}"] * (1200 // r)) for r in range(1, 21)
+    )
+    uni_tokens = " ".join(" ".join([f"u{r:02d}"] * 50) for r in range(1, 21))
+    df = spark.createDataFrame(
+        [("zipf", zipf_tokens), ("flat", uni_tokens)], "source string, text string"
+    )
+    fit = {r["source"]: r for r in tx.zipf_fit(df).collect()}
+    assert fit["zipf"]["n"] == 20 and fit["flat"]["n"] == 20
+    assert abs(fit["zipf"]["slope"] + 1.0) < 0.02, fit["zipf"]["slope"]
+    assert fit["zipf"]["r2"] > 0.999
+    assert abs(fit["flat"]["slope"]) < 1e-9 and fit["flat"]["r2"] < 1e-9
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """X92: class sizes, l-diversity and the violates_k flag on a
+    hand-built frame — a crowd of 5 sharing one sensitive value has
+    l_distinct 1 (the leak k-anonymity alone misses)."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    rows = (
+        [("seg1", 1, "x")] * 5          # compliant size, degenerate l=1
+        + [("seg1", 2, s) for s in "abcde"]  # compliant, l=5
+        + [("seg2", 1, "a"), ("seg2", 1, "b")]  # violates k=5
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int, sens string")
+    out = {
+        (r["seg"], r["nat"]): r
+        for r in st.k_anonymity_audit(df, ["seg", "nat"], "sens", k=5).collect()
+    }
+    assert out[("seg1", 1)]["class_size"] == 5
+    assert out[("seg1", 1)]["l_distinct"] == 1
+    assert not out[("seg1", 1)]["violates_k"]
+    assert out[("seg1", 2)]["l_distinct"] == 5
+    assert out[("seg2", 1)]["violates_k"]
+
+
+def test_ks_two_sample_known_value(spark):
+    """X93: KS D on a hand-computable pair — group a = {1,2,3,4},
+    group b = {3,4,5,6}: F_a jumps to 1 by x=4 while F_b is 0.5 there,
+    and the sup 0.5 is first attained at x=2 (|2/4 - 0|)."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = st.ks_two_sample(df, "g", "v", "a", "b", bucket_width=2.0).collect()
+    assert len(r) == 1
+    assert (r[0]["n_a"], r[0]["n_b"]) == (4, 4)
+    assert r[0]["d_stat"] == 0.5
+    assert r[0]["d_at_value"] == 2.0
+    # identical distributions -> D = 0 contributed at every point
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    r2 = st.ks_two_sample(same, "g", "v", "a", "b", bucket_width=2.0).collect()
+    assert r2[0]["d_stat"] == 0.0
+
+
+def test_mahalanobis_scores_center_and_outlier(spark):
+    """X94: on a cloud of identical vectors plus one far point, the far
+    point's score dominates and the cloud scores are small; a constant
+    dimension (std 0) passes through centered, adding its squared
+    offset rather than dividing by zero."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    rows = [(i, [1.0, float(i % 3), 5.0]) for i in range(30)] + [
+        (99, [1.0, 50.0, 5.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["maha_sq"] for r in sim.mahalanobis_scores(df).collect()}
+    top = max(out, key=out.get)
+    assert top == 99
+    # dims 1 and 3 are constant -> std 0 -> centered passthrough
+    # contributes ~0 for in-cloud points; scores stay finite everywhere
+    assert all(math.isfinite(v) for v in out.values())
+    assert out[99] > 10 * max(v for k, v in out.items() if k != 99)
+
+
+def test_audience_overlap_matches_naive_self_join(spark, sf_dir):
+    """X95: the row-local pair generation must equal the distinct
+    (user, type) self-join it replaces — full-frame parity on the
+    synthetic events table, plus the Jaccard identity on totals."""
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    e = load_table(spark, sf_dir, "events")
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_co"])
+        for r in ev.audience_overlap(e).collect()
+    }
+    ut = e.select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    naive = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .count()
+    )
+    tot = {r["event_type"]: r["n"] for r in ut.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    want = {
+        (r["ta"], r["tb"]): (tot[r["ta"]], tot[r["tb"]], r["count"])
+        for r in naive.collect()
+    }
+    assert got == want and len(got) > 0

@@ -232,6 +232,17 @@ FLAGSHIPS = {
     "q127_overlap_join_binned": (10, False),
     # q128: one narrow split projection + grouped agg + sort
     "q128_purged_time_split": (4, False),
+    # round-8 batch 2 (audited at declaration, sf0.001): q129 ranks +
+    # OLS over the CACHED vocab frame (static count includes cached-
+    # subtree reprints); q131's nested loop is the 1-row totals
+    # broadcast, diffs replayed twice (max + argmax) over the cached
+    # distinct-value frame; q132's is the 1-row packed-stats broadcast
+    # (standardize_vectors contract)
+    "q129_zipf_fit": (29, False),
+    "q130_k_anonymity": (8, False),
+    "q131_ks_two_sample": (35, True),
+    "q132_mahalanobis_outliers": (4, True),
+    "q133_audience_overlap": (18, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
