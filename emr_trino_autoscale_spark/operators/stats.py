@@ -693,11 +693,29 @@ def ks_two_sample(
     compute the same integer cumsums and the same float64 divisions
     in the same order, so d_stat agrees bit-for-bit before rounding.
     """
+    per_val = _two_group_per_value(
+        df, group_col, value_col, group_a, group_b
+    )
+    if persist_fn is not None:
+        per_val = persist_fn(per_val)
+    return ks_from_per_value(per_val, [], bucket_width)
+
+
+def _two_group_per_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Contract a two-group sample to one row per distinct value
+    carrying both counts — the shared frame under KS (X93) and the
+    rank-sum test (X96)."""
     two = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(group_col).alias("__g"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    per_val = two.groupBy("__v").agg(
+    return two.groupBy("__v").agg(
         F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
         .cast("bigint")
         .alias("__ca"),
@@ -705,35 +723,57 @@ def ks_two_sample(
         .cast("bigint")
         .alias("__cb"),
     )
-    if persist_fn is not None:
-        per_val = persist_fn(per_val)
-    # Both running totals in ONE bucket-decomposed pass: __v is the
-    # (distinct, hence unique) numeric order key.
+
+
+def _cdf_cumsums(
+    per_val: DataFrame, part_cols: list[str], bucket_width: float
+) -> DataFrame:
+    """Both running totals in ONE bucket-decomposed pass (the X16
+    argument): __v is the (distinct, hence unique) numeric order key
+    within each partition; no single task sorts a whole domain."""
     base = per_val.withColumn(
         "__bkt", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
     )
-    w_in = Window.partitionBy("__bkt").orderBy("__v")
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy("__v")
     intra = base.withColumn("__ia", F.sum("__ca").over(w_in)).withColumn(
         "__ib", F.sum("__cb").over(w_in)
     )
-    w_b = Window.orderBy("__bkt")
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
     offsets = (
-        base.groupBy("__bkt")
+        base.groupBy(*part_cols, "__bkt")
         .agg(F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb"))
         .withColumn("__offa", F.sum("__ba").over(w_b) - F.col("__ba"))
         .withColumn("__offb", F.sum("__bb").over(w_b) - F.col("__bb"))
-        .select("__bkt", "__offa", "__offb")
+        .select(*part_cols, "__bkt", "__offa", "__offb")
     )
-    cum = (
-        intra.join(offsets, "__bkt")
+    return (
+        intra.join(offsets, [*part_cols, "__bkt"])
         .withColumn("__cuma", F.col("__ia") + F.col("__offa"))
         .withColumn("__cumb", F.col("__ib") + F.col("__offb"))
     )
-    totals = per_val.agg(
+
+
+def ks_from_per_value(
+    per_val: DataFrame,
+    part_cols: list[str],
+    bucket_width: float = 16.0,
+) -> DataFrame:
+    """KS core over an already-contracted per-distinct-value frame
+    (*part_cols, __v, __ca, __cb) — one result row per partition.
+    Shared by :func:`ks_two_sample` (no partitions) and the streaming
+    drift twin (one partition per monitored group)."""
+    cum = _cdf_cumsums(per_val, part_cols, bucket_width)
+    totals = per_val.groupBy(*part_cols).agg(
         F.sum("__ca").cast("bigint").alias("n_a"),
         F.sum("__cb").cast("bigint").alias("n_b"),
     )
-    diffs = cum.crossJoin(F.broadcast(totals)).select(
+    joined = (
+        cum.join(F.broadcast(totals), part_cols)
+        if part_cols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    diffs = joined.select(
+        *part_cols,
         "n_a",
         "n_b",
         "__v",
@@ -741,15 +781,197 @@ def ks_two_sample(
             F.col("__cuma") / F.col("n_a") - F.col("__cumb") / F.col("n_b")
         ).alias("__diff"),
     )
-    dmax = diffs.groupBy("n_a", "n_b").agg(F.max("__diff").alias("__d"))
+    keys = [*part_cols, "n_a", "n_b"]
+    dmax = diffs.groupBy(*keys).agg(F.max("__diff").alias("__d"))
     return (
-        diffs.join(F.broadcast(dmax), ["n_a", "n_b"])
+        diffs.join(F.broadcast(dmax), keys)
         .filter(F.col("__diff") == F.col("__d"))
-        .groupBy("n_a", "n_b", "__d")
+        .groupBy(*keys, "__d")
         .agg(F.min("__v").alias("__dv"))
     ).select(
-        "n_a",
-        "n_b",
+        *keys,
         (F.round(F.col("__d"), 4) + F.lit(0.0)).alias("d_stat"),
         (F.round(F.col("__dv"), 4) + F.lit(0.0)).alias("d_at_value"),
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    bucket_width: float = 16.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X96 — Mann-Whitney U / Wilcoxon rank-sum test (Mann & Whitney
+    1947, public; the standard nonparametric location-shift test):
+    completes the drift family — PSI (X72) is binned, KS (X93) is
+    sensitive to any CDF gap, the rank-sum z pins a *location* shift
+    and is the one with a usable normal approximation at scale.
+
+    Midranks come FREE from the X93 contraction: with one row per
+    distinct value carrying (cnt_a, cnt_b), the midrank of a tied
+    value block is (rows before it) + (block + 1) / 2 — no per-row
+    ranking pass at all, just the same fused bucket-decomposed
+    cumsums. R_a = sum(cnt_a * midrank); U_a = R_a - n_a(n_a+1)/2;
+    z uses the tie-corrected variance
+    sigma^2 = (n_a n_b / 12) ((N+1) - sum(t^3 - t) / (N(N-1))).
+
+    Returns ONE row: (n_a, n_b, u_a, z). ``persist_fn`` scopes the
+    distinct-value frame (read by the cumsum, totals and moment
+    stages).
+    """
+    per_val = _two_group_per_value(
+        df, group_col, value_col, group_a, group_b
+    )
+    if persist_fn is not None:
+        per_val = persist_fn(per_val)
+    cum = _cdf_cumsums(per_val, [], bucket_width)
+    totals = per_val.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+    )
+    t = (F.col("__ca") + F.col("__cb")).cast("double")
+    before = (
+        (F.col("__cuma") + F.col("__cumb")).cast("double") - t
+    )
+    midrank = before + (t + F.lit(1.0)) / F.lit(2.0)
+    moments = (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(F.col("__ca").cast("double") * midrank).alias("__ra"),
+            F.sum(t * t * t - t).alias("__ties"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u_a = F.col("__ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("__ties") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.when(
+        sigma2 > 0, (u_a - mu) / F.sqrt(sigma2)
+    ).otherwise(F.lit(0.0))
+    return moments.select(
+        "n_a",
+        "n_b",
+        (F.round(u_a, 4) + F.lit(0.0)).alias("u_a"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    persist_fn=None,
+) -> DataFrame:
+    """X97 — chi-squared test of independence between two categorical
+    columns + Cramér's V effect size (Pearson 1900 / Cramér 1946,
+    public): the categorical complement of the numeric drift tests —
+    "is lang independent of source" is the first question about any
+    stratified corpus, and V is the [0, 1] association strength that
+    survives row-count changes (chi2 alone grows linearly with n).
+
+    Scale shape: the corpus contracts to the observed contingency
+    cells (one combinable hash agg, |A| x |B| rows max); margins are
+    two aggs OVER THE CELL FRAME (the corpus is scanned once); the
+    full expected grid is margin x margin — model-sized crossJoin of
+    two broadcast frames — left-joined against observed cells so
+    zero-observed cells contribute their full expected mass, exactly
+    the textbook statistic. ``persist_fn`` scopes the cell frame —
+    margins, totals and the grid join all read it, and without the
+    cache each replays the corpus scan. Returns ONE row:
+    (n, dof, chi2, cramers_v).
+    """
+    cells = (
+        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count("*").cast("double").alias("__o"))
+    )
+    if persist_fn is not None:
+        cells = persist_fn(cells)
+    ma = cells.groupBy("__a").agg(F.sum("__o").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__o").alias("__nb"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__a").cast("double").alias("__ra"),
+        F.count_distinct("__b").cast("double").alias("__rb"),
+    )
+    grid = (
+        ma.crossJoin(F.broadcast(mb))
+        .join(cells, ["__a", "__b"], "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__e", F.col("__na") * F.col("__nb") / F.col("__n"))
+        .withColumn("__o0", F.coalesce(F.col("__o"), F.lit(0.0)))
+    )
+    agg = grid.groupBy("__n", "__ra", "__rb").agg(
+        F.sum(
+            (F.col("__o0") - F.col("__e"))
+            * (F.col("__o0") - F.col("__e"))
+            / F.col("__e")
+        ).alias("__chi2")
+    )
+    dof = (F.col("__ra") - 1) * (F.col("__rb") - 1)
+    v = F.when(
+        (F.col("__n") > 0) & (F.least("__ra", "__rb") > 1),
+        F.sqrt(
+            F.col("__chi2")
+            / (F.col("__n") * (F.least("__ra", "__rb") - 1))
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("__n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        (F.round(F.col("__chi2"), 4) + F.lit(0.0)).alias("chi2"),
+        (F.round(v, 4) + F.lit(0.0)).alias("cramers_v"),
+    )
+
+
+def shrunk_group_means(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: float = 100.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X98 — empirical-Bayes shrunk group means ("Bayesian average",
+    the IMDb/Evan Miller ranking formula — public): raw per-group
+    means rank a 3-row group above a 30,000-row one on noise; the
+    shrunk mean (n * mean + m * prior) / (n + m) pulls small groups
+    toward the global prior with strength ``m`` (the pseudo-count),
+    which is how per-domain/per-source quality leaderboards are
+    actually sorted before sampling decisions.
+
+    Scale shape: ONE combinable hash agg to (group, n, sum); the
+    global prior is a second agg over THAT contracted frame (1-row
+    broadcast) — the corpus is scanned once when ``persist_fn`` scopes
+    the contracted frame (prior + projection both read it). Emits
+    (*group_cols, n, raw_mean, shrunk_mean).
+    """
+    per = df.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("double")).alias("__s"),
+    )
+    if persist_fn is not None:
+        per = persist_fn(per)
+    prior = per.agg(
+        (F.sum("__s") / F.sum("n")).alias("__gmean")
+    )
+    mm = F.lit(float(m))
+    return (
+        per.crossJoin(F.broadcast(prior))
+        .withColumn("raw_mean", F.col("__s") / F.col("n"))
+        .withColumn(
+            "shrunk_mean",
+            (F.col("__s") + mm * F.col("__gmean")) / (F.col("n") + mm),
+        )
+        .select(*group_cols, "n", "raw_mean", "shrunk_mean")
     )

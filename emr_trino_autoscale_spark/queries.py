@@ -5507,6 +5507,141 @@ ORDER BY type_a, type_b
 """
 
 
+# Q134 — Mann-Whitney rank-sum test (X96): click vs purchase location
+# shift. Midranks fall out of the q131 distinct-value contraction (no
+# per-row ranking pass); the oracle mirrors the identical arithmetic
+# over plain window cumsums, so the bucket-decomposed form is
+# hash-proven equal to the textbook midrank computation.
+
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.rank_sum_test(
+        e, "event_type", "value", "click", "purchase", persist_fn=_cache_scoped
+    ).select("n_a", "n_b", "u_a", "z")
+
+
+Q134_SQL = """
+WITH two AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click', 'purchase')),
+per_val AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM two GROUP BY v),
+cum AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM per_val),
+mid AS (
+  SELECT na, nb, ca,
+         CAST(ca + cb AS DOUBLE) AS t,
+         (CAST(cuma + cumb AS DOUBLE) - CAST(ca + cb AS DOUBLE))
+           + (CAST(ca + cb AS DOUBLE) + 1.0) / 2.0 AS midrank
+  FROM cum),
+agg AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         SUM(CAST(ca AS DOUBLE) * midrank) AS ra,
+         SUM(t * t * t - t) AS ties
+  FROM mid GROUP BY na, nb),
+fin AS (
+  SELECT n_a, n_b,
+         ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0 AS u_a,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn, ties
+  FROM agg)
+SELECT n_a, n_b,
+       ROUND(u_a, 4) + 0.0 AS u_a,
+       ROUND(CASE WHEN nad * nbd / 12.0 * ((nn + 1.0)
+                       - ties / (nn * (nn - 1.0))) > 0
+                  THEN (u_a - nad * nbd / 2.0)
+                       / sqrt(nad * nbd / 12.0 * ((nn + 1.0)
+                              - ties / (nn * (nn - 1.0))))
+                  ELSE 0.0 END, 4) + 0.0 AS z
+FROM fin
+"""
+
+
+# Q135 — chi-squared independence + Cramér's V (X97): is lang
+# independent of source in the document corpus? Zero-observed cells
+# contribute their full expected mass (margin-grid left join), the
+# textbook statistic.
+
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return stats.chi2_independence(
+        d, "source", "lang", persist_fn=_cache_scoped
+    ).select(
+        "n", "dof", "chi2", "cramers_v"
+    )
+
+
+Q135_SQL = """
+WITH cells AS (
+  SELECT source AS a, lang AS b, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM documents GROUP BY 1, 2),
+ma AS (SELECT a, SUM(o) AS na FROM cells GROUP BY a),
+mb AS (SELECT b, SUM(o) AS nb FROM cells GROUP BY b),
+tot AS (
+  SELECT SUM(o) AS n,
+         CAST(COUNT(DISTINCT a) AS DOUBLE) AS ra,
+         CAST(COUNT(DISTINCT b) AS DOUBLE) AS rb
+  FROM cells),
+grid AS (
+  SELECT ma.na, mb.nb, COALESCE(cells.o, 0.0) AS o,
+         ma.na * mb.nb / tot.n AS e, tot.n, tot.ra, tot.rb
+  FROM ma CROSS JOIN mb
+  LEFT JOIN cells ON cells.a = ma.a AND cells.b = mb.b
+  CROSS JOIN tot),
+s AS (
+  SELECT n, ra, rb, SUM((o - e) * (o - e) / e) AS chi2
+  FROM grid GROUP BY n, ra, rb)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 4) + 0.0 AS chi2,
+       ROUND(CASE WHEN n > 0 AND LEAST(ra, rb) > 1
+                  THEN sqrt(chi2 / (n * (LEAST(ra, rb) - 1)))
+                  ELSE 0.0 END, 4) + 0.0 AS cramers_v
+FROM s
+"""
+
+
+# Q136 — empirical-Bayes shrunk group means (X98): per-(source, lang)
+# mean document length pulled toward the global prior with pseudo-count
+# 200 — the ranking a curation leaderboard actually sorts by.
+
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stats.shrunk_group_means(
+            d, ["source", "lang"], "n_chars", m=200.0, persist_fn=_cache_scoped
+        )
+        .select(
+            "source",
+            "lang",
+            "n",
+            dec4(F.col("raw_mean")).alias("raw_mean"),
+            dec4(F.col("shrunk_mean")).alias("shrunk_mean"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+Q136_SQL = f"""
+WITH per AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(n_chars AS DOUBLE)) AS s
+  FROM documents GROUP BY 1, 2),
+prior AS (SELECT SUM(s) / SUM(n) AS g FROM per)
+SELECT source, lang, n,
+       {_dec4('s / n')} AS raw_mean,
+       {_dec4('(s + 200.0 * g) / (n + 200.0)')} AS shrunk_mean
+FROM per, prior ORDER BY source, lang
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5661,6 +5796,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_ks_two_sample": q131,
     "q132_mahalanobis_outliers": q132,
     "q133_audience_overlap": q133,
+    "q134_rank_sum_test": q134,
+    "q135_chi2_independence": q135,
+    "q136_shrunk_means": q136,
 }
 
 ORACLE: dict[str, str] = {
@@ -5795,6 +5933,9 @@ ORACLE: dict[str, str] = {
     "q131_ks_two_sample": Q131_SQL,
     "q132_mahalanobis_outliers": Q132_SQL,
     "q133_audience_overlap": Q133_SQL,
+    "q134_rank_sum_test": Q134_SQL,
+    "q135_chi2_independence": Q135_SQL,
+    "q136_shrunk_means": Q136_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

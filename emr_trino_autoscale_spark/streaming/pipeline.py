@@ -531,6 +531,72 @@ def make_drift_scorer(
     return score
 
 
+def make_ks_drift_scorer(
+    baseline: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bucket_width: float = 16.0,
+):
+    """Streaming KS drift monitor (X99, the live twin of X93/Q131 —
+    the binning-free complement of :func:`make_drift_scorer`'s PSI):
+    per micro-batch, the exact two-sample Kolmogorov-Smirnov D between
+    each group's arriving values and a STATIC baseline period. PSI
+    goes blind inside a bucket; the KS twin catches a shift that
+    stays within one PSI bucket (e.g. a value distribution compressing
+    toward a bucket edge) the moment it arrives.
+
+    ``baseline`` contracts ONCE here to its per-(group, distinct
+    value) count frame (cache upstream for hot reuse — bounded by
+    group alphabet x value domain, not the baseline row count). Per
+    batch, the arriving values contract batch-locally to the same
+    shape (the make_contamination_scorer bounded-state contract — no
+    unbounded stateful stream agg), full-outer join on (group, value)
+    rebuilds the pooled per-value frame, and the SAME fused
+    bucket-decomposed cumsum core as the batch operator
+    (:func:`..operators.stats.ks_from_per_value`, partitioned by
+    group) emits one (group, n_a, n_b, d_stat, d_at_value) row per
+    group; n_a is the baseline count, n_b the batch count. Groups
+    absent from the baseline are excluded (the X72/X73 contract).
+    Returned callable: (batch, epoch_id) -> DataFrame; wire into
+    ``foreachBatch`` with the caller's sink.
+    """
+    from ..operators.stats import ks_from_per_value
+
+    base_pv = (
+        baseline.select(
+            F.col(group_col).alias("__grp"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("__grp", "__v")
+        .agg(F.count("*").cast("bigint").alias("__ca"))
+    )
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        cur_pv = (
+            batch.select(
+                F.col(group_col).alias("__grp"),
+                F.col(value_col).cast("double").alias("__v"),
+            )
+            .groupBy("__grp", "__v")
+            .agg(F.count("*").cast("bigint").alias("__cb"))
+        )
+        pooled = (
+            base_pv.join(cur_pv, ["__grp", "__v"], "full_outer")
+            .join(base_pv.select("__grp").distinct(), "__grp", "left_semi")
+            .withColumn(
+                "__ca", F.coalesce("__ca", F.lit(0).cast("bigint"))
+            )
+            .withColumn(
+                "__cb", F.coalesce("__cb", F.lit(0).cast("bigint"))
+            )
+        )
+        return ks_from_per_value(
+            pooled, ["__grp"], bucket_width
+        ).withColumnRenamed("__grp", group_col)
+
+    return score
+
+
 def make_contamination_scorer(
     benchmark_grams: DataFrame,
     text_col: str = "text",

@@ -2616,3 +2616,126 @@ def test_audience_overlap_matches_naive_self_join(spark, sf_dir):
         for r in naive.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rank_sum_test_known_values(spark):
+    """X96: hand-computed U and tie-corrected z. Disjoint case
+    a={1,2,3} < b={4,5,6}: U_a = 0, z = -4.5/sqrt(5.25). Tie case
+    a={1,1}, b={1,2}: midranks give U_a = 1, tie-corrected z = -1."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    d1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    r = st.rank_sum_test(d1, "g", "v", "a", "b", bucket_width=2.0).collect()[0]
+    assert (r["n_a"], r["n_b"], r["u_a"]) == (3, 3, 0.0)
+    assert r["z"] == round(-4.5 / math.sqrt(5.25), 4)
+
+    d2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    r2 = st.rank_sum_test(d2, "g", "v", "a", "b", bucket_width=2.0).collect()[0]
+    assert (r2["u_a"], r2["z"]) == (1.0, -1.0)
+
+
+def test_chi2_independence_extremes(spark):
+    """X97: chi2 = 0 / V = 0 on a perfectly independent 2x2; V = 1 and
+    chi2 = n on a perfectly dependent one (zero-observed cells
+    contribute their expected mass)."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)],
+        "a string, b string",
+    )
+    r = st.chi2_independence(indep, "a", "b").collect()[0]
+    assert (r["n"], r["dof"], r["chi2"], r["cramers_v"]) == (20, 1, 0.0, 0.0)
+
+    dep = spark.createDataFrame(
+        [("x", "u")] * 10 + [("y", "v")] * 10, "a string, b string"
+    )
+    r2 = st.chi2_independence(dep, "a", "b").collect()[0]
+    assert (r2["n"], r2["dof"], r2["chi2"], r2["cramers_v"]) == (20, 1, 20.0, 1.0)
+
+
+def test_shrunk_group_means_pull_direction(spark):
+    """X98: m=0 returns raw means; a huge pseudo-count collapses every
+    group onto the global prior; a small group moves further toward
+    the prior than a large group with the same raw mean."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    rows = (
+        [("big", 100.0)] * 50 + [("small", 100.0)] * 2 + [("low", 0.0)] * 48
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    raw = {r["g"]: r for r in st.shrunk_group_means(df, ["g"], "v", m=0.0).collect()}
+    assert raw["big"]["shrunk_mean"] == raw["big"]["raw_mean"] == 100.0
+    heavy = {
+        r["g"]: r["shrunk_mean"]
+        for r in st.shrunk_group_means(df, ["g"], "v", m=1e9).collect()
+    }
+    gmean = 52.0 * 100.0 / 100.0
+    assert all(abs(v - gmean) < 1e-3 for v in heavy.values())
+    m10 = {
+        r["g"]: r["shrunk_mean"]
+        for r in st.shrunk_group_means(df, ["g"], "v", m=10.0).collect()
+    }
+    # same raw mean (100), but the 2-row group is pulled far closer to
+    # the prior than the 50-row group
+    assert abs(m10["small"] - gmean) < abs(m10["big"] - gmean)
+
+
+@pytest.mark.slow
+def test_streaming_ks_drift_matches_batch(spark, tmp_path):
+    """X99: per-micro-batch KS against a static baseline equals the
+    batch X93 operator on the tagged union, per group; groups absent
+    from the baseline are excluded (the X72/X73 contract)."""
+    from emr_trino_autoscale_spark.operators import stats as st
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    src = str(tmp_path / "ks_src")
+    out = str(tmp_path / "ks_out")
+    chk = str(tmp_path / "ks_chk")
+    schema = "event_id long, event_type string, value double"
+    base_rows = [(i, "s", float(i % 50)) for i in range(100)] + [
+        (i, "t", float(i % 50)) for i in range(100, 160)
+    ]
+    batch_rows = (
+        [(i, "s", 200.0 + i % 40) for i in range(80)]          # drifted
+        + [(i, "t", float(i % 50)) for i in range(80, 140)]     # same dist
+        + [(i, "unknown", 1.0) for i in range(140, 150)]        # no baseline
+    )
+    baseline = spark.createDataFrame(base_rows, schema)
+    batch_df = spark.createDataFrame(batch_rows, schema)
+    batch_df.repartition(1).write.parquet(src)
+
+    scorer = pipeline.make_ks_drift_scorer(baseline)
+
+    def sink(b, epoch_id):
+        scorer(b, epoch_id).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(batch_df.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["event_type"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"s", "t"}  # 'unknown' excluded
+    for g in ("s", "t"):
+        tagged = baseline.filter(F.col("event_type") == g).withColumn(
+            "side", F.lit("ref")
+        ).unionByName(
+            batch_df.filter(F.col("event_type") == g).withColumn(
+                "side", F.lit("cur")
+            )
+        )
+        want = st.ks_two_sample(tagged, "side", "value", "ref", "cur").collect()[0]
+        assert got[g]["d_stat"] == want["d_stat"]
+        assert got[g]["d_at_value"] == want["d_at_value"]
+        assert (got[g]["n_a"], got[g]["n_b"]) == (want["n_a"], want["n_b"])
+    assert got["s"]["d_stat"] == 1.0 and got["t"]["d_stat"] < 0.2

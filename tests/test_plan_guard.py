@@ -243,6 +243,12 @@ FLAGSHIPS = {
     "q131_ks_two_sample": (35, True),
     "q132_mahalanobis_outliers": (4, True),
     "q133_audience_overlap": (18, False),
+    # round-8 batch 3: nested loops are the 1-row totals/prior/margin
+    # broadcasts; contracted frames (distinct-value, cells, per-group)
+    # are persist_fn-scoped so static reprints read the cache
+    "q134_rank_sum_test": (18, True),
+    "q135_chi2_independence": (21, True),
+    "q136_shrunk_means": (9, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
