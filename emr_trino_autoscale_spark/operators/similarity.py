@@ -2082,3 +2082,105 @@ def mahalanobis_scores(
         *(c for c in corpus.columns if c not in (id_col, vec_col)),
         score.alias("maha_sq"),
     )
+
+
+def dimension_corr_matrix(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """X103 — pairwise Pearson correlation matrix over an embedding
+    column's dimensions: the redundancy screen run before whitening /
+    PCA / feature pruning (a |corr| ~ 1 pair means a dimension is
+    free to drop; a block of correlated dims means the encoder
+    collapsed). Upper triangle only (i < j).
+
+    Scale + numerics shape: the first cut was one hash agg with
+    dim*(dim-1)/2 ``F.corr`` aggregates — correct at dim 16, but at
+    the corpus' real dim 64 that is 2016 aggregate expressions and
+    the generated update code OOMs the JVM before a row is read.
+    This form is the two-pass CENTERED co-moment matrix: pass 1 is a
+    dim-avg hash agg whose means come back as bounded model state
+    (dim doubles — the k-means control-state convention) and re-enter
+    as literals; pass 2 is one Arrow ``mapInPandas`` over the corpus
+    accumulating a per-batch centered Gram G += Xc^T Xc (BLAS — the
+    q28 sanctioned vectorized path), emitting dim*(dim+1)/2 partial
+    rows PER BATCH, which one hash agg sums. Shuffle volume is
+    #batches x triangle rows, never the corpus. Centering first keeps
+    every term at data scale — the raw-moment identity
+    E[xy] - E[x]E[y] is the X53/X76 cancellation bug and is banished
+    here too. corr_ij = G_ij / sqrt(G_ii G_jj) (sample Pearson,
+    matching DuckDB's stable one-pass corr at the 4-decimal
+    contract); a zero-variance dimension yields NULL, as both engines
+    agree. ``dim`` defaults to the 1-row bounded schema probe.
+    """
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        )
+    v = as_double(F.col(vec_col))
+    base = corpus.select(v.alias("__v"))
+    means_row = base.agg(
+        *[
+            F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mu = [float(means_row[f"__m{i}"]) for i in range(dim)]
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        mu_arr = np.asarray(mu, dtype=np.float64)
+        g = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf["__v"]]
+            ) - mu_arr
+            g += m.T @ m
+            seen = True
+        if not seen:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "da": (iu + 1).astype("int32"),
+                "db": (ju + 1).astype("int32"),
+                "s": g[iu, ju],
+            }
+        )
+
+    sums = (
+        base.mapInPandas(gram, schema="da int, db int, s double")
+        .groupBy("da", "db")
+        .agg(F.sum("s").alias("__s"))
+    )
+    diag = sums.filter(F.col("da") == F.col("db")).select(
+        F.col("da").alias("__d"), F.col("__s").alias("__ss")
+    )
+    upper = sums.filter(F.col("da") < F.col("db"))
+    corr = F.when(
+        (F.col("__ssa") > 0) & (F.col("__ssb") > 0),
+        F.col("__s") / F.sqrt(F.col("__ssa") * F.col("__ssb")),
+    )
+    return (
+        upper.join(
+            F.broadcast(diag.select(F.col("__d"), F.col("__ss").alias("__ssa"))),
+            upper["da"] == F.col("__d"),
+        )
+        .drop("__d")
+        .join(
+            F.broadcast(diag.select(F.col("__d"), F.col("__ss").alias("__ssb"))),
+            upper["db"] == F.col("__d"),
+        )
+        .drop("__d")
+        .select(
+            F.col("da").cast("int").alias("dim_a"),
+            F.col("db").cast("int").alias("dim_b"),
+            (F.round(corr, 4) + F.lit(0.0)).alias("corr"),
+        )
+    )

@@ -975,3 +975,183 @@ def shrunk_group_means(
         )
         .select(*group_cols, "n", "raw_mean", "shrunk_mean")
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 4), (2, 4), (3, 4)),
+    bucket_width: float = 16.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X100 — exact weighted quantiles per group without a single-task
+    sort: the smallest value v where cumweight(v) >= q * totalweight
+    (the lower weighted-quantile convention). Weighted thresholds are
+    how quality gates and winsorization run when rows carry sampling
+    or importance weights — the unweighted percentile family
+    (X35/X81) silently miscounts there.
+
+    Scale + determinism shape: contract to one row per (group,
+    distinct value) carrying the weight sum; running weight rides the
+    X16 bucket decomposition partitioned by group. Quantiles are
+    RATIONAL (num, den) pairs and every comparison is
+    ``den * cumw >= num * totw`` in EXACT decimal arithmetic — a
+    float cumsum regrouped by the bucket decomposition could flip a
+    borderline >= at the last ulp, so no float ever reaches the
+    boundary test (weights enter as DECIMAL(28,6); decimal * integer
+    is exact in Spark and DuckDB alike). One conditional-min agg per
+    quantile emits the picked values; ``persist_fn`` scopes the
+    contracted frame.
+    """
+    w = F.col(weight_col).cast("decimal(28,6)")
+    per_val = (
+        df.select(
+            *[F.col(c) for c in part_cols],
+            F.col(value_col).cast("double").alias("__v"),
+            w.alias("__w"),
+        )
+        .groupBy(*part_cols, "__v")
+        .agg(F.sum("__w").alias("__wv"))
+    )
+    if persist_fn is not None:
+        per_val = persist_fn(per_val)
+    base = per_val.withColumn(
+        "__bkt", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy("__v")
+    intra = base.withColumn("__iw", F.sum("__wv").over(w_in))
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
+    offsets = (
+        base.groupBy(*part_cols, "__bkt")
+        .agg(F.sum("__wv").alias("__bw"))
+        .withColumn("__off", F.sum("__bw").over(w_b) - F.col("__bw"))
+        .select(*part_cols, "__bkt", "__off")
+    )
+    cum = (
+        intra.join(offsets, [*part_cols, "__bkt"])
+        .withColumn(
+            "__cumw", F.col("__iw") + F.coalesce(F.col("__off"), F.lit(0))
+        )
+    )
+    totals = per_val.groupBy(*part_cols).agg(
+        F.sum("__wv").alias("__totw")
+    )
+    joined = (
+        cum.join(F.broadcast(totals), part_cols)
+        if part_cols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cumw") * F.lit(den) >= F.col("__totw") * F.lit(num),
+                F.col("__v"),
+            )
+        ).alias(f"wq_{num}_{den}")
+        for num, den in quantiles
+    ]
+    return joined.groupBy(*part_cols).agg(*aggs)
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """X101 — Benford's-law first-digit audit (Benford 1938 / Newcomb
+    1881, public): naturally occurring multi-scale magnitudes put
+    digit d first with probability log10(1 + 1/d); synthetic,
+    capped, or tampered value columns break the curve — the classic
+    one-pass data-forensics screen for an ingested numeric feed.
+
+    Determinism shape: the first digit is extracted from the INTEGER
+    string of round(value * scale) (``scale`` = 100 for 2-decimal
+    feeds) — never from floor(log10(x)), where two engines' libm can
+    disagree at exact powers of ten and shift a digit bucket. One
+    hash agg on the digit; the expected curve is a 9-value literal
+    projection. Emits one row per digit 1-9: (digit, n, obs_share,
+    exp_share, dev) with dev = obs - exp.
+    """
+    cents = F.round(F.col(value_col).cast("double") * F.lit(float(scale)), 0)
+    digit = F.substring(cents.cast("bigint").cast("string"), 1, 1).cast(
+        "int"
+    )
+    counts = (
+        df.filter(F.col(value_col).cast("double") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("double").alias("__tot"))
+    import math as _math
+
+    exp_map = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(_math.log10(1.0 + 1.0 / d)))
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("obs_share", F.col("n") / F.col("__tot"))
+        .withColumn("exp_share", exp_map[F.col("digit")])
+        .select(
+            "digit",
+            "n",
+            (F.round(F.col("obs_share"), 4) + F.lit(0.0)).alias("obs_share"),
+            (F.round(F.col("exp_share"), 4) + F.lit(0.0)).alias("exp_share"),
+            (
+                F.round(F.col("obs_share") - F.col("exp_share"), 4)
+                + F.lit(0.0)
+            ).alias("dev"),
+        )
+    )
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X102 — Welch's unequal-variance t-test (Welch 1947, public):
+    the parametric member of the drift family (X72 PSI binned / X93
+    KS any-gap / X96 rank-sum location / this one: mean shift with a
+    proper df under unequal variances — the default two-sample t
+    recommendation since Ruxton 2006).
+
+    ONE hash agg: per-group (n, avg, var_samp) — var_samp is Spark's
+    stable CentralMomentAgg (the X76 lesson: never hand-build the
+    raw-moment form). t = (m_a - m_b) / sqrt(v_a/n_a + v_b/n_b);
+    df by Welch-Satterthwaite. Returns ONE row:
+    (n_a, n_b, mean_a, mean_b, t_stat, df).
+    """
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    agged = df.filter(g.isin([group_a, group_b])).agg(
+        F.sum(F.when(g == group_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(g == group_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.avg(F.when(g == group_a, v)).alias("__ma"),
+        F.avg(F.when(g == group_b, v)).alias("__mb"),
+        F.var_samp(F.when(g == group_a, v)).alias("__va"),
+        F.var_samp(F.when(g == group_b, v)).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    se2 = sa + sb
+    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agged.select(
+        "n_a",
+        "n_b",
+        (F.round(F.col("__ma"), 4) + F.lit(0.0)).alias("mean_a"),
+        (F.round(F.col("__mb"), 4) + F.lit(0.0)).alias("mean_b"),
+        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
+        (F.round(dof, 4) + F.lit(0.0)).alias("df"),
+    )

@@ -5642,6 +5642,138 @@ FROM per, prior ORDER BY source, lang
 """
 
 
+# Q137 — exact weighted quartiles (X100): l_quantity weighted by
+# extended price per return flag. Rational-boundary decimal
+# comparisons on BOTH sides — no float cumsum ever reaches the >= test
+# — so the bucket-decomposed form is hash-proven equal to the plain
+# window cumsum oracle.
+
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        stats.weighted_quantile(
+            li,
+            ["l_returnflag"],
+            "l_quantity",
+            "l_extendedprice",
+            quantiles=((1, 4), (2, 4), (3, 4)),
+            bucket_width=16.0,
+            persist_fn=_cache_scoped,
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q137_SQL = """
+WITH pv AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+         SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS wv
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT l_returnflag, v,
+         SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v) AS cumw,
+         SUM(wv) OVER (PARTITION BY l_returnflag) AS totw
+  FROM pv)
+SELECT l_returnflag,
+       MIN(CASE WHEN cumw * 4 >= totw * 1 THEN v END) AS wq_1_4,
+       MIN(CASE WHEN cumw * 4 >= totw * 2 THEN v END) AS wq_2_4,
+       MIN(CASE WHEN cumw * 4 >= totw * 3 THEN v END) AS wq_3_4
+FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# Q138 — Benford first-digit audit (X101) over event values. The digit
+# comes from the integer string of round(value * 100), never from
+# floor(log10(x)) (libm disagreement at exact powers of ten); the
+# Benford expectations are embedded as IDENTICAL literals on both
+# sides.
+
+_BENFORD = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.benford_audit(e, "value", scale=100).orderBy("digit")
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {_BENFORD[d]!r})" for d in range(1, 10)
+)
+
+Q138_SQL = f"""
+WITH pos AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE CAST(value AS DOUBLE) > 0),
+d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(v * 100, 0) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit
+  FROM pos),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts),
+exp AS (SELECT digit, CAST(ex AS DOUBLE) AS ex
+        FROM (VALUES {_BENFORD_VALUES}) AS e(digit, ex))
+SELECT c.digit, c.n,
+       ROUND(c.n / t.t, 4) + 0.0 AS obs_share,
+       ROUND(e.ex, 4) + 0.0 AS exp_share,
+       ROUND(c.n / t.t - e.ex, 4) + 0.0 AS dev
+FROM counts c JOIN exp e ON c.digit = e.digit CROSS JOIN tot t
+ORDER BY c.digit
+"""
+
+
+# Q139 — Welch's unequal-variance t-test (X102): click vs purchase
+# mean shift with the Welch-Satterthwaite df. One stable hash agg.
+
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.welch_t_test(e, "event_type", "value", "click", "purchase")
+
+
+Q139_SQL = """
+WITH two AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click', 'purchase')),
+a AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    AVG(CASE WHEN g = 'click' THEN v END) AS ma,
+    AVG(CASE WHEN g = 'purchase' THEN v END) AS mb,
+    VAR_SAMP(CASE WHEN g = 'click' THEN v END) AS va,
+    VAR_SAMP(CASE WHEN g = 'purchase' THEN v END) AS vb
+  FROM two)
+SELECT n_a, n_b,
+       ROUND(ma, 4) + 0.0 AS mean_a,
+       ROUND(mb, 4) + 0.0 AS mean_b,
+       ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 4) + 0.0 AS t_stat,
+       ROUND((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / ((va / n_a) * (va / n_a) / (n_a - 1)
+                + (vb / n_b) * (vb / n_b) / (n_b - 1)), 4) + 0.0 AS df
+FROM a
+"""
+
+
+# Q140 — embedding correlation matrix (X103): upper-triangle pairwise
+# Pearson correlation over the 16 dims — one stable hash agg whose
+# state is 120 fixed-size co-moment accumulators, zero corpus explode.
+# The oracle is the naive unnest self-join.
+
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.dimension_corr_matrix(emb).orderBy("dim_a", "dim_b")
+
+
+Q140_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+p AS (SELECT vec_id, CAST(dim AS INT) AS dim, v[dim] AS val FROM x)
+SELECT a.dim AS dim_a, b.dim AS dim_b,
+       ROUND(corr(a.val, b.val), 4) + 0.0 AS corr
+FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.dim < b.dim
+GROUP BY 1, 2 ORDER BY dim_a, dim_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5799,6 +5931,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_rank_sum_test": q134,
     "q135_chi2_independence": q135,
     "q136_shrunk_means": q136,
+    "q137_weighted_quantile": q137,
+    "q138_benford_audit": q138,
+    "q139_welch_t_test": q139,
+    "q140_dim_corr_matrix": q140,
 }
 
 ORACLE: dict[str, str] = {
@@ -5936,6 +6072,10 @@ ORACLE: dict[str, str] = {
     "q134_rank_sum_test": Q134_SQL,
     "q135_chi2_independence": Q135_SQL,
     "q136_shrunk_means": Q136_SQL,
+    "q137_weighted_quantile": Q137_SQL,
+    "q138_benford_audit": Q138_SQL,
+    "q139_welch_t_test": Q139_SQL,
+    "q140_dim_corr_matrix": Q140_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

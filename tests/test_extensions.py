@@ -2739,3 +2739,71 @@ def test_streaming_ks_drift_matches_batch(spark, tmp_path):
         assert got[g]["d_at_value"] == want["d_at_value"]
         assert (got[g]["n_a"], got[g]["n_b"]) == (want["n_a"], want["n_b"])
     assert got["s"]["d_stat"] == 1.0 and got["t"]["d_stat"] < 0.2
+
+
+def test_weighted_quantile_known_and_uniform(spark):
+    """X100: hand case — weight mass 7 on the max value drags the
+    median and q3 there (q1: first cumw >= 2.5 is v=3); uniform
+    weights reduce to the unweighted lower quantile."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    d = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0), ("g", 4.0, 7.0)],
+        "grp string, v double, w double",
+    )
+    r = st.weighted_quantile(d, ["grp"], "v", "w", bucket_width=2.0).collect()[0]
+    assert (r["wq_1_4"], r["wq_2_4"], r["wq_3_4"]) == (3.0, 4.0, 4.0)
+
+    uni = spark.createDataFrame(
+        [("g", float(v), 1.0) for v in range(1, 9)], "grp string, v double, w double"
+    )
+    r2 = st.weighted_quantile(uni, ["grp"], "v", "w", bucket_width=3.0).collect()[0]
+    # lower quantile over 8 uniform values: ceil(8*q)-th value
+    assert (r2["wq_1_4"], r2["wq_2_4"], r2["wq_3_4"]) == (2.0, 4.0, 6.0)
+
+
+def test_benford_audit_digits_and_filter(spark):
+    """X101: first digits extracted from the scaled-integer string
+    (1.00->1, 19.99->1, 0.07->7, 300.0->3); zero and negative values
+    are excluded; shares sum to 1."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    d = spark.createDataFrame(
+        [(1.00,), (1.5,), (19.99,), (2.00,), (0.07,), (300.0,), (0.0,), (-5.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in st.benford_audit(d, "v").collect()}
+    assert {k: rows[k]["n"] for k in rows} == {1: 3, 2: 1, 3: 1, 7: 1}
+    # shares are independently rounded to 4 decimals; sum within 2e-4
+    assert abs(sum(r["obs_share"] for r in rows.values()) - 1.0) < 2e-4
+    assert rows[1]["exp_share"] == 0.301
+
+
+def test_welch_t_test_hand_case(spark):
+    """X102: a={1,2,3}, b={2,3,4} -> t = -1/sqrt(2/3), Welch df = 4."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = st.welch_t_test(d, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (3, 3, 2.0, 3.0)
+    assert r["t_stat"] == round(-1.0 / math.sqrt(2.0 / 3.0), 4)
+    assert r["df"] == 4.0
+
+
+def test_dimension_corr_matrix_extremes(spark):
+    """X103: identical dims corr 1, negated dims corr -1, a constant
+    dimension yields NULL (both engines' zero-variance contract)."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    rows = [(i, [float(i), float(i), -float(i), 5.0]) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["dim_a"], r["dim_b"]): r["corr"]
+        for r in sim.dimension_corr_matrix(df).collect()
+    }
+    assert out[(1, 2)] == 1.0 and out[(1, 3)] == -1.0 and out[(2, 3)] == -1.0
+    assert out[(1, 4)] is None and out[(2, 4)] is None and out[(3, 4)] is None
+    assert len(out) == 6

@@ -249,6 +249,14 @@ FLAGSHIPS = {
     "q134_rank_sum_test": (18, True),
     "q135_chi2_independence": (21, True),
     "q136_shrunk_means": (9, True),
+    # round-8 batch 4: q137's cached per-value frame feeds cumsum +
+    # totals; q138's nested loop is the 1-row digit-total broadcast;
+    # q139 is a single stable hash agg; q140 is means agg + Arrow
+    # partial-Gram + triangle agg + two model-sized diag broadcasts
+    "q137_weighted_quantile": (20, False),
+    "q138_benford_audit": (10, True),
+    "q139_welch_t_test": (2, False),
+    "q140_dim_corr_matrix": (12, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
