@@ -31,7 +31,7 @@ queries (q103-q114) now carry DRIVER-parsed times from
 ``BENCH_r07.json`` (including dropping q103's hand-widened 3.4 s
 idle-box anchor for the driver's 2.54 s), so ALL 114 anchors are
 driver provenance: q01-q102 from BENCH_r06, q103-q114 from BENCH_r07.
-The round-8 queries (q115-q133) have no driver bench yet; their
+The round-8 queries (q115-q140) have no driver bench yet; their
 anchors are builder idle-box sf0.1 full-suite captures — swap for
 BENCH_r08 numbers next round, the same provenance switch r7/r8 made.
 q01-q102 deliberately stay on their r6 anchors rather than re-basing

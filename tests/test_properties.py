@@ -655,3 +655,86 @@ def test_pmi_pair_counts_match_reference(spark, texts, window):
             math.log((n / P) / ((unigrams[a] / T_) * (unigrams[b] / T_))), 4
         )
         assert abs(pmi - want) < 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(-50, 50),
+        ),
+        min_size=4,
+        max_size=60,
+    ).filter(
+        lambda vs: any(g == "a" for g, _ in vs) and any(g == "b" for g, _ in vs)
+    )
+)
+@settings(**SETTINGS)
+def test_ks_two_sample_matches_reference(spark, vals):
+    """X93: the fused bucket-decomposed KS equals a plain-python
+    reference (sup over pooled points of |F_a - F_b|, smallest argmax)
+    on arbitrary integer samples with ties."""
+    from emr_trino_autoscale_spark.operators import stats as st_ops
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in vals], "g string, v double"
+    )
+    got = st_ops.ks_two_sample(df, "g", "v", "a", "b", bucket_width=7.0).collect()[0]
+    a = sorted(float(v) for g, v in vals if g == "a")
+    b = sorted(float(v) for g, v in vals if g == "b")
+    pts = sorted(set(a) | set(b))
+    best_d, best_x = -1.0, None
+    for x in pts:
+        fa = sum(1 for y in a if y <= x) / len(a)
+        fb = sum(1 for y in b if y <= x) / len(b)
+        d = abs(fa - fb)
+        # EXACT float comparison — the engines compare the same
+        # float64 values exactly, and e.g. |2/3 - 1| is one ulp ABOVE
+        # 1/3, so a tolerance here would pick a different argmax
+        if d > best_d:
+            best_d, best_x = d, x
+    assert got["d_stat"] == round(best_d, 4)
+    assert got["d_at_value"] == round(best_x, 4)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 9)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_weighted_quantile_matches_reference(spark, vals):
+    """X100: decimal rational-boundary quantiles equal the plain
+    'smallest v with cumweight >= q * total' reference, including
+    duplicate values (weights merge) and all mass on one value."""
+    from emr_trino_autoscale_spark.operators import stats as st_ops
+
+    df = spark.createDataFrame(
+        [("g", float(v), float(w)) for v, w in vals],
+        "grp string, v double, w double",
+    )
+    got = st_ops.weighted_quantile(
+        df, ["grp"], "v", "w", quantiles=((1, 4), (2, 4), (3, 4)),
+        bucket_width=5.0,
+    ).collect()[0]
+    from collections import defaultdict
+
+    wm = defaultdict(float)
+    for v, w in vals:
+        wm[float(v)] += float(w)
+    tot = sum(wm.values())
+    def ref(num, den):
+        cum = 0.0
+        for v in sorted(wm):
+            cum += wm[v]
+            # same rational comparison, exact in python floats here
+            # because weights are small integers
+            if cum * den >= tot * num:
+                return v
+        return None
+    assert (got["wq_1_4"], got["wq_2_4"], got["wq_3_4"]) == (
+        ref(1, 4), ref(2, 4), ref(3, 4)
+    )
