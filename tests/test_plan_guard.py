@@ -331,16 +331,30 @@ BROADCAST_ALLOW = {
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
-    "similarity.py": {"q", "qp", "cents", "ce", "a", "qcodes", "packed"},  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
+    "similarity.py": {
+        "q", "qp", "cents", "ce", "a", "qcodes", "packed",
+        # dim-row centered-Gram diagonal (dimension_corr_matrix)
+        "diag.select(F.col('__d'), F.col('__ss').alias('__ssa'))",
+        "diag.select(F.col('__d'), F.col('__ss').alias('__ssb'))",
+    },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
-    # base: 1-row stage-1 user total (sequence_funnel conversion)
-    "events.py": {"base"},
+    # base: 1-row stage-1 user total (sequence_funnel conversion);
+    # tot selects: #categories-row per-type entity totals
+    # (audience_overlap — bounded by the category alphabet)
+    "events.py": {
+        "base",
+        "tot.select(F.col('__t'), F.col('__n').alias('n_a'))",
+        "tot.select(F.col('__t'), F.col('__n').alias('n_b'))",
+    },
     "skew.py": set(),
     "bucketing.py": set(),
     # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames;
-    # grand: 1-row corpus mass total (concentration_curve)
-    "stats.py": {"tot", "alloc", "means", "grand"},
+    # grand: 1-row corpus mass total (concentration_curve);
+    # totals/dmax: 1-row (or #groups-row) two-sample totals and sup
+    # (ks/rank-sum); mb: #categories-row margin (chi2); prior: 1-row
+    # global mean (shrunk means)
+    "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb", "prior"},
     "multimodal.py": set(),
 }
 # metric_store denominator_df is caller-supplied and documented bounded
