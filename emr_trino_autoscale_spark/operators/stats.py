@@ -1155,3 +1155,53 @@ def welch_t_test(
         (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
         (F.round(dof, 4) + F.lit(0.0)).alias("df"),
     )
+
+
+def diversity_audit(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """X104 — categorical diversity audit per group: Shannon entropy
+    H = -sum p ln p, normalized entropy H / ln(k), effective category
+    count exp(H) (Hill number of order 1), and Gini-Simpson
+    1 - sum p^2 — the standard mix diagnostics (Shannon 1948 /
+    Simpson 1949 / Hill 1973, all public) a corpus curator reads per
+    source before setting mixing weights: a source whose language
+    entropy collapsed got monolingual upstream, and "effective
+    languages" is the number that goes in the report.
+
+    Scale shape: one combinable hash agg to the (group, category)
+    count frame (bounded by #groups x alphabet), a second agg over
+    THAT frame computes every statistic — the corpus is scanned once,
+    and no probability ever leaves the contracted frame. Emits
+    (group, n, k, entropy, norm_entropy, eff_cats, gini).
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("__g"), F.col(cat_col).alias("__c")
+        )
+        .groupBy("__g", "__c")
+        .agg(F.count("*").cast("double").alias("__n"))
+    )
+    w_g = Window.partitionBy("__g")
+    p = F.col("__n") / F.sum("__n").over(w_g)
+    per = counts.withColumn("__p", p)
+    agged = per.groupBy("__g").agg(
+        F.sum("__n").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+        (-F.sum(F.col("__p") * F.log("__p"))).alias("__h"),
+        (F.lit(1.0) - F.sum(F.col("__p") * F.col("__p"))).alias("__gini"),
+    )
+    norm = F.when(
+        F.col("k") > 1, F.col("__h") / F.log(F.col("k").cast("double"))
+    ).otherwise(F.lit(0.0))
+    return agged.select(
+        F.col("__g").alias(group_col),
+        "n",
+        "k",
+        (F.round(F.col("__h"), 4) + F.lit(0.0)).alias("entropy"),
+        (F.round(norm, 4) + F.lit(0.0)).alias("norm_entropy"),
+        (F.round(F.exp(F.col("__h")), 4) + F.lit(0.0)).alias("eff_cats"),
+        (F.round(F.col("__gini"), 4) + F.lit(0.0)).alias("gini"),
+    )

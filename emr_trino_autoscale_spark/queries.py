@@ -5774,6 +5774,36 @@ GROUP BY 1, 2 ORDER BY dim_a, dim_b
 """
 
 
+# Q141 — categorical diversity audit (X104): per-source language mix
+# diagnostics — Shannon entropy, normalized entropy, effective
+# language count (Hill number), Gini-Simpson.
+
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return stats.diversity_audit(d, "source", "lang").orderBy("source")
+
+
+Q141_SQL = """
+WITH counts AS (
+  SELECT source AS g, lang AS c, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2),
+per AS (
+  SELECT g, n, n / SUM(n) OVER (PARTITION BY g) AS p FROM counts),
+agged AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+         -SUM(p * ln(p)) AS h,
+         1.0 - SUM(p * p) AS gini
+  FROM per GROUP BY g)
+SELECT g AS source, n, k,
+       ROUND(h, 4) + 0.0 AS entropy,
+       ROUND(CASE WHEN k > 1 THEN h / ln(CAST(k AS DOUBLE))
+                  ELSE 0.0 END, 4) + 0.0 AS norm_entropy,
+       ROUND(exp(h), 4) + 0.0 AS eff_cats,
+       ROUND(gini, 4) + 0.0 AS gini
+FROM agged ORDER BY source
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5935,6 +5965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_benford_audit": q138,
     "q139_welch_t_test": q139,
     "q140_dim_corr_matrix": q140,
+    "q141_diversity_audit": q141,
 }
 
 ORACLE: dict[str, str] = {
@@ -6076,6 +6107,7 @@ ORACLE: dict[str, str] = {
     "q138_benford_audit": Q138_SQL,
     "q139_welch_t_test": Q139_SQL,
     "q140_dim_corr_matrix": Q140_SQL,
+    "q141_diversity_audit": Q141_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2807,3 +2807,23 @@ def test_dimension_corr_matrix_extremes(spark):
     assert out[(1, 2)] == 1.0 and out[(1, 3)] == -1.0 and out[(2, 3)] == -1.0
     assert out[(1, 4)] is None and out[(2, 4)] is None and out[(3, 4)] is None
     assert len(out) == 6
+
+
+def test_diversity_audit_extremes(spark):
+    """X104: a uniform 4-category group has entropy ln 4, normalized 1,
+    eff_cats 4, gini 0.75; a monoculture group has all-zero diversity
+    and norm_entropy 0 by the k=1 guard."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    rows = [("u", c) for c in "abcd" for _ in range(5)] + [("m", "a")] * 8
+    df = spark.createDataFrame(rows, "g string, c string")
+    out = {r["g"]: r for r in st.diversity_audit(df, "g", "c").collect()}
+    assert (out["u"]["n"], out["u"]["k"]) == (20, 4)
+    assert out["u"]["entropy"] == round(math.log(4), 4)
+    assert out["u"]["norm_entropy"] == 1.0
+    assert out["u"]["eff_cats"] == 4.0
+    assert out["u"]["gini"] == 0.75
+    assert (out["m"]["k"], out["m"]["entropy"], out["m"]["norm_entropy"]) == (
+        1, 0.0, 0.0
+    )
+    assert out["m"]["eff_cats"] == 1.0 and out["m"]["gini"] == 0.0

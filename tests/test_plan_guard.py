@@ -257,6 +257,8 @@ FLAGSHIPS = {
     "q138_benford_audit": (10, True),
     "q139_welch_t_test": (2, False),
     "q140_dim_corr_matrix": (12, False),
+    # q141: cell-frame agg + bounded per-group window + final agg
+    "q141_diversity_audit": (6, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
