@@ -2184,3 +2184,69 @@ def dimension_corr_matrix(
             (F.round(corr, 4) + F.lit(0.0)).alias("corr"),
         )
     )
+
+
+def centroid_similarity(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """X105 — pairwise cosine similarity between GROUP CENTROIDS: the
+    label/cluster separability report (two labels whose centroids sit
+    at cosine ~1 are not separable classes; a merged-source corpus
+    whose source centroids collapse together carries no source
+    signal). The between-group complement of the within-corpus
+    redundancy screens (X103 dims, X22 cluster profiles).
+
+    Scale shape: the corpus contracts through ONE means-only hash agg
+    (dim avg buffers — the :func:`dimension_stats` shape minus the
+    stddevs this operator never reads) at the same 4-decimal rounding
+    contract, which is what lets the oracle reproduce the cosines;
+    everything after operates on #groups-row model-sized frames —
+    packed mean arrays, a broadcast self-join on group < group, one
+    row-local fold per pair. Zero-norm centroids yield NULL cosine
+    (both engines). Emits (group_a, group_b, cosine).
+    """
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        )
+    base = corpus.select(
+        F.col(group_col).alias("__g"), as_double(F.col(vec_col)).alias("__v")
+    )
+    packed = (
+        base.groupBy("__g")
+        .agg(
+            *[
+                F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            "__g",
+            F.array(
+                *[
+                    F.round(F.col(f"__m{i}"), 4) + F.lit(0.0)
+                    for i in range(dim)
+                ]
+            ).alias("__m"),
+        )
+    )
+    a = packed.select(
+        F.col("__g").alias("group_a"), F.col("__m").alias("__ma")
+    )
+    b = packed.select(
+        F.col("__g").alias("group_b"), F.col("__m").alias("__mb")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("group_a") < F.col("group_b")
+    )
+    d = dot(F.col("__ma"), F.col("__mb"))
+    na, nb = l2_norm(F.col("__ma")), l2_norm(F.col("__mb"))
+    cos = F.when((na > 0) & (nb > 0), d / (na * nb))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
+    )

@@ -5804,6 +5804,37 @@ FROM agged ORDER BY source
 """
 
 
+# Q142 — label-centroid separability matrix (X105): pairwise cosine
+# between per-label embedding centroids, built on the q114
+# rounded-stats contract so both engines fold identical numbers.
+
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_similarity(emb, "label").orderBy(
+        "group_a", "group_b"
+    )
+
+
+Q142_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+p AS (SELECT label, CAST(dim AS INT) AS dim, v[dim] AS val FROM x),
+st AS (
+  SELECT label, dim, ROUND(AVG(val), 4) + 0.0 AS m
+  FROM p GROUP BY label, dim),
+pr AS (
+  SELECT a.label AS group_a, b.label AS group_b,
+         SUM(a.m * b.m) AS d,
+         sqrt(SUM(a.m * a.m)) AS na, sqrt(SUM(b.m * b.m)) AS nb
+  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT group_a, group_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) END, 4) + 0.0
+         AS cosine
+FROM pr ORDER BY group_a, group_b
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5966,6 +5997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_welch_t_test": q139,
     "q140_dim_corr_matrix": q140,
     "q141_diversity_audit": q141,
+    "q142_centroid_similarity": q142,
 }
 
 ORACLE: dict[str, str] = {
@@ -6108,6 +6140,7 @@ ORACLE: dict[str, str] = {
     "q139_welch_t_test": Q139_SQL,
     "q140_dim_corr_matrix": Q140_SQL,
     "q141_diversity_audit": Q141_SQL,
+    "q142_centroid_similarity": Q142_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2827,3 +2827,28 @@ def test_diversity_audit_extremes(spark):
         1, 0.0, 0.0
     )
     assert out["m"]["eff_cats"] == 1.0 and out["m"]["gini"] == 0.0
+
+
+def test_centroid_similarity_extremes(spark):
+    """X105: groups whose centroids point the same way score cosine 1,
+    opposed centroids -1, orthogonal 0; a zero-centroid group yields
+    NULL (both engines' convention)."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    rows = (
+        [(i, "e1", [2.0, 0.0]) for i in range(5)]
+        + [(i, "e1b", [5.0, 0.0]) for i in range(5)]
+        + [(i, "neg", [-1.0, 0.0]) for i in range(5)]
+        + [(i, "orth", [0.0, 3.0]) for i in range(5)]
+        + [(0, "zero", [1.0, 0.0]), (1, "zero", [-1.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {
+        (r["group_a"], r["group_b"]): r["cosine"]
+        for r in sim.centroid_similarity(df, "label").collect()
+    }
+    assert out[("e1", "e1b")] == 1.0
+    assert out[("e1", "neg")] == -1.0
+    assert out[("e1", "orth")] == 0.0
+    assert out[("e1", "zero")] is None and out[("neg", "zero")] is None
+    assert len(out) == 10

@@ -259,6 +259,9 @@ FLAGSHIPS = {
     "q140_dim_corr_matrix": (12, False),
     # q141: cell-frame agg + bounded per-group window + final agg
     "q141_diversity_audit": (6, False),
+    # q142: q114 stats agg + #labels-row pack + broadcast < self-join
+    # (the sanctioned model-sized nested loop)
+    "q142_centroid_similarity": (8, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
