@@ -341,6 +341,8 @@ BROADCAST_ALLOW = {
         # dim-row centered-Gram diagonal (dimension_corr_matrix)
         "diag.select(F.col('__d'), F.col('__ss').alias('__ssa'))",
         "diag.select(F.col('__d'), F.col('__ss').alias('__ssb'))",
+        # #groups-row packed centroid frame (centroid_similarity)
+        "b",
     },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
