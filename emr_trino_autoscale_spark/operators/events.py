@@ -410,3 +410,66 @@ def audience_overlap(
             / (F.col("n_a") + F.col("n_b") - F.col("n_co")).cast("double"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """X107 — time-weighted average per group: each observation holds
+    until the key's NEXT observation, so its weight is that holding
+    duration in seconds (last observation per key carries no interval
+    and is excluded — the standard step-function/LOCF convention a
+    metering or utilization pipeline uses; the reference's plain
+    1-minute CPU averages, `InstanceMetricsManager.scala`, weight
+    every poll equally, which under-counts values that persisted
+    longer between irregular polls — this is the irregular-sampling
+    correction).
+
+    Scale shape: ONE lead window partitioned by the KEY
+    (corpus-cardinality — parallelism grows with data, never the
+    low-card group trap), then a plain combinable (group) agg of
+    (value x micros, micros). Durations are INTEGER microseconds
+    (``unix_micros`` diff — exact in both engines), so the per-group
+    second totals are exact integer sums divided once; only the
+    final value-weighted ratio is float. (ts, tiebreak) is the total
+    order, so engines agree on which observation is "next" even under
+    equal timestamps. Emits (group, n_intervals, total_seconds, twa)
+    with twa = sum(value * dur_us) / sum(dur_us).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    dur_us = F.lead(F.unix_micros(F.col(ts_col))).over(w) - F.unix_micros(
+        F.col(ts_col)
+    )
+    base = df.select(
+        F.col(group_col).alias("__grp"),
+        F.col(value_col).cast("double").alias("__val"),
+        dur_us.alias("__dur"),
+    ).filter(F.col("__dur").isNotNull())
+    return (
+        base.groupBy("__grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            (F.sum("__dur").cast("double") / F.lit(1e6)).alias("__tot"),
+            (
+                F.round(
+                    F.sum(F.col("__val") * F.col("__dur").cast("double"))
+                    / F.sum("__dur").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("twa"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_intervals",
+            (F.round(F.col("__tot"), 4) + F.lit(0.0)).alias("total_seconds"),
+            "twa",
+        )
+    )

@@ -1205,3 +1205,57 @@ def diversity_audit(
         (F.round(F.exp(F.col("__h")), 4) + F.lit(0.0)).alias("eff_cats"),
         (F.round(F.col("__gini"), 4) + F.lit(0.0)).alias("gini"),
     )
+
+
+def grouped_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: float = 1.0,
+    persist_fn=None,
+) -> DataFrame:
+    """X106 — per-group median absolute deviation (Hampel 1974,
+    public; ``scale=1.4826`` makes it a consistent sigma estimate for
+    normal data): THE robust dispersion number — one corrupt ingest
+    batch can drag a stddev arbitrarily far, but moving the MAD
+    requires corrupting half the group. Completes the robust family
+    (X81 gives median/IQR per embedding dimension; this is the scalar
+    per-group form quality gates actually threshold on).
+
+    Exact two-pass: per-group median (Spark's exact ``percentile`` —
+    linear interpolation, the X81 engine-shared convention), broadcast
+    back as a #groups-row frame, then the median of absolute
+    deviations in a second agg. Exact medians genuinely need the
+    values — this is also the DuckDB-checkable oracle form; at 100 TB
+    swap ``percentile`` for ``percentile_approx`` in the same shape
+    (the X68/X81 convention). ``persist_fn`` scopes the projected
+    (group, value) frame read by both passes. Emits
+    (group, n, median, mad).
+    """
+    d = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    if persist_fn is not None:
+        d = persist_fn(d)
+    med = d.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.percentile("__v", F.lit(0.5)).alias("__med"),
+    )
+    out = (
+        d.join(F.broadcast(med), "__g")
+        .groupBy("__g", "n", "__med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("__v") - F.col("__med")), F.lit(0.5)
+            ).alias("__mad")
+        )
+    )
+    return out.select(
+        F.col("__g").alias(group_col),
+        "n",
+        (F.round(F.col("__med"), 4) + F.lit(0.0)).alias("median"),
+        (F.round(F.col("__mad") * F.lit(float(scale)), 4) + F.lit(0.0)).alias(
+            "mad"
+        ),
+    )

@@ -5835,6 +5835,59 @@ FROM pr ORDER BY group_a, group_b
 """
 
 
+# Q143 — grouped exact MAD (X106): robust dispersion per event type
+# with the 1.4826 normal-consistency scale; exact two-pass medians
+# (quantile_cont parity, the X81 convention).
+
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stats.grouped_mad(
+        e, "event_type", "value", scale=1.4826, persist_fn=_cache_scoped
+    ).orderBy("event_type")
+
+
+Q143_SQL = """
+WITH d AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events),
+med AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, quantile_cont(v, 0.5) AS m
+  FROM d GROUP BY g),
+mad AS (
+  SELECT d.g, n, m, quantile_cont(abs(v - m), 0.5) AS md
+  FROM d JOIN med ON d.g = med.g GROUP BY d.g, n, m)
+SELECT g AS event_type, n,
+       ROUND(m, 4) + 0.0 AS median,
+       ROUND(md * 1.4826, 4) + 0.0 AS mad
+FROM mad ORDER BY event_type
+"""
+
+
+# Q144 — time-weighted average (X107): per-type value average weighted
+# by how long each observation held (until the user's next event) —
+# the irregular-sampling correction the reference's equally-weighted
+# poll averages lack. Integer-microsecond durations on both sides.
+
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return ev_ops.time_weighted_avg(e).orderBy("event_type")
+
+
+Q144_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nt
+  FROM events),
+b AS (SELECT event_type, v, nt - t AS dur FROM s WHERE nt IS NOT NULL)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       ROUND(CAST(SUM(dur) AS DOUBLE) / 1000000.0, 4) + 0.0 AS total_seconds,
+       ROUND(SUM(v * CAST(dur AS DOUBLE)) / CAST(SUM(dur) AS DOUBLE), 4) + 0.0
+         AS twa
+FROM b GROUP BY 1 ORDER BY event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -5998,6 +6051,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_dim_corr_matrix": q140,
     "q141_diversity_audit": q141,
     "q142_centroid_similarity": q142,
+    "q143_grouped_mad": q143,
+    "q144_time_weighted_avg": q144,
 }
 
 ORACLE: dict[str, str] = {
@@ -6141,6 +6196,8 @@ ORACLE: dict[str, str] = {
     "q140_dim_corr_matrix": Q140_SQL,
     "q141_diversity_audit": Q141_SQL,
     "q142_centroid_similarity": Q142_SQL,
+    "q143_grouped_mad": Q143_SQL,
+    "q144_time_weighted_avg": Q144_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2852,3 +2852,48 @@ def test_centroid_similarity_extremes(spark):
     assert out[("e1", "orth")] == 0.0
     assert out[("e1", "zero")] is None and out[("neg", "zero")] is None
     assert len(out) == 10
+
+
+def test_grouped_mad_known_and_outlier_resistance(spark):
+    """X106: hand case — {1..5} has median 3, MAD 1; replacing the max
+    with 1000 moves the stddev by two orders but the MAD not at all."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    clean = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 5)], "g string, v double"
+    )
+    r = st.grouped_mad(clean, "g", "v").collect()[0]
+    assert (r["n"], r["median"], r["mad"]) == (5, 3.0, 1.0)
+    dirty = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 1000)], "g string, v double"
+    )
+    r2 = st.grouped_mad(dirty, "g", "v").collect()[0]
+    assert (r2["median"], r2["mad"]) == (3.0, 1.0)
+    # consistency scale passes straight through
+    r3 = st.grouped_mad(clean, "g", "v", scale=1.4826).collect()[0]
+    assert r3["mad"] == 1.4826
+
+
+def test_time_weighted_avg_step_function(spark):
+    """X107: a value holding 3x longer weighs 3x — one user with
+    values 10 (30 s) then 40 (10 s) then a terminator: twa =
+    (10*30 + 40*10)/40 = 17.5; the last observation is excluded; a
+    single-event user contributes nothing."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, t0, "m", 10.0),
+        (2, 7, t0 + dt.timedelta(seconds=30), "m", 40.0),
+        (3, 7, t0 + dt.timedelta(seconds=40), "m", 99.0),   # terminator
+        (4, 8, t0, "m", 55.0),                               # single event
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in ev.time_weighted_avg(df).collect()}
+    assert out["m"]["n_intervals"] == 2
+    assert out["m"]["total_seconds"] == 40.0
+    assert out["m"]["twa"] == 17.5

@@ -262,6 +262,11 @@ FLAGSHIPS = {
     # q142: q114 stats agg + #labels-row pack + broadcast < self-join
     # (the sanctioned model-sized nested loop)
     "q142_centroid_similarity": (8, True),
+    # q143: two exact-percentile aggs over the cached (group, value)
+    # frame + #groups-row broadcast; q144: key-partitioned lead window
+    # + one grouped agg
+    "q143_grouped_mad": (8, False),
+    "q144_time_weighted_avg": (6, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -361,7 +366,8 @@ BROADCAST_ALLOW = {
     # totals/dmax: 1-row (or #groups-row) two-sample totals and sup
     # (ks/rank-sum); mb: #categories-row margin (chi2); prior: 1-row
     # global mean (shrunk means)
-    "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb", "prior"},
+    # med: #groups-row (group, n, median) frame (grouped_mad pass 2)
+    "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb", "prior", "med"},
     "multimodal.py": set(),
 }
 # metric_store denominator_df is caller-supplied and documented bounded
