@@ -2250,3 +2250,100 @@ def centroid_similarity(
         "group_b",
         (F.round(cos, 4) + F.lit(0.0)).alias("cosine"),
     )
+
+
+def label_noise_scores(
+    corpus: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """X108 — centroid-margin label-noise screen (the nearest-centroid
+    reduction of confident learning, Northcutt JAIR'21 — public): a
+    vector whose cosine to its OWN label's centroid is beaten by some
+    other label's centroid is a mislabeling candidate; the margin
+    (own - best other) ranks the audit queue a labeling team actually
+    works through. The per-vector complement of X105 (which says
+    whether two labels are separable at all).
+
+    Scale shape: centroids come from the SAME means-only contraction
+    as X105 at the 4-decimal contract; ALL centroids pack into ONE
+    broadcast row (#labels x dim doubles — model-sized), and the
+    per-vector score is a row-local fold over that literal structure:
+    zero corpus shuffle, no per-label join. Emits one row per vector:
+    (id, group, own_cos, best_other, best_other_label, margin,
+    flagged) with flagged = margin < 0.
+    """
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        )
+    base = corpus.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        as_double(F.col(vec_col)).alias("__v"),
+    )
+    cents = (
+        base.groupBy("__g")
+        .agg(
+            *[
+                F.avg(F.element_at("__v", i + 1)).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            "__g",
+            F.array(
+                *[
+                    F.round(F.col(f"__m{i}"), 4) + F.lit(0.0)
+                    for i in range(dim)
+                ]
+            ).alias("__c"),
+        )
+    )
+    packed = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__g"), F.col("__c")))
+        ).alias("__cents")
+    )
+    # Materialize the per-vector norm and the full per-label cosine
+    # array as COLUMNS before deriving own/best/argmax from them —
+    # HOF lambda bodies are re-evaluated per reference (no CSE), and
+    # the first cut re-ran the |labels| x dim fold four times per row
+    # (measured ~6.0 s -> ~2.3 s at sf0.1 from this materialization).
+    sims_expr = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            c["__g"].alias("g"),
+            F.when(
+                l2_norm(c["__c"]) > 0,
+                dot(F.col("__v"), c["__c"])
+                / (F.col("__vn") * l2_norm(c["__c"])),
+            ).alias("cos"),
+        ),
+    )
+    joined = (
+        base.crossJoin(F.broadcast(packed))
+        .withColumn("__vn", l2_norm(F.col("__v")))
+        .withColumn("__sims", sims_expr)
+    )
+    sims = F.col("__sims")
+    own = F.filter(sims, lambda s: s["g"] == F.col("__g"))[0]["cos"]
+    others = F.filter(sims, lambda s: s["g"] != F.col("__g"))
+    best = F.array_max(
+        F.transform(others, lambda s: s["cos"])
+    )
+    # smallest label among ties on the best-other cosine (determinism)
+    best_label = F.array_min(
+        F.filter(others, lambda s: s["cos"] == best)
+    )["g"]
+    return joined.select(
+        F.col(id_col),
+        F.col("__g").alias(group_col),
+        (F.round(own, 4) + F.lit(0.0)).alias("own_cos"),
+        (F.round(best, 4) + F.lit(0.0)).alias("best_other"),
+        best_label.alias("best_other_label"),
+        (F.round(own - best, 4) + F.lit(0.0)).alias("margin"),
+        (own < best).alias("flagged"),
+    )

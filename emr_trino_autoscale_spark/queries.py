@@ -5888,6 +5888,54 @@ FROM b GROUP BY 1 ORDER BY event_type
 """
 
 
+# Q145 — centroid-margin label-noise audit queue (X108): the 20
+# worst-margin vectors (own-label centroid beaten hardest by another
+# label's), the list a labeling team re-reviews first.
+
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = similarity.label_noise_scores(emb, "label")
+    return (
+        s.select("vec_id", "label", "best_other_label", "margin")
+        .orderBy(F.col("margin").asc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+
+
+Q145_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+dims AS (SELECT vec_id, label, CAST(dim AS INT) AS dim, v[dim] AS val FROM x),
+cents AS (
+  SELECT label, dim, ROUND(AVG(val), 4) + 0.0 AS m
+  FROM dims GROUP BY label, dim),
+sims AS (
+  SELECT d.vec_id, d.label AS own_label, c.label AS cand_label,
+         CASE WHEN SUM(c.m * c.m) > 0
+              THEN SUM(d.val * c.m)
+                   / (sqrt(SUM(d.val * d.val)) * sqrt(SUM(c.m * c.m)))
+         END AS cos
+  FROM dims d JOIN cents c ON d.dim = c.dim
+  GROUP BY 1, 2, 3),
+own AS (
+  SELECT vec_id, own_label, cos AS own_cos FROM sims
+  WHERE own_label = cand_label),
+-- DISTINCT ON, not a cos = MAX(cos) self-equality join: DuckDB
+-- re-executes a CTE per reference and parallel float SUM order is
+-- nondeterministic, so an equality join between two evaluations of
+-- sims intermittently drops rows at the last ulp.
+oth AS (
+  SELECT DISTINCT ON (vec_id) vec_id, cos AS best,
+         cand_label AS best_other_label
+  FROM sims WHERE own_label <> cand_label
+  ORDER BY vec_id, cos DESC, cand_label ASC)
+SELECT own.vec_id, own.own_label AS label, oth.best_other_label,
+       ROUND(own.own_cos - oth.best, 4) + 0.0 AS margin
+FROM own JOIN oth ON own.vec_id = oth.vec_id
+ORDER BY margin ASC, own.vec_id ASC LIMIT 20
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6053,6 +6101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_centroid_similarity": q142,
     "q143_grouped_mad": q143,
     "q144_time_weighted_avg": q144,
+    "q145_label_noise_queue": q145,
 }
 
 ORACLE: dict[str, str] = {
@@ -6198,6 +6247,7 @@ ORACLE: dict[str, str] = {
     "q142_centroid_similarity": Q142_SQL,
     "q143_grouped_mad": Q143_SQL,
     "q144_time_weighted_avg": Q144_SQL,
+    "q145_label_noise_queue": Q145_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

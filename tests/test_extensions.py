@@ -2897,3 +2897,27 @@ def test_time_weighted_avg_step_function(spark):
     assert out["m"]["n_intervals"] == 2
     assert out["m"]["total_seconds"] == 40.0
     assert out["m"]["twa"] == 17.5
+
+
+def test_label_noise_scores_planted_mislabel(spark):
+    """X108: two well-separated clusters plus ONE vector planted in the
+    wrong cluster — the planted vector is flagged with a negative
+    margin and points at the right culprit label; clean vectors have
+    positive margins."""
+    from emr_trino_autoscale_spark.operators import similarity as sim
+
+    rows = (
+        [(i, "a", [10.0 + (i % 3), 0.0]) for i in range(10)]
+        + [(100 + i, "b", [0.0, 10.0 + (i % 3)]) for i in range(10)]
+        + [(999, "a", [0.0, 11.0])]          # labeled a, lives in b
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in sim.label_noise_scores(df, "label").collect()}
+    assert out[999]["flagged"] and out[999]["margin"] < 0
+    assert out[999]["best_other_label"] == "b"
+    assert all(
+        not out[i]["flagged"] and out[i]["margin"] > 0
+        for i in list(range(10)) + list(range(100, 110))
+    )

@@ -267,6 +267,9 @@ FLAGSHIPS = {
     # + one grouped agg
     "q143_grouped_mad": (8, False),
     "q144_time_weighted_avg": (6, False),
+    # q145: means agg -> 1-row packed-centroid broadcast (the
+    # sanctioned model-sized nested loop) + row-local fold + top-20
+    "q145_label_noise_queue": (6, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -348,6 +351,8 @@ BROADCAST_ALLOW = {
         "diag.select(F.col('__d'), F.col('__ss').alias('__ssb'))",
         # #groups-row packed centroid frame (centroid_similarity)
         "b",
+        # 1-row all-centroids pack (label_noise_scores)
+        "packed",
     },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
     "registry.py": set(),
