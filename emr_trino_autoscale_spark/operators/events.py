@@ -473,3 +473,43 @@ def time_weighted_avg(
             "twa",
         )
     )
+
+
+def debounce_events(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: float = 60.0,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """X109 — telemetry debounce: drop an event that repeats its key's
+    IMMEDIATELY PREVIOUS event (same type, same value) within
+    ``window_seconds`` — the double-fire/retry-echo cleanup every
+    event pipeline runs before counting anything (a client retry storm
+    otherwise inflates every downstream metric). Only consecutive
+    repeats are dropped — A,B,A within the window keeps all three
+    (that is real alternation, not an echo), which is what
+    distinguishes debounce from q21-style content dedup.
+
+    Scale shape: ONE lag window partitioned by the corpus-cardinality
+    KEY with the (ts, tiebreak) total order; the repeat test compares
+    exact integer microseconds (unix_micros — engine-identical) and
+    exact value equality, all row-local. Returns the frame with an
+    ``is_echo`` flag; filter on it to drop.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    prev_type = F.lag(F.col(type_col)).over(w)
+    prev_val = F.lag(F.col(value_col)).over(w)
+    echo = (
+        prev_us.isNotNull()
+        & (F.col(type_col) == prev_type)
+        & (F.col(value_col) == prev_val)
+        & ((us - prev_us) <= F.lit(int(window_seconds * 1_000_000)))
+    )
+    return df.withColumn("is_echo", F.coalesce(echo, F.lit(False)))

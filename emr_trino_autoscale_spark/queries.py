@@ -5936,6 +5936,50 @@ ORDER BY margin ASC, own.vec_id ASC LIMIT 20
 """
 
 
+# Q146 — telemetry debounce audit (X109): per-type counts of echo
+# (consecutive same-type same-value repeats within 60 s per user)
+# vs kept events — the retry-storm cleanup report.
+
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        ev_ops.debounce_events(e, window_seconds=60.0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("is_echo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_echo"),
+            F.sum(F.when(~F.col("is_echo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q146_SQL = """
+WITH s AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS t,
+         lag(event_type) OVER w AS pt,
+         lag(value) OVER w AS pv,
+         lag(epoch_us(ts)) OVER w AS pu
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (
+  SELECT event_type,
+         COALESCE(event_type = pt AND value = pv
+                  AND t - pu <= 60000000, FALSE) AS is_echo
+  FROM s)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN is_echo THEN 1 ELSE 0 END) AS BIGINT) AS n_echo,
+       CAST(SUM(CASE WHEN NOT is_echo THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6102,6 +6146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_grouped_mad": q143,
     "q144_time_weighted_avg": q144,
     "q145_label_noise_queue": q145,
+    "q146_debounce_audit": q146,
 }
 
 ORACLE: dict[str, str] = {
@@ -6248,6 +6293,7 @@ ORACLE: dict[str, str] = {
     "q143_grouped_mad": Q143_SQL,
     "q144_time_weighted_avg": Q144_SQL,
     "q145_label_noise_queue": Q145_SQL,
+    "q146_debounce_audit": Q146_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

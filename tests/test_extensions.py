@@ -2921,3 +2921,31 @@ def test_label_noise_scores_planted_mislabel(spark):
         not out[i]["flagged"] and out[i]["margin"] > 0
         for i in list(range(10)) + list(range(100, 110))
     )
+
+
+def test_debounce_consecutive_only(spark):
+    """X109: an immediate same-type same-value repeat within the window
+    is an echo; A,B,A alternation keeps all three; a repeat outside the
+    window is kept; different value at the same type is kept."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(eid, sec, typ, val):
+        return (eid, 1, t0 + dt.timedelta(seconds=sec), typ, val)
+
+    rows = [
+        r(1, 0, "a", 5.0),
+        r(2, 10, "a", 5.0),    # echo (10 s, same type+value)
+        r(3, 20, "b", 5.0),    # type change -> kept
+        r(4, 30, "a", 5.0),    # alternation -> kept
+        r(5, 200, "a", 5.0),   # same as prev but 170 s later -> kept
+        r(6, 210, "a", 6.0),   # value change -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r["event_id"]: r["is_echo"] for r in ev.debounce_events(df, window_seconds=60).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: False, 6: False}

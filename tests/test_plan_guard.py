@@ -270,6 +270,8 @@ FLAGSHIPS = {
     # q145: means agg -> 1-row packed-centroid broadcast (the
     # sanctioned model-sized nested loop) + row-local fold + top-20
     "q145_label_noise_queue": (6, True),
+    # q146: one key-partitioned lag window + grouped agg
+    "q146_debounce_audit": (6, False),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
