@@ -648,3 +648,29 @@ def attach_decision_query(decisions: DataFrame, sink_fn, checkpoint: str, trigge
         .trigger(processingTime=trigger)
         .outputMode("append")
     )
+
+
+def debounce_stream(events, window_seconds: float = 60.0):
+    """X110 — streaming telemetry debounce, the live twin of
+    events.debounce_events (X109/q146): per-user keyed state is ONE
+    (last type, last value, last ts) triple in
+    ``applyInPandasWithState`` — constant per key, no history growth —
+    and the verdict semantics are the batch lag form's exactly (an
+    echo refreshes the clock, because lag compares each row to its
+    immediate predecessor). Input needs integer-microsecond ``ts_us``
+    (the X107/X109 determinism convention); output = input +
+    ``is_echo``, append-mode safe. Exact batch parity is pinned by
+    tests/test_stateful.py::test_debounce_stream_matches_batch.
+    """
+    from .stateful import (
+        DEBOUNCE_OUTPUT_SCHEMA,
+        make_debounce_processor,
+    )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_debounce_processor(window_seconds),
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType="last_type string, last_value double, last_ts_us long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -30,6 +30,7 @@ import pandas as pd
 
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -125,7 +126,9 @@ def make_cooldown_processor(policy):
     def process(
         key: tuple, pdfs: Iterator[pd.DataFrame], state
     ) -> Iterator[pd.DataFrame]:
-        (last_op_ms,) = state.get() if state.exists else (0,)
+        # GroupState.get is a PROPERTY in pyspark 4 — state.get() would
+        # call the returned tuple and crash on the first rehydrated batch
+        (last_op_ms,) = tuple(state.get) if state.exists else (0,)
         decisions: list[dict] = []
         for pdf in pdfs:
             batch, last_op_ms = decision_cascade_rows(pdf, last_op_ms, policy)
@@ -202,10 +205,107 @@ def refresh_rows(
 def suspension_processor(
     key: tuple, pdfs: Iterator[pd.DataFrame], state
 ) -> Iterator[pd.DataFrame]:
-    (last_ms,) = state.get() if state.exists else (0,)
+    (last_ms,) = tuple(state.get) if state.exists else (0,)  # property, not method
     rows: list[dict] = []
     for pdf in pdfs:
         batch, last_ms = refresh_rows(pdf, last_ms)
         rows.extend(batch)
     state.update((last_ms,))
     yield pd.DataFrame(rows, columns=[f.name for f in TASK_STATE_SCHEMA.fields])
+
+
+# --- streaming telemetry debounce (X110, live twin of X109) ----------------
+
+DEBOUNCE_INPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+DEBOUNCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("is_echo", BooleanType()),
+    ]
+)
+
+# keyed state: the user's last observation (type, value, ts in micros)
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def debounce_rows(
+    rows: "pd.DataFrame",
+    last_type: str | None,
+    last_value: float | None,
+    last_ts_us: int,
+    window_us: int,
+) -> tuple[list[dict], tuple]:
+    """Row-at-a-time core of the streaming debounce, shared with the
+    batch-parity test: identical semantics to the batch lag form
+    (events.debounce_events) — an event is an echo iff it repeats the
+    key's immediately previous (type, value) within the window. Rows
+    are processed in (ts_us, event_id) order; the carried state is the
+    LAST observation regardless of echo status (an echo refreshes the
+    clock — three rapid repeats are two echoes, matching lag
+    semantics where each row compares against its immediate
+    predecessor)."""
+    out: list[dict] = []
+    for r in rows.sort_values(["ts_us", "event_id"]).itertuples():
+        echo = (
+            last_type is not None
+            and r.event_type == last_type
+            and r.value == last_value
+            and (r.ts_us - last_ts_us) <= window_us
+        )
+        out.append(
+            {
+                "event_id": r.event_id,
+                "user_id": r.user_id,
+                "ts_us": r.ts_us,
+                "event_type": r.event_type,
+                "value": r.value,
+                "is_echo": bool(echo),
+            }
+        )
+        last_type, last_value, last_ts_us = r.event_type, r.value, r.ts_us
+    return out, (last_type, last_value, last_ts_us)
+
+
+def make_debounce_processor(window_seconds: float = 60.0):
+    """applyInPandasWithState processor for the streaming debounce
+    (X110): state per user is ONE (type, value, ts) triple — constant
+    size, no growth with history; output is the input batch with the
+    is_echo verdict, so the stream stays append-only and the echo
+    filter composes downstream."""
+    window_us = int(window_seconds * 1_000_000)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        # GroupState.get is a PROPERTY in pyspark 4 (calling it calls
+        # the returned tuple) — access without parens
+        lt, lv, lts = tuple(state.get) if state.exists else (None, None, -(1 << 62))
+        out: list[dict] = []
+        for pdf in pdfs:
+            batch, (lt, lv, lts) = debounce_rows(pdf, lt, lv, lts, window_us)
+            out.extend(batch)
+        state.update((lt, lv, lts))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in DEBOUNCE_OUTPUT_SCHEMA.fields]
+        )
+
+    return process

@@ -800,3 +800,65 @@ def test_media_neardup_stream_matches_batch(spark, tmp_path):
                 want[(a, c)] = d
     assert got == want and len(want) > 0
     assert all(v <= 6 for v in got.values())
+
+
+@pytest.mark.slow
+def test_debounce_stream_matches_batch(spark, tmp_path):
+    """X110: the streaming debounce (keyed last-observation state in
+    applyInPandasWithState) must agree with the batch lag form
+    (events.debounce_events) on every event — including echoes that
+    refresh the clock and state carried ACROSS micro-batches."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for sec, typ, val in [
+            (0, "a", 5.0), (10, "a", 5.0), (15, "a", 5.0),   # echo chain
+            (30, "b", 5.0), (40, "a", 5.0),                   # alternation
+            (200, "a", 5.0), (205, "a", 6.0), (206, "a", 6.0),
+        ]:
+            rows.append((eid, u, t0 + dt.timedelta(seconds=sec + u), typ, val))
+            eid += 1
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    # two micro-batches split mid-chain so state must carry across
+    src = str(tmp_path / "db_src")
+    out = str(tmp_path / "db_out")
+    chk = str(tmp_path / "db_chk")
+    df.filter("event_id % 16 < 5").repartition(1).write.parquet(src)
+    stream_in = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type", "value",
+        )
+    )
+    q = (
+        pipeline.debounce_stream(stream_in, window_seconds=60.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id % 16 >= 5").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["event_id"]: r["is_echo"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_id"]: r["is_echo"]
+        for r in ev.debounce_events(df, window_seconds=60.0).collect()
+    }
+    assert got == want and len(got) == len(rows)
+    assert sum(got.values()) > 0  # echoes actually occurred
