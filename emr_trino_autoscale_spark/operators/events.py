@@ -513,3 +513,86 @@ def debounce_events(
         & ((us - prev_us) <= F.lit(int(window_seconds * 1_000_000)))
     )
     return df.withColumn("is_echo", F.coalesce(echo, F.lit(False)))
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """X111 — regular-grid resampling with last-observation-carried-
+    forward: every key gets a row at every grid tick carrying its most
+    recent observation at-or-before that tick — the step that turns an
+    irregular event stream into the aligned matrix every joint
+    time-series computation (correlation, forecasting features,
+    cross-key aggregation at instant t) actually consumes. Ticks
+    before a key's first observation are dropped (no fabrication);
+    X107 integrates the step function, this one SAMPLES it.
+
+    Scale shape: the global [min, max) bounds are a 1-row broadcast;
+    the grid is #keys x #ticks rows built by a row-local
+    ``sequence`` explode (never a cross join against the corpus); the
+    LOCF itself is the classic union-and-carry — grid markers union
+    the observations, ONE window per corpus-cardinality key ordered
+    by (ts_us, is_obs desc, tiebreak) carries ``last(value,
+    ignorenulls=True)`` forward, so an observation exactly ON a tick
+    is carried into it. One shuffle on the key; grid density is the
+    caller's knob. Emits (key, tick_us, value, ts_us of the carried
+    observation).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    step_us = int(step_seconds) * 1_000_000
+    bounds = df.agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    # grid ticks: ceil(lo/step)*step .. floor(hi/step)*step inclusive
+    lo_tick = F.ceil(F.col("__lo") / F.lit(step_us)).cast("long") * F.lit(
+        step_us
+    )
+    hi_tick = F.floor(F.col("__hi") / F.lit(step_us)).cast("long") * F.lit(
+        step_us
+    )
+    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    grid = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(lo_tick, hi_tick, F.lit(step_us))
+            ).alias("__t"),
+        )
+        .withColumn("__obs", F.lit(0))
+        .withColumn("__val", F.lit(None).cast("double"))
+        .withColumn("__ots", F.lit(None).cast("long"))
+        .withColumn("__tb", F.lit(None).cast("long"))
+    )
+    obs = df.select(
+        F.col(key_col).alias("__k"),
+        us.alias("__t"),
+        F.lit(1).alias("__obs"),
+        F.col(value_col).cast("double").alias("__val"),
+        us.alias("__ots"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+    )
+    unioned = obs.unionByName(grid)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__t").asc(), F.col("__obs").desc(), F.col("__tb").asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        unioned.withColumn("__cv", F.last("__val", ignorenulls=True).over(w))
+        .withColumn("__cts", F.last("__ots", ignorenulls=True).over(w))
+        .filter((F.col("__obs") == 0) & F.col("__cv").isNotNull())
+    )
+    return carried.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias("tick_us"),
+        F.col("__cv").alias("value"),
+        F.col("__cts").alias("obs_ts_us"),
+    )

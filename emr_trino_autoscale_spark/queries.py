@@ -5980,6 +5980,62 @@ FROM f GROUP BY event_type ORDER BY event_type
 """
 
 
+# Q147 — LOCF grid resampling (X111): every user sampled on the 6-hour
+# grid carrying their latest observation, rolled up per day. The
+# oracle replays it as DuckDB's native ASOF LEFT JOIN, so the
+# union-and-carry window form is hash-proven equal to the textbook
+# as-of semantics.
+
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.resample_locf(e, step_seconds=21600)
+    return (
+        r.groupBy(
+            F.date_format(
+                F.timestamp_micros(F.col("tick_us")), "yyyy-MM-dd"
+            ).alias("day")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            # SUM, not AVG: carried values are 2-decimal, so the sum
+            # sits far from 4-decimal half-way boundaries; an AVG here
+            # landed exactly on .xxxx5 at sf0.01 and the engines round
+            # half-up vs binary (the documented dec4 gotcha)
+            dec4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+Q147_SQL = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+ticks AS (
+  SELECT unnest(range(
+    CAST(ceil(lo / 21600000000.0) AS BIGINT) * 21600000000,
+    CAST(floor(hi / 21600000000.0) AS BIGINT) * 21600000000 + 1,
+    21600000000)) AS t
+  FROM b),
+grid AS (
+  SELECT u.user_id, ticks.t
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN ticks),
+ev AS (
+  SELECT user_id, epoch_us(ts) AS et, CAST(value AS DOUBLE) AS v
+  FROM events),
+loc AS (
+  SELECT g.user_id, g.t, e.v
+  FROM grid g ASOF LEFT JOIN ev e
+    ON g.user_id = e.user_id AND g.t >= e.et)
+SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       {_dec4('SUM(v)')} AS sum_value
+FROM loc WHERE v IS NOT NULL
+GROUP BY 1 ORDER BY day
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6147,6 +6203,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_time_weighted_avg": q144,
     "q145_label_noise_queue": q145,
     "q146_debounce_audit": q146,
+    "q147_locf_resample": q147,
 }
 
 ORACLE: dict[str, str] = {
@@ -6294,6 +6351,7 @@ ORACLE: dict[str, str] = {
     "q144_time_weighted_avg": Q144_SQL,
     "q145_label_noise_queue": Q145_SQL,
     "q146_debounce_audit": Q146_SQL,
+    "q147_locf_resample": Q147_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -2949,3 +2949,36 @@ def test_debounce_consecutive_only(spark):
     )
     out = {r["event_id"]: r["is_echo"] for r in ev.debounce_events(df, window_seconds=60).collect()}
     assert out == {1: False, 2: True, 3: False, 4: False, 5: False, 6: False}
+
+
+def test_resample_locf_carry_semantics(spark):
+    """X111: grid points carry the latest at-or-before observation (an
+    observation exactly ON a tick is carried into it); pre-first-event
+    ticks are dropped; the carried obs_ts points at the right event."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def us(sec):
+        return int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+
+    rows = [
+        (1, 7, t0 + dt.timedelta(seconds=90), "m", 10.0),    # between ticks
+        (2, 7, t0 + dt.timedelta(seconds=240), "m", 20.0),   # exactly on tick 240? step=120 -> ticks at 120,240,360
+        (3, 8, t0 + dt.timedelta(seconds=350), "m", 99.0),   # late first event
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["user_id"], r["tick_us"]): (r["value"], r["obs_ts_us"])
+        for r in ev.resample_locf(df, step_seconds=120).collect()
+    }
+    # grid over [90s, 350s] -> ticks at 120, 240 (and 360 excluded: hi_tick = floor(350/120)*120 = 240)
+    assert out[(7, us(120))] == (10.0, us(90))
+    assert out[(7, us(240))] == (20.0, us(240))   # on-tick obs carried in
+    assert (8, us(120)) not in out                 # before user 8's first event
+    assert (8, us(240)) not in out
+    assert len(out) == 2

@@ -272,6 +272,9 @@ FLAGSHIPS = {
     "q145_label_noise_queue": (6, True),
     # q146: one key-partitioned lag window + grouped agg
     "q146_debounce_audit": (6, False),
+    # q147: 1-row bounds broadcast (nested loop) + key-grid explode +
+    # union-and-carry window + day agg (countDistinct expand)
+    "q147_locf_resample": (12, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
