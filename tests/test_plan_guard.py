@@ -366,6 +366,8 @@ BROADCAST_ALLOW = {
     # (audience_overlap — bounded by the category alphabet)
     "events.py": {
         "base",
+        # 1-row global [min, max) grid bounds (resample_locf)
+        "bounds",
         "tot.select(F.col('__t'), F.col('__n').alias('n_a'))",
         "tot.select(F.col('__t'), F.col('__n').alias('n_b'))",
     },
