@@ -1259,3 +1259,55 @@ def grouped_mad(
             "mad"
         ),
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    entity_col: str = "user_id",
+    window_days: int = 7,
+    lg_config_k: int = 14,
+    persist_fn=None,
+) -> DataFrame:
+    """X112 — trailing-window distinct entities per day via MERGEABLE
+    sketch unions: the "7-day active users" family, and the workload
+    that justifies X84's HLL choice — a trailing window needs every
+    day's distinct set merged into every overlapping window, which an
+    unmergeable ``approx_count_distinct`` scalar cannot do and an
+    exact recount pays the raw scan once PER DAY of overlap (7x at
+    week windows, 30x at month).
+
+    Plan: raw data contracts ONCE to per-day sketches (one hash agg,
+    #days rows of fixed-size blobs, persist_fn-scoped — this is the
+    frame a pipeline materializes incrementally); each day's trailing
+    window is a #days x #days range self-join ON THE SKETCH FRAME
+    (model-sized — never the corpus) + one union-agg per day. Emits
+    (day, n_days_covered, estimate). Estimates carry HLL error
+    (~1.04/sqrt(2^lgK) ~ 0.8% at lgK 14); the declared query emits
+    bound-validation booleans against the exact recount, the q43/q121
+    oracle convention.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.select(day.alias("__d"), F.col(entity_col).alias("__e"))
+        .groupBy("__d")
+        .agg(F.hll_sketch_agg("__e", F.lit(lg_config_k)).alias("__sk"))
+    )
+    if persist_fn is not None:
+        daily = persist_fn(daily)
+    a = daily.select(F.col("__d").alias("day"))
+    span = F.expr(f"INTERVAL {int(window_days) - 1} DAYS")
+    joined = a.join(
+        daily,
+        (F.col("__d") <= F.col("day"))
+        & (F.col("__d") >= F.col("day") - span),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_covered"),
+            F.hll_sketch_estimate(
+                F.hll_union_agg("__sk", F.lit(False))
+            ).cast("bigint").alias("estimate"),
+        )
+    )

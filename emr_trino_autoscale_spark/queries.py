@@ -6036,6 +6036,58 @@ GROUP BY 1 ORDER BY day
 """
 
 
+# Q148 — trailing 7-day active users via mergeable HLL unions (X112):
+# per-day estimate from unioning the 7 daily sketches, validated
+# against the exact recount (q43/q121 boolean convention — the oracle
+# computes the exact side and literal TRUE).
+
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    est = stats.sliding_distinct(
+        e, "ts", "user_id", window_days=7, persist_fn=_cache_scoped
+    )
+    ud = e.select(
+        F.date_trunc("day", "ts").alias("__d"), "user_id"
+    ).distinct()
+    days = ud.select(F.col("__d").alias("day")).distinct()
+    exact = (
+        days.join(
+            ud,
+            (F.col("__d") <= F.col("day"))
+            & (F.col("__d") >= F.col("day") - F.expr("INTERVAL 6 DAYS")),
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_active"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_days_covered",
+            "exact_active",
+            (
+                F.abs(F.col("estimate") - F.col("exact_active"))
+                <= 0.05 * F.col("exact_active")
+            ).alias("ndv_within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+Q148_SQL = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d AS day FROM ud)
+SELECT strftime(days.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT ud.d) AS BIGINT) AS n_days_covered,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS exact_active,
+       TRUE AS ndv_within_bound
+FROM days JOIN ud
+  ON ud.d <= days.day AND ud.d >= days.day - INTERVAL 6 DAY
+GROUP BY days.day ORDER BY day
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6204,6 +6256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_label_noise_queue": q145,
     "q146_debounce_audit": q146,
     "q147_locf_resample": q147,
+    "q148_sliding_active_users": q148,
 }
 
 ORACLE: dict[str, str] = {
@@ -6352,6 +6405,7 @@ ORACLE: dict[str, str] = {
     "q145_label_noise_queue": Q145_SQL,
     "q146_debounce_audit": Q146_SQL,
     "q147_locf_resample": Q147_SQL,
+    "q148_sliding_active_users": Q148_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

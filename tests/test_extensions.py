@@ -2982,3 +2982,30 @@ def test_resample_locf_carry_semantics(spark):
     assert (8, us(120)) not in out                 # before user 8's first event
     assert (8, us(240)) not in out
     assert len(out) == 2
+
+
+def test_sliding_distinct_merge_matches_exact(spark):
+    """X112: on a small deterministic frame the 3-day sketch-union
+    estimate equals the exact trailing distinct count exactly (HLL is
+    exact far below sketch capacity), and n_days_covered clamps at the
+    window edge."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(5):
+        for u in range(10 * (d + 1)):   # day d has users 0..10(d+1)-1
+            rows.append((d * 100 + u, t0 + dt.timedelta(days=d, hours=1), u))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {
+        r["day"].day: (r["n_days_covered"], r["estimate"])
+        for r in st.sliding_distinct(df, window_days=3).collect()
+    }
+    # trailing-3-day distinct = max day's user range (supersets)
+    assert out[1] == (1, 10)
+    assert out[2] == (2, 20)
+    assert out[3] == (3, 30)
+    assert out[4] == (3, 40)   # window slides: days 2-4
+    assert out[5] == (3, 50)

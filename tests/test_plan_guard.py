@@ -275,6 +275,11 @@ FLAGSHIPS = {
     # q147: 1-row bounds broadcast (nested loop) + key-grid explode +
     # union-and-carry window + day agg (countDistinct expand)
     "q147_locf_resample": (12, True),
+    # q148: nested loops are the #days-row broadcast range joins (the
+    # trailing-window sketch union is #days x #days; the exact
+    # validation side probes distinct (day, user) with a #days-row
+    # broadcast — production path is the sketch join alone)
+    "q148_sliding_active_users": (21, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
