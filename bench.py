@@ -9,17 +9,18 @@ left BENCH_r03/BENCH_r05 with ``parsed: null``):
 
 1. a FULL long-form JSON line (full query names, 3-decimal times) —
    the human/audit record, also written to ``bench_full.json``;
-2. the FINAL line: a compact JSON record guaranteed < ~1.2 KB so it
+2. the FINAL line: a compact JSON record guaranteed < ~1.8 KB so it
    always fits *whole* inside the driver's tail window::
 
-       {"queries":{"q01":1.13,...},"metric":"declared_query_suite_runtime",
+       {"queries":{"1":1.13,...},"metric":"declared_query_suite_runtime",
         "value":N,"unit":"sec","sf":0.1}
 
-   Query keys are shortened to their ``qNN`` prefix (unique by
-   construction), times rounded to 2 decimals, ``queries`` first and the
-   ``metric/value/unit/sf`` trailer last so even pathological growth
-   degrades to a truncated-but-recoverable trailer rather than a lost
-   total.
+   Query keys are shortened to the BARE query number ("1".."155",
+   unique by construction — the round-8 fix after 155 qNN-keyed
+   entries overflowed the guard), times rounded to 2 decimals,
+   ``queries`` first and the ``metric/value/unit/sf`` trailer last so
+   even pathological growth degrades to a truncated-but-recoverable
+   trailer rather than a lost total.
 
 Each query is forced to full materialization with a noop write (count()
 would let Catalyst prune the computed columns). Timings are per-query
@@ -263,10 +264,15 @@ def main() -> None:
     print(json.dumps(full))
 
     # FINAL line: compact record sized for the driver's ~2000-char tail
-    # capture (see module docstring). qNN prefixes are unique; 2-decimal
+    # capture (see module docstring). Keys are the BARE query numbers
+    # ("1".."155" — unique by declaration), the round-8 fix after 155
+    # qNN-keyed entries overflowed the 1800-char guard; 2-decimal
     # times; queries first, metric/value trailer last.
     compact = {
-        "queries": {n.split("_")[0]: round(t, 2) for n, t in timings.items()},
+        "queries": {
+            str(int(n.split("_")[0][1:])): round(t, 2)
+            for n, t in timings.items()
+        },
         "metric": "declared_query_suite_runtime",
         "value": total,
         "unit": "sec",

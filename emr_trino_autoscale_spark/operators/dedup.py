@@ -1445,3 +1445,189 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def qgram_edit_join(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    str_col: str = "c_name",
+    q: int = 3,
+    max_dist: int = 1,
+    persist_fn=None,
+) -> DataFrame:
+    """X113 — RECALL-COMPLETE edit-distance similarity join via q-gram
+    count filtering + prefix filtering (Gravano et al. VLDB 2001;
+    Chaudhuri/Ganti/Kaushik SSJoin ICDE 2006; Xiao/Wang/Lin Ed-Join
+    VLDB 2008 — all public). The exactness upgrade over X66's prefix
+    BLOCKING (:func:`blocked_levenshtein_pairs`): blocking misses true
+    matches whose edits fall inside the blocking key; this operator
+    provably emits EVERY pair with ``levenshtein <= max_dist``.
+
+    Theory: one edit destroys at most ``q`` of a string's positional
+    q-grams, so ``ed(s,t) <= d`` implies the gram MULTISETS overlap in
+    at least ``max(|G_s|,|G_t|) - q*d`` grams. Occurrence-numbering
+    each gram (token = (gram, k) for the k-th occurrence) turns the
+    multiset overlap into plain token-set overlap, and the standard
+    prefix-filter theorem then guarantees: order every string's tokens
+    by one global total order (corpus frequency asc, token asc) and
+    keep the first ``q*d + 1`` — any qualifying pair MUST share a
+    prefix token. Strings too short for the count bound to bite
+    (``n_grams <= q*d``, i.e. len < q*(d+1)) are routed through an
+    exhaustive short-string block instead — a bounded universe
+    (at most |alphabet|^(q*(d+1)-1) distinct values), so the all-pairs
+    fallback contracts by value first at scale and never touches the
+    long tail. Candidates are then verified with the exact JVM
+    ``levenshtein``; output is (id_a, id_b, dist), id_a < id_b.
+
+    Scale: the candidate join runs on the PREFIX frame — q*d+1 rows
+    per string, keyed by the corpus-RAREST tokens by construction
+    (that is the entire point of the global frequency order: hot
+    grams never become join keys). Length filter |len_a - len_b| <= d
+    is pushed into the join. Skew axis: a low-entropy corpus (shared
+    boilerplate) concentrates even rare tokens — raise ``q`` to widen
+    the token universe (q=3 default here for digit-heavy name data;
+    the PPJoin/Ed-Join tradeoff). Occurrence numbering and prefix
+    selection are ROW-LOCAL array ops (no ranking windows — the X16
+    rule); the token-frequency agg is a corpus contraction to the gram
+    universe; the verify runs threshold-levenshtein BEFORE the pair
+    dedup so the only large shuffle moves survivors.
+    """
+    qd = q * max_dist
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("nm"),
+        F.length(str_col).alias("ln"),
+    )
+    # occurrence numbering happens ROW-LOCALLY in the array domain
+    # (k = 1 + count of equal grams before this position — O(len^2)
+    # per string, trivially small for the short-key strings edit joins
+    # exist for) instead of a corpus-wide window: no shuffle at all
+    # until the frequency agg. __ga is materialized as a column first
+    # (the no-CSE-in-lambdas rule).
+    ga = F.expr(
+        f"transform(sequence(1, greatest(length(nm) - {q} + 1, 1)),"
+        f" i -> substring(nm, i, {q}))"
+    )
+    toks = (
+        base.withColumn("__ga", ga)
+        .select(
+            "id",
+            "nm",
+            "ln",
+            F.explode(
+                F.expr(
+                    "transform(__ga, (g, i) -> concat_ws('#', g,"
+                    " cast(size(filter(slice(__ga, 1, i), x -> x = g)) + 1"
+                    " as string)))"
+                )
+            ).alias("tok"),
+        )
+    )
+    n_grams = F.greatest(F.col("ln") - F.lit(q) + F.lit(1), F.lit(1))
+    long_toks = toks.filter(n_grams > qd)
+    short = base.filter(n_grams <= qd)
+    freq = long_toks.groupBy("tok").agg(F.count("*").alias("__f"))
+    # per-string prefix = the qd+1 (freq, token)-smallest tokens: ONE
+    # hash agg + a row-local array_sort over the ~|grams| structs —
+    # not a corpus-wide ranking window (the X16 rule).
+    prefix = (
+        long_toks.join(freq, "tok")
+        .groupBy("id", "nm", "ln")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("__f", "tok"))),
+                1,
+                qd + 1,
+            ).alias("__pf")
+        )
+        .select("id", "nm", "ln", F.explode("__pf.tok").alias("tok"))
+    )
+    # prefix feeds BOTH candidate-join sides and the mixed branch —
+    # persist once (caller-owned persist_fn convention).
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        prefix = persist_fn(prefix)
+    pa = prefix.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("__na"),
+        F.col("ln").alias("__la"), "tok",
+    )
+    pb = prefix.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("__nb"),
+        F.col("ln").alias("__lb"), "tok",
+    )
+    cand_long = (
+        pa.join(pb, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select("id_a", "id_b", "__na", "__nb")
+    )
+    # short x short exhaustive block (bounded universe; empty for name
+    # corpora). lit(1) key keeps the plan an equi-join node.
+    sa = short.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("__na"),
+        F.col("ln").alias("__la"), F.lit(1).alias("__k"),
+    )
+    sb = short.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("__nb"),
+        F.col("ln").alias("__lb"), F.lit(1).alias("__k"),
+    )
+    cand_short = (
+        sa.join(sb, "__k")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select("id_a", "id_b", "__na", "__nb")
+    )
+    # short x long: the short side's prefix is ALL its tokens (the
+    # theorem's per-string prefix length |T_s| - alpha + 1 <= q*d + 1
+    # still holds when only ONE side is short).
+    st = toks.join(short.select("id"), "id").select("id", "nm", "ln", "tok")
+    sta = st.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("__na"),
+        F.col("ln").alias("__la"), "tok",
+    )
+    stb = st.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("__nb"),
+        F.col("ln").alias("__lb"), "tok",
+    )
+    cand_mixed = (
+        sta.join(pb, "tok")
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("__na"))
+            .otherwise(F.col("__nb")).alias("__na"),
+            F.when(F.col("id_a") < F.col("id_b"), F.col("__nb"))
+            .otherwise(F.col("__na")).alias("__nb"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    # Verify BEFORE deduplicating candidates: the threshold form of
+    # levenshtein (O(d*n) early-exit, JVM codegen) is far cheaper per
+    # row than shuffling the multi-candidate frame for a distinct —
+    # measured 45 s -> ~8 s at sf0.1 (the prefix join emits ~42
+    # candidates per true pair on the low-entropy name corpus; see
+    # docs/SCALE.md). The final agg then runs on survivors only.
+    def _verify(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn(
+                "dist", F.levenshtein("__na", "__nb", max_dist).cast("int")
+            )
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+            .select("id_a", "id_b", "dist")
+        )
+
+    return (
+        _verify(cand_long)
+        .unionByName(_verify(cand_short))
+        .unionByName(_verify(cand_mixed))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dist").cast("int").alias("dist"))
+    )

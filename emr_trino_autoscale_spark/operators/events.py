@@ -596,3 +596,76 @@ def resample_locf(
         F.col("__cv").alias("value"),
         F.col("__cts").alias("obs_ts_us"),
     )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    window_seconds: int = 3 * 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X119 — last-touch conversion attribution: each conversion event
+    is credited to the user's LATEST touch event at-or-before it (ties
+    broken touch-first, then by event id) within ``window_seconds``;
+    conversions with no in-window touch credit the 'unattributed'
+    bucket. Returns (touch_type, n_conversions).
+
+    This is the union-and-carry shape (the X111 LOCF lesson): touches
+    and conversions interleave in ONE per-user window ordered by
+    (ts, is_touch DESC, id) and the last non-null touch carries
+    forward — never an asof join per conversion, never a range
+    self-join. One corpus-cardinality window partitioned by user
+    (uniform key), one grouped count after.
+
+    Scale: the window state is one (type, ts) pair per row; a
+    celebrity user is the skew axis (same contract as sessionize);
+    the window filter is evaluated row-local after the carry, in
+    integer microseconds (the q146 convention — no float epoch).
+    """
+    touches = F.col(type_col).isin(touch_types)
+    conv = F.col(type_col) == conversion_type
+    base = df.filter(touches | conv).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("eid"),
+        F.when(touches, F.col(type_col)).alias("__touch_t"),
+        F.when(touches, F.col(ts_col)).alias("__touch_ts"),
+        conv.alias("__is_conv"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("__is_conv").asc(),  # touch sorts before conversion at equal ts
+            F.col("eid").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = base.select(
+        "u",
+        "t",
+        "__is_conv",
+        F.last("__touch_t", ignorenulls=True).over(w).alias("lt"),
+        F.last("__touch_ts", ignorenulls=True).over(w).alias("lts"),
+    )
+    return (
+        carried.filter(F.col("__is_conv"))
+        .select(
+            F.when(
+                F.col("lt").isNotNull()
+                & (
+                    F.unix_micros("t") - F.unix_micros("lts")
+                    <= F.lit(int(window_seconds) * 1_000_000)
+                ),
+                F.col("lt"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("touch_type")
+        )
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+    )

@@ -309,3 +309,116 @@ def scalable_rank(
         .withColumn(out_col, (F.col("__off") + F.col("__irnk")).cast("bigint"))
         .drop("__bkt", "__irnk", "__off")
     )
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """X115 (build side) — the dimension's Bloom bit set: for each key,
+    ``n_hashes`` md5-derived bit positions (hash i of key k is
+    ``md5(k || '#' || i)``'s leading 60 bits mod ``n_bits`` — the
+    md5-rooted convention every oracle can replay), contracted to the
+    DISTINCT bit frame. Bounded by construction: <= ``n_bits`` rows no
+    matter the corpus — the broadcastable runtime-filter model state,
+    which is the entire point of a Bloom filter at 100 TB.
+    """
+    hashes = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "#", F.col(key_col).cast("string"), F.lit(str(i))
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return (
+        keys.select(F.explode(hashes).alias("bitpos")).distinct()
+    )
+
+
+def bloom_semi_flags(
+    fact_keys: DataFrame,
+    dim_keys: DataFrame,
+    key_col: str,
+    dim_key_col: str | None = None,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """X115 — explicit Bloom-filter semi-join (the runtime-filter /
+    sideways-information-passing pattern Spark applies internally as
+    InjectRuntimeFilter, made a first-class operator so a pipeline can
+    pre-prune a 100 TB fact scan against a dimension that is too big to
+    broadcast as keys but tiny as BITS): the dim side contracts to a
+    <= ``n_bits``-row bit frame (:func:`bloom_bits`), the fact side
+    contracts to DISTINCT keys, and each of the ``n_hashes`` probes is
+    a BROADCAST left-semi membership test — zero fact shuffles, no
+    explode of the fact frame. Returns (key, bloom_pass) per distinct
+    fact key; Bloom guarantees NO false negatives (every true match
+    passes), false positives at the standard (1 - e^{-kn/m})^k rate
+    are the caller's verify contract — compose with the exact join for
+    exactness, keep the prefilter for the scan-prune win.
+
+    Scale: the bit frame is corpus-size INDEPENDENT (min(#dim * k,
+    n_bits) rows, 2^17 default = at most ~1 MB broadcast); the fact
+    side is touched once for the distinct-key contraction and the
+    flags join back by key. Tune n_bits/n_hashes from the dim
+    cardinality (k = m/n * ln2 optimal).
+    """
+    dkc = dim_key_col or key_col
+    bits = bloom_bits(
+        dim_keys.select(F.col(dkc).alias(key_col)),
+        key_col,
+        n_bits=n_bits,
+        n_hashes=n_hashes,
+    )
+    marked = bits.withColumn("__in", F.lit(1))
+    out = fact_keys.select(F.col(key_col).alias("key")).distinct()
+    hit_cols = []
+    for i in range(n_hashes):
+        probe = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#", F.col("key").cast("string"), F.lit(str(i))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_bits),
+        )
+        # marked: <= n_bits rows by construction (bounded broadcast)
+        out = (
+            out.withColumn("__p", probe)
+            .join(
+                F.broadcast(marked.withColumnRenamed("bitpos", "__p")),
+                "__p",
+                "left",
+            )
+            .withColumn(f"__hit{i}", F.col("__in").isNotNull())
+            .drop("__p", "__in")
+        )
+        hit_cols.append(f"__hit{i}")
+    pass_expr = F.lit(True)
+    for c in hit_cols:
+        pass_expr = pass_expr & F.col(c)
+    return out.select("key", pass_expr.alias("bloom_pass"))

@@ -1311,3 +1311,184 @@ def sliding_distinct(
             ).cast("bigint").alias("estimate"),
         )
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """X116 — 2-D Pareto skyline (Borzsony/Kossmann/Stocker ICDE 2001
+    "The Skyline Operator" — public): the points not dominated by any
+    other (dominator is <= on the minimized dim, >= on the maximized
+    dim, strict on at least one). The multi-objective curation cut —
+    e.g. the cost/quality frontier when picking sources or dedup
+    thresholds. Returns one row per frontier x: (x, y, n_points) where
+    n_points counts the tied rows sitting exactly on that vertex
+    (mutually non-dominating by definition).
+
+    Scale: the corpus contracts FIRST to one row per distinct
+    (x, y) cell (hash agg), then to one row per distinct x (the per-x
+    max y dominates every other y at that x); only then does the
+    running-max window run — over the |distinct x| frame, NOT the
+    corpus. For a continuous minimize_col, bucketize it before calling
+    (the X16 rule: no corpus-sized single-task windows); for the
+    bounded-dictionary dims this is declared for (sizes, grades,
+    integer costs) the window frame is dictionary-sized by
+    construction.
+    """
+    xy = (
+        df.groupBy(
+            F.col(minimize_col).alias("x"), F.col(maximize_col).alias("y")
+        ).agg(F.count("*").alias("__c"))
+    )
+    m = xy.groupBy("x").agg(
+        F.max("y").alias("y"), F.max_by("__c", "y").alias("n_points")
+    )
+    w = Window.orderBy(F.col("x").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        m.withColumn("__pm", F.max("y").over(w))
+        .filter(F.col("__pm").isNull() | (F.col("y") > F.col("__pm")))
+        .select("x", "y", F.col("n_points").cast("bigint").alias("n_points"))
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_support: int = 2,
+    persist_fn=None,
+) -> DataFrame:
+    """X117 — pairwise association rules (Agrawal/Srikant VLDB 1994
+    Apriori, restricted to the 2-itemset level that dominates practical
+    basket analysis): support / directional confidence / lift for every
+    co-occurring item pair above ``min_pair_support`` baskets.
+
+    Scale: the corpus contracts to DISTINCT (basket, item) first; the
+    pair generation is a basket-keyed self-join whose per-basket work
+    is C(|basket|, 2) — bounded by the basket width, never corpus-
+    quadratic (the market-basket invariant; a degenerate giant basket
+    is the skew axis and should be width-capped upstream). Item counts
+    and the basket total are item-dictionary-sized / 1-row broadcasts.
+    All counts stay integers; ratios are computed once at the end.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    # bi feeds the basket total, the item counts and BOTH pair-join
+    # sides — persist once (caller-owned persist_fn convention).
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        bi = persist_fn(bi)
+    n_row = bi.agg(F.count_distinct("b").cast("double").alias("__n"))
+    icnt = bi.groupBy(F.col("i")).agg(F.count("*").alias("__ic"))
+    a = bi.select(F.col("b"), F.col("i").alias("item_a"))
+    b = bi.select(F.col("b"), F.col("i").alias("item_b"))
+    pairs = (
+        a.join(b, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    # icnt: item-dictionary-sized (bounded broadcast)
+    ia = icnt.select(F.col("i").alias("item_a"), F.col("__ic").alias("__ca"))
+    ib = icnt.select(F.col("i").alias("item_b"), F.col("__ic").alias("__cb"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("pair_n").cast("bigint").alias("pair_n"),
+            (F.col("pair_n") / F.col("__n")).alias("support"),
+            (F.col("pair_n") / F.col("__ca")).alias("conf_a_to_b"),
+            (F.col("pair_n") / F.col("__cb")).alias("conf_b_to_a"),
+            (
+                F.col("pair_n") * F.col("__n")
+                / (F.col("__ca") * F.col("__cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+def cuped_adjust(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    split_ts: str = "2024-01-15 00:00:00",
+    n_variants: int = 2,
+) -> DataFrame:
+    """X118 — CUPED variance reduction (Deng/Xu/Kohavi/Walker WSDM
+    2013 — public): per-user pre-period metric as the control
+    covariate, theta = cov(pre, post) / var(pre) pooled across ALL
+    users (theta is assignment-independent, the CUPED requirement),
+    adjusted metric = post - theta * (pre - mean(pre)). Variant
+    assignment is the deterministic ``user_id % n_variants``. Returns
+    one row per variant with the post/adjusted means and variances and
+    the achieved variance-reduction fraction — the experiment-
+    sensitivity win the method exists for.
+
+    Scale: ONE corpus pass contracts events to per-user (pre, post)
+    sums (hash agg on user); theta and the pre-mean are a 1-row
+    stable-moment agg (avg/var_samp/covar_samp CentralMomentAgg — the
+    X76 lesson: never raw moments) broadcast back; the final agg is
+    per-variant. Users with no pre-period activity contribute pre=0
+    (the standard zero-impute; theta absorbs the offset).
+    """
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(ts_col) < F.lit(split_ts).cast("timestamp"),
+                        F.col(value_col),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("pre"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col(ts_col) >= F.lit(split_ts).cast("timestamp"),
+                        F.col(value_col),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("post"),
+        )
+        .withColumn("variant", F.pmod(F.col("u"), F.lit(n_variants)).cast("int"))
+    )
+    model = per_user.agg(
+        (F.covar_samp("pre", "post") / F.var_samp("pre")).alias("__theta"),
+        F.avg("pre").alias("__mpre"),
+    )
+    # model: 1-row theta/mean broadcast
+    return (
+        per_user.crossJoin(F.broadcast(model))
+        .withColumn(
+            "adj",
+            F.col("post")
+            - F.col("__theta") * (F.col("pre") - F.col("__mpre")),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.avg("post").alias("mean_post"),
+            F.avg("adj").alias("mean_adjusted"),
+            F.var_samp("post").alias("var_post"),
+            F.var_samp("adj").alias("var_adjusted"),
+            (F.lit(1.0) - F.var_samp("adj") / F.var_samp("post")).alias(
+                "var_reduction"
+            ),
+        )
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, md5_long60, sign_dispatch
 from .io import load_table
-from .operators import dedup, events as ev_ops, metric_store as ms, registry, similarity, skew, stats, text
+from .operators import dedup, events as ev_ops, graph, metric_store as ms, registry, similarity, skew, stats, text
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
 
 # ---------------------------------------------------------------------------
@@ -6088,6 +6088,339 @@ GROUP BY days.day ORDER BY day
 """
 
 
+# Q149 — X113: recall-COMPLETE edit-distance join (q-gram count filter
+# + prefix filter, Ed-Join family) on customer names, the exactness
+# upgrade over q105/q112's blocking passes. The oracle is the
+# EXHAUSTIVE pair scan — feasible at sf0.01 (1500^2 levenshtein evals)
+# precisely because it is the thing the operator avoids at scale; a
+# hash match therefore proves 100% recall on this corpus, not just
+# precision.
+
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return dedup.qgram_edit_join(
+        c, id_col="c_custkey", str_col="c_name", q=3, max_dist=1,
+        persist_fn=_cache_scoped,
+    ).orderBy("id_a", "id_b")
+
+
+Q149_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+# Q150 — X114: fixed-iteration PageRank over the customer->supplier
+# order graph. The oracle UNROLLS the three power iterations as chained
+# CTEs — possible precisely because the iteration count is a declared
+# constant, which is what makes an iterative algorithm oracle-checkable
+# at all (the q68/q70 trainers aren't, by design). Teleport factor is
+# written (1.0 - 0.85) on BOTH sides so the engines round the same
+# binary double.
+
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    )
+    pr = graph.pagerank(
+        edges, "src", "dst", iterations=3, damping=0.85,
+        persist_fn=_cache_scoped,
+    )
+    return pr.select(
+        "node", dec4(F.col("rank") * 1000).alias("rank_x1000")
+    ).orderBy("node")
+
+
+_PR_DEC4 = _dec4("rank * 1000")
+Q150_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+nd AS (SELECT nodes.node, deg.deg FROM nodes LEFT JOIN deg USING(node)),
+p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM p) AS rank FROM nd),
+r1 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r0 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst) c USING(node)),
+r2 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r1 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst) c USING(node)),
+r3 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r2 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst) c USING(node))
+SELECT node, {_PR_DEC4} AS rank_x1000 FROM r3 ORDER BY node
+"""
+
+
+# Q151 — X115: explicit Bloom-filter semi-join audit. n_bits is set
+# LOW (2048) on purpose: at sf0.01 the filter produces a visible
+# false-positive count, so the hash check pins the exact fp arithmetic
+# (md5-replayable bit positions) rather than a vacuous all-true column;
+# no_false_negatives must be TRUE — the Bloom guarantee itself.
+
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    flags = skew.bloom_semi_flags(
+        o.select("o_custkey"), dim, "o_custkey",
+        dim_key_col="c_custkey", n_bits=2048, n_hashes=3,
+    )
+    exact = dim.select(F.col("c_custkey").alias("key"), F.lit(1).alias("__ex"))
+    per_key = flags.join(exact, "key", "left").select(
+        "key", "bloom_pass", F.col("__ex").isNotNull().alias("exact_in")
+    )
+    return (
+        o.join(per_key, o.o_custkey == per_key.key)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bloom_pass_orders"),
+            F.sum(F.when(F.col("exact_in"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_orders"),
+            F.sum(
+                F.when(F.col("bloom_pass") & ~F.col("exact_in"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("false_positive_orders"),
+            (
+                F.sum(
+                    F.when(F.col("exact_in") & ~F.col("bloom_pass"), 1).otherwise(0)
+                )
+                == 0
+            ).alias("no_false_negatives"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q151_SQL = """
+WITH dim AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+hs AS (SELECT UNNEST(['0', '1', '2']) AS i),
+bits AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '#' || i), 1, 15) AS BIGINT)
+      % 2048 AS bitpos
+  FROM dim, hs),
+fk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+probes AS (
+  SELECT fk.key,
+    CAST('0x' || substr(md5(CAST(fk.key AS VARCHAR) || '#' || i), 1, 15) AS BIGINT)
+      % 2048 AS p
+  FROM fk, hs),
+flags AS (
+  SELECT probes.key, BOOL_AND(bits.bitpos IS NOT NULL) AS bloom_pass
+  FROM probes LEFT JOIN bits ON bits.bitpos = probes.p
+  GROUP BY probes.key),
+per_key AS (
+  SELECT flags.key, flags.bloom_pass, dim.key IS NOT NULL AS exact_in
+  FROM flags LEFT JOIN dim ON dim.key = flags.key)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass_orders,
+       CAST(SUM(CASE WHEN exact_in THEN 1 ELSE 0 END) AS BIGINT) AS exact_orders,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT exact_in THEN 1 ELSE 0 END) AS BIGINT)
+         AS false_positive_orders,
+       SUM(CASE WHEN exact_in AND NOT bloom_pass THEN 1 ELSE 0 END) = 0
+         AS no_false_negatives
+FROM orders JOIN per_key ON o_custkey = per_key.key
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# Q152 — X116: 2-D Pareto skyline on part (minimize size, maximize
+# retail price). Oracle = the textbook NOT EXISTS dominance scan —
+# quadratic in |distinct sizes|, which is exactly what the operator's
+# contraction+running-max avoids.
+
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        stats.pareto_frontier(p, "p_size", "p_retailprice")
+        .select(
+            F.col("x").alias("p_size"),
+            dec4("y").alias("best_price"),
+            "n_points",
+        )
+        .orderBy("p_size")
+    )
+
+
+Q152_SQL = f"""
+WITH m AS (
+  SELECT p_size AS x, MAX(p_retailprice) AS y FROM part GROUP BY p_size),
+f AS (
+  SELECT x, y FROM m
+  WHERE NOT EXISTS (SELECT 1 FROM m m2 WHERE m2.x < m.x AND m2.y >= m.y)),
+c AS (
+  SELECT p_size, p_retailprice, COUNT(*) AS n
+  FROM part GROUP BY p_size, p_retailprice)
+SELECT f.x AS p_size, {_dec4('f.y')} AS best_price,
+       CAST(c.n AS BIGINT) AS n_points
+FROM f JOIN c ON c.p_size = f.x AND c.p_retailprice = f.y
+ORDER BY p_size
+"""
+
+
+# Q153 — X117: pairwise association rules over per-order brand baskets.
+# Counts stay integers end-to-end; every ratio is one exact-int
+# division (correctly rounded identically in both engines), so dec4 is
+# deterministic with no FP-accumulation caveat.
+
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    bi = l.join(p, l.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    )
+    r = stats.association_rules(
+        bi, "okey", "brand", min_pair_support=5, persist_fn=_cache_scoped
+    )
+    return r.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        dec4("support").alias("support"),
+        dec4("conf_a_to_b").alias("conf_a_to_b"),
+        dec4("conf_b_to_a").alias("conf_b_to_a"),
+        dec4("lift").alias("lift"),
+    ).orderBy("item_a", "item_b")
+
+
+Q153_SQL = f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi),
+ic AS (SELECT i, COUNT(*) AS ic FROM bi GROUP BY i),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_n
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY a.i, b.i HAVING COUNT(*) >= 5)
+SELECT item_a, item_b, CAST(pair_n AS BIGINT) AS pair_n,
+       {_dec4('pair_n / n.n')} AS support,
+       {_dec4('pair_n / ia.ic')} AS conf_a_to_b,
+       {_dec4('pair_n / ib.ic')} AS conf_b_to_a,
+       {_dec4('pair_n * n.n / (ia.ic * ib.ic)')} AS lift
+FROM pairs, n
+JOIN ic ia ON ia.i = pairs.item_a
+JOIN ic ib ON ib.i = pairs.item_b
+ORDER BY item_a, item_b
+"""
+
+
+# Q154 — X118: CUPED variance reduction on the events stream, variant
+# = user_id % 2, pre-period before Jan 15. theta / means / variances
+# use the stable CentralMomentAgg forms on BOTH sides (the X76 lesson).
+
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = stats.cuped_adjust(
+        e, split_ts="2024-01-15 00:00:00", n_variants=2
+    )
+    return r.select(
+        "variant",
+        "n_users",
+        dec4("mean_post").alias("mean_post"),
+        dec4("mean_adjusted").alias("mean_adjusted"),
+        dec4("var_post").alias("var_post"),
+        dec4("var_adjusted").alias("var_adjusted"),
+        dec4("var_reduction").alias("var_reduction"),
+    ).orderBy("variant")
+
+
+Q154_SQL = f"""
+WITH pu AS (
+  SELECT user_id AS u,
+         COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                           THEN value END), 0.0) AS pre,
+         COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           THEN value END), 0.0) AS post,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events GROUP BY user_id),
+m AS (SELECT COVAR_SAMP(pre, post) / VAR_SAMP(pre) AS theta,
+             AVG(pre) AS mpre FROM pu),
+adj AS (
+  SELECT variant, post, post - m.theta * (pre - m.mpre) AS adj
+  FROM pu, m)
+SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+       {_dec4('AVG(post)')} AS mean_post,
+       {_dec4('AVG(adj)')} AS mean_adjusted,
+       {_dec4('VAR_SAMP(post)')} AS var_post,
+       {_dec4('VAR_SAMP(adj)')} AS var_adjusted,
+       {_dec4('1.0 - VAR_SAMP(adj) / VAR_SAMP(post)')} AS var_reduction
+FROM adj GROUP BY variant ORDER BY variant
+"""
+
+
+# Q155 — X119: last-touch conversion attribution (touches = view/
+# click, conversion = purchase, 3-day window). Both engines run the
+# SAME union-and-carry window — the oracle's LAST_VALUE IGNORE NULLS
+# over (ts, is_conv, id) is the textbook form the operator mirrors;
+# the window test is integer microseconds (q146 convention).
+
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return ev_ops.attribute_conversions(
+        e,
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        window_seconds=3 * 86400,
+    ).orderBy("touch_type")
+
+
+Q155_SQL = """
+WITH base AS (
+  SELECT user_id AS u, ts AS t, event_id AS eid,
+         CASE WHEN event_type IN ('view', 'click') THEN event_type END AS tt,
+         CASE WHEN event_type IN ('view', 'click') THEN ts END AS tts,
+         event_type = 'purchase' AS is_conv
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+carried AS (
+  SELECT u, t, is_conv,
+         LAST_VALUE(tt IGNORE NULLS) OVER w AS lt,
+         LAST_VALUE(tts IGNORE NULLS) OVER w AS lts
+  FROM base
+  WINDOW w AS (PARTITION BY u ORDER BY t, is_conv, eid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CASE WHEN lt IS NOT NULL
+             AND epoch_us(t) - epoch_us(lts) <= 259200000000
+            THEN lt ELSE 'unattributed' END AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM carried WHERE is_conv GROUP BY 1 ORDER BY touch_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6257,6 +6590,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_debounce_audit": q146,
     "q147_locf_resample": q147,
     "q148_sliding_active_users": q148,
+    "q149_edit_distance_join": q149,
+    "q150_pagerank": q150,
+    "q151_bloom_semi_join": q151,
+    "q152_pareto_frontier": q152,
+    "q153_association_rules": q153,
+    "q154_cuped": q154,
+    "q155_attribution": q155,
 }
 
 ORACLE: dict[str, str] = {
@@ -6406,6 +6746,13 @@ ORACLE: dict[str, str] = {
     "q146_debounce_audit": Q146_SQL,
     "q147_locf_resample": Q147_SQL,
     "q148_sliding_active_users": Q148_SQL,
+    "q149_edit_distance_join": Q149_SQL,
+    "q150_pagerank": Q150_SQL,
+    "q151_bloom_semi_join": Q151_SQL,
+    "q152_pareto_frontier": Q152_SQL,
+    "q153_association_rules": Q153_SQL,
+    "q154_cuped": Q154_SQL,
+    "q155_attribution": Q155_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -70,7 +70,7 @@ def _run_bench() -> dict:
     assert proc.returncode == 0, f"bench.py rc={proc.returncode}: {proc.stderr[-2000:]}"
     lines = proc.stdout.strip().splitlines()
     # bench.py prints the FULL record (long query names) then a compact
-    # driver-tail line (short qNN keys) — see bench.py docstring. The
+    # driver-tail line (bare-number keys) — see bench.py docstring. The
     # guard budgets per full name, so parse the full record.
     out = json.loads(lines[-2])
     assert out["metric"] == "declared_query_suite_runtime_full"

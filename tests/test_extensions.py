@@ -3009,3 +3009,238 @@ def test_sliding_distinct_merge_matches_exact(spark):
     assert out[3] == (3, 30)
     assert out[4] == (3, 40)   # window slides: days 2-4
     assert out[5] == (3, 50)
+
+
+def test_qgram_edit_join_recall_complete(spark):
+    """X113: the q-gram count/prefix-filter join must emit EVERY pair
+    with levenshtein <= max_dist — including pairs whose edit falls
+    inside a blocking prefix (the X66 recall hole this operator
+    closes), transpositions (dist 2), and length-changing edits."""
+    from emr_trino_autoscale_spark.operators.dedup import qgram_edit_join
+
+    names = [
+        "alpha industries ltd",
+        "alpha industriez ltd",     # substitution mid-string
+        "blpha industries ltd",     # substitution at position 1 (in-prefix)
+        "alpha industries ltd.",    # insertion at end
+        "alpha industres ltd",      # deletion mid-string
+        "gamma logistics corp",
+        "gamma logistics c0rp",     # substitution near end
+        "delta",                    # short-ish, isolated
+        "unrelated name here",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in qgram_edit_join(df, q=3, max_dist=1).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 4
+
+
+def test_qgram_edit_join_short_string_block(spark):
+    """X113: strings too short for the count bound (len < q*(d+1)) are
+    routed through the exhaustive short block — both short x short and
+    short x long pairs must still surface."""
+    from emr_trino_autoscale_spark.operators.dedup import qgram_edit_join
+
+    rows = [
+        (0, "ab"), (1, "ac"), (2, "abc"),
+        (3, "abcdefgh"), (4, "abcdefg"),
+        (5, "abcde"), (6, "abcdef"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in qgram_edit_join(df, q=3, max_dist=1).collect()
+    }
+    # (0,1)/(0,2)/(1,2) short x short; (5,6) short x LONG (the mixed
+    # branch); (3,4)/(4,6) long x long
+    assert got == {
+        (0, 1, 1), (0, 2, 1), (1, 2, 1),
+        (5, 6, 1), (3, 4, 1), (4, 6, 1),
+    }
+
+
+def test_pagerank_hand_computed(spark):
+    """X114: 3-node chain a->b->c, 1 iteration, damping 0.85 — hand
+    arithmetic. c is dangling; after one step its initial mass (1/3)
+    redistributes uniformly."""
+    from emr_trino_autoscale_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r.node: r.rank for r in pagerank(df, iterations=1, damping=0.85).collect()
+    }
+    third = 1.0 / 3.0
+    teleport = 0.15 / 3.0
+    dang = 0.85 * third / 3.0
+    assert abs(got["a"] - (teleport + dang)) < 1e-12
+    assert abs(got["b"] - (teleport + dang + 0.85 * third)) < 1e-12
+    assert abs(got["c"] - (teleport + dang + 0.85 * third)) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_mass_conserved_multi_iteration(spark):
+    """X114: sum(rank) == 1 after every iteration count, and a
+    higher-in-degree node outranks a leaf (star graph sanity)."""
+    from emr_trino_autoscale_spark.operators.graph import pagerank
+
+    edges = [("u%d" % i, "hub") for i in range(5)] + [("hub", "u0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (2, 3):
+        got = {r.node: r.rank for r in pagerank(df, iterations=k).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got["hub"] > got["u1"]
+
+
+def test_bloom_semi_flags_no_false_negatives(spark):
+    """X115: every true dim member must pass the filter (the Bloom
+    guarantee) even with a deliberately tiny bit budget; with 64 bits
+    and 40 dim keys the non-member set must show false positives —
+    proving the flags really are Bloom verdicts, not an exact join."""
+    from emr_trino_autoscale_spark.operators.skew import bloom_semi_flags
+
+    dim = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    flags = {
+        r.key: r.bloom_pass
+        for r in bloom_semi_flags(fact, dim, "k", n_bits=64, n_hashes=3).collect()
+    }
+    assert len(flags) == 200
+    assert all(flags[i] for i in range(40))          # no false negatives
+    fps = sum(1 for i in range(40, 200) if flags[i])
+    assert fps > 0                                    # tiny filter saturates
+
+
+def test_bloom_semi_flags_exactish_with_big_filter(spark):
+    """X115: with a generous bit budget the pass set collapses to the
+    exact membership (fp rate (1-e^{-kn/m})^k ~ 1e-9 at m=2^17, n=40)."""
+    from emr_trino_autoscale_spark.operators.skew import bloom_semi_flags
+
+    dim = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    fact = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    flags = {
+        r.key: r.bloom_pass for r in bloom_semi_flags(fact, dim, "k").collect()
+    }
+    assert {k for k, v in flags.items() if v} == set(range(40))
+
+
+def test_pareto_frontier_hand_case(spark):
+    """X116: dominance semantics — equal-y smaller-x dominates
+    (strict on x); ties ON a vertex are all kept via n_points."""
+    from emr_trino_autoscale_spark.operators.stats import pareto_frontier
+
+    rows = [
+        (1, 10.0), (1, 9.0),        # x=1: best 10
+        (2, 10.0),                  # dominated by (1,10): equal y, larger x
+        (3, 12.0), (3, 12.0),       # frontier, 2 tied points
+        (4, 11.0),                  # dominated by (3,12)
+        (5, 13.0),                  # frontier
+    ]
+    df = spark.createDataFrame(rows, "x int, y double")
+    got = {(r.x, r.y, r.n_points) for r in pareto_frontier(df, "x", "y").collect()}
+    assert got == {(1, 10.0, 1), (3, 12.0, 2), (5, 13.0, 1)}
+
+
+def test_association_rules_hand_case(spark):
+    """X117: support/confidence/lift arithmetic on 4 hand baskets;
+    duplicate (basket, item) rows must collapse before counting."""
+    from emr_trino_autoscale_spark.operators.stats import association_rules
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),       # dup collapses
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.pair_n, r.support, r.conf_a_to_b,
+                               r.conf_b_to_a, r.lift)
+        for r in association_rules(df, "b", "i", min_pair_support=2).collect()
+    }
+    assert set(out) == {("a", "b")}
+    pair_n, supp, cab, cba, lift = out[("a", "b")]
+    assert pair_n == 2
+    assert abs(supp - 0.5) < 1e-12          # 2 of 4 baskets
+    assert abs(cab - 2 / 3) < 1e-12          # a appears in 3
+    assert abs(cba - 2 / 3) < 1e-12          # b appears in 3
+    assert abs(lift - (2 * 4) / (3 * 3)) < 1e-12
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    """X118: when post = 2*pre exactly, theta = 2 and the adjusted
+    metric is constant within the population — variance reduction 1."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators.stats import cuped_adjust
+
+    pre_day = dt.datetime(2024, 1, 10)
+    post_day = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(20):
+        rows.append((u * 2, pre_day, u, float(u + 1)))       # pre = u+1
+        rows.append((u * 2 + 1, post_day, u, 2.0 * (u + 1))) # post = 2*pre
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    out = {r.variant: r for r in cuped_adjust(df).collect()}
+    for v in (0, 1):
+        assert out[v].n_users == 10
+        assert abs(out[v].var_adjusted) < 1e-9
+        assert abs(out[v].var_reduction - 1.0) < 1e-9
+        # adjusted mean equals the CUPED-shifted constant, same both arms
+    assert abs(out[0].mean_adjusted - out[1].mean_adjusted) < 1e-9
+
+
+def test_attribute_conversions_semantics(spark):
+    """X119: last-touch wins over earlier touches; same-ts touch counts
+    (touch sorts before the conversion); out-of-window touch falls to
+    'unattributed'; a later touch never attributes backwards."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 10)
+
+    def s(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: view then click then purchase -> click (last touch)
+        (1, 1, s(0), "view"), (2, 1, s(10), "click"), (3, 1, s(20), "purchase"),
+        # user 2: touch exactly at conversion ts -> counts (view)
+        (4, 2, s(0), "view"), (5, 2, s(0), "purchase"),
+        # user 3: touch outside the 100 s window -> unattributed
+        (6, 3, s(0), "click"), (7, 3, s(200), "purchase"),
+        # user 4: touch only AFTER the conversion -> unattributed
+        (8, 4, s(50), "purchase"), (9, 4, s(60), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.touch_type: r.n_conversions
+        for r in ev.attribute_conversions(
+            df, ["view", "click"], "purchase", window_seconds=100
+        ).collect()
+    }
+    assert got == {"click": 1, "view": 1, "unattributed": 2}

@@ -280,6 +280,28 @@ FLAGSHIPS = {
     # validation side probes distinct (day, user) with a #days-row
     # broadcast — production path is the sketch join alone)
     "q148_sliding_active_users": (21, True),
+    # q149: persisted token frame feeds freq agg + prefix self-join +
+    # short branches; the nested loop is the short-string lit(1) block
+    # (bounded universe — empty on name corpora)
+    "q149_edit_distance_join": (24, True),
+    # q151: 3 broadcast bit-probes (zero fact shuffles) + distinct-key
+    # contraction + flag joins + priority agg
+    "q151_bloom_semi_join": (22, False),
+    # q152: (x,y)-cell agg + per-x agg + the dictionary-sized
+    # running-max window + vertex count join
+    "q152_pareto_frontier": (6, False),
+    # q153: persisted distinct basket-item frame feeds total/item-count
+    # broadcasts + basket-keyed pair self-join; nested loop is the
+    # 1-row basket-total broadcast
+    "q153_association_rules": (34, True),
+    # q154: per-user contraction agg + 1-row theta/mean broadcast
+    # (nested loop) + per-variant agg
+    "q154_cuped": (12, True),
+    # q155: one user-partitioned carry window + grouped count
+    "q155_attribution": (6, False),
+    # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
+    # N/dangling broadcasts (sanctioned nested loops)
+    "q150_pagerank": (20, True),
 }
 
 # Python-eval operators that would drag tuples out of the JVM on the
@@ -376,7 +398,9 @@ BROADCAST_ALLOW = {
         "tot.select(F.col('__t'), F.col('__n').alias('n_a'))",
         "tot.select(F.col('__t'), F.col('__n').alias('n_b'))",
     },
-    "skew.py": set(),
+    # marked: the Bloom bit frame — <= n_bits rows (2^17 default) by
+    # construction, corpus-size independent (bloom_semi_flags)
+    "skew.py": {"marked.withColumnRenamed('bitpos', '__p')"},
     "bucketing.py": set(),
     # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames;
     # grand: 1-row corpus mass total (concentration_curve);
@@ -384,8 +408,14 @@ BROADCAST_ALLOW = {
     # (ks/rank-sum); mb: #categories-row margin (chi2); prior: 1-row
     # global mean (shrunk means)
     # med: #groups-row (group, n, median) frame (grouped_mad pass 2)
-    "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb", "prior", "med"},
+    # ia/ib: item-dictionary-sized count frames, n_row: 1-row basket
+    # total (association_rules); model: 1-row theta/pre-mean (cuped)
+    "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb",
+                 "prior", "med", "ia", "ib", "n_row", "model"},
     "multimodal.py": set(),
+    # n_row: 1-row node count; dangling: 1-row dangling-mass sum
+    # (pagerank teleport/redistribution terms)
+    "graph.py": {"n_row", "dangling"},
 }
 # metric_store denominator_df is caller-supplied and documented bounded
 BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
