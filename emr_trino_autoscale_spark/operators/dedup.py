@@ -1631,3 +1631,86 @@ def qgram_edit_join(
         .groupBy("id_a", "id_b")
         .agg(F.min("dist").cast("int").alias("dist"))
     )
+
+
+def fs_match_weights(
+    df: DataFrame,
+    id_col: str,
+    block_exprs: list,
+    field_exprs: list,
+    m_probs: list,
+) -> DataFrame:
+    """X120 — Fellegi-Sunter match-weight scoring (Fellegi/Sunter JASA
+    1969 — the canonical probabilistic record-linkage model): candidate
+    pairs share a blocking key; each comparison field contributes
+    log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement, where
+    m is the declared true-match agreement probability and u is the
+    RANDOM agreement probability ESTIMATED FROM THE DATA as
+    sum_v (n_v / N)^2 — the exact chance two random records agree on
+    the field. The sum of field contributions is the pair's match
+    weight (log-likelihood ratio under conditional independence); the
+    score X66's boolean blocking lacks.
+
+    ``field_exprs`` is a list of (name, Column); ``m_probs`` the
+    matching m per field. Returns (id_a, id_b, n_agree, weight).
+
+    Scale: each u_j is two tiny aggs (value-dictionary contraction +
+    1-row sum of squared frequencies); all u's pack into ONE 1-row
+    broadcast model frame. The pair join is block-keyed (the X66
+    contract: per-block work C(block,2), block size is the knob). The
+    weight arithmetic is row-local codegen on the pair frame.
+    """
+    blk = F.concat_ws("\x1f", *[e.cast("string") for e in block_exprs])
+    cols = [F.col(id_col).alias("id"), blk.alias("__blk")]
+    names = []
+    for (nm, expr), _m in zip(field_exprs, m_probs):
+        cols.append(expr.alias(f"__f_{nm}"))
+        names.append(nm)
+    base = df.select(*cols)
+    n_row = base.agg(F.count("*").cast("double").alias("__n"))
+    model = n_row
+    for nm in names:
+        sq = (
+            base.groupBy(f"__f_{nm}")
+            .agg(F.count("*").alias("__c"))
+            .agg(F.sum(F.col("__c") * F.col("__c")).cast("double").alias(f"__sq_{nm}"))
+        )
+        model = model.crossJoin(F.broadcast(sq))
+    u_cols = [
+        (F.col(f"__sq_{nm}") / (F.col("__n") * F.col("__n"))).alias(f"__u_{nm}")
+        for nm in names
+    ]
+    model = model.select(*u_cols)
+    pa = base.select(
+        F.col("id").alias("id_a"), "__blk",
+        *[F.col(f"__f_{nm}").alias(f"__fa_{nm}") for nm in names],
+    )
+    pb = base.select(
+        F.col("id").alias("id_b"), "__blk",
+        *[F.col(f"__f_{nm}").alias(f"__fb_{nm}") for nm in names],
+    )
+    pairs = pa.join(pb, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    # model: 1-row u-probability frame (bounded broadcast)
+    pairs = pairs.crossJoin(F.broadcast(model))
+    agree = [
+        (F.col(f"__fa_{nm}") == F.col(f"__fb_{nm}")).alias(f"__ag_{nm}")
+        for nm in names
+    ]
+    pairs = pairs.select("id_a", "id_b", *agree, *[F.col(f"__u_{nm}") for nm in names])
+    weight = None
+    n_agree = None
+    for nm, m in zip(names, m_probs):
+        term = F.when(
+            F.col(f"__ag_{nm}"),
+            F.log2(F.lit(float(m)) / F.col(f"__u_{nm}")),
+        ).otherwise(
+            F.log2(F.lit(1.0 - float(m)) / (F.lit(1.0) - F.col(f"__u_{nm}")))
+        )
+        ag = F.col(f"__ag_{nm}").cast("int")
+        weight = term if weight is None else weight + term
+        n_agree = ag if n_agree is None else n_agree + ag
+    return pairs.select(
+        "id_a", "id_b",
+        n_agree.cast("int").alias("n_agree"),
+        weight.alias("weight"),
+    )

@@ -98,3 +98,85 @@ def pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    persist_fn=None,
+) -> DataFrame:
+    """X122 — exact triangle counting by DEGREE-ORDERED orientation
+    (Schank/Wagner 2005; the MapReduce form is Suri/Vassilvitskii WWW
+    2011 — public): orient each undirected edge from the lower
+    (degree, id) endpoint to the higher; every triangle is then counted
+    EXACTLY ONCE as a wedge at its lowest-ordered vertex closed by an
+    oriented edge. Returns one row: n_nodes, n_edges, n_triangles,
+    n_wedges (sum C(deg,2) — the open+closed wedge total) and the
+    global clustering coefficient 3T / wedges.
+
+    Why orientation is THE scale trick: the naive wedge count is
+    sum C(deg, 2), quadratic in the hottest degree (a celebrity node
+    with deg 1M contributes 5*10^11 wedges). Orientation bounds
+    out-degree by O(sqrt(|E|)) on ANY graph — the oriented wedge total
+    is at most |E|^{3/2} regardless of skew, turning the worst case
+    from degree-quadratic to edge-3/2. The joins are plain equi-joins
+    (wedge on the pivot, closure on the (v, w) pair); no windows.
+    """
+    ce = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # ce feeds the degree agg and (via orientation) three join sides —
+    # persist once (caller-owned persist_fn convention).
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        ce = ce.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ce = persist_fn(ce)
+    deg = (
+        ce.select(F.col("a").alias("node"))
+        .unionByName(ce.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("__d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("__d").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("__d").alias("__db"))
+    ed = ce.join(da, "a").join(db, "b")
+    fwd = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("__dv").alias("__d1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("__dv").alias("__d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("__d1") < F.col("__d2"))
+        | ((F.col("__d1") == F.col("__d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (F.sum("__d") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("__d") * (F.col("__d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+        ).alias("global_clustering"),
+    )

@@ -1492,3 +1492,67 @@ def cuped_adjust(
             ),
         )
     )
+
+
+def binned_quantile_sketch(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    bin_width: float = 25.0,
+    quantiles: list[tuple[int, int]] = ((1, 2), (19, 20)),
+) -> DataFrame:
+    """X121 — MERGEABLE quantile sketch via fixed-width bins: the
+    quantile member of the sketch trio (distinct = X84 HLL, frequency
+    = X50 CMS, quantile = this). Bin counts are plain integers, so
+    sketches MERGE by addition — shardable, windowable, unionable,
+    everything an exact sort-based quantile is not — and the estimate
+    (the lower edge of the first bin whose cumulative count reaches
+    the rank) is within ONE bin width of the exact lower quantile
+    (X100's convention: smallest v with cum >= q*n), provably: that
+    ranked value lives inside the picked bin.
+
+    Quantiles are RATIONAL (num, den) pairs and the boundary test is
+    ``den * cum >= num * n`` in exact integer arithmetic (the X100
+    rule — no float ever reaches a >=). Returns one row per group
+    with ``bq_{num}_{den}`` estimate columns (bin lower edge).
+
+    Scale: one corpus hash agg to (group, bin) counts; the cumulative
+    window runs over the BIN frame — value-range/bin_width rows per
+    group, corpus-size independent (the entire point). The per-group
+    total is a broadcast; one conditional-min agg per quantile.
+    """
+    bins = (
+        df.select(
+            *[F.col(c) for c in part_cols],
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("__b"),
+        )
+        .groupBy(*part_cols, "__b")
+        .agg(F.count("*").alias("__c"))
+    )
+    w_b = Window.partitionBy(*part_cols).orderBy("__b")
+    cum = bins.withColumn("__cum", F.sum("__c").over(w_b))
+    totals = bins.groupBy(*part_cols).agg(F.sum("__c").alias("__n"))
+    joined = (
+        cum.join(F.broadcast(totals), part_cols)
+        if part_cols
+        else cum.crossJoin(F.broadcast(totals))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum") * F.lit(den) >= F.col("__n") * F.lit(num),
+                F.col("__b"),
+            )
+        ).alias(f"__bin_{num}_{den}")
+        for num, den in quantiles
+    ]
+    out = joined.groupBy(*part_cols).agg(*aggs)
+    return out.select(
+        *part_cols,
+        *[
+            (F.col(f"__bin_{num}_{den}") * F.lit(bin_width)).alias(
+                f"bq_{num}_{den}"
+            )
+            for num, den in quantiles
+        ],
+    )

@@ -3244,3 +3244,78 @@ def test_attribute_conversions_semantics(spark):
         ).collect()
     }
     assert got == {"click": 1, "view": 1, "unattributed": 2}
+
+
+def test_fs_match_weights_hand_case(spark):
+    """X120: u-probabilities from data (sum of squared value
+    frequencies / N^2), log2 likelihood-ratio weights, agreement
+    count — hand-checked on one block of 3 records."""
+    import math
+
+    from emr_trino_autoscale_spark.operators.dedup import fs_match_weights
+
+    rows = [
+        (1, "B", 10, "aa"),
+        (2, "B", 10, "bb"),
+        (3, "B", 20, "bb"),
+        (4, "C", 10, "aa"),   # other block: contributes to u, not pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, seg string, bal long, sfx string")
+    out = {
+        (r.id_a, r.id_b): (r.n_agree, r.weight)
+        for r in fs_match_weights(
+            df, "id",
+            block_exprs=[F.col("seg")],
+            field_exprs=[("bal", F.col("bal")), ("sfx", F.col("sfx"))],
+            m_probs=[0.9, 0.8],
+        ).collect()
+    }
+    # u_bal: values 10x3, 20x1 -> (9+1)/16; u_sfx: aa x2, bb x2 -> 8/16
+    u_bal, u_sfx = 10 / 16, 0.5
+    w_bal_a = math.log2(0.9 / u_bal)
+    w_bal_d = math.log2((1.0 - 0.9) / (1 - u_bal))
+    w_sfx_a = math.log2(0.8 / u_sfx)
+    w_sfx_d = math.log2((1.0 - 0.8) / (1 - u_sfx))
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)][0] == 1
+    assert abs(out[(1, 2)][1] - (w_bal_a + w_sfx_d)) < 1e-9
+    assert out[(1, 3)][0] == 0
+    assert abs(out[(1, 3)][1] - (w_bal_d + w_sfx_d)) < 1e-9
+    assert out[(2, 3)][0] == 1
+    assert abs(out[(2, 3)][1] - (w_bal_d + w_sfx_a)) < 1e-9
+
+
+def test_binned_quantile_sketch_bound(spark):
+    """X121: the estimate is the lower edge of the bin holding the
+    exact lower quantile — within one bin width, and EXACT when the
+    bin width divides the data grid."""
+    from emr_trino_autoscale_spark.operators.stats import binned_quantile_sketch
+
+    rows = [("g", float(v)) for v in range(1, 101)]   # 1..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = binned_quantile_sketch(
+        df, ["g"], "v", bin_width=10.0, quantiles=((1, 2), (19, 20))
+    ).collect()[0]
+    # exact lower p50 of 1..100 = 50 -> bin [50,60) -> est 50
+    assert out["bq_1_2"] == 50.0
+    # exact lower p95 = 95 -> bin [90,100) -> est 90
+    assert out["bq_19_20"] == 90.0
+
+
+def test_triangle_stats_hand_graphs(spark):
+    """X122: K4 has 4 triangles / 12 wedges (cc = 1); two triangles
+    sharing an edge count 2; orientation must not double-count and
+    must ignore duplicate/reversed input edges."""
+    from emr_trino_autoscale_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4 += [(b, a) for a, b in k4[:2]]   # reversed duplicates
+    df = spark.createDataFrame(k4, "src long, dst long")
+    r = triangle_stats(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.global_clustering == 1.0
+
+    bowtie = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+    df2 = spark.createDataFrame(bowtie, "src long, dst long")
+    r2 = triangle_stats(df2).collect()[0]
+    assert r2.n_triangles == 2 and r2.n_edges == 6

@@ -299,6 +299,17 @@ FLAGSHIPS = {
     "q154_cuped": (12, True),
     # q155: one user-partitioned carry window + grouped count
     "q155_attribution": (6, False),
+    # q156: block-keyed pair self-join + per-field u aggs packed into
+    # the 1-row model broadcast (nested loop)
+    "q156_fs_match_weights": (22, True),
+    # q157: (group, value) + (group, bin) contractions, bin-frame
+    # windows, X100 exact side over the cached per-value frame
+    "q157_quantile_sketch": (32, False),
+    # q158: STATIC count inflated by InMemoryRelation reprints of the
+    # persisted canonical-edge subtree (the q84 precedent) — runtime
+    # executes the edge build once; nested loop = 1-row triangle-count
+    # broadcast
+    "q158_triangle_census": (72, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
@@ -386,7 +397,10 @@ BROADCAST_ALLOW = {
         # 1-row all-centroids pack (label_noise_scores)
         "packed",
     },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
-    "dedup.py": set(),                                 # corpus-sized frames only — never broadcast
+    # sq: 1-row squared-frequency sum per field; model: 1-row packed
+    # u-probability frame (fs_match_weights) — everything else in
+    # dedup.py is corpus-sized and must never broadcast
+    "dedup.py": {"sq", "model"},
     "registry.py": set(),
     # base: 1-row stage-1 user total (sequence_funnel conversion);
     # tot selects: #categories-row per-type entity totals
@@ -414,8 +428,8 @@ BROADCAST_ALLOW = {
                  "prior", "med", "ia", "ib", "n_row", "model"},
     "multimodal.py": set(),
     # n_row: 1-row node count; dangling: 1-row dangling-mass sum
-    # (pagerank teleport/redistribution terms)
-    "graph.py": {"n_row", "dangling"},
+    # (pagerank); tri: 1-row triangle count (triangle_stats)
+    "graph.py": {"n_row", "dangling", "tri"},
 }
 # metric_store denominator_df is caller-supplied and documented bounded
 BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
