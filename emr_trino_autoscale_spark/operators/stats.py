@@ -1556,3 +1556,180 @@ def binned_quantile_sketch(
             for num, den in quantiles
         ],
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    persist_fn=None,
+) -> DataFrame:
+    """X124 — exact mutual information (bits) between two categorical
+    columns, plus both marginal entropies: the feature-redundancy /
+    leakage screen (a near-deterministic mapping between a feature and
+    the label shows up as MI ~ min(H) long before a model overfits to
+    it). MI = sum_xy p(x,y) log2( p(x,y) / (p(x) p(y)) ).
+
+    Scale: ONE corpus hash agg to the (x, y) cell frame; the margins
+    are dictionary-sized re-aggs of the CELL frame (never a second
+    corpus pass); N is a 1-row broadcast. Counts stay integers; each
+    log2 argument is a ratio of exact integer products, so both
+    engines see identical doubles (the q153 rule).
+    """
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("__c"))
+    )
+    # cells feeds both margins, the total, and the MI join — persist
+    # the dictionary-sized cell frame once (caller-owned persist_fn).
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        cells = persist_fn(cells)
+    mx = cells.groupBy("x").agg(F.sum("__c").alias("__cx"))
+    my = cells.groupBy("y").agg(F.sum("__c").alias("__cy"))
+    n_row = cells.agg(F.sum("__c").cast("double").alias("__n"))
+    # mx/my: dictionary-sized margins; n_row: 1-row total
+    j = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n_row))
+    )
+    mi = j.agg(
+        F.max("__n").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("__c") / F.col("__n"))
+            * F.log2(
+                F.col("__c") * F.col("__n")
+                / (F.col("__cx") * F.col("__cy"))
+            )
+        ).alias("mi_bits"),
+    )
+    hx = mx.crossJoin(F.broadcast(n_row)).agg(
+        (-F.sum((F.col("__cx") / F.col("__n")) * F.log2(F.col("__cx") / F.col("__n"))))
+        .alias("h_x")
+    )
+    hy = my.crossJoin(F.broadcast(n_row)).agg(
+        (-F.sum((F.col("__cy") / F.col("__n")) * F.log2(F.col("__cy") / F.col("__n"))))
+        .alias("h_y")
+    )
+    return mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """X125 — calibration curve (reliability diagram) bins: scores in
+    [0, 1] bucketed into ``n_bins`` equal-width bins; per bin the mean
+    predicted score vs the observed positive fraction — the standard
+    screen for whether a quality/filter classifier's scores can be
+    thresholded as probabilities. Returns (bin, n, sum_score,
+    frac_positive) — the score aggregate is the SUM, not the mean
+    (the documented dec4 gotcha: an AVG of arbitrary-count doubles
+    can land on a 4-decimal half-way boundary; the mean is
+    sum_score / n downstream).
+
+    Scale: one hash agg; bin index is row-local arithmetic (top edge
+    clamps into the last bin). frac_positive is an exact int/int
+    division.
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("int").alias("__l"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("__s").alias("sum_score"),
+            (F.sum("__l") / F.count("*")).alias("frac_positive"),
+        )
+    )
+
+
+def grouped_auc(
+    df: DataFrame,
+    part_cols: list[str],
+    score_col: str,
+    label_col: str,
+    bucket_width: float = 16.0,
+) -> DataFrame:
+    """X126 — exact ROC AUC per group via the Mann-Whitney U statistic
+    with midrank tie handling, computed in EXACT integer arithmetic
+    until the single final division: AUC = (sum over positive rows of
+    the midrank) - n_pos(n_pos+1)/2, over n_pos * n_neg. Doubled
+    midranks keep the halves integral: 2*midrank(v) = 2*cum_below(v)
+    + c(v) + 1, so U2 = sum_v pos(v) * R2(v) - n_pos*(n_pos+1) and
+    AUC = U2 / (2 * n_pos * n_neg) — no float ever accumulates (the
+    X100 rule).
+
+    Scale: contract to one row per (group, distinct score) carrying
+    (count, positive count); the running count rides the X16 bucket
+    decomposition partitioned by group — no corpus-sized single-task
+    sort, no corpus window. The per-group totals are a broadcast.
+    """
+    per_val = (
+        df.select(
+            *[F.col(c) for c in part_cols],
+            F.col(score_col).cast("double").alias("__v"),
+            F.col(label_col).cast("long").alias("__l"),
+        )
+        .groupBy(*part_cols, "__v")
+        .agg(F.count("*").alias("__c"), F.sum("__l").alias("__p"))
+    )
+    base = per_val.withColumn(
+        "__bkt", F.floor(F.col("__v") / F.lit(bucket_width)).cast("long")
+    )
+    w_in = Window.partitionBy(*part_cols, "__bkt").orderBy("__v")
+    intra = base.withColumn("__ic", F.sum("__c").over(w_in))
+    w_b = Window.partitionBy(*part_cols).orderBy("__bkt")
+    offsets = (
+        base.groupBy(*part_cols, "__bkt")
+        .agg(F.sum("__c").alias("__bc"))
+        .withColumn("__off", F.sum("__bc").over(w_b) - F.col("__bc"))
+        .select(*part_cols, "__bkt", "__off")
+    )
+    cum = intra.join(offsets, [*part_cols, "__bkt"]).withColumn(
+        "__below",
+        F.col("__ic") + F.coalesce(F.col("__off"), F.lit(0)) - F.col("__c"),
+    )
+    # R2 = doubled midrank; U2 accumulates in exact integers
+    r2 = cum.withColumn(
+        "__r2", 2 * F.col("__below") + F.col("__c") + F.lit(1)
+    )
+    totals = per_val.groupBy(*part_cols).agg(
+        F.sum("__c").alias("__n"), F.sum("__p").alias("__np")
+    )
+    j = (
+        r2.join(F.broadcast(totals), part_cols)
+        if part_cols
+        else r2.crossJoin(F.broadcast(totals))
+    )
+    return (
+        j.groupBy(*part_cols)
+        .agg(
+            F.max("__n").cast("bigint").alias("n"),
+            F.max("__np").cast("bigint").alias("n_pos"),
+            (
+                (
+                    F.sum(F.col("__p") * F.col("__r2"))
+                    - F.max("__np") * (F.max("__np") + 1)
+                )
+                / (
+                    F.lit(2.0)
+                    * F.max("__np")
+                    * (F.max("__n") - F.max("__np"))
+                )
+            ).alias("auc"),
+        )
+    )

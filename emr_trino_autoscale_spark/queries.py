@@ -6603,6 +6603,104 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+# Q159 — X124: mutual information between event type and the value
+# centile-bucket. Every log2 argument is a ratio of exact integer
+# products (the q153 rule), so both engines see identical doubles.
+
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__y", F.floor(F.col("value") / 100).cast("long")
+    )
+    r = stats.mutual_information(e, "event_type", "__y", persist_fn=_cache_scoped)
+    return r.select(
+        "n",
+        dec4("mi_bits").alias("mi_bits"),
+        dec4("h_x").alias("h_x"),
+        dec4("h_y").alias("h_y"),
+    )
+
+
+Q159_SQL = f"""
+WITH cells AS (
+  SELECT event_type AS x, CAST(FLOOR(value / 100) AS BIGINT) AS y,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
+my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
+nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+       {_dec4('(SELECT SUM((c / nn.n) * log2(c * nn.n / (cx * cy))) FROM cells JOIN mx USING(x) JOIN my USING(y), nn)')} AS mi_bits,
+       {_dec4('(SELECT -SUM((cx / nn.n) * log2(cx / nn.n)) FROM mx, nn)')} AS h_x,
+       {_dec4('(SELECT -SUM((cy / nn.n) * log2(cy / nn.n)) FROM my, nn)')} AS h_y
+"""
+
+
+# Q160 — X125: calibration (reliability) bins for score = value/500
+# vs the purchase label. sum_score, not mean (the dec4 AVG gotcha);
+# frac_positive is an exact int/int division.
+
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("value") / 500.0).alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return (
+        stats.calibration_bins(e, "score", "label", n_bins=10)
+        .select(
+            "bin",
+            "n",
+            dec4("sum_score").alias("sum_score"),
+            dec4("frac_positive").alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )
+
+
+Q160_SQL = f"""
+SELECT CAST(LEAST(FLOOR((value / 500.0) * 10), 9) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('SUM(value / 500.0)')} AS sum_score,
+       {_dec4("SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) / COUNT(*)")} AS frac_positive
+FROM events GROUP BY 1 ORDER BY bin
+"""
+
+
+# Q161 — X126: exact per-cohort ROC AUC (does value separate
+# purchases?) via Mann-Whitney with doubled midranks — integer
+# arithmetic until the single final division.
+
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("int").alias("cohort"),
+        "value",
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    return (
+        stats.grouped_auc(e, ["cohort"], "value", "label")
+        .select("cohort", "n", "n_pos", dec4("auc").alias("auc"))
+        .orderBy("cohort")
+    )
+
+
+Q161_SQL = f"""
+WITH pv AS (
+  SELECT CAST(user_id % 3 AS INT) AS g, value AS v, COUNT(*) AS c,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT g, v, c, p,
+         SUM(c) OVER (PARTITION BY g ORDER BY v) - c AS below
+  FROM pv),
+tot AS (SELECT g, SUM(c) AS n, SUM(p) AS np FROM pv GROUP BY g)
+SELECT cum.g AS cohort,
+       CAST(MAX(tot.n) AS BIGINT) AS n,
+       CAST(MAX(tot.np) AS BIGINT) AS n_pos,
+       {_dec4('(SUM(p * (2 * below + c + 1)) - MAX(np) * (MAX(np) + 1)) / (2.0 * MAX(np) * (MAX(n) - MAX(np)))')} AS auc
+FROM cum JOIN tot ON tot.g = cum.g
+GROUP BY cum.g ORDER BY cohort
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6782,6 +6880,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_fs_match_weights": q156,
     "q157_quantile_sketch": q157,
     "q158_triangle_census": q158,
+    "q159_mutual_information": q159,
+    "q160_calibration_bins": q160,
+    "q161_grouped_auc": q161,
 }
 
 ORACLE: dict[str, str] = {
@@ -6941,6 +7042,9 @@ ORACLE: dict[str, str] = {
     "q156_fs_match_weights": Q156_SQL,
     "q157_quantile_sketch": Q157_SQL,
     "q158_triangle_census": Q158_SQL,
+    "q159_mutual_information": Q159_SQL,
+    "q160_calibration_bins": Q160_SQL,
+    "q161_grouped_auc": Q161_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

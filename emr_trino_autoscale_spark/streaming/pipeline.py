@@ -674,3 +674,35 @@ def debounce_stream(events, window_seconds: float = 60.0):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def attribution_stream(
+    events,
+    touch_types=("view", "click"),
+    conversion_type: str = "purchase",
+    window_seconds: float = 3 * 86400.0,
+):
+    """X123 — streaming last-touch attribution, the live twin of
+    events.attribute_conversions (X119/q155): per-user keyed state is
+    ONE (last touch type, ts) pair in ``applyInPandasWithState`` —
+    constant per key — and a conversion credits the carried touch
+    exactly like the batch union-and-carry window (touch-first tie
+    order, integer-microsecond window test). Input needs ``ts_us``;
+    output = one (event_id, user_id, ts_us, touch_type) row per
+    conversion, append-mode safe. Exact batch parity is pinned by
+    tests/test_stateful.py::test_attribution_stream_matches_batch.
+    """
+    from .stateful import (
+        ATTRIBUTION_OUTPUT_SCHEMA,
+        make_attribution_processor,
+    )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_attribution_processor(
+            tuple(touch_types), conversion_type, window_seconds
+        ),
+        outputStructType=ATTRIBUTION_OUTPUT_SCHEMA,
+        stateStructType="last_touch string, last_touch_ts_us long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -309,3 +309,78 @@ def make_debounce_processor(window_seconds: float = 60.0):
         )
 
     return process
+
+
+ATTRIBUTION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("touch_type", StringType()),
+    ]
+)
+
+
+def attribution_rows(
+    rows: "pd.DataFrame",
+    touch_types: tuple,
+    conversion_type: str,
+    last_touch: str | None,
+    last_touch_ts_us: int,
+    window_us: int,
+) -> tuple[list[dict], tuple]:
+    """Row-at-a-time core of the streaming last-touch attribution,
+    shared with the batch-parity test: identical semantics to the
+    batch union-and-carry window (events.attribute_conversions) —
+    rows process in (ts_us, touch-first, event_id) order, a touch
+    updates the carried (type, ts) pair, a conversion credits the
+    carried touch when within the window, else 'unattributed'. Only
+    conversion rows are emitted (append-mode safe)."""
+    out: list[dict] = []
+    work = rows.assign(__c=(rows["event_type"] == conversion_type))
+    for r in work.sort_values(["ts_us", "__c", "event_id"]).itertuples():
+        if r.event_type in touch_types:
+            last_touch, last_touch_ts_us = r.event_type, r.ts_us
+        elif r.event_type == conversion_type:
+            ok = (
+                last_touch is not None
+                and (r.ts_us - last_touch_ts_us) <= window_us
+            )
+            out.append(
+                {
+                    "event_id": r.event_id,
+                    "user_id": r.user_id,
+                    "ts_us": r.ts_us,
+                    "touch_type": last_touch if ok else "unattributed",
+                }
+            )
+    return out, (last_touch, last_touch_ts_us)
+
+
+def make_attribution_processor(
+    touch_types: tuple,
+    conversion_type: str = "purchase",
+    window_seconds: float = 3 * 86400.0,
+):
+    """applyInPandasWithState processor for streaming last-touch
+    attribution (X123): state per user is ONE (touch type, ts) pair —
+    constant size; emits one attributed row per conversion."""
+    window_us = int(window_seconds * 1_000_000)
+    tt = tuple(touch_types)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        lt, lts = tuple(state.get) if state.exists else (None, -(1 << 62))
+        out: list[dict] = []
+        for pdf in pdfs:
+            batch, (lt, lts) = attribution_rows(
+                pdf, tt, conversion_type, lt, lts, window_us
+            )
+            out.extend(batch)
+        state.update((lt, lts))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ATTRIBUTION_OUTPUT_SCHEMA.fields]
+        )
+
+    return process

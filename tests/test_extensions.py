@@ -3319,3 +3319,54 @@ def test_triangle_stats_hand_graphs(spark):
     df2 = spark.createDataFrame(bowtie, "src long, dst long")
     r2 = triangle_stats(df2).collect()[0]
     assert r2.n_triangles == 2 and r2.n_edges == 6
+
+
+def test_mutual_information_hand_case(spark):
+    """X124: MI/H on a 2x2 with a perfectly dependent pair and an
+    independent pair — hand entropies."""
+    import math
+
+    from emr_trino_autoscale_spark.operators.stats import mutual_information
+
+    dep = [("a", 0)] * 5 + [("b", 1)] * 5          # x determines y
+    df = spark.createDataFrame(dep, "x string, y int")
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r.n == 10
+    assert abs(r.mi_bits - 1.0) < 1e-9             # MI = H = 1 bit
+    assert abs(r.h_x - 1.0) < 1e-9 and abs(r.h_y - 1.0) < 1e-9
+
+    ind = [(x, y) for x in ("a", "b") for y in (0, 1) for _ in range(3)]
+    r2 = mutual_information(
+        spark.createDataFrame(ind, "x string, y int"), "x", "y"
+    ).collect()[0]
+    assert abs(r2.mi_bits) < 1e-9                  # independent -> 0
+
+
+def test_calibration_bins_hand_case(spark):
+    """X125: bin routing (top edge clamps), exact positive fractions."""
+    from emr_trino_autoscale_spark.operators.stats import calibration_bins
+
+    rows = [(0.05, True), (0.05, False), (0.55, True), (1.0, True)]
+    df = spark.createDataFrame(rows, "s double, l boolean")
+    out = {r.bin: (r.n, r.frac_positive) for r in
+           calibration_bins(df, "s", "l", n_bins=10).collect()}
+    assert out[0] == (2, 0.5)
+    assert out[5] == (1, 1.0)
+    assert out[9] == (1, 1.0)      # score 1.0 clamps into bin 9
+
+
+def test_grouped_auc_hand_and_ties(spark):
+    """X126: perfect separation -> 1.0; anti-separation -> 0.0; all
+    scores tied -> 0.5 exactly (midrank handling)."""
+    from emr_trino_autoscale_spark.operators.stats import grouped_auc
+
+    rows = (
+        [("perfect", float(s), s >= 3) for s in range(6)]
+        + [("anti", float(s), s < 3) for s in range(6)]
+        + [("tied", 1.0, l) for l in (True, False, True, False)]
+    )
+    df = spark.createDataFrame(rows, "g string, s double, l boolean")
+    out = {r.g: r.auc for r in grouped_auc(df, ["g"], "s", "l").collect()}
+    assert out["perfect"] == 1.0
+    assert out["anti"] == 0.0
+    assert out["tied"] == 0.5

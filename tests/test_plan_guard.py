@@ -310,6 +310,15 @@ FLAGSHIPS = {
     # executes the edge build once; nested loop = 1-row triangle-count
     # broadcast
     "q158_triangle_census": (72, True),
+    # q159: persisted (x,y) cell frame + margin/entropy re-aggs; the
+    # nested loops are the 1-row N/H broadcasts (static count inflated
+    # by InMemoryRelation reprints, q84 precedent)
+    "q159_mutual_information": (43, True),
+    # q160: ONE hash agg + presentation sort
+    "q160_calibration_bins": (4, False),
+    # q161: (group, score) contraction + X16 bucket windows + totals
+    # broadcast + final agg
+    "q161_grouped_auc": (22, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
@@ -424,8 +433,10 @@ BROADCAST_ALLOW = {
     # med: #groups-row (group, n, median) frame (grouped_mad pass 2)
     # ia/ib: item-dictionary-sized count frames, n_row: 1-row basket
     # total (association_rules); model: 1-row theta/pre-mean (cuped)
+    # mx/my: dictionary-sized MI margins; hx/hy: 1-row entropies
     "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb",
-                 "prior", "med", "ia", "ib", "n_row", "model"},
+                 "prior", "med", "ia", "ib", "n_row", "model",
+                 "mx", "my", "hx", "hy"},
     "multimodal.py": set(),
     # n_row: 1-row node count; dangling: 1-row dangling-mass sum
     # (pagerank); tri: 1-row triangle count (triangle_stats)

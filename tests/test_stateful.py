@@ -862,3 +862,76 @@ def test_debounce_stream_matches_batch(spark, tmp_path):
     }
     assert got == want and len(got) == len(rows)
     assert sum(got.values()) > 0  # echoes actually occurred
+
+
+def test_attribution_stream_matches_batch(spark, tmp_path):
+    """X123: streaming last-touch attribution (keyed (touch, ts) state)
+    must agree with the batch union-and-carry window
+    (events.attribute_conversions) per conversion — including a touch
+    in micro-batch 1 crediting a conversion in micro-batch 2, the
+    out-of-window fall-through, and the same-ts touch-first tie."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for sec, typ in [
+            (0, "view"), (10, "click"), (20, "purchase"),      # last-touch
+            (30, "purchase"),                                   # same carried touch
+            (500, "purchase"),                                  # out of 100s window
+            (600, "view"), (600, "purchase"),                   # same-ts tie
+        ]:
+            rows.append((eid, u, t0 + dt.timedelta(seconds=sec + u), typ, 1.0))
+            eid += 1
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "at_src")
+    out = str(tmp_path / "at_out")
+    chk = str(tmp_path / "at_chk")
+    # split so the (view, click) touches land in batch 1 and the first
+    # conversions in batch 2 — state must carry
+    df.filter("event_id % 7 < 2").repartition(1).write.parquet(src)
+    stream_in = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type", "value",
+        )
+    )
+    q = (
+        pipeline.attribution_stream(
+            stream_in, ("view", "click"), "purchase", window_seconds=100.0
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id % 7 >= 2").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["touch_type"],)
+        for r in spark.read.parquet(out).collect()
+    )
+    want_counts = {
+        r["touch_type"]: r["n_conversions"]
+        for r in ev.attribute_conversions(
+            df, ["view", "click"], "purchase", window_seconds=100
+        ).collect()
+    }
+    got_counts: dict = {}
+    for (t,) in got:
+        got_counts[t] = got_counts.get(t, 0) + 1
+    assert got_counts == want_counts
+    # per-conversion attribution, not just counts
+    assert got_counts == {"click": 4, "unattributed": 2, "view": 2}
