@@ -669,3 +669,168 @@ def attribute_conversions(
         .groupBy("touch_type")
         .agg(F.count("*").cast("bigint").alias("n_conversions"))
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    trend_window_days: int = 7,
+) -> DataFrame:
+    """X127 — additive seasonal decomposition of the daily metric
+    series (classical moving-average form, Kendall/Stuart; the
+    deterministic core of STL without loess): per-day totals ->
+    centered ``trend_window_days`` moving-average trend -> day-of-week
+    seasonal means of the detrended series (normalized to sum zero) ->
+    residual = value - trend - seasonal. The anomaly-screen input for
+    ingestion telemetry: a residual spike is a real change, not a
+    weekday rhythm.
+
+    Returns one row per day: (day, total, trend, seasonal, residual)
+    with trend/seasonal/residual NULL on the edge days the centered
+    window cannot cover — surfacing partial-window bias instead of
+    averaging it in (the X107 edge-honesty convention).
+
+    Scale: the corpus contracts to ONE row per day immediately (hash
+    agg); every window after that runs on the day frame — #days rows,
+    corpus-size independent. The day-of-week means are a 7-row agg
+    joined back broadcast.
+    """
+    day = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("__v").alias("total"))
+    )
+    half = trend_window_days // 2
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    trended = day.withColumn(
+        "trend",
+        F.when(
+            F.count("*").over(w) == trend_window_days,
+            F.avg("total").over(w),
+        ),
+    ).withColumn("dow", F.dayofweek("day"))
+    smeans = (
+        trended.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("total") - F.col("trend")).alias("__sm"))
+    )
+    scenter = smeans.agg(F.avg("__sm").alias("__sc"))
+    # smeans: 7-row day-of-week frame; scenter: 1-row centering term
+    out = (
+        trended.join(F.broadcast(smeans), "dow", "left")
+        .crossJoin(F.broadcast(scenter))
+        .select(
+            "day",
+            "total",
+            "trend",
+            F.when(
+                F.col("trend").isNotNull(),
+                F.col("__sm") - F.col("__sc"),
+            ).alias("seasonal"),
+            F.when(
+                F.col("trend").isNotNull(),
+                F.col("total") - F.col("trend") - (F.col("__sm") - F.col("__sc")),
+            ).alias("residual"),
+        )
+    )
+    return out
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X128 — first-order Markov transition counts/probabilities over
+    each user's event sequence: P(next = b | current = a) with exact
+    integer counts and one exact division (the q153 rule). The
+    sequence-structure screen (a near-deterministic transition row is
+    a bot/retry signature; see also X109's debounce).
+
+    Scale: ONE per-user lag window over the corpus (uniform user
+    key, (ts, id) total order — the X109 shape), then a hash agg to
+    the (a, b) transition dictionary and a broadcast margin join.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        df.select(
+            F.col(type_col).alias("b"),
+            F.lag(type_col).over(w).alias("a"),
+        )
+        .filter(F.col("a").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = pairs.groupBy("a").agg(F.sum("n_ab").alias("__na"))
+    # marg: type-dictionary-sized margin
+    return pairs.join(F.broadcast(marg), "a").select(
+        "a",
+        "b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        (F.col("n_ab") / F.col("__na")).alias("p_next"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    threshold_sigmas: float = 4.0,
+) -> DataFrame:
+    """X129 — CUSUM level-shift detection on the daily mean series
+    (Page 1954 — the classical sequential changepoint statistic, in
+    its retrospective form): S_t = running sum of (x_t - global mean);
+    the maximizer of |S_t| locates the most likely single level shift,
+    flagged when the normalized excursion |S_t| / (sigma * sqrt(n))
+    exceeds ``threshold_sigmas`` / 2 (the standard Brownian-bridge
+    scaling). Returns one row per day with the cusum statistic and an
+    is_peak flag on the argmax day.
+
+    Scale: per-day contraction first (the X127 rule); the running sum
+    and the argmax run on the #days frame. Global mean/sigma are a
+    1-row stable-agg broadcast (stddev_samp is CentralMomentAgg — the
+    X76 lesson).
+    """
+    day = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("day")
+        .agg(F.avg("__v").alias("m"))
+    )
+    gstats = day.agg(
+        F.avg("m").alias("__gm"),
+        F.stddev_samp("m").alias("__gs"),
+        F.count("*").cast("double").alias("__gn"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # gstats: 1-row mean/sigma/n broadcast
+    cs = (
+        day.crossJoin(F.broadcast(gstats))
+        .withColumn("cusum", F.sum(F.col("m") - F.col("__gm")).over(w))
+        .withColumn(
+            "zscore",
+            F.abs(F.col("cusum"))
+            / (F.col("__gs") * F.sqrt(F.col("__gn"))),
+        )
+    )
+    peak = cs.agg(F.max(F.abs("cusum")).alias("__pk"))
+    return (
+        cs.crossJoin(F.broadcast(peak))
+        .select(
+            "day",
+            "m",
+            "cusum",
+            (
+                (F.abs(F.col("cusum")) == F.col("__pk"))
+                & (F.col("zscore") >= threshold_sigmas / 2.0)
+            ).alias("is_peak"),
+        )
+    )

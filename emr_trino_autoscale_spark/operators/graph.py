@@ -180,3 +180,60 @@ def triangle_stats(
             F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
         ).alias("global_clustering"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 16,
+    rounds: int = 3,
+) -> DataFrame:
+    """X130 — k-core extraction by FIXED-ROUND peeling (Seidman 1983;
+    the standard iterative "remove nodes with degree < k" fixed
+    point): ``rounds`` synchronous peels, each recomputing degrees
+    over the surviving edge set and dropping sub-k nodes — the
+    density-core screen (spam rings, boilerplate hubs, co-citation
+    cores all live in high cores). Returns the surviving nodes with
+    their post-round degree plus a ``converged`` flag (TRUE when a
+    further round would remove nothing — the fixed point reached
+    within the declared budget). Fixed rounds make the result an
+    oracle-checkable function of the edge set (the X114 lesson);
+    production raises ``rounds`` until converged.
+
+    Scale: each round is one degree hash-agg + one semi-join edge
+    restriction — the Pregel-as-relational-ops shape; non-eager
+    localCheckpoint truncates lineage per round (the X7 rule).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        e = e.localCheckpoint(eager=False)
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__d"))
+        )
+        alive = deg.filter(F.col("__d") >= k).select("node")
+        e = e.join(
+            alive.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    conv = deg.agg(
+        F.coalesce(F.min(F.col("degree") >= k), F.lit(True)).alias("converged")
+    )
+    # conv: 1-row fixed-point flag
+    return deg.crossJoin(F.broadcast(conv)).select("node", "degree", "converged")

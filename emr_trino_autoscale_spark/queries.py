@@ -6701,6 +6701,164 @@ GROUP BY cum.g ORDER BY cohort
 """
 
 
+# Q162 — X127: additive seasonal decomposition of the daily value
+# series. Edge days where the centered 7-day window is partial emit
+# NULL trend/seasonal/residual (the X107 edge-honesty convention —
+# dec4(NULL) is NULL in both engines). day-of-week codes differ
+# between engines (Spark 1-7, DuckDB 0-6) but are join-internal only.
+
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.seasonal_decompose_daily(e, "ts", "value", trend_window_days=7)
+    return r.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dec4("total").alias("total"),
+        dec4("trend").alias("trend"),
+        dec4("seasonal").alias("seasonal"),
+        dec4("residual").alias("residual"),
+    ).orderBy("day")
+
+
+Q162_SQL = f"""
+WITH day AS (
+  SELECT date_trunc('day', ts) AS day, SUM(value) AS total
+  FROM events GROUP BY 1),
+tr AS (
+  SELECT day, total,
+         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(total) OVER w END AS trend
+  FROM day
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+d2 AS (SELECT tr.*, dayofweek(day) AS dow FROM tr),
+sm AS (SELECT dow, AVG(total - trend) AS smn
+       FROM d2 WHERE trend IS NOT NULL GROUP BY dow),
+sc AS (SELECT AVG(smn) AS c FROM sm)
+SELECT strftime(d2.day, '%Y-%m-%d') AS day,
+       {_dec4('total')} AS total,
+       {_dec4('trend')} AS trend,
+       {_dec4('CASE WHEN trend IS NOT NULL THEN smn - sc.c END')} AS seasonal,
+       {_dec4('CASE WHEN trend IS NOT NULL THEN total - trend - (smn - sc.c) END')} AS residual
+FROM d2 LEFT JOIN sm USING(dow), sc ORDER BY day
+"""
+
+
+# Q163 — X128: first-order Markov transition matrix over per-user
+# event sequences ((ts, id) total order); p_next is one exact-int
+# division.
+
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.transition_matrix(e)
+    return r.select(
+        "a", "b", "n_ab", dec4("p_next").alias("p_next")
+    ).orderBy("a", "b")
+
+
+Q163_SQL = f"""
+WITH s AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM (
+    SELECT event_type AS b,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a
+    FROM events)
+  WHERE a IS NOT NULL GROUP BY a, b),
+m AS (SELECT a, SUM(n_ab) AS na FROM s GROUP BY a)
+SELECT s.a, s.b, CAST(n_ab AS BIGINT) AS n_ab,
+       {_dec4('n_ab / na')} AS p_next
+FROM s JOIN m USING(a) ORDER BY a, b
+"""
+
+
+# Q164 — X129: retrospective CUSUM level-shift scan on the daily mean
+# series; the peak flag combines the per-engine argmax (internal
+# comparison, FP-safe) with the Brownian-bridge threshold.
+
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.cusum_changepoints(e, "ts", "value", threshold_sigmas=4.0)
+    return r.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dec4("m").alias("day_mean"),
+        dec4("cusum").alias("cusum"),
+        "is_peak",
+    ).orderBy("day")
+
+
+Q164_SQL = f"""
+WITH day AS (
+  SELECT date_trunc('day', ts) AS day, AVG(value) AS m
+  FROM events GROUP BY 1),
+g AS (SELECT AVG(m) AS gm, STDDEV_SAMP(m) AS gs,
+             CAST(COUNT(*) AS DOUBLE) AS gn FROM day),
+cs AS (
+  SELECT day.day, day.m,
+         SUM(day.m - g.gm) OVER (ORDER BY day.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+         g.gs, g.gn
+  FROM day, g),
+pk AS (SELECT MAX(ABS(cusum)) AS pk FROM cs)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       {_dec4('m')} AS day_mean,
+       {_dec4('cusum')} AS cusum,
+       (ABS(cusum) = (SELECT pk FROM pk)
+        AND ABS(cusum) / (gs * SQRT(gn)) >= 4.0 / 2.0) AS is_peak
+FROM cs ORDER BY day
+"""
+
+
+# Q165 — X130: k-core peeling (k=13, 3 rounds) on the q158 band-md5
+# graph — non-degenerate at every SF (survivors 2/182/2087 at
+# sf0.001/0.01/0.1). Oracle = the three peels unrolled (the X114
+# fixed-iteration lesson).
+
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("a"))
+    cand = a.select(
+        "a", F.explode(F.sequence(F.col("a") + 1, F.col("a") + 30)).alias("b")
+    )
+    nodes = c.select(F.col("c_custkey").alias("b"))
+    edges = (
+        cand.join(nodes, "b")
+        .filter(
+            F.pmod(
+                md5_long60(
+                    F.concat_ws(
+                        "#", F.col("a").cast("string"), F.col("b").cast("string")
+                    )
+                ),
+                F.lit(4),
+            )
+            == 0
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return graph.kcore_peel(edges, "src", "dst", k=13, rounds=3).orderBy("node")
+
+
+Q165_SQL = """
+WITH cand AS (
+  SELECT c.c_custkey AS a, c.c_custkey + i AS b
+  FROM customer c, (SELECT UNNEST(generate_series(1, 30)) AS i)),
+e0 AS (
+  SELECT a, b FROM cand
+  WHERE EXISTS (SELECT 1 FROM customer x WHERE x.c_custkey = cand.b)
+    AND CAST('0x' || substr(md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)), 1, 15)
+             AS BIGINT) % 4 = 0),
+d0 AS (SELECT node, COUNT(*) AS d FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+a1 AS (SELECT node FROM d0 WHERE d >= 13),
+e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT node FROM a1) AND b IN (SELECT node FROM a1)),
+d1 AS (SELECT node, COUNT(*) AS d FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+a2 AS (SELECT node FROM d1 WHERE d >= 13),
+e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT node FROM a2) AND b IN (SELECT node FROM a2)),
+d2 AS (SELECT node, COUNT(*) AS d FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+a3 AS (SELECT node FROM d2 WHERE d >= 13),
+e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT node FROM a3) AND b IN (SELECT node FROM a3)),
+d3 AS (SELECT node, COUNT(*) AS d FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1)
+SELECT node, CAST(d AS BIGINT) AS degree,
+       (SELECT COALESCE(BOOL_AND(d >= 13), TRUE) FROM d3) AS converged
+FROM d3 ORDER BY node
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -6883,6 +7041,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_mutual_information": q159,
     "q160_calibration_bins": q160,
     "q161_grouped_auc": q161,
+    "q162_seasonal_decompose": q162,
+    "q163_transition_matrix": q163,
+    "q164_cusum_changepoint": q164,
+    "q165_kcore": q165,
 }
 
 ORACLE: dict[str, str] = {
@@ -7045,6 +7207,10 @@ ORACLE: dict[str, str] = {
     "q159_mutual_information": Q159_SQL,
     "q160_calibration_bins": Q160_SQL,
     "q161_grouped_auc": Q161_SQL,
+    "q162_seasonal_decompose": Q162_SQL,
+    "q163_transition_matrix": Q163_SQL,
+    "q164_cusum_changepoint": Q164_SQL,
+    "q165_kcore": Q165_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

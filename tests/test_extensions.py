@@ -3370,3 +3370,103 @@ def test_grouped_auc_hand_and_ties(spark):
     assert out["perfect"] == 1.0
     assert out["anti"] == 0.0
     assert out["tied"] == 0.5
+
+
+def test_seasonal_decompose_recovers_planted_weekday(spark):
+    """X127: on a series = trend-free constant + planted Monday bump,
+    the seasonal component recovers the bump (centered), trend is flat,
+    and edge days (partial 7-day window) are NULL."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)   # a Monday
+    rows = []
+    eid = 0
+    for d in range(21):
+        bump = 7.0 if (t0 + dt.timedelta(days=d)).weekday() == 0 else 0.0
+        rows.append((eid, t0 + dt.timedelta(days=d, hours=1), 1, "m", 10.0 + bump))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["day"].day: r for r in
+           ev.seasonal_decompose_daily(df, trend_window_days=7).collect()}
+    assert out[1]["trend"] is None and out[3]["residual"] is None
+    mid = out[10]
+    assert abs(mid["trend"] - 11.0) < 1e-9            # 10 + 7/7
+    # Monday seasonal = +6, others -1 (centered to sum 0)
+    mondays = [out[d] for d in (8, 15)]
+    assert all(abs(m["seasonal"] - 6.0) < 1e-9 for m in mondays)
+    assert abs(out[10]["seasonal"] + 1.0) < 1e-9
+    assert abs(mid["residual"]) < 1e-9
+
+
+def test_transition_matrix_hand_case(spark):
+    """X128: exact transition counts/probabilities per user sequence,
+    (ts, id) total order, first event of each user excluded."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = {1: ["a", "b", "a", "b"], 2: ["a", "a", "c"]}
+    rows = []
+    eid = 0
+    for u, types in seq.items():
+        for i, t in enumerate(types):
+            rows.append((eid, u, t0 + dt.timedelta(seconds=i), t, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {(r.a, r.b): (r.n_ab, r.p_next) for r in ev.transition_matrix(df).collect()}
+    assert got[("a", "b")] == (2, 0.5)
+    assert got[("b", "a")] == (1, 1.0)
+    assert got[("a", "a")] == (1, 0.25)
+    assert got[("a", "c")] == (1, 0.25)
+
+
+def test_cusum_flags_planted_level_shift(spark):
+    """X129: a clean level shift puts the |CUSUM| peak on the last
+    pre-shift day and the threshold passes; a flat series must not
+    flag (zscore below threshold)."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        level = 10.0 if d < 15 else 20.0
+        rows.append((eid, t0 + dt.timedelta(days=d), 1, "m", level))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["day"].day: r for r in ev.cusum_changepoints(df).collect()}
+    peaks = [d for d, r in out.items() if r["is_peak"]]
+    assert peaks == [15]   # last pre-shift day (days 1..15 at level 10)
+
+    flat = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(days=i % 30), 1, "m", 10.0 + (i % 3) * 0.1)
+         for i in range(90)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert not [r for r in ev.cusum_changepoints(flat).collect() if r["is_peak"]]
+
+
+def test_kcore_peel_hand_graph(spark):
+    """X130: a K4 core with a pendant chain — k=3 peeling removes the
+    chain (cascade across rounds) and keeps exactly the K4 with
+    degree 3, converged TRUE."""
+    from emr_trino_autoscale_spark.operators.graph import kcore_peel
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(k4 + chain, "src long, dst long")
+    out = {r.node: (r.degree, r.converged) for r in
+           kcore_peel(df, k=3, rounds=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(v == (3, True) for v in out.values())

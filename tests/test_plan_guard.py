@@ -319,6 +319,17 @@ FLAGSHIPS = {
     # q161: (group, score) contraction + X16 bucket windows + totals
     # broadcast + final agg
     "q161_grouped_auc": (22, False),
+    # q162/q164: per-day contraction first, every window runs on the
+    # #days frame (the single-partition WindowExec warnings are
+    # dictionary-sized by construction); nested loops are the 7-row
+    # seasonal / 1-row stat broadcasts
+    "q162_seasonal_decompose": (16, True),
+    # q163: one per-user lag window + transition agg + margin broadcast
+    "q163_transition_matrix": (14, False),
+    "q164_cusum_changepoint": (22, True),
+    # q165: 3 peeling rounds (degree agg + two semi-joins each),
+    # lineage truncated per round; nested loop = 1-row converged flag
+    "q165_kcore": (10, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
