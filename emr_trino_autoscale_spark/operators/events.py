@@ -834,3 +834,166 @@ def cusum_changepoints(
             ).alias("is_peak"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """X132 — Theil-Sen robust trend of the daily total series (Theil
+    1950 / Sen 1968 — the median-of-pairwise-slopes estimator, 29.3%
+    breakdown point): slope = lower median over all day pairs of
+    (y_j - y_i) / (x_j - x_i), intercept = lower median of
+    (y_i - slope * x_i). The OLS alternative (X53) is moment-based and
+    one corrupted day drags it; this is the robust twin.
+
+    Determinism: "lower median" is the X100 convention (smallest v
+    with 2*cum >= n, exact integer boundary test) — both engines pick
+    the same element, no interpolation FP. Each pairwise slope is one
+    division of identical doubles.
+
+    Scale: the corpus contracts to the #days frame FIRST; the pairwise
+    join is C(#days, 2) on the CONTRACTED frame — it grows with the
+    observation span, not the corpus (435 pairs for a month, 66 k for
+    a year; beyond that, repeated-median or sampling variants are the
+    documented path). Returns one row: (n_days, slope, intercept).
+    """
+    day = (
+        df.select(
+            F.date_trunc("day", F.col(ts_col)).alias("__d"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("__d")
+        .agg(F.sum("__v").alias("y"))
+    )
+    base = day.crossJoin(
+        F.broadcast(day.agg(F.min("__d").alias("__d0")))
+    ).select(F.datediff(F.col("__d"), F.col("__d0")).alias("x"), "y")
+    # base/slopes are #days / C(#days,2) frames consumed by several
+    # median passes — non-eager localCheckpoints truncate the corpus
+    # subtree out of every replay (the X7 rule; frames are span-sized,
+    # not corpus-sized, so checkpoint cost is constant).
+    base = base.localCheckpoint(eager=False)
+    a = base.select(F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select(F.col("x").alias("xj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, F.col("xi") < F.col("xj"))
+        .select(((F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))).alias("s"))
+    ).localCheckpoint(eager=False)
+
+    def _lower_median(frame: DataFrame, col: str) -> DataFrame:
+        per = frame.groupBy(col).agg(F.count("*").alias("__c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = per.withColumn("__cum", F.sum("__c").over(w))
+        tot = per.agg(F.sum("__c").alias("__n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .agg(
+                F.min(
+                    F.when(2 * F.col("__cum") >= F.col("__n"), F.col(col))
+                ).alias("med")
+            )
+        )
+    slope = _lower_median(slopes, "s").select(F.col("med").alias("slope"))
+    resid = base.crossJoin(F.broadcast(slope)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"), "slope"
+    )
+    intercept = _lower_median(resid.select("r"), "r").select(
+        F.col("med").alias("intercept")
+    )
+    n = day.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        n.crossJoin(F.broadcast(slope))
+        .crossJoin(F.broadcast(intercept))
+        .select("n_days", "slope", "intercept")
+    )
+
+
+def resample_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """X133 — regular-grid resampling with LINEAR interpolation: the
+    companion to X111's LOCF — each grid tick gets the straight-line
+    value between its key's latest at-or-before observation and
+    earliest after observation; ticks outside [first, last] are
+    dropped (interpolation never extrapolates; a tick exactly ON an
+    observation returns that observation). Emits (key, tick_us,
+    value, prev_ts_us, next_ts_us).
+
+    Scale: the X111 shape run twice — grid markers union the
+    observations, ONE forward carry window per key for the previous
+    observation and ONE backward carry window (same key exchange,
+    reversed order) for the next; interpolation is row-local exact
+    arithmetic on integer microseconds.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    step_us = int(step_seconds) * 1_000_000
+    bounds = df.agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    # bounds: 1-row global grid broadcast
+    grid = (
+        keys.crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(
+                    (F.ceil(F.col("__lo") / step_us) * step_us).cast("long"),
+                    (F.floor(F.col("__hi") / step_us) * step_us).cast("long"),
+                    F.lit(step_us),
+                )
+            ).alias("t"),
+        )
+        .select("k", "t", F.lit(None).cast("double").alias("__v"),
+                F.lit(False).alias("__obs"),
+                F.lit(None).cast("long").alias("__tb"))
+    )
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        us.alias("t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.lit(True).alias("__obs"),
+        F.col(tiebreak_col).cast("long").alias("__tb"),
+    )
+    u = grid.unionByName(obs)
+    fwd = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("__obs").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").desc(), F.col("__obs").desc(), F.col("__tb").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        u.withColumn("__pv", F.last(F.when(F.col("__obs"), F.col("__v")), ignorenulls=True).over(fwd))
+        .withColumn("__pt", F.last(F.when(F.col("__obs"), F.col("t")), ignorenulls=True).over(fwd))
+        .withColumn("__nv", F.last(F.when(F.col("__obs"), F.col("__v")), ignorenulls=True).over(bwd))
+        .withColumn("__nt", F.last(F.when(F.col("__obs"), F.col("t")), ignorenulls=True).over(bwd))
+    )
+    return (
+        carried.filter(~F.col("__obs"))
+        .filter(F.col("__pt").isNotNull() & F.col("__nt").isNotNull())
+        .select(
+            F.col("k").alias(key_col),
+            F.col("t").alias("tick_us"),
+            F.when(F.col("__nt") == F.col("__pt"), F.col("__pv"))
+            .otherwise(
+                F.col("__pv")
+                + (F.col("__nv") - F.col("__pv"))
+                * (F.col("t") - F.col("__pt"))
+                / (F.col("__nt") - F.col("__pt"))
+            )
+            .alias("value"),
+            F.col("__pt").alias("prev_ts_us"),
+            F.col("__nt").alias("next_ts_us"),
+        )
+    )

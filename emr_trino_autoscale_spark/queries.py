@@ -6859,6 +6859,144 @@ FROM d3 ORDER BY node
 """
 
 
+# Q166 — GROUPING SETS with explicit GROUPING() flags (completing the
+# multi-dimensional agg surface next to q124's CUBE; X-less API
+# coverage, the q124 precedent). Keys coalesce to '(all)' so neither
+# engine's NULL sort order matters.
+
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q166_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+               COALESCE(o_orderstatus, '(all)') AS status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(38,4)) AS STRING)
+                 AS sum_price
+        FROM q166_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY g_priority, g_status, priority, status
+        """
+    )
+
+
+Q166_SQL = f"""
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('SUM(o_totalprice)')} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status, priority, status
+"""
+
+
+# Q167 — X132: Theil-Sen robust trend of the daily total series.
+# Lower-median selection (X100 convention) on both sides — no
+# interpolation FP; every slope is one division of identical doubles.
+
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.theil_sen_trend(e)
+    return r.select(
+        "n_days", dec4("slope").alias("slope"), dec4("intercept").alias("intercept")
+    )
+
+
+Q167_SQL = f"""
+WITH day AS (
+  SELECT date_trunc('day', ts) AS d, SUM(value) AS y FROM events GROUP BY 1),
+base AS (
+  SELECT CAST(date_diff('day', (SELECT MIN(d) FROM day), d) AS BIGINT) AS x, y
+  FROM day),
+slopes AS (
+  SELECT (b.y - a.y) / (b.x - a.x) AS s
+  FROM base a JOIN base b ON a.x < b.x),
+ms AS (
+  SELECT MIN(s) AS slope FROM (
+    SELECT s, SUM(c) OVER (ORDER BY s) AS cum, SUM(c) OVER () AS n
+    FROM (SELECT s, COUNT(*) AS c FROM slopes GROUP BY s))
+  WHERE 2 * cum >= n),
+resid AS (SELECT y - (SELECT slope FROM ms) * x AS r FROM base),
+mi AS (
+  SELECT MIN(r) AS intercept FROM (
+    SELECT r, SUM(c) OVER (ORDER BY r) AS cum, SUM(c) OVER () AS n
+    FROM (SELECT r, COUNT(*) AS c FROM resid GROUP BY r))
+  WHERE 2 * cum >= n)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM day) AS n_days,
+       {_dec4('(SELECT slope FROM ms)')} AS slope,
+       {_dec4('(SELECT intercept FROM mi)')} AS intercept
+"""
+
+
+# Q168 — X133: linear-interpolation grid resampling (6-hour ticks)
+# rolled up per day — the q147 LOCF companion; same union-and-carry
+# machinery run forward AND backward, mirrored literally in the
+# oracle's two windows.
+
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = ev_ops.resample_linear(e, step_seconds=21600)
+    return (
+        r.select(
+            F.date_format(F.timestamp_micros(F.col("tick_us")), "yyyy-MM-dd")
+            .alias("day"),
+            "value",
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_points"),
+            dec4(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("day")
+    )
+
+
+Q168_SQL = f"""
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+keys AS (SELECT DISTINCT user_id AS k FROM events),
+grid AS (
+  SELECT k, g.t, CAST(NULL AS DOUBLE) AS v, FALSE AS obs,
+         CAST(NULL AS BIGINT) AS tb
+  FROM keys, b,
+       UNNEST(generate_series(
+         CAST(CEIL(lo / 21600000000.0) * 21600000000 AS BIGINT),
+         CAST(FLOOR(hi / 21600000000.0) * 21600000000 AS BIGINT),
+         21600000000)) AS g(t)),
+obs AS (
+  SELECT user_id AS k, epoch_us(ts) AS t, value AS v, TRUE AS obs,
+         event_id AS tb
+  FROM events),
+u AS (SELECT * FROM grid UNION ALL SELECT * FROM obs),
+c AS (
+  SELECT k, t, obs,
+         LAST_VALUE(CASE WHEN obs THEN v END IGNORE NULLS) OVER fwd AS pv,
+         LAST_VALUE(CASE WHEN obs THEN t END IGNORE NULLS) OVER fwd AS pt,
+         LAST_VALUE(CASE WHEN obs THEN v END IGNORE NULLS) OVER bwd AS nv,
+         LAST_VALUE(CASE WHEN obs THEN t END IGNORE NULLS) OVER bwd AS nt
+  FROM u
+  WINDOW fwd AS (PARTITION BY k ORDER BY t ASC, obs DESC, tb ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         bwd AS (PARTITION BY k ORDER BY t DESC, obs DESC, tb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ticks AS (
+  SELECT strftime(make_timestamp(t), '%Y-%m-%d') AS day,
+         CASE WHEN nt = pt THEN pv
+              ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END AS value
+  FROM c
+  WHERE NOT obs AND pt IS NOT NULL AND nt IS NOT NULL)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_points,
+       {_dec4('SUM(value)')} AS sum_value
+FROM ticks GROUP BY day ORDER BY day
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7045,6 +7183,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q163_transition_matrix": q163,
     "q164_cusum_changepoint": q164,
     "q165_kcore": q165,
+    "q166_grouping_sets": q166,
+    "q167_theil_sen": q167,
+    "q168_linear_resample": q168,
 }
 
 ORACLE: dict[str, str] = {
@@ -7211,6 +7352,9 @@ ORACLE: dict[str, str] = {
     "q163_transition_matrix": Q163_SQL,
     "q164_cusum_changepoint": Q164_SQL,
     "q165_kcore": Q165_SQL,
+    "q166_grouping_sets": Q166_SQL,
+    "q167_theil_sen": Q167_SQL,
+    "q168_linear_resample": Q168_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

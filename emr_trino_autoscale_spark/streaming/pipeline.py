@@ -706,3 +706,28 @@ def attribution_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def transition_stream(events):
+    """X131 — streaming Markov transition extraction, the live twin of
+    events.transition_matrix (X128/q163) BEFORE its aggregation:
+    per-user keyed state is the last event type (one string) in
+    ``applyInPandasWithState``; each event with a predecessor emits an
+    append-safe (a, b) transition row — downstream counts compose as
+    complete-mode aggregation or windowed rates. Input needs
+    ``ts_us``; exact cross-micro-batch parity with the batch lag
+    window is pinned by
+    tests/test_stateful.py::test_transition_stream_matches_batch.
+    """
+    from .stateful import (
+        TRANSITION_OUTPUT_SCHEMA,
+        make_transition_processor,
+    )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_transition_processor(),
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -384,3 +384,61 @@ def make_attribution_processor(
         )
 
     return process
+
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+    ]
+)
+
+
+def transition_rows(
+    rows: "pd.DataFrame",
+    last_type: str | None,
+) -> tuple[list[dict], tuple]:
+    """Row-at-a-time core of the streaming transition emitter, shared
+    with the batch-parity test: rows process in (ts_us, event_id)
+    order; every row with a predecessor emits one (a=prev, b=current)
+    transition — identical to the batch lag window
+    (events.transition_matrix) before its aggregation."""
+    out: list[dict] = []
+    for r in rows.sort_values(["ts_us", "event_id"]).itertuples():
+        if last_type is not None:
+            out.append(
+                {
+                    "event_id": r.event_id,
+                    "user_id": r.user_id,
+                    "ts_us": r.ts_us,
+                    "a": last_type,
+                    "b": r.event_type,
+                }
+            )
+        last_type = r.event_type
+    return out, (last_type,)
+
+
+def make_transition_processor():
+    """applyInPandasWithState processor for streaming Markov
+    transition extraction (X131): state per user is the last event
+    type — one string; emits append-safe transition rows the consumer
+    aggregates (complete-mode counts or windowed rates)."""
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        (lt,) = tuple(state.get) if state.exists else (None,)
+        out: list[dict] = []
+        for pdf in pdfs:
+            batch, (lt,) = transition_rows(pdf, lt)
+            out.extend(batch)
+        state.update((lt,))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in TRANSITION_OUTPUT_SCHEMA.fields]
+        )
+
+    return process

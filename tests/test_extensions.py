@@ -3470,3 +3470,55 @@ def test_kcore_peel_hand_graph(spark):
            kcore_peel(df, k=3, rounds=3).collect()}
     assert set(out) == {0, 1, 2, 3}
     assert all(v == (3, True) for v in out.values())
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    """X132: on y = 3x + 7 daily totals with one corrupted day, the
+    Theil-Sen slope/intercept stay exact while OLS would shift."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(15):
+        y = 3.0 * d + 7.0 if d != 7 else 1000.0
+        rows.append((d, t0 + dt.timedelta(days=d), 1, "m", y))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    r = ev.theil_sen_trend(df).collect()[0]
+    assert r.n_days == 15
+    assert abs(r.slope - 3.0) < 1e-9
+    assert abs(r.intercept - 7.0) < 1e-9
+
+
+def test_resample_linear_interpolation_semantics(spark):
+    """X133: straight-line values between neighbors; on-tick
+    observations returned verbatim; no extrapolation outside
+    [first, last]."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def us(sec):
+        return int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+
+    rows = [
+        (1, 7, t0 + dt.timedelta(seconds=60), "m", 10.0),
+        (2, 7, t0 + dt.timedelta(seconds=180), "m", 30.0),
+        (3, 8, t0 + dt.timedelta(seconds=120), "m", 99.0),   # on-tick obs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["user_id"], r["tick_us"]): r["value"]
+        for r in ev.resample_linear(df, step_seconds=120).collect()
+    }
+    # global grid ticks at 120s (covered by [60s, 180s])
+    assert abs(out[(7, us(120))] - 20.0) < 1e-12   # midpoint of 10 -> 30
+    assert out[(8, us(120))] == 99.0               # exactly on the obs
+    assert len(out) == 2                            # no extrapolated ticks

@@ -330,6 +330,15 @@ FLAGSHIPS = {
     # q165: 3 peeling rounds (degree agg + two semi-joins each),
     # lineage truncated per round; nested loop = 1-row converged flag
     "q165_kcore": (10, True),
+    # q166: one expand-based grouping-sets agg + presentation sort
+    "q166_grouping_sets": (4, False),
+    # q167: STATIC count inflated — the median passes re-print the
+    # checkpoint-truncated span-sized frames; nested loops are the
+    # 1-row min-day/slope/median broadcasts
+    "q167_theil_sen": (52, True),
+    # q168: 1-row bounds broadcast + key grid explode + forward AND
+    # backward carry windows (one key exchange each) + day agg
+    "q168_linear_resample": (12, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),

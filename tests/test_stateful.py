@@ -935,3 +935,57 @@ def test_attribution_stream_matches_batch(spark, tmp_path):
     assert got_counts == want_counts
     # per-conversion attribution, not just counts
     assert got_counts == {"click": 4, "unattributed": 2, "view": 2}
+
+
+def test_transition_stream_matches_batch(spark, tmp_path):
+    """X131: streaming transition extraction (keyed last-type state)
+    must emit exactly the batch lag window's (a, b) pairs — including
+    the transition that SPANS the micro-batch boundary."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i, typ in enumerate(["a", "b", "b", "c", "a"]):
+            rows.append((eid, u, t0 + dt.timedelta(seconds=i + u), typ, 1.0))
+            eid += 1
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "tr_src")
+    out = str(tmp_path / "tr_out")
+    chk = str(tmp_path / "tr_chk")
+    df.filter("event_id % 5 < 3").repartition(1).write.parquet(src)
+    stream_in = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type", "value",
+        )
+    )
+    q = (
+        pipeline.transition_stream(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id % 5 >= 3").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got: dict = {}
+    for r in spark.read.parquet(out).collect():
+        got[(r["a"], r["b"])] = got.get((r["a"], r["b"]), 0) + 1
+    want = {
+        (r["a"], r["b"]): r["n_ab"]
+        for r in ev.transition_matrix(df).collect()
+    }
+    assert got == want and ("c", "a") in got   # boundary-spanning pair
