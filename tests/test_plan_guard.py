@@ -436,10 +436,19 @@ BROADCAST_ALLOW = {
     # (audience_overlap — bounded by the category alphabet)
     "events.py": {
         "base",
-        # 1-row global [min, max) grid bounds (resample_locf)
+        # 1-row global [min, max) grid bounds (resample_locf / _linear)
         "bounds",
         "tot.select(F.col('__t'), F.col('__n').alias('n_a'))",
         "tot.select(F.col('__t'), F.col('__n').alias('n_b'))",
+        # 7-row day-of-week means + 1-row centering (seasonal X127)
+        "smeans", "scenter",
+        # type-dictionary transition margin (X128)
+        "marg",
+        # 1-row mean/sigma/n + 1-row peak (CUSUM X129)
+        "gstats", "peak",
+        # 1-row min-day anchor, 1-row slope/intercept medians, 1-row
+        # totals inside the lower-median helper (Theil-Sen X132)
+        "day.agg(F.min('__d').alias('__d0'))", "slope", "intercept", "tot",
     },
     # marked: the Bloom bit frame — <= n_bits rows (2^17 default) by
     # construction, corpus-size independent (bloom_semi_flags)
@@ -459,8 +468,9 @@ BROADCAST_ALLOW = {
                  "mx", "my", "hx", "hy"},
     "multimodal.py": set(),
     # n_row: 1-row node count; dangling: 1-row dangling-mass sum
-    # (pagerank); tri: 1-row triangle count (triangle_stats)
-    "graph.py": {"n_row", "dangling", "tri"},
+    # (pagerank); tri: 1-row triangle count (triangle_stats);
+    # conv: 1-row k-core converged flag (kcore_peel)
+    "graph.py": {"n_row", "dangling", "tri", "conv"},
 }
 # metric_store denominator_df is caller-supplied and documented bounded
 BROADCAST_ALLOW["metric_store.py"].add("denominator_df.select(node_col)")
