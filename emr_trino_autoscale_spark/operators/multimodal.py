@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -950,5 +951,144 @@ def audio_fingerprint(
                     "afp": [afp64_wav(p) for p in pdf[payload_col]],
                 }
             )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def synthetic_padded_audio_corpus(spark, n: int = 64) -> DataFrame:
+    """Deterministic WAV corpus WITH silence structure for the X134
+    loudness/trim evidence: ``n`` one-second 8 kHz mono clips; clip i
+    carries ``(i % 5) * 50`` ms of leading and ``(i % 7) * 30`` ms of
+    trailing digital silence around a fixed-amplitude tone whose
+    frequency is a function of the group. Payloads are pure functions
+    of ``media_id`` — byte-identical on regeneration, executor-side
+    via ``mapInPandas`` (the synthetic_audio_corpus contract)."""
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def _wav(media_id: int) -> bytes:
+        import io
+        import wave
+
+        import numpy as np
+
+        rate = 8000
+        lead = int(rate * (media_id % 5) * 0.050)
+        trail = int(rate * (media_id % 7) * 0.030)
+        body_n = rate - lead - trail
+        t = np.arange(body_n, dtype=np.float64) / rate
+        f = 220.0 + 10.0 * (media_id // 4 % 9)
+        body = 0.5 * np.sin(2 * np.pi * f * t)
+        x = np.concatenate([np.zeros(lead), body, np.zeros(trail)])
+        pcm = (np.clip(x, -1, 1) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    ids = spark.range(n).select(F.col("id").alias("media_id"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_wav(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    return ids.mapInPandas(batches, schema=out_schema)
+
+
+def audio_profile_wav(payload: bytes, silence_db: float = -40.0) -> dict | None:
+    """X134 — loudness / silence profile of one WAV payload: sample
+    count, RMS and peak in dBFS, silent-frame fraction (10 ms frames
+    under ``silence_db``), and the leading/trailing silence runs in
+    milliseconds — the trim points a speech-data pipeline cuts before
+    tokenizing audio. None for undecodable payloads (the X6 NULL
+    degradation contract)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                return None
+            rate = w.getframerate()
+            samples = np.frombuffer(
+                w.readframes(w.getnframes()), dtype=np.int16
+            )
+            if w.getnchannels() > 1:
+                samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
+        x = np.asarray(samples, dtype=np.float64) / 32768.0
+        if x.size == 0 or rate <= 0:
+            return None
+        frame = max(1, rate // 100)          # 10 ms
+        n_frames = x.size // frame
+        if n_frames == 0:
+            return None
+        fr = x[: n_frames * frame].reshape(n_frames, frame)
+        fr_rms = np.sqrt((fr * fr).mean(axis=1))
+        thresh = 10.0 ** (silence_db / 20.0)
+        silent = fr_rms < thresh
+        lead = int(np.argmax(~silent)) if not silent.all() else n_frames
+        trail = int(np.argmax(~silent[::-1])) if not silent.all() else n_frames
+        rms = float(np.sqrt((x * x).mean()))
+        peak = float(np.abs(x).max())
+        to_db = lambda v: -120.0 if v <= 1e-6 else 20.0 * math.log10(v)  # noqa: E731
+        return {
+            "n_samples": int(x.size),
+            "rms_db": round(to_db(rms), 4),
+            "peak_db": round(to_db(peak), 4),
+            "silence_fraction": round(float(silent.mean()), 4),
+            "lead_silence_ms": int(lead * frame * 1000 / rate),
+            "trail_silence_ms": int(trail * frame * 1000 / rate),
+        }
+    except Exception:  # noqa: BLE001 — malformed audio: profile absent
+        return None
+
+
+def audio_profile(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X134 — audio loudness/silence projection: identical Arrow
+    mapInPandas plumbing to :func:`audio_fingerprint`; one row per
+    payload with the trim/loudness stats (NULLs for undecodable)."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_samples", LongType()),
+            StructField("rms_db", DoubleType()),
+            StructField("peak_db", DoubleType()),
+            StructField("silence_fraction", DoubleType()),
+            StructField("lead_silence_ms", LongType()),
+            StructField("trail_silence_ms", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                prof = audio_profile_wav(p) or {}
+                rows.append(
+                    {
+                        id_col: mid,
+                        "n_samples": prof.get("n_samples"),
+                        "rms_db": prof.get("rms_db"),
+                        "peak_db": prof.get("peak_db"),
+                        "silence_fraction": prof.get("silence_fraction"),
+                        "lead_silence_ms": prof.get("lead_silence_ms"),
+                        "trail_silence_ms": prof.get("trail_silence_ms"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

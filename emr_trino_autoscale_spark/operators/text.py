@@ -1735,3 +1735,90 @@ def zipf_fit(
         x=F.log(F.col("__rnk").cast("double")),
         y=F.log(F.col("__c").cast("double")),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """X135 — TextRank keyword scoring (Mihalcea/Tarau EMNLP 2004 —
+    PageRank over the word co-occurrence graph): adjacent-token pairs
+    (both directions, distinct) form the directed edge set, then the
+    X114 fixed-iteration PageRank runs verbatim — the cross-module
+    composition the graph module exists for. Returns every vocabulary
+    word with its rank (the caller cuts top-k on the ROUNDED rank with
+    a word tiebreak, so the cut is engine-deterministic).
+
+    Scale: edges contract to the vocabulary-pair dictionary before the
+    rank loop (corpus-size independent iterations); tokenization is
+    the corpus pass, one explode + one lag-free self-zip in the array
+    domain (adjacent pairs via row-local transform).
+    """
+    from .graph import pagerank as _pagerank  # local: avoid module cycle
+
+    toks = docs.select(F.split(F.col(text_col), " ").alias("__t")).filter(
+        F.size("__t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> struct(__t[i - 1] AS a, __t[i] AS b))"
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b").filter(F.col("a") != F.col("b"))
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    return _pagerank(
+        edges, "a", "b", iterations=iterations, damping=damping
+    ).select(F.col("node").alias("word"), "rank")
+
+
+def stratified_quota_split(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """X136 — EXACT-quota stratified train/val/test split: within each
+    stratum, rows rank by the md5 hash of their id (deterministic,
+    replayable — the q48 convention) and the first ceil(train_frac*n)
+    go to train, the next ceil(val_frac*n) to val, the rest to test —
+    unlike the q48 hash-bucket split, the per-stratum counts are EXACT
+    quotas, not binomial draws (what a small stratum needs to keep its
+    eval slice non-empty).
+
+    Scale: ranking rides the X16/X88 scalable_rank decomposition (no
+    per-stratum single-task sort); thresholds are row-local arithmetic
+    on the broadcast per-stratum totals.
+    """
+    from ..functions import md5_long60
+    from .skew import scalable_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        md5_long60(F.col(id_col).cast("string")).alias("__h"),
+    )
+    ranked = scalable_rank(
+        base, ["stratum"], "__h", "id", bucket_width=float(1 << 50)
+    )
+    tot = base.groupBy("stratum").agg(F.count("*").alias("__n"))
+    # tot: stratum-dictionary-sized totals
+    t1 = F.ceil(F.lit(train_frac) * F.col("__n"))
+    t2 = t1 + F.ceil(F.lit(val_frac) * F.col("__n"))
+    return (
+        ranked.join(F.broadcast(tot), "stratum")
+        .select(
+            "id",
+            "stratum",
+            F.when(F.col("rnk") <= t1, F.lit("train"))
+            .when(F.col("rnk") <= t2, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

@@ -6997,6 +6997,152 @@ FROM ticks GROUP BY day ORDER BY day
 """
 
 
+# Q169 — X134: audio loudness/silence profile over the silence-padded
+# synthetic WAV corpus; profiles are WRITTEN TO PARQUET first (the
+# q103/q122/q123 signature-evidence convention) so DuckDB aggregates
+# the same decoded stats; the decode itself is pinned by the X134
+# pytest (hand-built WAV with known 100 ms pads).
+
+_Q169_PROF_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q169_audio_profiles",
+)
+
+
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.synthetic_padded_audio_corpus(spark, n=64)
+    multimodal.audio_profile(media).write.mode("overwrite").parquet(
+        _Q169_PROF_PATH
+    )
+    p = spark.read.parquet(_Q169_PROF_PATH)
+    return (
+        p.groupBy(F.pmod(F.col("media_id"), F.lit(5)).cast("int").alias("lead_group"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("lead_silence_ms").cast("bigint").alias("sum_lead_ms"),
+            F.sum("trail_silence_ms").cast("bigint").alias("sum_trail_ms"),
+            dec4(F.sum("silence_fraction")).alias("sum_silence_frac"),
+            dec4(F.sum("rms_db")).alias("sum_rms_db"),
+        )
+        .orderBy("lead_group")
+    )
+
+
+Q169_SQL = f"""
+SELECT CAST(media_id % 5 AS INT) AS lead_group,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lead_silence_ms) AS BIGINT) AS sum_lead_ms,
+       CAST(SUM(trail_silence_ms) AS BIGINT) AS sum_trail_ms,
+       {_dec4('SUM(silence_fraction)')} AS sum_silence_frac,
+       {_dec4('SUM(rms_db)')} AS sum_rms_db
+FROM read_parquet('{_Q169_PROF_PATH}/*.parquet')
+GROUP BY 1 ORDER BY lead_group
+"""
+
+
+# Q170 — X135: TextRank keywords = the X114 PageRank run verbatim over
+# the word co-occurrence graph (the cross-module composition). Top-20
+# cut on the ROUNDED scaled rank with a word tiebreak so the cut is
+# engine-deterministic; oracle = the q150 unrolled CTEs over the same
+# edge set.
+
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    r = text.textrank_keywords(d, "text", iterations=3, damping=0.85)
+    return (
+        r.select("word", F.round(F.col("rank") * 1000, 4).alias("__rr"))
+        .orderBy(F.col("__rr").desc(), F.col("word"))
+        .limit(20)
+        .select("word", dec4(F.col("__rr")).alias("rank_x1000"))
+    )
+
+
+Q170_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+pr AS (
+  SELECT UNNEST(list_transform(range(1, len(t)),
+                i -> {{'a': t[i], 'b': t[i + 1]}})) AS p
+  FROM toks),
+e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT p.a AS a, p.b AS b FROM pr WHERE p.a <> p.b
+    UNION ALL
+    SELECT p.b AS a, p.a AS b FROM pr WHERE p.a <> p.b)),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a),
+nd AS (SELECT nodes.node, deg.deg FROM nodes LEFT JOIN deg USING(node)),
+p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM p) AS rank FROM nd),
+r1 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r0 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.b AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r0 r ON e.a = r.node GROUP BY e.b) c USING(node)),
+r2 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r1 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.b AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r1 r ON e.a = r.node GROUP BY e.b) c USING(node)),
+r3 AS (
+  SELECT nd.node, nd.deg,
+         (1.0 - 0.85) / (SELECT n FROM p)
+         + 0.85 * (COALESCE(c.inr, 0.0)
+             + (SELECT COALESCE(SUM(rank), 0.0) FROM r2 WHERE deg IS NULL)
+               / (SELECT n FROM p)) AS rank
+  FROM nd LEFT JOIN (
+    SELECT e.b AS node, SUM(r.rank / r.deg) AS inr
+    FROM e JOIN r2 r ON e.a = r.node GROUP BY e.b) c USING(node))
+SELECT node AS word,
+       {_dec4('ROUND(rank * 1000, 4)')} AS rank_x1000
+FROM r3 ORDER BY ROUND(rank * 1000, 4) DESC, node LIMIT 20
+"""
+
+
+# Q171 — X136: exact-quota stratified split by language — per-stratum
+# EXACT ceil-quota counts (vs q48's binomial hash buckets), md5 rank
+# order replayed by the oracle's ROW_NUMBER.
+
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = text.stratified_quota_split(d, "lang", "doc_id", 0.8, 0.1)
+    return (
+        s.groupBy("stratum", "split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("stratum", "split")
+    )
+
+
+Q171_SQL = """
+WITH r AS (
+  SELECT lang AS stratum,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT), doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT stratum,
+       CASE WHEN rnk <= CEIL(0.8 * n) THEN 'train'
+            WHEN rnk <= CEIL(0.8 * n) + CEIL(0.1 * n) THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r GROUP BY 1, 2 ORDER BY stratum, split
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7186,6 +7332,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
     "q168_linear_resample": q168,
+    "q169_audio_profile": q169,
+    "q170_textrank_keywords": q170,
+    "q171_stratified_split": q171,
 }
 
 ORACLE: dict[str, str] = {
@@ -7355,6 +7504,9 @@ ORACLE: dict[str, str] = {
     "q166_grouping_sets": Q166_SQL,
     "q167_theil_sen": Q167_SQL,
     "q168_linear_resample": Q168_SQL,
+    "q169_audio_profile": Q169_SQL,
+    "q170_textrank_keywords": Q170_SQL,
+    "q171_stratified_split": Q171_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

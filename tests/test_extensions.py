@@ -3522,3 +3522,72 @@ def test_resample_linear_interpolation_semantics(spark):
     assert abs(out[(7, us(120))] - 20.0) < 1e-12   # midpoint of 10 -> 30
     assert out[(8, us(120))] == 99.0               # exactly on the obs
     assert len(out) == 2                            # no extrapolated ticks
+
+
+def test_audio_profile_hand_wav(spark):
+    """X134: known 100 ms silence pads + -6 dB tone — exact trim
+    points, silence fraction, and dB figures; corrupt payload -> NULL
+    row (the X6 degradation contract)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import audio_profile
+
+    rate = 8000
+    x = np.concatenate(
+        [np.zeros(800), 0.5 * np.sin(2 * np.pi * 440 * np.arange(6400) / rate),
+         np.zeros(800)]
+    )
+    pcm = (x * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not a wav"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in audio_profile(media).collect()}
+    assert out[1].lead_silence_ms == 100 and out[1].trail_silence_ms == 100
+    assert abs(out[1].silence_fraction - 0.2) < 0.011
+    assert abs(out[1].peak_db - (-6.0211)) < 0.01
+    assert out[2].n_samples is None and out[2].rms_db is None
+
+
+def test_textrank_hub_word_outranks_leaf(spark):
+    """X135: a word adjacent to many distinct words accumulates rank
+    above a word seen in one context; ranks sum to ~1."""
+    from emr_trino_autoscale_spark.operators.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [("hub alpha",), ("hub beta",), ("hub gamma",), ("delta epsilon",)],
+        "text string",
+    )
+    got = {r.word: r.rank for r in textrank_keywords(docs).collect()}
+    assert got["hub"] > got["delta"]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_stratified_quota_split_exact_counts(spark):
+    """X136: per-stratum quotas are exact ceil counts — a 7-row
+    stratum still yields ceil(5.6)=6 train / ceil(0.7)=1 val / 0 test,
+    and assignment is deterministic across calls."""
+    from emr_trino_autoscale_spark.operators.text import stratified_quota_split
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_quota_split(df, "lang", "doc_id", 0.8, 0.1)
+    counts: dict = {}
+    for r in out.collect():
+        counts[(r.stratum, r.split)] = counts.get((r.stratum, r.split), 0) + 1
+    assert counts[("big", "train")] == 16 and counts[("big", "val")] == 2
+    assert counts[("big", "test")] == 2
+    assert counts[("small", "train")] == 6 and counts[("small", "val")] == 1
+    assert ("small", "test") not in counts
+    again = {(r.id, r.split) for r in out.collect()}
+    assert again == {(r.id, r.split) for r in
+                     stratified_quota_split(df, "lang", "doc_id", 0.8, 0.1).collect()}

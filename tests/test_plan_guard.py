@@ -339,6 +339,14 @@ FLAGSHIPS = {
     # q168: 1-row bounds broadcast + key grid explode + forward AND
     # backward carry windows (one key exchange each) + day agg
     "q168_linear_resample": (12, True),
+    # q169: Arrow mapInPandas decode (sanctioned) + written-profile
+    # read + one grouped agg
+    "q169_audio_profile": (4, False),
+    # q170: edge dictionary contraction + the q150 pagerank loop;
+    # nested loops = the 1-row N/dangling broadcasts
+    "q170_textrank_keywords": (14, True),
+    # q171: X16 scalable_rank decomposition + stratum-totals broadcast
+    "q171_stratified_split": (14, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
