@@ -146,3 +146,65 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def merge_agg_state(
+    state: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """X138 — incremental aggregate-view maintenance: merge a new
+    batch's partial (n, sum, min, max) aggregate into a materialized
+    state frame WITHOUT re-touching historical raw data — the
+    self-maintainable-aggregate subset of classic IVM (Gupta/Mumick,
+    public; count/sum/min/max under inserts are merge-closed, exactly
+    why they — and not exact medians — are what incremental datacubes
+    materialize). Both inputs carry (key_cols..., n, sum, min, max);
+    output is the merged state with the same schema, suitable to
+    write back as the next state.
+
+    Scale: ONE full-outer join on the key (the state frame is
+    group-cardinality, the batch partial likewise); every merge rule
+    is row-local arithmetic — the raw corpus is touched only by the
+    batch's own partial agg, once, at ingest. The declared query's
+    hash check IS the IVM correctness proof: merged state ==
+    full recompute, value-identical.
+    """
+    s = state.select(
+        *[F.col(c) for c in key_cols],
+        F.col("n").alias("__n_s"), F.col("sum").alias("__s_s"),
+        F.col("min").alias("__mn_s"), F.col("max").alias("__mx_s"),
+    )
+    b = batch.select(
+        *[F.col(c) for c in key_cols],
+        F.col("n").alias("__n_b"), F.col("sum").alias("__s_b"),
+        F.col("min").alias("__mn_b"), F.col("max").alias("__mx_b"),
+    )
+    j = s.join(b, key_cols, "full_outer")
+    return j.select(
+        *[F.col(c) for c in key_cols],
+        (F.coalesce("__n_s", F.lit(0)) + F.coalesce("__n_b", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.coalesce("__s_s", F.lit(0.0)) + F.coalesce("__s_b", F.lit(0.0))).alias("sum"),
+        F.least(
+            F.coalesce("__mn_s", "__mn_b"), F.coalesce("__mn_b", "__mn_s")
+        ).alias("min"),
+        F.greatest(
+            F.coalesce("__mx_s", "__mx_b"), F.coalesce("__mx_b", "__mx_s")
+        ).alias("max"),
+    )
+
+
+def partial_agg(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """X138 — the ingest-side partial aggregate feeding
+    :func:`merge_agg_state`: one hash agg of a batch to the
+    (key, n, sum, min, max) state schema."""
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(value_col).alias("sum"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+    )

@@ -1733,3 +1733,55 @@ def grouped_auc(
             ).alias("auc"),
         )
     )
+
+
+def sketch_intersection(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lg_config_k: int = 14,
+    persist_fn=None,
+) -> DataFrame:
+    """X137 — distinct-set INTERSECTION estimates between every group
+    pair from mergeable HLL sketches by inclusion-exclusion:
+    |A ∩ B| ~ est(A) + est(B) - est(A ∪ B), where the union is a
+    sketch merge — completing the X84/X112 set-algebra story (union =
+    native merge, intersection = this; sketches never see the raw
+    data twice). The audience/cohort-overlap estimator at 100 TB,
+    where the exact pairwise-intersection join
+    (events.audience_overlap) re-scans the corpus per pair.
+
+    Error compounds over three estimates (~3 * 1.04/sqrt(2^lgK) of
+    the UNION size — the well-known inclusion-exclusion caveat, so
+    small intersections of large sets are noisy); the declared query
+    emits bound booleans against the exact overlap (q43 convention).
+
+    Scale: one hash agg to the #groups sketch frame; the pair join is
+    #groups^2 rows of fixed-size blobs — model-sized, corpus-free.
+    """
+    sk = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("__v"))
+        .groupBy("g")
+        .agg(F.hll_sketch_agg("__v", F.lit(lg_config_k)).alias("__sk"))
+    )
+    if persist_fn is not None:
+        sk = persist_fn(sk)
+    a = sk.select(F.col("g").alias("g_a"), F.col("__sk").alias("__ska"))
+    b = sk.select(F.col("g").alias("g_b"), F.col("__sk").alias("__skb"))
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    return pairs.select(
+        "g_a",
+        "g_b",
+        F.hll_sketch_estimate("__ska").alias("est_a"),
+        F.hll_sketch_estimate("__skb").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("__ska", "__skb")
+        ).alias("est_union"),
+        (
+            F.hll_sketch_estimate("__ska")
+            + F.hll_sketch_estimate("__skb")
+            - F.hll_sketch_estimate(
+                F.hll_union("__ska", "__skb")
+            )
+        ).alias("est_intersection"),
+    )

@@ -7143,6 +7143,84 @@ FROM r GROUP BY 1, 2 ORDER BY stratum, split
 """
 
 
+# Q172 — X137: pairwise distinct-user intersection between event
+# types from HLL sketches (inclusion-exclusion) validated against the
+# exact overlap join — the q148 convention (sketches are exact far
+# below 2^14 capacity at these SFs, so the booleans pin the full
+# arithmetic, not a loose bound).
+
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    est = stats.sketch_intersection(
+        e, "event_type", "user_id", lg_config_k=14, persist_fn=_cache_scoped
+    )
+    ua = e.select(F.col("event_type").alias("t"), "user_id").distinct()
+    ea = ua.select(F.col("t").alias("g_a"), "user_id")
+    eb = ua.select(F.col("t").alias("g_b"), "user_id")
+    exact = (
+        ea.join(eb, "user_id")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").cast("bigint").alias("exact_overlap"))
+    )
+    return (
+        est.join(exact, ["g_a", "g_b"])
+        .select(
+            "g_a",
+            "g_b",
+            "exact_overlap",
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_overlap"))
+                <= F.greatest(0.05 * F.col("est_union"), F.lit(2.0))
+            ).alias("within_bound"),
+        )
+        .orderBy("g_a", "g_b")
+    )
+
+
+Q172_SQL = """
+WITH ua AS (SELECT DISTINCT event_type AS t, user_id FROM events)
+SELECT a.t AS g_a, b.t AS g_b,
+       CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+       TRUE AS within_bound
+FROM ua a JOIN ua b ON a.user_id = b.user_id AND a.t < b.t
+GROUP BY a.t, b.t ORDER BY g_a, g_b
+"""
+
+
+# Q173 — X138: incremental aggregate maintenance — the pre-Jan-15
+# materialized (n, sum, min, max) state merged with the post-Jan-15
+# batch partial must be VALUE-IDENTICAL to the oracle's full
+# recompute; the hash match IS the IVM correctness proof.
+
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    hist = registry.partial_agg(
+        e.filter(F.col("ts") < split), ["event_type"], "value"
+    )
+    newb = registry.partial_agg(
+        e.filter(F.col("ts") >= split), ["event_type"], "value"
+    )
+    merged = registry.merge_agg_state(hist, newb, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        dec4("sum").alias("sum_value"),
+        dec4("min").alias("min_value"),
+        dec4("max").alias("max_value"),
+    ).orderBy("event_type")
+
+
+Q173_SQL = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('SUM(value)')} AS sum_value,
+       {_dec4('MIN(value)')} AS min_value,
+       {_dec4('MAX(value)')} AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7335,6 +7413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q169_audio_profile": q169,
     "q170_textrank_keywords": q170,
     "q171_stratified_split": q171,
+    "q172_sketch_intersection": q172,
+    "q173_ivm_merge": q173,
 }
 
 ORACLE: dict[str, str] = {
@@ -7507,6 +7587,8 @@ ORACLE: dict[str, str] = {
     "q169_audio_profile": Q169_SQL,
     "q170_textrank_keywords": Q170_SQL,
     "q171_stratified_split": Q171_SQL,
+    "q172_sketch_intersection": Q172_SQL,
+    "q173_ivm_merge": Q173_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -3591,3 +3591,40 @@ def test_stratified_quota_split_exact_counts(spark):
     again = {(r.id, r.split) for r in out.collect()}
     assert again == {(r.id, r.split) for r in
                      stratified_quota_split(df, "lang", "doc_id", 0.8, 0.1).collect()}
+
+
+def test_sketch_intersection_exact_at_small_cardinality(spark):
+    """X137: far below sketch capacity HLL is exact, so the
+    inclusion-exclusion intersection equals the true overlap; disjoint
+    sets estimate ~0."""
+    from emr_trino_autoscale_spark.operators.stats import sketch_intersection
+
+    rows = (
+        [("a", v) for v in range(100)]
+        + [("b", v) for v in range(50, 150)]   # overlap 50 with a
+        + [("c", v) for v in range(1000, 1100)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {(r.g_a, r.g_b): r for r in sketch_intersection(df, "g", "v").collect()}
+    assert abs(out[("a", "b")].est_intersection - 50.0) < 1.0
+    assert abs(out[("a", "c")].est_intersection) < 1.0
+    assert abs(out[("a", "b")].est_union - 150.0) < 1.0
+
+
+def test_merge_agg_state_equals_recompute(spark):
+    """X138: merged partials == full recompute for every measure,
+    including keys present in only one side (full-outer merge)."""
+    from emr_trino_autoscale_spark.operators.registry import (
+        merge_agg_state,
+        partial_agg,
+    )
+
+    rows = [("a", 1.0), ("a", 5.0), ("b", -2.0), ("c", 7.0), ("a", 3.0), ("d", 0.5)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    h = partial_agg(spark.createDataFrame(rows[:3], "k string, v double"), ["k"], "v")
+    t = partial_agg(spark.createDataFrame(rows[3:], "k string, v double"), ["k"], "v")
+    merged = {r.k: (r.n, r.sum, r.min, r.max)
+              for r in merge_agg_state(h, t, ["k"]).collect()}
+    full = {r.k: (r.n, r.sum, r.min, r.max)
+            for r in partial_agg(df, ["k"], "v").collect()}
+    assert merged == full and set(merged) == {"a", "b", "c", "d"}

@@ -347,6 +347,11 @@ FLAGSHIPS = {
     "q170_textrank_keywords": (14, True),
     # q171: X16 scalable_rank decomposition + stratum-totals broadcast
     "q171_stratified_split": (14, False),
+    # q172: #groups sketch frame self-pair join (nested loop on the
+    # model-sized blobs) + exact-overlap user join
+    "q172_sketch_intersection": (17, True),
+    # q173: two batch partial aggs + ONE full-outer key merge
+    "q173_ivm_merge": (6, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
