@@ -1785,3 +1785,60 @@ def sketch_intersection(
             )
         ).alias("est_intersection"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    fdr_q: float = 0.1,
+    bucket_width: float = 1.0 / 64.0,
+) -> DataFrame:
+    """X140 — Benjamini-Hochberg step-up FDR control (B-H JRSS-B 1995
+    — public): the multiple-testing closure for the drift family
+    (X72/X93/X96/X102 emit one statistic per slice; run hundreds of
+    slices and ~q of the "significant" ones are false — BH caps the
+    expected false-discovery RATE at ``fdr_q``). Tests rank by
+    (p, test) ascending; k* = max k with p_(k) <= (k/m) * q; all
+    ranks <= k* reject (the step-up rule — a test can reject on the
+    strength of tests below it).
+
+    Scale: the rank rides the X16/X88 scalable_rank decomposition
+    (no single-task sort even for corpus-sized test families); k* is
+    one conditional-max agg joined back as a 1-row frame. Comparisons
+    are double arithmetic identical in both engines (p and k/m*q are
+    the same binary doubles). Returns (test, p, rank, rejected).
+    """
+    from .skew import scalable_rank
+
+    base = df.select(
+        F.col(test_col).alias("test"), F.col(p_col).cast("double").alias("p")
+    )
+    ranked = scalable_rank(
+        base, [], "p", "test", bucket_width=bucket_width, out_col="rank"
+    )
+    # ranked feeds m, k* and the output — non-eager checkpoint
+    # truncates the rank machinery out of the replays (X7 rule).
+    ranked = ranked.localCheckpoint(eager=False)
+    m = ranked.agg(F.count("*").cast("double").alias("__m"))
+    withm = ranked.crossJoin(m)
+    kmax = withm.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rank") / F.col("__m") * F.lit(fdr_q),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("__k")
+    )
+    return (
+        withm.crossJoin(kmax)
+        .select(
+            "test",
+            "p",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.col("rank") <= F.col("__k")).alias("rejected"),
+        )
+    )

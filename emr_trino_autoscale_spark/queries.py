@@ -7221,6 +7221,61 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# Q174 — X140: Benjamini-Hochberg step-up over a deterministic
+# md5-uniform p-value family with planted signal (every 50th test's p
+# divided by 1e6) — the md5-fixture precedent (q158/q165); the
+# step-up's "reject on the strength of tests below you" behavior is
+# exactly what the fixture exercises (uniform tests just above the
+# planted block also reject).
+
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base_p = md5_long60(F.col("c_custkey").cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    tests = c.select(
+        F.col("c_custkey").alias("test_id"),
+        F.when(
+            F.pmod(F.col("c_custkey"), F.lit(50)) == 0, base_p / 1e6
+        )
+        .otherwise(base_p)
+        .alias("p"),
+    )
+    r = stats.bh_fdr(tests, "test_id", "p", fdr_q=0.1)
+    return (
+        r.filter(F.col("rejected"))
+        .select(
+            F.col("test").alias("test_id"),
+            "rank",
+            dec4(F.col("p") * 1000).alias("p_x1000"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q174_SQL = f"""
+WITH tests AS (
+  SELECT c_custkey AS test_id,
+         CASE WHEN c_custkey % 50 = 0
+              THEN (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                         AS BIGINT) / 1152921504606846976.0) / 1e6
+              ELSE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) / 1152921504606846976.0 END AS p
+  FROM customer),
+ranked AS (
+  SELECT test_id, p,
+         ROW_NUMBER() OVER (ORDER BY p, test_id) AS rnk,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS m
+  FROM tests),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= rnk / m * 0.1 THEN rnk END), 0) AS kmax
+  FROM ranked)
+SELECT test_id, CAST(rnk AS BIGINT) AS rank,
+       {_dec4('p * 1000')} AS p_x1000
+FROM ranked, k WHERE rnk <= kmax ORDER BY rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7415,6 +7470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_stratified_split": q171,
     "q172_sketch_intersection": q172,
     "q173_ivm_merge": q173,
+    "q174_bh_fdr": q174,
 }
 
 ORACLE: dict[str, str] = {
@@ -7589,6 +7645,7 @@ ORACLE: dict[str, str] = {
     "q171_stratified_split": Q171_SQL,
     "q172_sketch_intersection": Q172_SQL,
     "q173_ivm_merge": Q173_SQL,
+    "q174_bh_fdr": Q174_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -731,3 +731,29 @@ def transition_stream(events):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def sessionize_stream(events, gap_seconds: float = 1800.0):
+    """X139 — streaming sessionization, the keyed-state twin of the
+    BATCH lag form (events.sessionize, X5/q25): per-user state is ONE
+    (last ts, session counter) pair in ``applyInPandasWithState``,
+    boundary rule merges on <= exactly like the batch window (the
+    native ``F.session_window`` is strict-< and already used by the
+    session-window path — this twin exists precisely so the streaming
+    surface can match the batch/oracle semantics). Input needs
+    ``ts_us``; output = input rows + ``session_idx``, append-safe.
+    Exact cross-micro-batch parity pinned by
+    tests/test_stateful.py::test_sessionize_stream_matches_batch.
+    """
+    from .stateful import (
+        SESSIONIZE_OUTPUT_SCHEMA,
+        make_sessionize_processor,
+    )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_sessionize_processor(gap_seconds),
+        outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+        stateStructType="last_ts_us long, session_idx long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -442,3 +442,63 @@ def make_transition_processor():
         )
 
     return process
+
+
+SESSIONIZE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("session_idx", LongType()),
+    ]
+)
+
+
+def sessionize_rows(
+    rows: "pd.DataFrame",
+    last_ts_us: int | None,
+    session_idx: int,
+    gap_us: int,
+) -> tuple[list[dict], tuple]:
+    """Row-at-a-time core of the streaming sessionizer, shared with
+    the batch-parity test: IDENTICAL semantics to the batch lag form
+    (events.sessionize) — a new session starts when the gap to the
+    previous event EXCEEDS gap_us (merges on <=, the batch oracle
+    contract; F.session_window is strict-< and deliberately not this).
+    Rows process in (ts_us, event_id) order."""
+    out: list[dict] = []
+    for r in rows.sort_values(["ts_us", "event_id"]).itertuples():
+        if last_ts_us is None or r.ts_us > last_ts_us + gap_us:
+            session_idx += 1
+        out.append(
+            {
+                "event_id": r.event_id,
+                "user_id": r.user_id,
+                "ts_us": r.ts_us,
+                "session_idx": session_idx,
+            }
+        )
+        last_ts_us = r.ts_us
+    return out, (last_ts_us, session_idx)
+
+
+def make_sessionize_processor(gap_seconds: float = 1800.0):
+    """applyInPandasWithState processor for streaming sessionization
+    (X139): state per user is (last ts, session counter) — constant
+    size; emits the input rows with their session index, append-safe."""
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        lts, idx = tuple(state.get) if state.exists else (None, 0)
+        out: list[dict] = []
+        for pdf in pdfs:
+            batch, (lts, idx) = sessionize_rows(pdf, lts, idx, gap_us)
+            out.extend(batch)
+        state.update((lts, idx))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in SESSIONIZE_OUTPUT_SCHEMA.fields]
+        )
+
+    return process

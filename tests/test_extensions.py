@@ -3628,3 +3628,24 @@ def test_merge_agg_state_equals_recompute(spark):
     full = {r.k: (r.n, r.sum, r.min, r.max)
             for r in partial_agg(df, ["k"], "v").collect()}
     assert merged == full and set(merged) == {"a", "b", "c", "d"}
+
+
+def test_bh_fdr_step_up_hand_case(spark):
+    """X140: textbook step-up — a test whose own p exceeds its slot
+    threshold still rejects because a LATER slot passes; all-null
+    family rejects nothing."""
+    from emr_trino_autoscale_spark.operators.stats import bh_fdr
+
+    # m=10, q=0.2: thresholds k/10*0.2 = 0.02k
+    # p = [0.015, 0.025, 0.055, 0.30, ...]: slot2 fails (0.025 > 0.04)?
+    # no: 0.025 <= 0.04 passes; slot3 0.055 <= 0.06 passes -> k*=3,
+    # and slot2 rejects even though slot4 (0.30 > 0.08) fails.
+    ps = [0.015, 0.025, 0.055, 0.30, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "t long, p double"
+    )
+    out = {r.test: (r.rank, r.rejected) for r in bh_fdr(df, "t", "p", 0.2).collect()}
+    assert [out[i][1] for i in range(10)] == [True, True, True] + [False] * 7
+
+    nulls = spark.createDataFrame([(i, 0.8 + i / 100) for i in range(10)], "t long, p double")
+    assert not [r for r in bh_fdr(nulls, "t", "p", 0.2).collect() if r.rejected]

@@ -352,6 +352,9 @@ FLAGSHIPS = {
     "q172_sketch_intersection": (17, True),
     # q173: two batch partial aggs + ONE full-outer key merge
     "q173_ivm_merge": (6, False),
+    # q174: checkpoint-truncated scalable_rank + 1-row m / k* frames
+    # (the nested loops)
+    "q174_bh_fdr": (14, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),

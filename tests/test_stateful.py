@@ -989,3 +989,62 @@ def test_transition_stream_matches_batch(spark, tmp_path):
         for r in ev.transition_matrix(df).collect()
     }
     assert got == want and ("c", "a") in got   # boundary-spanning pair
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """X139: streaming sessionization (keyed (last_ts, counter) state)
+    must assign exactly the batch lag form's session indices —
+    including a session that SPANS the micro-batch boundary (gap <=
+    carries the session across) and the <= merge boundary rule."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+    from emr_trino_autoscale_spark.streaming import pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for sec in [0, 10, 30, 30 + 1800, 30 + 1800 + 1, 10000]:
+            rows.append((eid, u, t0 + dt.timedelta(seconds=sec + u), "e", 1.0))
+            eid += 1
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "ss_src")
+    out = str(tmp_path / "ss_out")
+    chk = str(tmp_path / "ss_chk")
+    df.filter("event_id % 6 < 3").repartition(1).write.parquet(src)
+    stream_in = (
+        spark.readStream.schema(df.schema)
+        .parquet(src)
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type", "value",
+        )
+    )
+    q = (
+        pipeline.sessionize_stream(stream_in, gap_seconds=1800.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id % 6 >= 3").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_id"]: r["session_idx"]
+        for r in ev.sessionize(df, "30 MINUTES").collect()
+    }
+    assert got == want and len(got) == 12
+    # the exactly-gap event (30 -> 30+1800) MERGED (<= boundary rule);
+    # the big jump to 10000 split
+    assert got[3] == got[2] and got[5] == got[4] + 1
