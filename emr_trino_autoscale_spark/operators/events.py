@@ -997,3 +997,58 @@ def resample_linear(
             F.col("__nt").alias("next_ts_us"),
         )
     )
+
+
+def transition_latency_quantiles(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    quantiles: list[tuple[int, int]] = ((1, 2), (9, 10)),
+    persist_fn=None,
+) -> DataFrame:
+    """X141 — per-transition latency quantiles: for every (prev type,
+    next type) edge of the X128 transition matrix, the exact lower
+    quantiles of the inter-event latency in integer microseconds —
+    "how long does view -> purchase take" is the funnel-timing number
+    product teams actually ask for, and the tail quantile (not the
+    mean) is the SLO-shaped answer.
+
+    Scale: ONE per-user lag window (the X128 shape) produces
+    (a, b, latency_us); the quantiles ride X100's exact
+    weighted-quantile machinery with weight 1 — per-(a,b) value
+    contraction + bucket-decomposed running counts, no per-group sort.
+    Latencies are integers end-to-end (the q146 microsecond rule), so
+    the quantile VALUES are exact integers both engines agree on.
+    """
+    from .stats import weighted_quantile
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    lat = (
+        df.select(
+            F.col(type_col).alias("b"),
+            F.lag(type_col).over(w).alias("a"),
+            (
+                F.unix_micros(F.col(ts_col))
+                - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            ).alias("lat_us"),
+        )
+        .filter(F.col("a").isNotNull())
+        .withColumn("pair", F.concat_ws("->", "a", "b"))
+        .withColumn("__one", F.lit(1.0))
+    )
+    q = weighted_quantile(
+        lat, ["pair"], "lat_us", "__one",
+        quantiles=quantiles, bucket_width=float(1 << 26),
+        persist_fn=persist_fn,
+    )
+    n = lat.groupBy("pair").agg(F.count("*").alias("n_transitions"))
+    return n.join(q, "pair").select(
+        "pair",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        *[
+            F.col(f"wq_{num}_{den}").cast("long").alias(f"lat_us_p{num}_{den}")
+            for num, den in quantiles
+        ],
+    )

@@ -7276,6 +7276,90 @@ FROM ranked, k WHERE rnk <= kmax ORDER BY rank
 """
 
 
+# Q175 — X141: funnel-timing quantiles per transition edge — exact
+# integer-microsecond p50/p90 latency per (prev, next) event-type
+# pair; quantile values are exact integers both engines agree on (the
+# X100 lower-quantile convention over the q146 microsecond rule).
+
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        ev_ops.transition_latency_quantiles(
+            e, quantiles=((1, 2), (9, 10)), persist_fn=_cache_scoped
+        )
+        .select(
+            "pair",
+            "n_transitions",
+            F.col("lat_us_p1_2").alias("p50_lat_us"),
+            F.col("lat_us_p9_10").alias("p90_lat_us"),
+        )
+        .orderBy("pair")
+    )
+
+
+Q175_SQL = """
+WITH lat AS (
+  SELECT LAG(event_type) OVER w || '->' || event_type AS pair,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS lat_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (SELECT pair, lat_us FROM lat WHERE pair IS NOT NULL),
+pv AS (SELECT pair, lat_us AS v, COUNT(*) AS c FROM f GROUP BY 1, 2),
+cum AS (
+  SELECT pair, v, SUM(c) OVER (PARTITION BY pair ORDER BY v) AS cw
+  FROM pv),
+tot AS (SELECT pair, SUM(c) AS n FROM pv GROUP BY pair)
+SELECT cum.pair,
+       CAST(MAX(tot.n) AS BIGINT) AS n_transitions,
+       CAST(MIN(CASE WHEN 2 * cw >= n THEN v END) AS BIGINT) AS p50_lat_us,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * n THEN v END) AS BIGINT) AS p90_lat_us
+FROM cum JOIN tot ON tot.pair = cum.pair
+GROUP BY cum.pair ORDER BY cum.pair
+"""
+
+
+# Q176 — UNPIVOT/melt surface coverage (the q166 precedent: API
+# surface, X-less): the per-priority order-status counts pivoted wide
+# then melted back long — DataFrame.unpivot on the Spark side, UNPIVOT
+# on the DuckDB side.
+
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return (
+        wide.unpivot(
+            "o_orderpriority",
+            ["F", "O", "P"],
+            "status",
+            "n_orders",
+        )
+        .select(
+            "o_orderpriority",
+            "status",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+Q176_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS F,
+         COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS O,
+         COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS P
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, status, CAST(n_orders AS BIGINT) AS n_orders
+FROM wide UNPIVOT (n_orders FOR status IN (F, O, P))
+ORDER BY o_orderpriority, status
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7471,6 +7555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_sketch_intersection": q172,
     "q173_ivm_merge": q173,
     "q174_bh_fdr": q174,
+    "q175_transition_latency": q175,
+    "q176_unpivot_melt": q176,
 }
 
 ORACLE: dict[str, str] = {
@@ -7646,6 +7732,8 @@ ORACLE: dict[str, str] = {
     "q172_sketch_intersection": Q172_SQL,
     "q173_ivm_merge": Q173_SQL,
     "q174_bh_fdr": Q174_SQL,
+    "q175_transition_latency": Q175_SQL,
+    "q176_unpivot_melt": Q176_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -3649,3 +3649,27 @@ def test_bh_fdr_step_up_hand_case(spark):
 
     nulls = spark.createDataFrame([(i, 0.8 + i / 100) for i in range(10)], "t long, p double")
     assert not [r for r in bh_fdr(nulls, "t", "p", 0.2).collect() if r.rejected]
+
+
+def test_transition_latency_quantiles_hand_case(spark):
+    """X141: exact integer lower quantiles per transition pair."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: a -(10s)-> b, a -(20s)-> b, a -(30s)-> b via 3 users
+    rows = []
+    eid = 0
+    for u, gap in ((1, 10), (2, 20), (3, 30)):
+        rows.append((eid, u, t0, "a", 1.0)); eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(seconds=gap), "b", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.pair: r for r in
+           ev.transition_latency_quantiles(df, quantiles=((1, 2), (9, 10))).collect()}
+    r = out["a->b"]
+    assert r.n_transitions == 3
+    assert r.lat_us_p1_2 == 20_000_000       # lower median of {10,20,30}s
+    assert r.lat_us_p9_10 == 30_000_000

@@ -355,6 +355,11 @@ FLAGSHIPS = {
     # q174: checkpoint-truncated scalable_rank + 1-row m / k* frames
     # (the nested loops)
     "q174_bh_fdr": (14, True),
+    # q175: one per-user lag window -> persisted (pair, latency) frame
+    # -> X100 quantile machinery + count join
+    "q175_transition_latency": (34, False),
+    # q176: one pivot agg + row-local melt + presentation sort
+    "q176_unpivot_melt": (6, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
