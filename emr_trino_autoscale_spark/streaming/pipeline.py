@@ -757,3 +757,26 @@ def sessionize_stream(events, gap_seconds: float = 1800.0):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def make_ivm_maintainer(key_cols: list[str], value_col: str):
+    """X142 — streaming incremental-aggregate maintenance, the live
+    twin of registry.partial_agg/merge_agg_state (X138/q173): a
+    ``foreachBatch`` maintainer that folds each micro-batch's partial
+    (n, sum, min, max) into the caller-owned state store — the
+    materialized-datacube ingest loop. State never re-reads history;
+    each epoch costs one batch partial agg + one group-keyed merge
+    (the X138 contract). Returned callable:
+    (state_df_or_None, batch) -> new state DataFrame; the caller owns
+    reading/writing the state sink inside its foreachBatch (see
+    tests/test_stateful.py::test_ivm_stream_matches_recompute).
+    """
+    from ..operators.registry import merge_agg_state, partial_agg
+
+    def maintain(state, batch):
+        part = partial_agg(batch, key_cols, value_col)
+        if state is None:
+            return part
+        return merge_agg_state(state, part, key_cols)
+
+    return maintain

@@ -1048,3 +1048,64 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # the exactly-gap event (30 -> 30+1800) MERGED (<= boundary rule);
     # the big jump to 10000 split
     assert got[3] == got[2] and got[5] == got[4] + 1
+
+
+def test_ivm_stream_matches_recompute(spark, tmp_path):
+    """X142: the foreachBatch IVM maintainer folded over streaming
+    micro-batches must equal the batch full recompute exactly —
+    including keys that appear in only one epoch."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators.registry import partial_agg
+    from emr_trino_autoscale_spark.streaming.pipeline import make_ivm_maintainer
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, i % 3, t0 + dt.timedelta(seconds=i), "t%d" % (i % 4), float(i) - 5.0)
+        for i in range(40)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "ivm_src")
+    out = str(tmp_path / "ivm_state")
+    chk = str(tmp_path / "ivm_chk")
+    df.filter("event_id < 15").repartition(1).write.parquet(src)
+
+    maintain = make_ivm_maintainer(["event_type"], "value")
+
+    def sink(batch, epoch_id):
+        import os
+
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        # collect-then-rewrite: the state frame is group-cardinality
+        rows = new_state.collect()
+        spark.createDataFrame(rows, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    stream_in = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_in.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id >= 15").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.event_type: (r.n, r.sum, r.min, r.max)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.sum, r.min, r.max)
+        for r in partial_agg(df, ["event_type"], "value").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+        assert got[k][2] == want[k][2] and got[k][3] == want[k][3]
