@@ -434,6 +434,8 @@ BROADCAST_ALLOW = {
         # |distinct phrase tokens|-row vocab frame (blocklist anchor
         # df pre-count) — bounded literal set by contract
         "vdf",
+        # stratum-dictionary-sized totals (stratified_quota_split)
+        "tot",
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
