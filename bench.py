@@ -12,15 +12,14 @@ left BENCH_r03/BENCH_r05 with ``parsed: null``):
 2. the FINAL line: a compact JSON record guaranteed < ~1.8 KB so it
    always fits *whole* inside the driver's tail window::
 
-       {"queries":{"1":1.13,...},"metric":"declared_query_suite_runtime",
-        "value":N,"unit":"sec","sf":0.1}
+       {"queries":{"1":113,...},"q_unit":"centisec",
+        "metric":"declared_query_suite_runtime","value":N,"unit":"sec","sf":0.1}
 
-   Query keys are shortened to the BARE query number ("1".."155",
-   unique by construction — the round-8 fix after 155 qNN-keyed
-   entries overflowed the guard), times rounded to 2 decimals,
-   ``queries`` first and the ``metric/value/unit/sf`` trailer last so
+   Query keys are the BARE query numbers; per-query values are
+   INTEGER CENTISECONDS (see ``q_unit``) — the suite total stays
+   seconds in ``value``. ``queries`` first and the trailer last so
    even pathological growth degrades to a truncated-but-recoverable
-   trailer rather than a lost total.
+   trailer rather than a lost total. Sized for ~210 queries.
 
 Each query is forced to full materialization with a noop write (count()
 would let Catalyst prune the computed columns). Timings are per-query
@@ -265,14 +264,18 @@ def main() -> None:
 
     # FINAL line: compact record sized for the driver's ~2000-char tail
     # capture (see module docstring). Keys are the BARE query numbers
-    # ("1".."155" — unique by declaration), the round-8 fix after 155
-    # qNN-keyed entries overflowed the 1800-char guard; 2-decimal
-    # times; queries first, metric/value trailer last.
+    # ("1".."178" — unique by declaration); per-query values are
+    # INTEGER CENTISECONDS (q_unit field says so) — the round-8 fixes
+    # after first 155 qNN/2-decimal entries (1818 chars) and then 178
+    # numeric-key/2-decimal entries (1928) overflowed the guard;
+    # integer centiseconds hold ~210 queries. The suite total stays
+    # SECONDS in "value"/"unit".
     compact = {
         "queries": {
-            str(int(n.split("_")[0][1:])): round(t, 2)
+            str(int(n.split("_")[0][1:])): int(round(t * 100))
             for n, t in timings.items()
         },
+        "q_unit": "centisec",
         "metric": "declared_query_suite_runtime",
         "value": total,
         "unit": "sec",

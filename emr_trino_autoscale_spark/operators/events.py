@@ -1052,3 +1052,44 @@ def transition_latency_quantiles(
             for num, den in quantiles
         ],
     )
+
+
+def top_session_paths(
+    df: DataFrame,
+    gap: str = "30 MINUTES",
+    path_len: int = 3,
+    top_k: int = 15,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """X144 — most common length-``path_len`` event-type paths WITHIN
+    sessions: X5's sessionizer feeds a per-(user, session) lag chain;
+    a path exists only when all ``path_len`` events share the session.
+    The "what do users actually do" mining query; the top-k cut is on
+    exact integer counts with the path string as tiebreak (engine-
+    deterministic, no float anywhere).
+
+    Scale: sessionize is one key shuffle (X5); the lag chain reuses
+    the same (user) exchange with a (session-aware) guard column per
+    step; the path agg is a hash agg on the path-dictionary.
+    """
+    s = sessionize(df, gap, key_col=user_col)
+    w = Window.partitionBy(user_col, "session_idx").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    cur = s.select(
+        F.col(type_col).alias("__t0"),
+        *[
+            F.lag(type_col, i).over(w).alias(f"__t{i}")
+            for i in range(1, path_len)
+        ],
+    )
+    parts = [F.col(f"__t{i}") for i in range(path_len - 1, -1, -1)]
+    return (
+        cur.filter(F.col(f"__t{path_len - 1}").isNotNull())
+        .select(F.concat_ws(">", *parts).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(top_k)
+    )

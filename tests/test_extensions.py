@@ -3673,3 +3673,37 @@ def test_transition_latency_quantiles_hand_case(spark):
     assert r.n_transitions == 3
     assert r.lat_us_p1_2 == 20_000_000       # lower median of {10,20,30}s
     assert r.lat_us_p9_10 == 30_000_000
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """X143: structural no-underestimate + exactness when the sketch
+    is collision-free (tiny key sets)."""
+    from emr_trino_autoscale_spark.operators.stats import cms_join_size
+
+    l = spark.createDataFrame([(k,) for k in range(20)], "k long")
+    r = spark.createDataFrame([(k % 10,) for k in range(40)], "k long")
+    # exact: keys 0..9 appear 1x in l (of its 20) and 4x in r -> 10*1*4=40
+    est = cms_join_size(l, r, "k", "k", d=4, w=65536).collect()[0]
+    assert est.est_join_size == 40
+
+
+def test_top_session_paths_respects_session_boundary(spark):
+    """X144: a 3-step path must not span a session gap; counts exact."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: a,b,c within one session; then a NEW session c,b,a
+    for i, typ in enumerate(["a", "b", "c"]):
+        rows.append((eid, 1, t0 + dt.timedelta(seconds=i * 10), typ, 1.0)); eid += 1
+    for i, typ in enumerate(["c", "b", "a"]):
+        rows.append((eid, 1, t0 + dt.timedelta(hours=2, seconds=i * 10), typ, 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {r.path: r.n for r in
+           ev.top_session_paths(df, gap="30 MINUTES", path_len=3, top_k=10).collect()}
+    assert got == {"a>b>c": 1, "c>b>a": 1}   # no c>a>... cross-session path

@@ -360,6 +360,12 @@ FLAGSHIPS = {
     "q175_transition_latency": (34, False),
     # q176: one pivot agg + row-local melt + presentation sort
     "q176_unpivot_melt": (6, False),
+    # q177: two d*w sketch builds + (j,bucket) join + d-row agg + the
+    # 1-row exact/NL/NR broadcasts (nested loops)
+    "q177_cms_join_size": (24, True),
+    # q178: session windows share one user exchange + path agg +
+    # bounded top-15 (TakeOrdered)
+    "q178_session_paths": (4, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
