@@ -1822,3 +1822,75 @@ def stratified_quota_split(
             .alias("split"),
         )
     )
+
+
+def ctfidf_class_terms(
+    docs: DataFrame,
+    class_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    persist_fn=None,
+) -> DataFrame:
+    """X146 — class-based TF-IDF characteristic terms (Grootendorst's
+    c-TF-IDF, the BERTopic labeling statistic — public): treat each
+    class as ONE concatenated document; a term's score in class c is
+    (tf_{t,c} / tokens_c) * ln(1 + A / tf_t) where A is the average
+    token count per class and tf_t the term's corpus frequency — the
+    "what makes this cluster/source different" labeling pass that runs
+    after any clustering (X23/X65) or on provenance classes directly.
+
+    Determinism: counts are exact integers; the score is two exact-int
+    ratios and one ln both engines share; the per-class top-k cut
+    orders by (ROUNDED score desc, term) — the q170 rounded-cut rule.
+
+    Scale: one exploded-token hash agg to the (class, term) frame
+    (persist_fn-scoped: it feeds class totals, corpus totals and the
+    ranking), dictionary-sized margins, and the X16 two-phase top-k —
+    no single-task per-class vocabulary sort.
+    """
+    from .skew import two_phase_topk
+
+    ct = (
+        docs.select(
+            F.col(class_col).alias("c"),
+            F.explode(F.split(F.col(text_col), " ")).alias("t"),
+        )
+        .groupBy("c", "t")
+        .agg(F.count("*").alias("__n"))
+    )
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        ct = ct.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        ct = persist_fn(ct)
+    ctot = ct.groupBy("c").agg(F.sum("__n").alias("__ctot"))
+    ttot = ct.groupBy("t").agg(F.sum("__n").alias("__ttot"))
+    avg_row = ctot.agg(F.avg("__ctot").alias("__a"))
+    scored = (
+        ct.join(F.broadcast(ctot), "c")
+        .join(ttot, "t")
+        .crossJoin(F.broadcast(avg_row))
+        .withColumn(
+            "__score",
+            F.round(
+                (F.col("__n") / F.col("__ctot"))
+                * F.log(F.lit(1.0) + F.col("__a") / F.col("__ttot"))
+                * 10000,
+                4,
+            ),
+        )
+    )
+    top = two_phase_topk(
+        scored,
+        ["c"],
+        [F.col("__score").desc(), F.col("t").asc()],
+        top_k,
+        bucket_on=F.crc32(F.col("t")),
+    )
+    return top.select(
+        F.col("c").alias(class_col),
+        F.col("t").alias("term"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.col("__score").alias("score_x10k"),
+    )

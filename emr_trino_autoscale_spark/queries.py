@@ -7458,6 +7458,87 @@ GROUP BY path ORDER BY n DESC, path LIMIT 15
 """
 
 
+# Q179 — X145: modified-z-score outlier labeling of daily means per
+# event type (Iglewicz-Hoaglin 3.5 cutoff) — composes X106's
+# dec4-rounded (median, MAD), which the oracle replays literally.
+
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = stats.robust_outlier_days(
+        e, "event_type", "ts", "value", threshold=3.5,
+        persist_fn=_cache_scoped,
+    )
+    return r.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        dec4("day_sum").alias("day_sum"),
+        dec4("m_score").alias("m_score"),
+        "is_outlier",
+    ).orderBy("event_type", "day")
+
+
+Q179_SQL = f"""
+WITH day AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS day, AVG(value) AS m,
+         SUM(value) AS s
+  FROM events GROUP BY 1, 2),
+med AS (SELECT g, quantile_cont(m, 0.5) AS md FROM day GROUP BY g),
+mad AS (
+  SELECT day.g, ROUND(MAX(md), 4) + 0.0 AS median,
+         ROUND(quantile_cont(abs(m - md), 0.5), 4) + 0.0 AS mad
+  FROM day JOIN med ON day.g = med.g GROUP BY day.g),
+sc AS (
+  SELECT day.g, day.day, day.s,
+         CASE WHEN mad.mad > 0
+              THEN 0.6745 * (day.m - mad.median) / mad.mad END AS ms
+  FROM day JOIN mad ON mad.g = day.g)
+SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day,
+       {_dec4('s')} AS day_sum,
+       {_dec4('ms')} AS m_score,
+       ABS(ms) > 3.5 AS is_outlier
+FROM sc ORDER BY event_type, day
+"""
+
+
+# Q180 — X146: c-TF-IDF characteristic terms per source (top-5); the
+# cut is on the ROUNDED x10k score with a term tiebreak (q170 rule).
+
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    r = text.ctfidf_class_terms(
+        d, "source", "text", top_k=5, persist_fn=_cache_scoped
+    )
+    return r.select(
+        "source",
+        "term",
+        "rank",
+        dec4("score_x10k").alias("score_x10k"),
+    ).orderBy("source", "rank")
+
+
+Q180_SQL = f"""
+WITH ct AS (
+  SELECT source AS c, UNNEST(string_split(text, ' ')) AS t
+  FROM documents),
+cnt AS (SELECT c, t, COUNT(*) AS n FROM ct GROUP BY 1, 2),
+ctot AS (SELECT c, SUM(n) AS ctot FROM cnt GROUP BY c),
+ttot AS (SELECT t, SUM(n) AS ttot FROM cnt GROUP BY t),
+aa AS (SELECT AVG(ctot) AS a FROM ctot),
+scored AS (
+  SELECT cnt.c, cnt.t,
+         ROUND((n / ctot.ctot) * ln(1.0 + aa.a / ttot.ttot) * 10000, 4)
+           AS score
+  FROM cnt JOIN ctot ON ctot.c = cnt.c JOIN ttot ON ttot.t = cnt.t, aa),
+ranked AS (
+  SELECT c, t, score,
+         ROW_NUMBER() OVER (PARTITION BY c ORDER BY score DESC, t) AS rnk
+  FROM scored)
+SELECT c AS source, t AS term, CAST(rnk AS INT) AS rank,
+       {_dec4('score')} AS score_x10k
+FROM ranked WHERE rnk <= 5 ORDER BY source, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7657,6 +7738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_unpivot_melt": q176,
     "q177_cms_join_size": q177,
     "q178_session_paths": q178,
+    "q179_outlier_days": q179,
+    "q180_ctfidf_terms": q180,
 }
 
 ORACLE: dict[str, str] = {
@@ -7836,6 +7919,8 @@ ORACLE: dict[str, str] = {
     "q176_unpivot_melt": Q176_SQL,
     "q177_cms_join_size": Q177_SQL,
     "q178_session_paths": Q178_SQL,
+    "q179_outlier_days": Q179_SQL,
+    "q180_ctfidf_terms": Q180_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

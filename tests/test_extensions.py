@@ -3707,3 +3707,47 @@ def test_top_session_paths_respects_session_boundary(spark):
     got = {r.path: r.n for r in
            ev.top_session_paths(df, gap="30 MINUTES", path_len=3, top_k=10).collect()}
     assert got == {"a>b>c": 1, "c>b>a": 1}   # no c>a>... cross-session path
+
+
+def test_robust_outlier_days_planted_spike(spark):
+    """X145: a single spiked day flags; the clean baseline days do
+    not; a constant series (MAD 0) emits NULL scores, no flags."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators.stats import robust_outlier_days
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(15):
+        v = 1000.0 if d == 7 else 10.0 + (d % 3)   # spike day 8
+        rows.append((eid, t0 + dt.timedelta(days=d), 1, "m", v)); eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=d), 1, "flat", 5.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r.event_type, r.day.day): r for r in
+           robust_outlier_days(df, "event_type", "ts", "value").collect()}
+    flagged = [k for k, r in out.items() if r.is_outlier]
+    assert flagged == [("m", 8)]
+    assert out[("flat", 3)].m_score is None
+
+
+def test_ctfidf_surfaces_class_exclusive_term(spark):
+    """X146: a term exclusive to one class tops that class's ranking;
+    a uniform background term never ranks first anywhere."""
+    from emr_trino_autoscale_spark.operators.text import ctfidf_class_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "common zebra zebra zebra common"),
+            ("a", "common zebra filler"),
+            ("b", "common walrus walrus filler"),
+            ("b", "common walrus other"),
+        ],
+        "source string, text string",
+    )
+    out = {(r.source, r.rank): r.term for r in
+           ctfidf_class_terms(docs, "source", "text", top_k=2).collect()}
+    assert out[("a", 1)] == "zebra"
+    assert out[("b", 1)] == "walrus"

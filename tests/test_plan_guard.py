@@ -366,6 +366,11 @@ FLAGSHIPS = {
     # q178: session windows share one user exchange + path agg +
     # bounded top-15 (TakeOrdered)
     "q178_session_paths": (4, False),
+    # q179: per-day contraction + X106 two-pass + #groups broadcast
+    "q179_outlier_days": (14, False),
+    # q180: persisted (class, term) frame + dictionary margins + X16
+    # two-phase top-k; nested loop = 1-row avg-class-size broadcast
+    "q180_ctfidf_terms": (25, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
