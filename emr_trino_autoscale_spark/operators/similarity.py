@@ -2347,3 +2347,45 @@ def label_noise_scores(
         (F.round(own - best, 4) + F.lit(0.0)).alias("margin"),
         (own < best).alias("flagged"),
     )
+
+
+def rrf_fuse(
+    rankings: list,
+    k: int = 60,
+    group_col: str = "group",
+    item_col: str = "item",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """X148 — reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR
+    2009 — public; the default hybrid-retrieval combiner): fused
+    score(item) = sum over ranking systems of 1 / (k + rank_i). Rank-
+    based, so BM25's unbounded scores and cosine's [-1,1] fuse without
+    calibration — exactly why it is the standard first fusion for the
+    X38/X83 lexical path + the X3/X15 vector path.
+
+    Determinism: each term is one exact division of small ints; the
+    per-item sum has <= #systems terms — both engines produce
+    identical doubles (the q153 rule). Missing items simply contribute
+    fewer terms (the standard convention).
+
+    Scale: union of the (group, item, rank) frames + ONE hash agg —
+    rankings are top-k frames (model-sized) by construction.
+    """
+    u = None
+    for r in rankings:
+        part = r.select(
+            F.col(group_col).alias("g"),
+            F.col(item_col).alias("it"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("__t"),
+        )
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy("g", "it")
+        .agg(F.sum("__t").alias("rrf_score"), F.count("*").alias("n_systems"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("it").alias(item_col),
+            "rrf_score",
+            F.col("n_systems").cast("int").alias("n_systems"),
+        )
+    )

@@ -7539,6 +7539,75 @@ FROM ranked WHERE rnk <= 5 ORDER BY source, rank
 """
 
 
+# Q181 — X148: reciprocal-rank fusion of two deterministic per-brand
+# part rankings (price-desc and size-asc); fused top-3 per brand, cut
+# on the rounded score with an item tiebreak (q170 rule).
+
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w1 = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    w2 = Window.partitionBy("p_brand").orderBy(
+        F.col("p_size").asc(), F.col("p_partkey")
+    )
+    r1 = p.select(
+        F.col("p_brand").alias("group"),
+        F.col("p_partkey").alias("item"),
+        F.row_number().over(w1).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    r2 = p.select(
+        F.col("p_brand").alias("group"),
+        F.col("p_partkey").alias("item"),
+        F.row_number().over(w2).alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    fused = similarity.rrf_fuse([r1, r2], k=60, group_col="group", item_col="item")
+    w3 = Window.partitionBy("group").orderBy(
+        F.round(F.col("rrf_score") * 10000, 4).desc(), F.col("item")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("group").alias("brand"),
+            F.col("item").alias("partkey"),
+            "rank",
+            dec4(F.col("rrf_score") * 10000).alias("rrf_x10k"),
+            "n_systems",
+        )
+        .orderBy("brand", "rank")
+    )
+
+
+Q181_SQL = f"""
+WITH r1 AS (
+  SELECT p_brand AS g, p_partkey AS it,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rnk
+  FROM part),
+r2 AS (
+  SELECT p_brand AS g, p_partkey AS it,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_size ASC, p_partkey) AS rnk
+  FROM part),
+u AS (
+  SELECT g, it, 1.0 / (60.0 + rnk) AS t FROM r1 WHERE rnk <= 10
+  UNION ALL
+  SELECT g, it, 1.0 / (60.0 + rnk) AS t FROM r2 WHERE rnk <= 10),
+fused AS (
+  SELECT g, it, SUM(t) AS s, COUNT(*) AS ns FROM u GROUP BY g, it),
+ranked AS (
+  SELECT g, it, s, ns,
+         ROW_NUMBER() OVER (PARTITION BY g
+                            ORDER BY ROUND(s * 10000, 4) DESC, it) AS rank
+  FROM fused)
+SELECT g AS brand, it AS partkey, CAST(rank AS INT) AS rank,
+       {_dec4('s * 10000')} AS rrf_x10k,
+       CAST(ns AS INT) AS n_systems
+FROM ranked WHERE rank <= 3 ORDER BY brand, rank
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7740,6 +7809,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_session_paths": q178,
     "q179_outlier_days": q179,
     "q180_ctfidf_terms": q180,
+    "q181_rrf_fusion": q181,
 }
 
 ORACLE: dict[str, str] = {
@@ -7921,6 +7991,7 @@ ORACLE: dict[str, str] = {
     "q178_session_paths": Q178_SQL,
     "q179_outlier_days": Q179_SQL,
     "q180_ctfidf_terms": Q180_SQL,
+    "q181_rrf_fusion": Q181_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -3751,3 +3751,23 @@ def test_ctfidf_surfaces_class_exclusive_term(spark):
            ctfidf_class_terms(docs, "source", "text", top_k=2).collect()}
     assert out[("a", 1)] == "zebra"
     assert out[("b", 1)] == "walrus"
+
+
+def test_rrf_fuse_hand_case(spark):
+    """X148: fused score arithmetic + missing-item convention (an item
+    in only one ranking contributes one term and still fuses)."""
+    from emr_trino_autoscale_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 2)], "group string, item long, rnk int"
+    )
+    r2 = spark.createDataFrame(
+        [("g", 2, 1), ("g", 3, 2)], "group string, item long, rnk int"
+    )
+    out = {r.item: (r.rrf_score, r.n_systems)
+           for r in rrf_fuse([r1, r2]).collect()}
+    assert abs(out[1][0] - 1 / 61) < 1e-15 and out[1][1] == 1
+    assert abs(out[2][0] - (1 / 62 + 1 / 61)) < 1e-15 and out[2][1] == 2
+    assert abs(out[3][0] - 1 / 62) < 1e-15
+    # consensus item 2 outranks either single-system item
+    assert out[2][0] > out[1][0] > out[3][0]

@@ -371,6 +371,9 @@ FLAGSHIPS = {
     # q180: persisted (class, term) frame + dictionary margins + X16
     # two-phase top-k; nested loop = 1-row avg-class-size broadcast
     "q180_ctfidf_terms": (25, True),
+    # q181: two brand-partitioned ranking windows + fusion hash agg +
+    # final per-brand cut
+    "q181_rrf_fusion": (10, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
