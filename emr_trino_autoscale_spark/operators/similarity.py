@@ -2389,3 +2389,84 @@ def rrf_fuse(
             F.col("n_systems").cast("int").alias("n_systems"),
         )
     )
+
+
+def corr_top_eigen(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    iterations: int = 10,
+) -> DataFrame:
+    """X149 — dominant eigenpair of the embedding correlation matrix
+    by FIXED-iteration power method (von Mises iteration — public; the
+    PCA-direction / effective-rank screen run on X103's redundancy
+    matrix): x_{k+1} = M x_k / ||M x_k||, eigenvalue by the final
+    Rayleigh quotient. A top eigenvalue near 1 means dimensions are
+    independent; near dim/eff_rank means the encoder collapsed.
+
+    Matrix-vector products are RELATIONAL: M is the (i, j, v) frame
+    (X103's centered-Gram correlation, symmetrized + unit diagonal),
+    the matvec is one join + one hash agg, the norm a 1-row frame —
+    dim^2-row work per step, corpus touched ONCE (inside X103). Fixed
+    ``iterations`` buys the oracle (the X114 lesson): DuckDB unrolls
+    the same ten matvecs. Non-eager localCheckpoint per step (X7).
+
+    Returns one row per dimension: (dim_index, loading, eigenvalue).
+    Sign convention: the iterate starts at the all-ones direction, so
+    the returned vector is the one with positive correlation to it
+    (generic for correlation matrices whose dominant loadings share a
+    sign pattern; both engines inherit the same convention).
+    """
+    if dim is None:
+        dim = int(
+            corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        )
+    tri = dimension_corr_matrix(corpus, vec_col, dim=dim)
+    spark = corpus.sparkSession
+    import math
+
+    diag = spark.createDataFrame(
+        [(i + 1, i + 1, 1.0) for i in range(dim)], "i int, j int, v double"
+    )
+    m = (
+        tri.select(
+            F.col("dim_a").alias("i"), F.col("dim_b").alias("j"),
+            F.col("corr").alias("v"),
+        )
+        .unionByName(
+            tri.select(
+                F.col("dim_b").alias("i"), F.col("dim_a").alias("j"),
+                F.col("corr").alias("v"),
+            )
+        )
+        .unionByName(diag)
+    ).localCheckpoint(eager=False)
+
+    x = spark.createDataFrame(
+        [(i + 1, 1.0 / math.sqrt(dim)) for i in range(dim)], "j int, x double"
+    )
+    for _ in range(iterations):
+        y = (
+            m.join(x, "j")
+            .groupBy(F.col("i").alias("j"))
+            .agg(F.sum(F.col("v") * F.col("x")).alias("y"))
+        )
+        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("__n"))
+        # norm: 1-row normalization broadcast
+        x = (
+            y.crossJoin(F.broadcast(norm))
+            .select("j", (F.col("y") / F.col("__n")).alias("x"))
+            .localCheckpoint(eager=False)
+        )
+    mx = (
+        m.join(x, "j")
+        .groupBy(F.col("i").alias("j"))
+        .agg(F.sum(F.col("v") * F.col("x")).alias("y"))
+    )
+    ray = (
+        mx.join(x, "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("eigenvalue"))
+    )
+    return x.crossJoin(F.broadcast(ray)).select(
+        F.col("j").alias("dim_index"), F.col("x").alias("loading"), "eigenvalue"
+    )

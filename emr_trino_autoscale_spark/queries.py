@@ -7608,6 +7608,98 @@ FROM ranked WHERE rank <= 3 ORDER BY brand, rank
 """
 
 
+
+
+# Q182 — X149: dominant eigenpair of the embedding correlation matrix
+# by ten unrolled power-method steps on BOTH sides — the matrix
+# entries are X103's dec4-ROUNDED correlations, which snaps the two
+# engines onto the same matrix before iteration starts (the q140
+# rounding made load-bearing).
+
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    r = similarity.corr_top_eigen(em, "embedding", iterations=10)
+    return r.select(
+        "dim_index",
+        dec4(F.col("loading") * 1000).alias("loading_x1000"),
+        dec4("eigenvalue").alias("eigenvalue"),
+    ).orderBy("dim_index")
+
+
+Q182_SQL = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+xx AS MATERIALIZED (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS dim FROM e),
+p AS MATERIALIZED (SELECT vec_id, CAST(dim AS INT) AS dim, v[dim] AS val FROM xx),
+tri AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, ROUND(corr(a.val, b.val), 4) + 0.0 AS v
+  FROM p a JOIN p b ON a.vec_id = b.vec_id AND a.dim < b.dim
+  GROUP BY 1, 2),
+dims AS MATERIALIZED (SELECT DISTINCT dim AS j FROM p),
+m AS MATERIALIZED (
+  SELECT i, j, v FROM tri
+  UNION ALL SELECT j, i, v FROM tri
+  UNION ALL SELECT j, j, 1.0 FROM dims),
+x0 AS MATERIALIZED (SELECT j, 1.0 / SQRT(CAST((SELECT COUNT(*) FROM dims) AS DOUBLE)) AS x
+       FROM dims),
+y1 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x0 p ON m.j = p.j GROUP BY m.i),
+n1 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y1),
+x1 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n1) AS x FROM y1),
+y2 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x1 p ON m.j = p.j GROUP BY m.i),
+n2 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y2),
+x2 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n2) AS x FROM y2),
+y3 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x2 p ON m.j = p.j GROUP BY m.i),
+n3 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y3),
+x3 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n3) AS x FROM y3),
+y4 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x3 p ON m.j = p.j GROUP BY m.i),
+n4 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y4),
+x4 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n4) AS x FROM y4),
+y5 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x4 p ON m.j = p.j GROUP BY m.i),
+n5 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y5),
+x5 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n5) AS x FROM y5),
+y6 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x5 p ON m.j = p.j GROUP BY m.i),
+n6 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y6),
+x6 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n6) AS x FROM y6),
+y7 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x6 p ON m.j = p.j GROUP BY m.i),
+n7 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y7),
+x7 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n7) AS x FROM y7),
+y8 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x7 p ON m.j = p.j GROUP BY m.i),
+n8 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y8),
+x8 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n8) AS x FROM y8),
+y9 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x8 p ON m.j = p.j GROUP BY m.i),
+n9 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y9),
+x9 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n9) AS x FROM y9),
+y10 AS MATERIALIZED (
+  SELECT m.i AS j, SUM(m.v * p.x) AS y
+  FROM m JOIN x9 p ON m.j = p.j GROUP BY m.i),
+n10 AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS n FROM y10),
+x10 AS MATERIALIZED (SELECT j, y / (SELECT n FROM n10) AS x FROM y10),
+mx AS MATERIALIZED (SELECT m.i AS j, SUM(m.v * p.x) AS y FROM m JOIN x10 p ON m.j = p.j GROUP BY m.i),
+ray AS MATERIALIZED (SELECT SUM(x10.x * mx.y) AS ev FROM mx JOIN x10 ON x10.j = mx.j)
+SELECT CAST(x10.j AS INT) AS dim_index,
+       {_dec4('x10.x * 1000')} AS loading_x1000,
+       {_dec4('(SELECT ev FROM ray)')} AS eigenvalue
+FROM x10 ORDER BY dim_index
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7810,6 +7902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_outlier_days": q179,
     "q180_ctfidf_terms": q180,
     "q181_rrf_fusion": q181,
+    "q182_corr_top_eigen": q182,
 }
 
 ORACLE: dict[str, str] = {
@@ -7992,6 +8085,7 @@ ORACLE: dict[str, str] = {
     "q179_outlier_days": Q179_SQL,
     "q180_ctfidf_terms": Q180_SQL,
     "q181_rrf_fusion": Q181_SQL,
+    "q182_corr_top_eigen": Q182_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -3771,3 +3771,26 @@ def test_rrf_fuse_hand_case(spark):
     assert abs(out[3][0] - 1 / 62) < 1e-15
     # consensus item 2 outranks either single-system item
     assert out[2][0] > out[1][0] > out[3][0]
+
+
+def test_corr_top_eigen_planted_structure(spark):
+    """X149: on vectors where dims 0/1 are perfectly correlated and
+    dim 2 independent, the dominant eigenpair is the [1,1]/sqrt(2)
+    direction with eigenvalue 2."""
+    from emr_trino_autoscale_spark.operators.similarity import corr_top_eigen
+
+    rows = []
+    for i in range(64):
+        a = float(i % 7) - 3.0
+        b = float((i * 13) % 11) - 5.0     # independent-ish of a
+        rows.append((i, [a, a, b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim_index: r for r in
+           corr_top_eigen(df, "embedding", iterations=15).collect()}
+    ev = out[1].eigenvalue
+    assert abs(ev - 2.0) < 0.05
+    import math
+
+    assert abs(abs(out[1].loading) - 1 / math.sqrt(2)) < 0.05
+    assert abs(out[1].loading - out[2].loading) < 1e-6   # equal loadings
+    assert abs(out[3].loading) < 0.2

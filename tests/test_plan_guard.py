@@ -374,6 +374,10 @@ FLAGSHIPS = {
     # q181: two brand-partitioned ranking windows + fusion hash agg +
     # final per-brand cut
     "q181_rrf_fusion": (10, False),
+    # q182: X103 Arrow Gram (sanctioned FlatMapGroups/mapInPandas) +
+    # checkpoint-truncated matvec steps; nested loops = 1-row
+    # norm/Rayleigh broadcasts
+    "q182_corr_top_eigen": (14, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
