@@ -1970,3 +1970,117 @@ def robust_outlier_days(
             (F.abs(score) > F.lit(float(threshold))).alias("is_outlier"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 256,
+    persist_fn=None,
+) -> DataFrame:
+    """X150 — quantile normalization across groups (the
+    batch-effect/scanner-effect correction standard in bioinformatics,
+    Bolstad et al. 2003 — public; for training data: align per-source
+    score/length distributions before a global threshold): each value
+    maps to the POOLED distribution's value at its within-group
+    quantile position, so every group's marginal distribution becomes
+    the pooled one. Returns one row per (group, value) cell:
+    (group, value, n, normalized).
+
+    Exactness shape: the within-group position is the rational
+    r / n_g (inclusive rank of the value cell); pooled segments are
+    half-open rational intervals ((cum-c)/N, cum/N] that PARTITION
+    (0, 1], so each cell matches exactly one segment and every
+    boundary test is the cross-multiplied INTEGER comparison
+    (cum-c)*n_g < r*N <= cum*n_g — no float ever reaches a boundary
+    (the X100 rule). Floats appear only as the BINNING key (floor of
+    the fraction x n_bins), where an ulp error merely routes the
+    exact predicate through a neighbor bin's candidate list — the
+    segment explode covers every bin the interval touches.
+
+    Scale: per-(group, value) and per-value contractions; running
+    counts ride the X16 bucket decomposition per group and globally;
+    the mapping join is BINNED (segments explode over the fraction
+    bins they span — a row-local sequence), never a cross join; all
+    frames after contraction are value-dictionary-sized.
+    """
+    cells = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    if persist_fn is None:
+        from pyspark import StorageLevel
+
+        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        cells = persist_fn(cells)
+    def _cum(frame: DataFrame, parts: list, cnt: str, out: str) -> DataFrame:
+        # X16 bucket decomposition (the weighted_quantile shape): no
+        # corpus-sized single-task value sort, per-group or global.
+        b = frame.withColumn(
+            "__vb", F.floor(F.col("v") / F.lit(64.0)).cast("long")
+        )
+        w_in = Window.partitionBy(*parts, "__vb").orderBy("v")
+        intra = b.withColumn("__ic", F.sum(cnt).over(w_in))
+        w_b = Window.partitionBy(*parts).orderBy("__vb")
+        offs = (
+            b.groupBy(*parts, "__vb")
+            .agg(F.sum(cnt).alias("__bc"))
+            .withColumn("__off", F.sum("__bc").over(w_b) - F.col("__bc"))
+            .select(*parts, "__vb", "__off")
+        )
+        return (
+            intra.join(offs, [*parts, "__vb"])
+            .withColumn(out, F.col("__ic") + F.coalesce(F.col("__off"), F.lit(0)))
+            .drop("__vb", "__ic", "__off")
+        )
+
+    gcum = _cum(cells, ["g"], "c", "r")
+    gtot = cells.groupBy("g").agg(F.sum("c").alias("ng"))
+    pooled = cells.groupBy("v").agg(F.sum("c").alias("pc"))
+    pcum = _cum(pooled, [], "pc", "pcm")
+    ntot = pooled.agg(F.sum("pc").alias("N"))
+    # gtot: group-dictionary totals; ntot: 1-row pooled total
+    rows = gcum.join(F.broadcast(gtot), "g").crossJoin(F.broadcast(ntot)).select(
+        "g", "v", "c", "r", "ng", "N",
+        F.floor(F.col("r") / F.col("ng") * n_bins).cast("long").alias("__b"),
+    )
+    segs = (
+        pcum.crossJoin(F.broadcast(ntot))
+        .select(
+            F.col("v").alias("nv"),
+            (F.col("pcm") - F.col("pc")).alias("lo"),
+            F.col("pcm").alias("hi"),
+            "N",
+        )
+        .select(
+            "nv", "lo", "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.col("N") * n_bins).cast("long"),
+                    F.least(
+                        F.floor(F.col("hi") / F.col("N") * n_bins).cast("long"),
+                        F.lit(n_bins),
+                    ),
+                )
+            ).alias("__b"),
+        )
+    )
+    return (
+        rows.join(segs, "__b")
+        .filter(
+            (F.col("lo") * F.col("ng") < F.col("r") * F.col("N"))
+            & (F.col("r") * F.col("N") <= F.col("hi") * F.col("ng"))
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias(value_col),
+            F.col("c").cast("bigint").alias("n"),
+            F.col("nv").alias("normalized"),
+        )
+    )

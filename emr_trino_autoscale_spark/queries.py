@@ -7700,6 +7700,48 @@ FROM x10 ORDER BY dim_index
 """
 
 
+# Q183 — X150: quantile normalization of value across event types;
+# the per-type sums of the normalized column pin the full mapping
+# (every boundary is the cross-multiplied integer test on both sides).
+
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    r = stats.quantile_normalize(
+        e, "event_type", "value", persist_fn=_cache_scoped
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            dec4(F.sum(F.col("normalized") * F.col("n"))).alias("sum_normalized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q183_SQL = f"""
+WITH cells AS (
+  SELECT event_type AS g, value AS v, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+gcum AS (
+  SELECT g, v, c, SUM(c) OVER (PARTITION BY g ORDER BY v) AS r
+  FROM cells),
+gtot AS (SELECT g, SUM(c) AS ng FROM cells GROUP BY g),
+pooled AS (SELECT v, SUM(c) AS pc FROM cells GROUP BY v),
+pcum AS (SELECT v AS nv, pc, SUM(pc) OVER (ORDER BY v) AS pcm FROM pooled),
+nn AS (SELECT SUM(pc) AS N FROM pooled),
+segs AS (SELECT nv, pcm - pc AS lo, pcm AS hi FROM pcum),
+mapped AS (
+  SELECT gcum.g, gcum.c, segs.nv
+  FROM gcum JOIN gtot ON gtot.g = gcum.g, nn
+  JOIN segs ON segs.lo * gtot.ng < gcum.r * nn.N
+           AND gcum.r * nn.N <= segs.hi * gtot.ng)
+SELECT g AS event_type, CAST(SUM(c) AS BIGINT) AS n_rows,
+       {_dec4('SUM(nv * c)')} AS sum_normalized
+FROM mapped GROUP BY g ORDER BY event_type
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7903,6 +7945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_ctfidf_terms": q180,
     "q181_rrf_fusion": q181,
     "q182_corr_top_eigen": q182,
+    "q183_quantile_normalize": q183,
 }
 
 ORACLE: dict[str, str] = {
@@ -8086,6 +8129,7 @@ ORACLE: dict[str, str] = {
     "q180_ctfidf_terms": Q180_SQL,
     "q181_rrf_fusion": Q181_SQL,
     "q182_corr_top_eigen": Q182_SQL,
+    "q183_quantile_normalize": Q183_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

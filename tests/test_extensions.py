@@ -3794,3 +3794,38 @@ def test_corr_top_eigen_planted_structure(spark):
     assert abs(abs(out[1].loading) - 1 / math.sqrt(2)) < 0.05
     assert abs(out[1].loading - out[2].loading) < 1e-6   # equal loadings
     assert abs(out[3].loading) < 0.2
+
+
+def test_quantile_normalize_aligns_marginals(spark):
+    """X150: after normalization both groups carry the POOLED
+    distribution — identical normalized multisets — and equal-rank
+    cells in different groups map to the same pooled value."""
+    from emr_trino_autoscale_spark.operators.stats import quantile_normalize
+
+    rows = ([("a", float(v)) for v in (1, 2, 3, 4)]
+            + [("b", float(v)) for v in (10, 20, 30, 40)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.v): r.normalized
+           for r in quantile_normalize(df, "g", "v").collect()}
+    a_marg = sorted(out[("a", float(v))] for v in (1, 2, 3, 4))
+    b_marg = sorted(out[("b", float(v))] for v in (10, 20, 30, 40))
+    assert a_marg == b_marg == [2.0, 4.0, 20.0, 40.0]
+    # tied cells: each value exactly once per group, ranks align
+    assert out[("a", 1.0)] == out[("b", 10.0)]
+    assert out[("a", 4.0)] == out[("b", 40.0)]
+
+
+def test_quantile_normalize_unequal_group_sizes(spark):
+    """X150: a 2-row group maps through its own rational quantiles
+    (1/2, 2/2) onto the pooled 6-row distribution."""
+    from emr_trino_autoscale_spark.operators.stats import quantile_normalize
+
+    rows = ([("big", float(v)) for v in (1, 2, 3, 4)]
+            + [("small", 100.0), ("small", 200.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r.g, r.v): r.normalized
+           for r in quantile_normalize(df, "g", "v").collect()}
+    # pooled sorted: 1,2,3,4,100,200 (N=6). small's fractions: 1/2, 1
+    # -> smallest pooled v with cum/6 >= 1/2 is 3 (cum 3); >= 1 is 200
+    assert out[("small", 100.0)] == 3.0
+    assert out[("small", 200.0)] == 200.0

@@ -378,6 +378,10 @@ FLAGSHIPS = {
     # checkpoint-truncated matvec steps; nested loops = 1-row
     # norm/Rayleigh broadcasts
     "q182_corr_top_eigen": (14, True),
+    # q183: STATIC count inflated by InMemoryRelation reprints of the
+    # persisted cell frame (q84 precedent); nested loop = 1-row pooled
+    # total broadcast; the mapping join is the binned segment join
+    "q183_quantile_normalize": (50, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
