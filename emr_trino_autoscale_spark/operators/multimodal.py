@@ -1092,3 +1092,72 @@ def audio_profile(
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def dhash64_ppm(payload: bytes) -> int | None:
+    """X151 — 64-bit difference-hash (dHash) perceptual fingerprint of
+    a P6 PPM image: grayscale -> 8x9 block-mean grid -> one bit per
+    horizontal neighbor pair (left > right). The GRADIENT-structure
+    member of the perceptual trio (aHash = brightness vs mean, pHash =
+    DCT spectrum, dHash = local gradients — public imagehash family):
+    immune to global brightness/contrast shifts that flip aHash bits,
+    cheaper than pHash's DCT. Returns None for undecodable payloads
+    (the X57 contract); identical header parsing and exact block-mean
+    downsample (truncate-to-multiple, no interpolation)."""
+    import numpy as np
+
+    try:
+        if payload is None or not payload.startswith(b"P6"):
+            return None
+        tokens: list[bytes] = []
+        i = 0
+        while len(tokens) < 4 and i < len(payload):
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            start = i
+            while i < len(payload) and not payload[i : i + 1].isspace():
+                i += 1
+            tokens.append(payload[start:i])
+        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if maxval > 255 or width < 9 or height < 8:
+            return None
+        px = np.frombuffer(
+            payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
+        ).reshape(height, width, 3)
+        gray = px.astype(np.float64).mean(axis=2)
+        bh, bw = height // 8, width // 9
+        g = gray[: bh * 8, : bw * 9].reshape(8, bh, 9, bw).mean(axis=(1, 3))
+        bits = (g[:, :-1] > g[:, 1:]).flatten()
+        h = 0
+        for b in bits:
+            h = (h << 1) | int(b)
+        return h - (1 << 64) if h >= (1 << 63) else h
+    except Exception:  # noqa: BLE001 — malformed image: signature absent
+        return None
+
+
+def image_dhash(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X151 — dHash projection: identical Arrow mapInPandas plumbing
+    to :func:`image_ahash`; signature column ``dhash``; near-dup pairs
+    reuse the signature-agnostic banded contract
+    (``ahash_near_dup_pairs(sig_col='dhash')``)."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("dhash", LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": [dhash64_ppm(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -7742,6 +7742,81 @@ FROM mapped GROUP BY g ORDER BY event_type
 """
 
 
+# Q184 — X151: dHash (gradient-hash) image near-dup pairs — the third
+# member of the perceptual trio; signatures written to parquet first
+# (the q103/q122 evidence convention), DuckDB replays the brute-force
+# bit_count(xor) verify.
+
+_Q184_SIGS_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q184_media_dhash",
+)
+
+
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.synthetic_image_corpus(spark, n=96)
+    multimodal.image_dhash(media).write.mode("overwrite").parquet(
+        _Q184_SIGS_PATH
+    )
+    s = spark.read.parquet(_Q184_SIGS_PATH)
+    return multimodal.ahash_near_dup_pairs(
+        s, max_hamming=6, sig_col="dhash"
+    ).orderBy("id_a", "id_b")
+
+
+Q184_SQL = f"""
+WITH s AS (
+  SELECT media_id, dhash
+  FROM read_parquet('{_Q184_SIGS_PATH}/*.parquet')
+  WHERE dhash IS NOT NULL)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+# Q185 — language-ID confusion MATRIX (declared lang x detected lang),
+# the off-diagonal detail q31's per-guess rollup collapses. X4
+# composition (q166 X-less precedent); same md-free heuristic replay.
+
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.language_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang", "detected")
+    )
+
+
+Q185_SQL = """
+WITH s AS (
+  SELECT lang, string_split(lower(text), ' ') AS lt FROM documents),
+g AS (
+  SELECT lang,
+         len(list_filter(lt, t -> t IN ('the','and','of','is'))) AS en,
+         len(list_filter(lt, t -> t IN ('der','die','und','ist'))) AS de,
+         len(list_filter(lt, t -> t IN ('le','la','et','est'))) AS fr,
+         len(list_filter(lt, t -> t IN ('el','los','y','es'))) AS es
+  FROM s),
+v AS (
+  SELECT lang,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS detected
+  FROM g)
+SELECT lang, detected, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM v GROUP BY lang, detected ORDER BY lang, detected
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -7946,6 +8021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_rrf_fusion": q181,
     "q182_corr_top_eigen": q182,
     "q183_quantile_normalize": q183,
+    "q184_image_dhash_pairs": q184,
+    "q185_langid_confusion": q185,
 }
 
 ORACLE: dict[str, str] = {
@@ -8130,6 +8207,8 @@ ORACLE: dict[str, str] = {
     "q181_rrf_fusion": Q181_SQL,
     "q182_corr_top_eigen": Q182_SQL,
     "q183_quantile_normalize": Q183_SQL,
+    "q184_image_dhash_pairs": Q184_SQL,
+    "q185_langid_confusion": Q185_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

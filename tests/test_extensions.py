@@ -3829,3 +3829,33 @@ def test_quantile_normalize_unequal_group_sizes(spark):
     # -> smallest pooled v with cum/6 >= 1/2 is 3 (cum 3); >= 1 is 200
     assert out[("small", 100.0)] == 3.0
     assert out[("small", 200.0)] == 200.0
+
+
+def test_dhash_gradient_invariance(spark):
+    """X151: dHash is invariant to a global brightness shift (which
+    flips aHash bits) and distinguishes different gradient structure;
+    corrupt payloads yield NULL."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        dhash64_ppm,
+        image_dhash,
+    )
+
+    def ppm(arr):
+        h, w = arr.shape
+        px = np.stack([arr] * 3, axis=2).astype(np.uint8)
+        return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+    base = np.tile(np.linspace(10, 200, 36).astype(np.uint8), (24, 1))
+    shifted = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    reversed_grad = base[:, ::-1].copy()
+    h_base = dhash64_ppm(ppm(base))
+    assert h_base == dhash64_ppm(ppm(shifted))          # brightness-invariant
+    assert h_base != dhash64_ppm(ppm(reversed_grad))    # gradient-sensitive
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm(base))), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert out[1] == h_base and out[2] is None

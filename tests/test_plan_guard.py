@@ -382,6 +382,10 @@ FLAGSHIPS = {
     # persisted cell frame (q84 precedent); nested loop = 1-row pooled
     # total broadcast; the mapping join is the binned segment join
     "q183_quantile_normalize": (50, True),
+    # q184: Arrow decode (sanctioned) + written-signature read + banded
+    # pair join; q185: one narrow projection + confusion agg
+    "q184_image_dhash_pairs": (8, False),
+    "q185_langid_confusion": (4, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
