@@ -462,6 +462,9 @@ BROADCAST_ALLOW = {
         "vdf",
         # stratum-dictionary-sized totals (stratified_quota_split)
         "tot",
+        # class-dictionary token totals + 1-row avg class size
+        # (ctfidf_class_terms)
+        "ctot", "avg_row",
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
@@ -474,6 +477,8 @@ BROADCAST_ALLOW = {
         "b",
         # 1-row all-centroids pack (label_noise_scores)
         "packed",
+        # 1-row matvec norm / Rayleigh quotient (corr_top_eigen X149)
+        "norm", "ray",
     },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     # sq: 1-row squared-frequency sum per field; model: 1-row packed
     # u-probability frame (fs_match_weights) — everything else in
@@ -511,10 +516,12 @@ BROADCAST_ALLOW = {
     # med: #groups-row (group, n, median) frame (grouped_mad pass 2)
     # ia/ib: item-dictionary-sized count frames, n_row: 1-row basket
     # total (association_rules); model: 1-row theta/pre-mean (cuped)
-    # mx/my: dictionary-sized MI margins; hx/hy: 1-row entropies
+    # mx/my: dictionary-sized MI margins; hx/hy: 1-row entropies;
+    # mm: #groups median/MAD frame (robust_outlier_days); gtot/ntot:
+    # group-dictionary / 1-row totals (quantile_normalize)
     "stats.py": {"tot", "alloc", "means", "grand", "totals", "dmax", "mb",
                  "prior", "med", "ia", "ib", "n_row", "model",
-                 "mx", "my", "hx", "hy"},
+                 "mx", "my", "hx", "hy", "mm", "gtot", "ntot"},
     "multimodal.py": set(),
     # n_row: 1-row node count; dangling: 1-row dangling-mass sum
     # (pagerank); tri: 1-row triangle count (triangle_stats);
