@@ -7817,6 +7817,84 @@ FROM v GROUP BY lang, detected ORDER BY lang, detected
 """
 
 
+# Q186 — dataset card: the one-row corpus summary a dataset release
+# ships with (docs, exact-dup rate, token total, language/source
+# cardinalities, length quantiles) — pure composition of declared
+# machinery (q166 X-less precedent), all counts exact integers, the
+# quantiles X100's lower convention.
+
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("\x00"))).alias("__h"),
+        F.size(F.split("text", " ")).alias("__tok"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    agg = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("__h").cast("bigint").alias("n_unique_texts"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    med = stats.weighted_quantile(
+        base.withColumn("__one", F.lit(1.0)),
+        [],
+        "__tok",
+        "__one",
+        quantiles=((1, 2),),
+    ).select(F.col("wq_1_2").cast("bigint").alias("median_tokens"))
+    return (
+        agg.crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            (
+                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs")
+            ).alias("__dup"),
+            "n_tokens",
+            "median_tokens",
+            "n_langs",
+            "n_sources",
+            "min_chars",
+            "max_chars",
+        )
+        .select(
+            "n_docs", "n_unique_texts",
+            dec4("__dup").alias("dup_rate"),
+            "n_tokens", "median_tokens", "n_langs", "n_sources",
+            "min_chars", "max_chars",
+        )
+    )
+
+
+Q186_SQL = f"""
+WITH base AS (
+  SELECT doc_id, md5(COALESCE(text, chr(0))) AS h,
+         len(string_split(text, ' ')) AS tok, lang, source, n_chars
+  FROM documents),
+med AS (
+  SELECT MIN(CASE WHEN 2 * cw >= n THEN tok END) AS m FROM (
+    SELECT tok, SUM(c) OVER (ORDER BY tok) AS cw, SUM(c) OVER () AS n
+    FROM (SELECT tok, COUNT(*) AS c FROM base GROUP BY tok)))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+       {_dec4('1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE)')} AS dup_rate,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       (SELECT CAST(m AS BIGINT) FROM med) AS median_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM base
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -8023,6 +8101,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_quantile_normalize": q183,
     "q184_image_dhash_pairs": q184,
     "q185_langid_confusion": q185,
+    "q186_dataset_card": q186,
 }
 
 ORACLE: dict[str, str] = {
@@ -8209,6 +8288,7 @@ ORACLE: dict[str, str] = {
     "q183_quantile_normalize": Q183_SQL,
     "q184_image_dhash_pairs": Q184_SQL,
     "q185_langid_confusion": Q185_SQL,
+    "q186_dataset_card": Q186_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -386,6 +386,9 @@ FLAGSHIPS = {
     # pair join; q185: one narrow projection + confusion agg
     "q184_image_dhash_pairs": (8, False),
     "q185_langid_confusion": (4, False),
+    # q186: distinct-agg expand + X100 median machinery + the 1-row
+    # median broadcast (nested loop)
+    "q186_dataset_card": (26, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
