@@ -103,3 +103,46 @@ def zorder_layout_audit(
             F.max(y.cast("long")).alias("y_max"),
         )
     )
+
+
+def partition_layout_audit(
+    df: DataFrame,
+    partition_cols,
+    size_expr,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """X153 — small-file / partition-skew audit for a planned
+    partitioned write: per partition tuple, the row count, estimated
+    bytes (caller-supplied row-size expression — e.g. text lengths +
+    fixed column overhead), the file count a ``target_file_bytes``
+    writer would produce, and the two failure flags every 100 TB lake
+    job reviews before committing a layout: ``is_small`` (the whole
+    partition is under half a target file — the small-file problem)
+    and ``is_skewed`` (over 8x the mean partition size — the straggler
+    problem). ONE hash agg; the mean enters as a 1-row frame.
+
+    This is the planning-side complement to the Z-order cell audit
+    (X59): that one checks pruning quality, this one checks file
+    geometry.
+    """
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(*partition_cols).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(size_expr).cast("bigint").alias("est_bytes"),
+    )
+    tot = per.agg(F.avg("est_bytes").alias("__mean"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            *partition_cols,
+            "n_rows",
+            "est_bytes",
+            F.greatest(
+                F.ceil(F.col("est_bytes") / F.lit(float(target_file_bytes))),
+                F.lit(1),
+            ).cast("bigint").alias("n_files"),
+            (F.col("est_bytes") < target_file_bytes / 2).alias("is_small"),
+            (F.col("est_bytes") > 8.0 * F.col("__mean")).alias("is_skewed"),
+        )
+    )

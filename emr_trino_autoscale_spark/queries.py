@@ -7895,6 +7895,39 @@ FROM base
 """
 
 
+# Q187 — X153: partition-layout audit of a documents-by-language
+# write plan (size = n_chars + 64B row overhead, 16 KB target files —
+# sized so the small/skew flags are non-trivial at the test SFs).
+
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bucketing
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bucketing.partition_layout_audit(
+            d,
+            ["lang"],
+            F.col("n_chars") + F.lit(64),
+            target_file_bytes=16 * 1024,
+        )
+        .orderBy("lang")
+    )
+
+
+Q187_SQL = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(n_chars + 64) AS BIGINT) AS est_bytes
+  FROM documents GROUP BY lang),
+m AS (SELECT AVG(est_bytes) AS mean_b FROM per)
+SELECT lang, n_rows, est_bytes,
+       CAST(GREATEST(CEIL(est_bytes / 16384.0), 1) AS BIGINT) AS n_files,
+       est_bytes < 16384 / 2 AS is_small,
+       est_bytes > 8.0 * (SELECT mean_b FROM m) AS is_skewed
+FROM per ORDER BY lang
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -8102,6 +8135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_image_dhash_pairs": q184,
     "q185_langid_confusion": q185,
     "q186_dataset_card": q186,
+    "q187_partition_layout": q187,
 }
 
 ORACLE: dict[str, str] = {
@@ -8289,6 +8323,7 @@ ORACLE: dict[str, str] = {
     "q184_image_dhash_pairs": Q184_SQL,
     "q185_langid_confusion": Q185_SQL,
     "q186_dataset_card": Q186_SQL,
+    "q187_partition_layout": Q187_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

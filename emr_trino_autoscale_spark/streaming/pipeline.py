@@ -780,3 +780,46 @@ def make_ivm_maintainer(key_cols: list[str], value_col: str):
         return merge_agg_state(state, part, key_cols)
 
     return maintain
+
+
+def make_quantile_sketch_maintainer(
+    part_cols: list[str], value_col: str, bin_width: float = 25.0
+):
+    """X152 — streaming mergeable-quantile-sketch maintenance, the
+    ingest twin of stats.binned_quantile_sketch (X121/q157): bin
+    counts merge by ADDITION, so each micro-batch contributes one
+    hash agg and one full-outer merge against the caller-owned state
+    — the same loop shape as the X142 IVM maintainer, applied to the
+    sketch the quantile queries read. Returned callable:
+    (state_df_or_None, batch) -> new (part_cols..., __b, __c) state.
+    Parity with the batch sketch is pinned by
+    tests/test_stateful.py::test_quantile_sketch_stream_matches_batch.
+    """
+
+    def maintain(state, batch):
+        part = (
+            batch.select(
+                *[F.col(c) for c in part_cols],
+                F.floor(F.col(value_col) / F.lit(bin_width))
+                .cast("long")
+                .alias("__b"),
+            )
+            .groupBy(*part_cols, "__b")
+            .agg(F.count("*").alias("__c"))
+        )
+        if state is None:
+            return part
+        s = state.withColumnRenamed("__c", "__cs")
+        p = part.withColumnRenamed("__c", "__cp")
+        keys = [*part_cols, "__b"]
+        return (
+            s.join(p, keys, "full_outer")
+            .select(
+                *[F.col(c) for c in keys],
+                (
+                    F.coalesce("__cs", F.lit(0)) + F.coalesce("__cp", F.lit(0))
+                ).cast("bigint").alias("__c"),
+            )
+        )
+
+    return maintain

@@ -389,6 +389,8 @@ FLAGSHIPS = {
     # q186: distinct-agg expand + X100 median machinery + the 1-row
     # median broadcast (nested loop)
     "q186_dataset_card": (26, True),
+    # q187: one partition agg + 1-row mean broadcast (nested loop)
+    "q187_partition_layout": (10, True),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),
@@ -510,7 +512,8 @@ BROADCAST_ALLOW = {
     # marked: the Bloom bit frame — <= n_bits rows (2^17 default) by
     # construction, corpus-size independent (bloom_semi_flags)
     "skew.py": {"marked.withColumnRenamed('bitpos', '__p')"},
-    "bucketing.py": set(),
+    # tot: 1-row mean partition size (partition_layout_audit)
+    "bucketing.py": {"tot"},
     # tot: 1-row budget totals; alloc/means: #strata/#groups-row frames;
     # grand: 1-row corpus mass total (concentration_curve);
     # totals/dmax: 1-row (or #groups-row) two-sample totals and sup

@@ -1109,3 +1109,61 @@ def test_ivm_stream_matches_recompute(spark, tmp_path):
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-9
         assert got[k][2] == want[k][2] and got[k][3] == want[k][3]
+
+
+def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
+    """X152: the foreachBatch sketch maintainer folded over two epochs
+    must equal the batch bin counts exactly (merge by addition)."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_quantile_sketch_maintainer,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(seconds=i), "t%d" % (i % 3), float(i % 90))
+        for i in range(60)
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "qs_src")
+    out = str(tmp_path / "qs_state")
+    chk = str(tmp_path / "qs_chk")
+    df.filter("event_id < 25").repartition(1).write.parquet(src)
+    maintain = make_quantile_sketch_maintainer(["event_type"], "value", 25.0)
+
+    def sink(batch, epoch_id):
+        import os
+
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df.filter("event_id >= 25").repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["event_type"], r["__b"]): r["__c"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.event_type, r.b): r.c
+        for r in df.selectExpr(
+            "event_type", "CAST(FLOOR(value / 25.0) AS LONG) AS b"
+        ).groupBy("event_type", "b").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    assert got == want
