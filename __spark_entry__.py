@@ -3,8 +3,8 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 187 declared
-queries as of round 8 (183 with oracles; the iterative trainers q68,
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 188 declared
+queries as of round 8 (184 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
 FIRST 50 entries; round 8 rotated q103-q114 into that window (see

@@ -2084,3 +2084,60 @@ def quantile_normalize(
             F.col("nv").alias("normalized"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """X154 — grouped Spearman rank correlation (Spearman 1904 —
+    public): Pearson on MIDRANKS, the tie-correct textbook form. The
+    monotone-association member of the association family (X53 OLS is
+    linear, X124 MI is categorical, this one asks "does y go up when
+    x goes up" without assuming the shape) — outlier-resistant for
+    the same reason as X106/X145: a wild value moves its rank by at
+    most its displacement.
+
+    Exactness shape: midranks are exact rationals computed from
+    integer cumulative counts (2*midrank = 2*below + c + 1 — the X126
+    doubled-midrank identity) on the per-(group, value) contraction
+    and joined back by value; the final correlation is ONE stable
+    F.corr agg (CentralMomentAgg — the X76 rule), matching DuckDB's
+    corr at the dec4 contract.
+
+    Scale: two dictionary contractions + two value joins + one hash
+    agg; no per-group sort (ranks come from cumulative counts, not
+    row_number). Returns (group, n, rho).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+
+    def _midranks(col: str) -> DataFrame:
+        per = base.groupBy("g", col).agg(F.count("*").alias("__c"))
+        w = Window.partitionBy("g").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            per.withColumn("__cum", F.sum("__c").over(w))
+            .select(
+                "g",
+                col,
+                (
+                    (2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + 1)
+                    / 2.0
+                ).alias(f"__r{col}"),
+            )
+        )
+
+    rx = _midranks("x")
+    ry = _midranks("y")
+    ranked = base.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    return ranked.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.corr("__rx", "__ry").alias("rho"),
+    ).select(F.col("g").alias(group_col), "n", "rho")

@@ -7928,6 +7928,44 @@ FROM per ORDER BY lang
 """
 
 
+# Q188 — X154: Spearman rank correlation between document length in
+# chars and in tokens, per language — tie-correct midranks from
+# integer cumulative counts, one stable corr agg per side.
+
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("nc"),
+        F.size(F.split("text", " ")).cast("double").alias("nt"),
+    )
+    return (
+        stats.spearman_corr(d, "lang", "nc", "nt")
+        .select("lang", "n", dec4("rho").alias("rho"))
+        .orderBy("lang")
+    )
+
+
+Q188_SQL = f"""
+WITH base AS (
+  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+  FROM documents),
+px AS (
+  SELECT g, x,
+         (2 * (SUM(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1) / 2.0 AS rx
+  FROM (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x)),
+py AS (
+  SELECT g, y,
+         (2 * (SUM(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1) / 2.0 AS ry
+  FROM (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y))
+SELECT base.g AS lang, CAST(COUNT(*) AS BIGINT) AS n,
+       {_dec4('corr(rx, ry)')} AS rho
+FROM base JOIN px ON px.g = base.g AND px.x = base.x
+          JOIN py ON py.g = base.g AND py.y = base.y
+GROUP BY base.g ORDER BY lang
+"""
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -8136,6 +8174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_langid_confusion": q185,
     "q186_dataset_card": q186,
     "q187_partition_layout": q187,
+    "q188_spearman_corr": q188,
 }
 
 ORACLE: dict[str, str] = {
@@ -8324,6 +8363,7 @@ ORACLE: dict[str, str] = {
     "q185_langid_confusion": Q185_SQL,
     "q186_dataset_card": Q186_SQL,
     "q187_partition_layout": Q187_SQL,
+    "q188_spearman_corr": Q188_SQL,
 }
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

@@ -3859,3 +3859,30 @@ def test_dhash_gradient_invariance(spark):
     )
     out = {r.media_id: r.dhash for r in image_dhash(media).collect()}
     assert out[1] == h_base and out[2] is None
+
+
+def test_spearman_corr_monotone_and_ties(spark):
+    """X154: rho = 1 for any monotone (nonlinear) relation, -1 for
+    reversed, and midrank ties handled exactly (textbook tie case)."""
+    from emr_trino_autoscale_spark.operators.stats import spearman_corr
+
+    rows = (
+        [("mono", float(i), float(i ** 3)) for i in range(10)]
+        + [("anti", float(i), float(-i ** 3)) for i in range(10)]
+        + [("tied", 1.0, 2.0), ("tied", 1.0, 2.0), ("tied", 2.0, 1.0),
+           ("tied", 3.0, 3.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: (r.n, r.rho) for r in spearman_corr(df, "g", "x", "y").collect()}
+    assert out["mono"] == (10, 1.0)
+    assert out["anti"] == (10, -1.0)
+    n, rho = out["tied"]
+    assert n == 4
+    # hand midranks: x -> [1.5,1.5,3,4], y -> [2.5,2.5,1,4]; Pearson
+    import statistics as st
+
+    rx, ry = [1.5, 1.5, 3, 4], [2.5, 2.5, 1, 4]
+    mx, my = st.mean(rx), st.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
+    assert abs(rho - num / den) < 1e-12

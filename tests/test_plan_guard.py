@@ -391,6 +391,9 @@ FLAGSHIPS = {
     "q186_dataset_card": (26, True),
     # q187: one partition agg + 1-row mean broadcast (nested loop)
     "q187_partition_layout": (10, True),
+    # q188: two value-dictionary midrank contractions + two value
+    # joins + one stable corr agg
+    "q188_spearman_corr": (16, False),
     # q150: 3 power iterations x (edge-join + dst agg) + the 1-row
     # N/dangling broadcasts (sanctioned nested loops)
     "q150_pagerank": (20, True),

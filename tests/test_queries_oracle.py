@@ -134,7 +134,7 @@ def test_driver_staleness_guard():
     # MUST be extended whenever a new query is declared (the guard below
     # fails loudly on an unknown never-hashed query).
     declared_round = {f"q{i}": 7 for i in range(103, 115)}
-    declared_round.update({f"q{i}": 8 for i in range(115, 188)})
+    declared_round.update({f"q{i}": 8 for i in range(115, 189)})
 
     window = set(list(QUERIES)[:50])
     stale = []
