@@ -890,9 +890,19 @@ def chi2_independence(
     margins, totals and the grid join all read it, and without the
     cache each replays the corpus scan. Returns ONE row:
     (n, dof, chi2, cramers_v).
+
+    NULL categories are excluded up front (ADVICE r8): a NULL cell
+    would survive the groupBy (margins and __n see its mass) but never
+    match the (__a, __b) equi-join from the expected grid, so its
+    observed count silently dropped while its expected mass stayed —
+    inflating chi2 — and count_distinct's NULL exclusion made dof
+    disagree with the margin frame. The test contract is pairwise
+    complete observations: every frame (observed, margins, __n, __ra/
+    __rb) sees the same NULL-free population.
     """
     cells = (
-        df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
         .groupBy("__a", "__b")
         .agg(F.count("*").cast("double").alias("__o"))
     )
@@ -1073,6 +1083,13 @@ def benford_audit(
     hash agg on the digit; the expected curve is a 9-value literal
     projection. Emits one row per digit 1-9: (digit, n, obs_share,
     exp_share, dev) with dev = obs - exp.
+
+    Values in (0, 0.5/scale) round to zero cents and would emit a
+    digit-0 row with NULL exp_share/dev (digit 0 has no Benford mass);
+    the population is filtered on the DERIVED digit (ADVICE r8), so
+    such sub-resolution values are excluded from n, the shares, and
+    the output alike — the audit covers values the feed's declared
+    resolution can represent.
     """
     cents = F.round(F.col(value_col).cast("double") * F.lit(float(scale)), 0)
     digit = F.substring(cents.cast("bigint").cast("string"), 1, 1).cast(
@@ -1081,6 +1098,7 @@ def benford_audit(
     counts = (
         df.filter(F.col(value_col).cast("double") > 0)
         .select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count("*").cast("bigint").alias("n"))
     )

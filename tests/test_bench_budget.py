@@ -31,13 +31,15 @@ queries (q103-q114) now carry DRIVER-parsed times from
 ``BENCH_r07.json`` (including dropping q103's hand-widened 3.4 s
 idle-box anchor for the driver's 2.54 s), so ALL 114 anchors are
 driver provenance: q01-q102 from BENCH_r06, q103-q114 from BENCH_r07.
-The round-8 queries (q115-q178) have no driver bench yet; their
-anchors are builder idle-box sf0.1 full-suite captures — swap for
-BENCH_r08 numbers next round, the same provenance switch r7/r8 made.
-q01-q102 deliberately stay on their r6 anchors rather than re-basing
-to r7 — re-anchoring every round would let a slow regression ratchet
-the budget up behind itself (q85's r7 time is 98% of its r6-anchored
-budget and is under active A/B, docs/SCALE.md).
+Round-9 provenance update (VERDICT r8 task 3): the 74 round-8 queries
+(q115-q188) now carry DRIVER-parsed times from ``BENCH_r08.json``
+(compact-line integer centiseconds / 100 — the only driver record for
+them), replacing the builder idle-box captures. ALL 188 anchors are
+now driver provenance: q01-q102 from BENCH_r06, q103-q114 from
+BENCH_r07, q115-q188 from BENCH_r08. q01-q114 deliberately stay on
+their older anchors rather than re-basing to r8 — re-anchoring every
+round would let a slow regression ratchet the budget up behind itself
+(q104/q111's r8 drift is under A/B this round, docs/SCALE.md).
 
 One deliberate round-8 re-anchor: q114 moves from its driver-r7 1.49 s
 (the raw-moment dimension_stats form) to 2.1 s — the VERDICT-r7-task-5
@@ -142,4 +144,47 @@ def test_per_query_bench_budget():
     total = sum(times.values())
     assert total <= RATIO * total_base, (
         f"suite total regressed: {total:.1f}s vs baseline {total_base:.1f}s"
+    )
+
+
+def test_driver_tail_line_capacity():
+    """VERDICT r8 task 4: prove the compact driver-tail line cannot
+    overflow the ~2000-char tail capture at the CURRENT suite size,
+    without running the bench. The worst line any run that PASSES the
+    per-query budget guard can print has every query at exactly its
+    budget ceiling (max(1.5x anchor, anchor + 0.75 s), same formula as
+    ``_overruns``) — beyond that the budget test is already red, so the
+    two guards jointly guarantee every green bench run emits a tail
+    line the driver can parse. Reconstructs that ceiling line from
+    ``bench_baseline.json`` and asserts it clears bench.py's own
+    1800-char assert. Goes red BEFORE a 189th query (or an anchor
+    re-base that widens value digits) can silently push a real bench
+    line past the driver parser's window; the suite is growth-frozen
+    until round 11 regardless (README 'Verification coverage map').
+
+    The encoder (bench.compact_line) degrades centisec -> decisec ->
+    total-only rather than crashing; this test additionally pins that a
+    budget-ceiling run still carries the PER-QUERY map (the driver
+    parser's expected shape), not just the total."""
+    import json as _json
+
+    sys.path.insert(0, REPO)
+    from bench import compact_line
+
+    from emr_trino_autoscale_spark.queries import QUERIES
+
+    with open(BASELINE) as f:
+        base = _json.load(f)
+    assert set(base) == set(QUERIES), "baseline anchors out of sync with QUERIES"
+    ceiling = {n: max(RATIO * base[n], base[n] + FLOOR_S) for n in QUERIES}
+    total = round(sum(ceiling.values()), 3)
+    line = compact_line(ceiling, total, 0.1, n_errors=188)
+    assert len(line) < 1800
+    parsed = _json.loads(line)
+    assert parsed["value"] == total
+    assert len(parsed.get("queries", {})) == len(QUERIES), (
+        f"budget-ceiling bench line ({len(line)} chars, q_unit="
+        f"{parsed.get('q_unit')}) lost the per-query map at "
+        f"{len(QUERIES)} queries — the driver parser would record no "
+        "per-query times for a still-green run"
     )

@@ -2659,6 +2659,31 @@ def test_chi2_independence_extremes(spark):
     assert (r2["n"], r2["dof"], r2["chi2"], r2["cramers_v"]) == (20, 1, 20.0, 1.0)
 
 
+def test_chi2_independence_ignores_null_categories(spark):
+    """X97 NULL contract (ADVICE r8): rows with a NULL in either column
+    are excluded from the test population entirely. Before the fix a
+    NULL cell's observed count vanished at the expected-grid equi-join
+    while its margin mass survived, inflating chi2 and desyncing n/dof;
+    now the result on the dirtied frame equals the result on the clean
+    frame exactly."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    clean = spark.createDataFrame(
+        [(a, b) for a in ("x", "y") for b in ("u", "v") for _ in range(5)],
+        "a string, b string",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, "u")] * 3 + [("x", None)] * 4 + [(None, None)] * 2,
+            "a string, b string",
+        )
+    )
+    want = st.chi2_independence(clean, "a", "b").collect()[0]
+    got = st.chi2_independence(dirty, "a", "b").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["n"] == 20  # the 9 NULL-bearing rows are not counted
+
+
 def test_shrunk_group_means_pull_direction(spark):
     """X98: m=0 returns raw means; a huge pseudo-count collapses every
     group onto the global prior; a small group moves further toward

@@ -29,15 +29,13 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-8 rotation: q103-q114 (never driver-hashed — declared mid-round 7,
-    outside the r7 window) first, then q66-q67 (stalest driver-green, last
-    hashed r05), then 36 of the r6-green block (q01-q28 + q34-q41); the tail
-    (q29-q33, q42-q65, q68-q102) is all r05/r07-driver-green."""
-    expected = (
-        [f"q{i}" for i in range(103, 115)]
-        + ["q66", "q67"]
-        + [f"q{i:02d}" for i in list(range(1, 29)) + list(range(34, 42))]
-    )
+    Round-9 rotation: q115-q164 — the oldest 50 of the 74 round-8
+    declarations that have never appeared in a driver CORRECTNESS file
+    (VERDICT r8 task 1). The tail is pre-ordered by the forced r10-r12
+    rotation schedule recorded in the README coverage map; the suite is
+    growth-frozen until round 11 (50-slot window x 3-round horizon = 200
+    query capacity; 188 declared)."""
+    expected = [f"q{i}" for i in range(115, 165)]
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
         "driver correctness window changed — new queries must be appended "
