@@ -823,3 +823,59 @@ def make_quantile_sketch_maintainer(
         )
 
     return maintain
+
+
+def make_bh_fdr_maintainer(
+    test_col: str = "test",
+    p_col: str = "p",
+    epoch_col: str = "__epoch",
+    fdr_q: float = 0.1,
+):
+    """X155 — streaming multiple-testing control, the live twin of
+    stats.bh_fdr (X140/q174) and the closure VERDICT r8 task 7 asked
+    for: X73 (PSI) / X99 (KS) score per-slice drift every micro-batch,
+    but rejecting each slice at a fixed alpha inflates the family-wise
+    false-discovery rate as slices multiply — BH must re-run over the
+    WHOLE accumulated test family each epoch, not per batch.
+
+    Loop shape is the X142 maintainer contract: the state frame holds
+    one (test, p, epoch) row per test — test-family-cardinality, i.e.
+    bounded by the number of monitored slices, not by row volume — and
+    each epoch folds the batch in via registry.union_latest (latest
+    p-value per re-scored slice wins; ``epoch_col`` is stamped here so
+    replays agree). Verdicts are NOT incremental by design: the BH
+    step-up threshold k*/m depends on every rank, so a new p-value can
+    flip ANY slice's rejection — ``verdicts(state)`` re-runs the exact
+    batch ``bh_fdr`` on the bounded state frame (model-sized work per
+    epoch, the same contract as the X142 re-read).
+
+    Returned pair: (maintain, verdicts) where
+    ``maintain(state_df_or_None, batch, epoch_id) -> new state`` and
+    ``verdicts(state) -> (test, p, rank, rejected)``. Parity is pinned
+    by tests/test_stateful.py::test_bh_fdr_stream_matches_batch:
+    stream-accumulated verdicts == batch bh_fdr over the union with
+    per-test-latest semantics.
+    """
+    from ..operators.registry import union_latest
+    from ..operators.stats import bh_fdr
+
+    def maintain(state, batch, epoch_id: int = 0):
+        part = batch.select(
+            F.col(test_col).alias("test"),
+            F.col(p_col).cast("double").alias("p"),
+            F.lit(int(epoch_id)).cast("long").alias(epoch_col),
+        )
+        # intra-batch key-uniqueness for union_latest: keep the worst
+        # (max) p per test within one epoch so a slice scored twice in
+        # a batch is judged on its most conservative evidence
+        part = part.groupBy("test").agg(
+            F.max("p").alias("p"), F.max(epoch_col).alias(epoch_col)
+        )
+        if state is None:
+            return part
+        return union_latest(state, part, "test", order_col=epoch_col)
+
+    def verdicts(state):
+        return bh_fdr(state, "test", "p", fdr_q=fdr_q)
+
+    return maintain, verdicts

@@ -9,6 +9,7 @@ import tempfile
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from emr_trino_autoscale_spark.operators.scaling import IG_POLICY
@@ -1167,3 +1168,81 @@ def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
         .withColumnRenamed("count", "c").collect()
     }
     assert got == want
+
+
+def test_bh_fdr_stream_matches_batch(spark, tmp_path):
+    """X155 (VERDICT r8 task 7): BH verdicts from the foreachBatch
+    maintainer folded over two epochs must equal the batch bh_fdr over
+    the union with per-test-latest semantics — including a slice whose
+    re-scored epoch-2 p-value flips an UNRELATED slice's rejection (the
+    step-up rule's cross-test coupling, the reason verdicts re-run on
+    the whole family each epoch instead of per batch)."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.stats import bh_fdr
+    from emr_trino_autoscale_spark.streaming.pipeline import make_bh_fdr_maintainer
+
+    # epoch 1: s3 sits just above its BH threshold; epoch 2 re-scores
+    # s1 much lower, raising k* so s3 flips to rejected without being
+    # re-scored itself.
+    e1 = [("s1", 0.04, 1), ("s2", 0.009, 1), ("s3", 0.16, 1), ("s4", 0.9, 1),
+          ("s5", 0.7, 1), ("s3", 0.02, 1)]  # s3 scored twice in epoch 1
+    e2 = [("s1", 0.001, 2), ("s6", 0.03, 2)]
+    schema = "test string, p double, epoch int"
+    df1 = spark.createDataFrame(e1, schema)
+    df2 = spark.createDataFrame(e2, schema)
+
+    src = str(tmp_path / "bh_src")
+    out = str(tmp_path / "bh_state")
+    chk = str(tmp_path / "bh_chk")
+    df1.repartition(1).write.parquet(src)
+
+    maintain, verdicts = make_bh_fdr_maintainer("test", "p", fdr_q=0.25)
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch, epoch_id)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.test: (r.p, r.rank, r.rejected)
+        for r in verdicts(spark.read.parquet(out)).collect()
+    }
+
+    # batch reference: per-test latest epoch wins; intra-epoch max p
+    union = df1.unionByName(df2)
+    latest = (
+        union.groupBy("test", "epoch").agg(F.max("p").alias("p"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("test").orderBy(F.col("epoch").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .select("test", "p")
+    )
+    want = {
+        r.test: (r.p, r.rank, r.rejected)
+        for r in bh_fdr(latest, "test", "p", fdr_q=0.25).collect()
+    }
+    assert got == want and len(got) == 6
+    # the cross-test coupling actually exercised: s3 keeps its
+    # conservative epoch-1 p (max(0.02, 0.16) = 0.16, NOT rejected
+    # at the epoch-1 family size m=5, threshold 3/5*q = 0.15) yet must end
+    # rejected — only because s1's epoch-2 re-score raises k*
+    assert got["s3"] == (0.16, 4, True), "step-up coupling not exercised"
