@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._persist import default_persist
+
 from ..functions import md5_long60
 
 
@@ -469,11 +471,8 @@ def ngram_jaccard_pairs_prefix(
     # released when the next query runs); the default leaves the cache
     # live — callers owning the session should unpersist when done.
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        docs = persist_fn(docs)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    docs = persist_fn(docs)
     ex = docs.select("id", "sz", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
@@ -1101,15 +1100,13 @@ def tfidf_cosine_pairs(
     # ppjoin/js_divergence convention. Cache lifecycle is CALLER-OWNED:
     # the returned plan references the cached frame, so it cannot be
     # unpersisted here — pass persist_fn (e.g. queries._cache_scoped,
-    # released on the next declared query) from long-lived sessions, or
-    # call spark.catalog.clearCache() after materializing. The default
-    # bare persist is for one-shot jobs.
-    if persist_fn is None:
-        from pyspark import StorageLevel
-
-        u = u.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        u = persist_fn(u)
+    # released on the next declared query) from long-lived sessions.
+    # The default path registers with the _persist registry (drained by
+    # queries.release_caches).
+    _owned = persist_fn is None
+    if _owned:
+        persist_fn = default_persist
+    u = persist_fn(u)
     # prefix: under (df asc, tok asc), keep rows whose inclusive
     # reverse-cumulative squared mass >= (tau/2)^2 — the excluded tail
     # then has norm < tau/2 (see the losslessness argument above)
@@ -1136,7 +1133,9 @@ def tfidf_cosine_pairs(
             .collect()[0]["__pairs"]
         )
         if bound is not None and bound > candidate_budget:
-            if persist_fn is None:
+            if _owned:
+                # eager cleanup on the abort path; the registry's later
+                # duplicate unpersist is a no-op
                 u.unpersist()
             raise ValueError(
                 "tfidf_cosine_pairs: prefix-join candidate bound "
@@ -1299,11 +1298,8 @@ def minhash_lsh_pairs(
     # both verify sides — 3x shingle+md5 replay without materialization.
     # persist_fn follows the ppjoin/tfidf caller-owned convention.
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        base = persist_fn(base)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    base = persist_fn(base)
     # signature matrix via explode + ONE hash agg with n_perms min()
     # columns (the repo's HOF-vs-explode rule: whole-stage codegen, and
     # the agg's id-key exchange is reused by the verify joins). One md5
@@ -1405,11 +1401,8 @@ def containment_pairs(
         .withColumn("sz", F.size("sh"))
     )
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        docs = persist_fn(docs)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    docs = persist_fn(docs)
     ex = docs.select("id", "sz", F.explode("sh").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
@@ -1545,11 +1538,8 @@ def qgram_edit_join(
     # prefix feeds BOTH candidate-join sides and the mixed branch —
     # persist once (caller-owned persist_fn convention).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        prefix = persist_fn(prefix)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    prefix = persist_fn(prefix)
     pa = prefix.select(
         F.col("id").alias("id_a"), F.col("nm").alias("__na"),
         F.col("ln").alias("__la"), "tok",

@@ -689,7 +689,13 @@ def seasonal_decompose_daily(
     Returns one row per day: (day, total, trend, seasonal, residual)
     with trend/seasonal/residual NULL on the edge days the centered
     window cannot cover — surfacing partial-window bias instead of
-    averaging it in (the X107 edge-honesty convention).
+    averaging it in (the X107 edge-honesty convention). Days whose
+    ROW window spans more than ``trend_window_days`` CALENDAR days
+    (gaps in the daily series — an outage, a cold source) take the
+    same NULL path (ADVICE r8): a "weekly" average silently computed
+    over 9 calendar days is partial-window bias wearing a full-window
+    row count, so the gate checks the window's calendar span, not just
+    its row count.
 
     Scale: the corpus contracts to ONE row per day immediately (hash
     agg); every window after that runs on the day frame — #days rows,
@@ -709,7 +715,11 @@ def seasonal_decompose_daily(
     trended = day.withColumn(
         "trend",
         F.when(
-            F.count("*").over(w) == trend_window_days,
+            (F.count("*").over(w) == trend_window_days)
+            & (
+                F.datediff(F.max("day").over(w), F.min("day").over(w))
+                == trend_window_days - 1
+            ),
             F.avg("total").over(w),
         ),
     ).withColumn("dow", F.dayofweek("day"))

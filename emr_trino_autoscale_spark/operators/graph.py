@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._persist import default_persist
+
 
 def pagerank(
     edges: DataFrame,
@@ -50,11 +52,8 @@ def pagerank(
     # e feeds nodes (twice), outdeg and every iteration's contribution
     # join — persist once (caller-owned persist_fn convention).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        e = persist_fn(e)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    e = persist_fn(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -134,11 +133,8 @@ def triangle_stats(
     # ce feeds the degree agg and (via orientation) three join sides —
     # persist once (caller-owned persist_fn convention).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        ce = ce.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        ce = persist_fn(ce)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    ce = persist_fn(ce)
     deg = (
         ce.select(F.col("a").alias("node"))
         .unionByName(ce.select(F.col("b").alias("node")))

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._persist import default_persist
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -1744,11 +1746,8 @@ def semantic_dedup(
     # ppjoin/tfidf convention (caller-owned lifecycle; declared query
     # passes queries._cache_scoped).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        assigned = persist_fn(assigned)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    assigned = persist_fn(assigned)
     # within-cluster verify rides the q28 blocked-GEMM machinery with
     # the cluster as the routing group: tiles only form inside a
     # cluster, BLAS scores them (round 7 — the interpreted per-pair HOF

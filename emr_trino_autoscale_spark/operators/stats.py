@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._persist import default_persist
+
 from ..functions import md5_long60
 
 
@@ -491,11 +493,8 @@ def psi_drift(
         )
     )
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        wide = wide.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        wide = persist_fn(wide)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    wide = persist_fn(wide)
     tot = wide.groupBy("g").agg(
         F.sum("__n_a").alias("__na"), F.sum("__n_b").alias("__nb")
     )
@@ -570,11 +569,8 @@ def distinct_rollup(
     # (ppjoin convention, caller-scoped); groups x shards rows of
     # fixed-size blobs, model-bounded
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        shards = shards.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        shards = persist_fn(shards)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    shards = persist_fn(shards)
     per_group = shards.groupBy("key").agg(
         F.hll_union_agg("__sk", F.lit(False)).alias("__sk")
     )
@@ -1399,11 +1395,8 @@ def association_rules(
     # bi feeds the basket total, the item counts and BOTH pair-join
     # sides — persist once (caller-owned persist_fn convention).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        bi = bi.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        bi = persist_fn(bi)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    bi = persist_fn(bi)
     n_row = bi.agg(F.count_distinct("b").cast("double").alias("__n"))
     icnt = bi.groupBy(F.col("i")).agg(F.count("*").alias("__ic"))
     a = bi.select(F.col("b"), F.col("i").alias("item_a"))
@@ -1602,11 +1595,8 @@ def mutual_information(
     # cells feeds both margins, the total, and the MI join — persist
     # the dictionary-sized cell frame once (caller-owned persist_fn).
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        cells = persist_fn(cells)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    cells = persist_fn(cells)
     mx = cells.groupBy("x").agg(F.sum("__c").alias("__cx"))
     my = cells.groupBy("y").agg(F.sum("__c").alias("__cy"))
     n_row = cells.agg(F.sum("__c").cast("double").alias("__n"))
@@ -2032,11 +2022,8 @@ def quantile_normalize(
         .agg(F.count("*").alias("c"))
     )
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        cells = persist_fn(cells)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    cells = persist_fn(cells)
     def _cum(frame: DataFrame, parts: list, cnt: str, out: str) -> DataFrame:
         # X16 bucket decomposition (the weighted_quantile shape): no
         # corpus-sized single-task value sort, per-group or global.
@@ -2078,12 +2065,27 @@ def quantile_normalize(
         )
         .select(
             "nv", "lo", "hi",
+            # padded by one bin on each side (ADVICE r8): the row-side
+            # bin key floor(r/ng*n_bins) and the segment-side
+            # floor(lo/N*n_bins) are DIFFERENT float ratios of the same
+            # rational — at an exact bin edge (r*N == hi*ng) an ulp can
+            # round them to opposite sides, landing the row's bin just
+            # outside the segment's exploded list so the exact integer
+            # predicate never runs and the cell silently drops. The
+            # exact cross-multiplied filter below rejects every false
+            # candidate, so padding only costs ~2 extra candidate rows
+            # per segment.
             F.explode(
                 F.sequence(
-                    F.floor(F.col("lo") / F.col("N") * n_bins).cast("long"),
+                    F.greatest(
+                        F.floor(F.col("lo") / F.col("N") * n_bins).cast("long")
+                        - F.lit(1),
+                        F.lit(0).cast("long"),
+                    ),
                     F.least(
-                        F.floor(F.col("hi") / F.col("N") * n_bins).cast("long"),
-                        F.lit(n_bins),
+                        F.floor(F.col("hi") / F.col("N") * n_bins).cast("long")
+                        + F.lit(1),
+                        F.lit(n_bins).cast("long"),
                     ),
                 )
             ).alias("__b"),

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._persist import default_persist
+
 from ..functions import md5_long60
 
 # Small multilingual stopword sample for heuristic scoring; deliberately
@@ -926,11 +928,8 @@ def js_divergence(
     # cached frame): long-lived sessions calling this repeatedly should
     # pass a scoped persist_fn or clearCache() after materializing.
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        gt = gt.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        gt = persist_fn(gt)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    gt = persist_fn(gt)
     freq = gt.groupBy("tok").agg(F.sum("__c").alias("__cf"))
     vocab = skew.two_phase_topk(
         freq,
@@ -1439,11 +1438,8 @@ def substring_search(
     # persist it (ppjoin convention, caller-scoped) so the trigram
     # explode runs once
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        posting = persist_fn(posting)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    posting = persist_fn(posting)
     gdf = posting.groupBy("g").agg(F.count("*").alias("__df"))
     # rarest-probe pick: join the query grams (a tiny frame) with the
     # corpus gram dfs; grams absent from the corpus get df 0 — they
@@ -1645,11 +1641,8 @@ def pmi_cooccurrence(
         F.count("*").alias("__n")
     )
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        counts = persist_fn(counts)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    counts = persist_fn(counts)
     pair_counts = counts.filter(F.col("tok_b").isNotNull()).select(
         "tok_a", "tok_b", F.col("__n").alias("pair_count")
     )
@@ -1859,11 +1852,8 @@ def ctfidf_class_terms(
         .agg(F.count("*").alias("__n"))
     )
     if persist_fn is None:
-        from pyspark import StorageLevel
-
-        ct = ct.persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        ct = persist_fn(ct)
+        persist_fn = default_persist  # registered; released via release_default_persists
+    ct = persist_fn(ct)
     ctot = ct.groupBy("c").agg(F.sum("__n").alias("__ctot"))
     ttot = ct.groupBy("t").agg(F.sum("__n").alias("__ttot"))
     avg_row = ctot.agg(F.avg("__ctot").alias("__a"))

@@ -52,8 +52,14 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
 
 
 def release_caches() -> None:
+    from .operators._persist import release_default_persists
+
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(blocking=False)
+    # operators called without a persist_fn self-register their
+    # intermediates (ADVICE r8 leak fix); drain those on the same
+    # next-query / suite-end cadence as the scoped caches
+    release_default_persists()
 
 
 def _dec4(x: str) -> str:
@@ -6728,7 +6734,9 @@ WITH day AS (
   FROM events GROUP BY 1),
 tr AS (
   SELECT day, total,
-         CASE WHEN COUNT(*) OVER w = 7 THEN AVG(total) OVER w END AS trend
+         CASE WHEN COUNT(*) OVER w = 7
+               AND date_diff('day', MIN(day) OVER w, MAX(day) OVER w) = 6
+              THEN AVG(total) OVER w END AS trend
   FROM day
   WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
 d2 AS (SELECT tr.*, dayofweek(day) AS dow FROM tr),

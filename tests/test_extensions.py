@@ -3427,6 +3427,37 @@ def test_seasonal_decompose_recovers_planted_weekday(spark):
     assert abs(mid["residual"]) < 1e-9
 
 
+def test_seasonal_decompose_gapped_days_take_null_path(spark):
+    """X127 gap honesty (ADVICE r8): with day 11 missing from a 21-day
+    series, every 7-ROW window that straddles the gap spans 8 calendar
+    days — its 'weekly' average would mix misaligned weekdays, so those
+    days must take the documented NULL edge path instead of reporting a
+    silently-biased trend. Days whose window sits entirely on one side
+    of the gap keep their exact trend."""
+    import datetime as dt
+
+    from emr_trino_autoscale_spark.operators import events as ev
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (d, t0 + dt.timedelta(days=d, hours=1), 1, "m", 10.0)
+        for d in range(21)
+        if d != 10  # calendar day 11 missing
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["day"].day: r for r in
+           ev.seasonal_decompose_daily(df, trend_window_days=7).collect()}
+    assert 11 not in out
+    # window straddles the gap (8-calendar-day span) -> NULL
+    for d in (8, 9, 10, 12, 13, 14):
+        assert out[d]["trend"] is None, f"day {d} should be gap-NULLed"
+    # windows clear of the gap on either side stay exact
+    assert abs(out[7]["trend"] - 10.0) < 1e-9
+    assert abs(out[15]["trend"] - 10.0) < 1e-9
+
+
 def test_transition_matrix_hand_case(spark):
     """X128: exact transition counts/probabilities per user sequence,
     (ts, id) total order, first event of each user excluded."""
@@ -3856,6 +3887,41 @@ def test_quantile_normalize_unequal_group_sizes(spark):
     assert out[("small", 200.0)] == 200.0
 
 
+def test_quantile_normalize_bin_edge_completeness(spark):
+    """X150 bin-edge losslessness (ADVICE r8): when group quantile
+    positions land EXACTLY on segment/bin boundaries (r*N == hi*ng),
+    the float bin keys computed from the two different ratios can
+    round to opposite sides of a bin edge; the one-bin explode padding
+    must keep every (group, value) cell in the output. Engineered so
+    every position is an exact edge: group sizes divide the pooled N
+    and n_bins aligns with the rank fractions — then asserts the
+    universal completeness invariant (one output row per input cell)
+    plus marginal alignment, across several n_bins including ones that
+    put every boundary at a representable-float edge."""
+    from emr_trino_autoscale_spark.operators.stats import quantile_normalize
+
+    # 4 groups x 8 distinct values each -> N = 32; fractions k/8 align
+    # with n_bins in {4, 8, 16, 256} so every hi/N*n_bins and r/ng*n_bins
+    # is an exact integer (the worst case for opposite-side rounding).
+    rows = [
+        (g, float(10 * gi + k))
+        for gi, g in enumerate(("a", "b", "c", "d"))
+        for k in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    for n_bins in (4, 8, 16, 256):
+        got = quantile_normalize(df, "g", "v", n_bins=n_bins).collect()
+        assert len(got) == len(rows), (
+            f"n_bins={n_bins}: {len(rows) - len(got)} cells dropped at "
+            "a bin edge"
+        )
+        marg = {}
+        for r in got:
+            marg.setdefault(r.g, []).append(r.normalized)
+        margs = [sorted(vs) for vs in marg.values()]
+        assert all(m == margs[0] for m in margs), f"n_bins={n_bins}"
+
+
 def test_dhash_gradient_invariance(spark):
     """X151: dHash is invariant to a global brightness shift (which
     flips aHash bits) and distinguishes different gradient structure;
@@ -3911,3 +3977,29 @@ def test_spearman_corr_monotone_and_ties(spark):
     num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
     den = (sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)) ** 0.5
     assert abs(rho - num / den) < 1e-12
+
+
+def test_default_persist_registry_drains(spark):
+    """ADVICE r8 leak fix: operators called WITHOUT a persist_fn
+    register their cached intermediates in the _persist registry, and
+    queries.release_caches() drains it — no cached block outlives the
+    release cadence. Before the fix each bare .persist squatted
+    executor storage for the session's lifetime (188-query suite =
+    dozens of orphaned RDDs)."""
+    from emr_trino_autoscale_spark.operators import _persist
+    from emr_trino_autoscale_spark.operators.stats import quantile_normalize
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    release_caches()  # start clean
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (1, 2, 3, 4)]
+        + [("b", float(v)) for v in (10, 20, 30, 40)],
+        "g string, v double",
+    )
+    # persist_fn=None -> the cells frame self-registers
+    quantile_normalize(df, "g", "v", persist_fn=None).collect()
+    assert len(_persist._DEFAULT_PERSISTS) >= 1
+    cached = list(_persist._DEFAULT_PERSISTS)
+    release_caches()
+    assert _persist._DEFAULT_PERSISTS == []
+    assert all(not c.is_cached for c in cached)
