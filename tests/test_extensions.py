@@ -4003,3 +4003,46 @@ def test_default_persist_registry_drains(spark):
     release_caches()
     assert _persist._DEFAULT_PERSISTS == []
     assert all(not c.is_cached for c in cached)
+
+
+@pytest.mark.slow
+def test_semantic_dedup_banded_sf01_recall(spark):
+    """X65 at bench scale (VERDICT r8 task 6): run verify='banded' on
+    the REAL sf0.1 embeddings — the code path a 100 TB job takes — and
+    assert the recall bound against the exact q104 result, not just at
+    the sf0.001 unit fixture. Wall-time A/B lives in docs/SCALE.md
+    (round 9): exact 2.14 s vs banded 3.97 s median at sf0.1 — banded
+    pays ~1.9x HERE because sf0.1 clusters are small enough that the
+    quadratic exact pair join is cheap; its win is asymptotic
+    (sum(cluster^2) vs banded-bucket work on the hot cluster)."""
+    import os
+
+    from emr_trino_autoscale_spark.io import load_table
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.1 testdata missing")
+    e = load_table(spark, sf01, "embeddings")
+    cents = spark.createDataFrame(
+        [(c, v) for c, v in enumerate(similarity.md5_centroids(k=8, dim=64))],
+        "c_id int, embedding array<double>",
+    )
+    exact = {
+        r["vec_id"] for r in
+        similarity.semantic_dedup(e, cents, threshold=0.4).collect()
+        if r["is_dup"]
+    }
+    release_caches()
+    banded = {
+        r["vec_id"] for r in
+        similarity.semantic_dedup(
+            e, cents, threshold=0.4, verify="banded"
+        ).collect()
+        if r["is_dup"]
+    }
+    release_caches()
+    assert banded <= exact, "banded emitted a pair the exact form forbids"
+    assert len(exact) > 100  # sf0.1 has real duplicate mass
+    recall = len(banded & exact) / len(exact)
+    assert recall >= 0.8, f"banded recall {recall:.3f} below design point"
