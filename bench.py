@@ -243,6 +243,27 @@ def main() -> None:
     _dedup.containment_pairs(docs_slice, threshold=0.6).write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the relocated tail head (q165-q188 moved from suite-end
+    # positions, where their driver-r8 anchors were captured, to 51-74
+    # in the r9 rotation order): q170's TextRank (pagerank over the
+    # word-cooccurrence graph — different generated classes than q150's
+    # id-graph pagerank) and q174's bh_fdr (scalable_rank + non-eager
+    # localCheckpoint shape) tripped their driver-anchored budgets at
+    # the new positions (r9 measured: 3.84 vs 2.34 anchor, 1.48 vs
+    # 0.69) — first-use compile cost, adjudicated by a pre/post-change
+    # isolation A/B in docs/SCALE.md round 9.
+    _text_ops.textrank_keywords(docs_slice, "text", iterations=1).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from emr_trino_autoscale_spark.operators import stats as _stats_ops
+
+    _stats_ops.bh_fdr(
+        docs_slice.select(
+            F.col("doc_id").alias("t"), (F.col("doc_id") % 97 / 100.0).alias("p")
+        ),
+        "t",
+        "p",
+    ).write.format("noop").mode("overwrite").save()
 
     # Per-query failure isolation: one broken query must never zero out
     # the whole suite's timings (round-4 lesson — an AnalysisException in

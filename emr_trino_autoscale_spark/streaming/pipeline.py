@@ -879,3 +879,138 @@ def make_bh_fdr_maintainer(
         return bh_fdr(state, "test", "p", fdr_q=fdr_q)
 
     return maintain, verdicts
+
+
+def make_weighted_reservoir_maintainer(
+    weight_col: str,
+    k: int = 10,
+    strata_cols: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+):
+    """X156 (pytest-only until the round-11 declaration window opens) —
+    streaming weighted sampling without replacement, the live twin of
+    stats.weighted_sample (X67/q106): the Efraimidis-Spirakis key
+    ln(u)/w is computed per row from the DETERMINISTIC md5 coin, so a
+    top-k-by-key reservoir folded over micro-batches equals the batch
+    sample over the union EXACTLY (same keys, same id tiebreak) — the
+    A-ES property that makes weighted reservoirs mergeable at all.
+
+    Loop shape: state holds at most k rows per stratum
+    (*strata, id, weight, __key); each epoch computes the batch's keys
+    (one narrow row-local projection), unions the bounded state, and
+    re-takes the per-stratum top-k — work is |batch| + k*|strata| per
+    epoch, state is k*|strata| rows by construction. The per-stratum
+    window inherits the batch operator's documented caveat: with few
+    strata and a huge micro-batch it is a single-task sort per stratum
+    — the X16 bucket decomposition is the primitive to swap in there
+    (same note as stats.weighted_sample). Returned pair
+    (maintain, sample): ``maintain(state_df_or_None, batch) -> state``;
+    ``sample(state) -> (*strata, id, weight, rank)`` — the same output
+    contract as the batch operator. Parity pinned by
+    tests/test_stateful.py::test_weighted_reservoir_stream_matches_batch.
+    """
+    from ..functions import md5_long60
+
+    def _keyed(df):
+        w = F.col(weight_col).cast("double")
+        coin = (
+            (md5_long60(F.col(id_col).cast("string")).cast("double") + F.lit(1.0))
+            / F.lit(float((1 << 60) + 1))
+        )
+        return (
+            df.filter(w > 0)
+            .withColumn("__key", F.log(coin) / w)
+            .select(*strata_cols, id_col, F.col(weight_col), "__key")
+        )
+
+    def _topk(df):
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+            F.col("__key").desc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def maintain(state, batch):
+        part = _topk(_keyed(batch))
+        if state is None:
+            return part
+        return _topk(state.unionByName(part))
+
+    def sample(state):
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(
+            F.col("__key").desc(), F.col(id_col).asc()
+        )
+        return (
+            state.withColumn("rank", F.row_number().over(win).cast("int"))
+            .drop("__key")
+        )
+
+    return maintain, sample
+
+
+def make_rule_audit_maintainer(rules: dict[str, "F.Column"]):
+    """X157 (pytest-only until round 11) — streaming data-quality audit
+    for ADDITIVE row-local rules, the live twin of the q94/X55
+    constraint audit's row-rule tier: each rule is a boolean Column
+    over a single row, so (n_checked, n_violations) merge across
+    micro-batches by ADDITION — one conditional-sum agg per batch, one
+    rule-dictionary-sized full-outer merge against state (the X142 IVM
+    loop shape). Cross-row rules (PK uniqueness, FK existence) are
+    deliberately OUT of contract: their violation counts are not
+    additive across batches (a duplicate key split over two epochs is
+    invisible to per-batch counts) — they stay batch-side or ride a
+    keyed-state processor, and this docstring is the fence that says
+    so. Parity pinned by
+    tests/test_stateful.py::test_rule_audit_stream_matches_batch.
+    """
+    names = list(rules)
+
+    def _partial(batch):
+        aggs = [F.count("*").cast("bigint").alias("__n")]
+        for i, name in enumerate(names):
+            aggs.append(
+                F.sum(rules[name].cast("int")).cast("bigint").alias(f"__v{i}")
+            )
+        one = batch.agg(*aggs)
+        out = None
+        for i, name in enumerate(names):
+            row = one.select(
+                F.lit(name).alias("rule"),
+                F.col("__n").alias("n_checked"),
+                F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("n_violations"),
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        s = state.select(
+            "rule",
+            F.col("n_checked").alias("__cs"),
+            F.col("n_violations").alias("__vs"),
+        )
+        p = part.select(
+            "rule",
+            F.col("n_checked").alias("__cp"),
+            F.col("n_violations").alias("__vp"),
+        )
+        return s.join(p, "rule", "full_outer").select(
+            "rule",
+            (F.coalesce("__cs", F.lit(0)) + F.coalesce("__cp", F.lit(0)))
+            .cast("bigint")
+            .alias("n_checked"),
+            (F.coalesce("__vs", F.lit(0)) + F.coalesce("__vp", F.lit(0)))
+            .cast("bigint")
+            .alias("n_violations"),
+        )
+
+    return maintain

@@ -1246,3 +1246,124 @@ def test_bh_fdr_stream_matches_batch(spark, tmp_path):
     # at the epoch-1 family size m=5, threshold 3/5*q = 0.15) yet must end
     # rejected — only because s1's epoch-2 re-score raises k*
     assert got["s3"] == (0.16, 4, True), "step-up coupling not exercised"
+
+
+def test_weighted_reservoir_stream_matches_batch(spark, tmp_path):
+    """X156: the streaming A-ES reservoir folded over two epochs equals
+    the batch weighted_sample over the union EXACTLY (deterministic md5
+    coin -> identical keys and tiebreaks), per stratum, including a
+    stratum that appears only in epoch 2."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.stats import weighted_sample
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_weighted_reservoir_maintainer,
+    )
+
+    rows1 = [(i, "s%d" % (i % 2), float(1 + i % 7)) for i in range(40)]
+    rows2 = [(i, "s2" if i % 5 == 0 else "s%d" % (i % 2), float(1 + i % 5))
+             for i in range(40, 80)]
+    schema = "doc_id long, src string, w double"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+
+    src = str(tmp_path / "wr_src")
+    out = str(tmp_path / "wr_state")
+    chk = str(tmp_path / "wr_chk")
+    df1.repartition(1).write.parquet(src)
+
+    maintain, sample = make_weighted_reservoir_maintainer(
+        "w", k=5, strata_cols=("src",), id_col="doc_id"
+    )
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.src, r.doc_id): (r.w, r.rank)
+        for r in sample(spark.read.parquet(out)).collect()
+    }
+    want = {
+        (r.src, r.doc_id): (r.w, r.rank)
+        for r in weighted_sample(
+            df1.unionByName(df2), "w", k=5, strata_cols=("src",),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got == want and len(got) == 15  # 3 strata x k=5
+    # bounded-state contract: never more than k rows per stratum stored
+    state_rows = spark.read.parquet(out).groupBy("src").count().collect()
+    assert all(r["count"] <= 5 for r in state_rows)
+
+
+def test_rule_audit_stream_matches_batch(spark, tmp_path):
+    """X157: additive row-local rule counters folded over two epochs
+    equal the batch conditional sums over the union exactly."""
+    import os
+
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_rule_audit_maintainer,
+    )
+
+    schema = "event_id long, value double"
+    df1 = spark.createDataFrame([(i, float(i)) for i in range(30)], schema)
+    df2 = spark.createDataFrame(
+        [(i, float(-i)) for i in range(30, 50)], schema
+    )
+    rules = {
+        "value_nonnegative": F.col("value") < 0,
+        "value_under_40": F.col("value") > 40,
+    }
+
+    src = str(tmp_path / "ra_src")
+    out = str(tmp_path / "ra_state")
+    chk = str(tmp_path / "ra_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain = make_rule_audit_maintainer(rules)
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.rule: (r.n_checked, r.n_violations)
+        for r in spark.read.parquet(out).collect()
+    }
+    # union: 50 rows; negatives: values -31..-49 -> 20 violations
+    # (rows 30-49 all negative... row 30 -> -30 < 0 yes); >40: none
+    # (positives stop at 29, negatives never exceed 40)
+    assert got == {
+        "value_nonnegative": (50, 20),
+        "value_under_40": (50, 0),
+    }
