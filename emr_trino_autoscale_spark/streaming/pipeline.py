@@ -1014,3 +1014,51 @@ def make_rule_audit_maintainer(rules: dict[str, "F.Column"]):
         )
 
     return maintain
+
+
+def make_hll_distinct_maintainer(
+    group_col: str, value_col: str, lg_config_k: int = 12
+):
+    """X158 (pytest-only until round 11) — streaming mergeable-distinct
+    maintenance, the ingest twin of stats.distinct_rollup (X84/q121)
+    and the last member of the sketch-algebra streaming trio (X142
+    sums, X152 quantile bins, this one distincts): each micro-batch
+    contributes one hash agg to (key, hll_sketch) and one per-key
+    ``hll_union_agg`` merge against the caller-owned state — HLL
+    registers merge by MAX, so the merged sketch is IDENTICAL to the
+    sketch of the union (order- and batching-insensitive), which is
+    the whole reason HLL beats approx_count_distinct scalars in a
+    datacube. State: one fixed-size (~2^lg_config_k B) blob per key.
+    Returned pair (maintain, estimates):
+    ``maintain(state_df_or_None, batch) -> (key, __sk) state``;
+    ``estimates(state) -> (key, estimate)``. Parity pinned by
+    tests/test_stateful.py::test_hll_distinct_stream_matches_batch
+    (stream estimates == batch sketch-of-union estimates exactly).
+    """
+
+    def _partial(batch):
+        return (
+            batch.select(
+                F.col(group_col).alias("key"), F.col(value_col).alias("__v")
+            )
+            .groupBy("key")
+            .agg(F.hll_sketch_agg("__v", F.lit(lg_config_k)).alias("__sk"))
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        return (
+            state.unionByName(part)
+            .groupBy("key")
+            .agg(F.hll_union_agg("__sk", F.lit(False)).alias("__sk"))
+        )
+
+    def estimates(state):
+        return state.select(
+            "key",
+            F.hll_sketch_estimate("__sk").cast("bigint").alias("estimate"),
+        )
+
+    return maintain, estimates
