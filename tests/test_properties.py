@@ -738,3 +738,42 @@ def test_weighted_quantile_matches_reference(spark, vals):
     assert (got["wq_1_4"], got["wq_2_4"], got["wq_3_4"]) == (
         ref(1, 4), ref(2, 4), ref(3, 4)
     )
+
+
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-50, 50),
+            st.integers(1, 4),  # multiplicity
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    n_bins=st.sampled_from([3, 7, 16, 64]),
+)
+@settings(**SETTINGS)
+def test_quantile_normalize_never_drops_a_cell(spark, cells, n_bins):
+    """X150 completeness property (ADVICE r8 bin-edge fix, generalized
+    beyond the engineered exact-edge unit test): for ANY group/value
+    multiset and ANY bin count — including tiny n_bins where rank
+    fractions constantly straddle bin edges — every (group, value)
+    cell appears in the output exactly once, and every group's
+    normalized multiset equals the pooled quantile multiset (same
+    size as the group)."""
+    from emr_trino_autoscale_spark.operators.stats import quantile_normalize
+
+    rows = [(g, float(v)) for g, v, m in cells for _ in range(m)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = quantile_normalize(df, "g", "v", n_bins=n_bins).collect()
+    want_cells = {(g, float(v)) for g, v, _ in cells}
+    assert {(r.g, r.v) for r in got} == want_cells
+    assert len(got) == len(want_cells)  # exactly once per cell
+    # per-group multiset sizes: sum of cell multiplicities
+    from collections import Counter
+
+    mult = Counter()
+    for g, v, m in cells:
+        mult[(g, float(v))] += m
+    got_n = {(r.g, r.v): r.n for r in got}
+    assert got_n == dict(mult)
