@@ -777,3 +777,39 @@ def test_quantile_normalize_never_drops_a_cell(spark, cells, n_bins):
         mult[(g, float(v))] += m
     got_n = {(r.g, r.v): r.n for r in got}
     assert got_n == dict(mult)
+
+
+@given(
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False,
+                  allow_infinity=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.05, 0.1, 0.25]),
+)
+@settings(**SETTINGS)
+def test_bh_fdr_matches_bruteforce(spark, ps, q):
+    """X140 property (the q174 window query's core, and X155's engine):
+    the distributed step-up — scalable_rank buckets + conditional-max
+    k* — must reject EXACTLY the set a 10-line reference BH computes,
+    for any p multiset (ties included) and any q."""
+    from emr_trino_autoscale_spark.operators.stats import bh_fdr
+
+    rows = [(f"t{i:03d}", float(p)) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    got = {r.test: (r.rank, r.rejected)
+           for r in bh_fdr(df, "test", "p", fdr_q=q).collect()}
+
+    # reference: sort by (p, test); k* = max k with p_(k) <= k/m*q
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    m = len(ordered)
+    kstar = max(
+        (k for k in range(1, m + 1) if ordered[k - 1][1] <= k / m * q),
+        default=0,
+    )
+    want = {
+        name: (k, k <= kstar)
+        for k, (name, _p) in enumerate(ordered, start=1)
+    }
+    assert got == want
