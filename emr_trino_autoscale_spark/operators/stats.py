@@ -1388,10 +1388,19 @@ def association_rules(
     is the skew axis and should be width-capped upstream). Item counts
     and the basket total are item-dictionary-sized / 1-row broadcasts.
     All counts stay integers; ratios are computed once at the end.
+
+    NULL baskets/items are excluded up front (the X97 contract): a
+    NULL item can never pair (the < comparison is NULL) yet its basket
+    still inflated the support denominator; a NULL basket id joins
+    nothing. Both are upstream data bugs — the operator sees neither.
     """
-    bi = baskets.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    bi = (
+        baskets.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+    )
     # bi feeds the basket total, the item counts and BOTH pair-join
     # sides — persist once (caller-owned persist_fn convention).
     if persist_fn is None:
@@ -1586,9 +1595,16 @@ def mutual_information(
     corpus pass); N is a 1-row broadcast. Counts stay integers; each
     log2 argument is a ratio of exact integer products, so both
     engines see identical doubles (the q153 rule).
+
+    NULL categories are excluded up front (the X97 contract, same bug
+    class as the chi2 ADVICE-r8 fix): a NULL cell survives the groupBy
+    and feeds __n, but the margin equi-joins drop it — its probability
+    mass silently vanishes from the MI sum while inflating N, so
+    p(x,y) no longer sums to 1. Pairwise complete observations only.
     """
     cells = (
-        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
         .groupBy("x", "y")
         .agg(F.count("*").alias("__c"))
     )

@@ -2878,7 +2878,8 @@ ORDER BY p_size
 Q153_SQL = f"""
 WITH bi AS (
   SELECT DISTINCT l_orderkey AS b, p_brand AS i
-  FROM lineitem JOIN part ON l_partkey = p_partkey),
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_orderkey IS NOT NULL AND p_brand IS NOT NULL),
 n AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi),
 ic AS (SELECT i, COUNT(*) AS ic FROM bi GROUP BY i),
 pairs AS (
@@ -3027,7 +3028,9 @@ Q159_SQL = f"""
 WITH cells AS (
   SELECT event_type AS x, CAST(FLOOR(value / 100) AS BIGINT) AS y,
          COUNT(*) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
 mx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY x),
 my AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY y),
 nn AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells)

@@ -4046,3 +4046,25 @@ def test_semantic_dedup_banded_sf01_recall(spark):
     assert len(exact) > 100  # sf0.1 has real duplicate mass
     recall = len(banded & exact) / len(exact)
     assert recall >= 0.8, f"banded recall {recall:.3f} below design point"
+
+
+def test_mutual_information_ignores_null_categories(spark):
+    """X124 NULL contract (the X97/chi2 bug class, swept this round):
+    NULL-bearing rows must be excluded from the population entirely —
+    before the fix their mass stayed in N (biasing every p) while the
+    margin equi-joins silently dropped their MI terms."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    clean = spark.createDataFrame(
+        [("a", "u")] * 6 + [("a", "v")] * 2 + [("b", "u")] * 2 + [("b", "v")] * 6,
+        "x string, y string",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, "u")] * 3 + [("a", None)] * 2, "x string, y string"
+        )
+    )
+    want = st.mutual_information(clean, "x", "y").collect()[0]
+    got = st.mutual_information(dirty, "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["n"] == 16
