@@ -1062,3 +1062,111 @@ def make_hll_distinct_maintainer(
         )
 
     return maintain, estimates
+
+
+def make_profile_maintainer(cols: list[str], lg_config_k: int = 12):
+    """X159 (pytest-only until round 11) — streaming column profiler,
+    the live twin of stats.profile_columns (X68/q107) and the capstone
+    of the maintainer tier: every statistic the batch profile publishes
+    is maintained incrementally because each is MERGEABLE —
+    n_rows/n_null by ADDITION (the X142/X157 shape), min/max by
+    MIN/MAX, and n_distinct by HLL register-MAX (the X158 shape; exact
+    distinct sets are NOT mergeable without carrying them, which is
+    the whole q43/X84 argument). Each micro-batch costs ONE explode to
+    (column, value) structs + one hash agg (the same single-pass shape
+    as the batch form — no per-column re-scan, no expand) and one
+    #cols-row full-outer merge against state.
+
+    State: #cols rows x (counts + one ~2^lg_config_k B sketch).
+    Returned pair (maintain, profile):
+    ``maintain(state_df_or_None, batch) -> state``;
+    ``profile(state) -> (column, n_rows, n_null, n_distinct, min_val,
+    max_val)`` — the batch operator's exact output contract, with
+    n_distinct carrying HLL error (the approx=True batch mode's bound).
+    Parity pinned by
+    tests/test_stateful.py::test_profile_stream_matches_batch.
+    """
+
+    def _partial(batch):
+        pairs = batch.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("val"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        ).select("p.column", "p.val")
+        return pairs.groupBy("column").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.hll_sketch_agg("val", F.lit(lg_config_k)).alias("__sk"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        s = state.select(
+            "column",
+            F.col("n_rows").alias("__rs"),
+            F.col("n_null").alias("__ns"),
+            F.col("__sk").alias("__sks"),
+            F.col("min_val").alias("__mns"),
+            F.col("max_val").alias("__mxs"),
+        )
+        p = part.select(
+            "column",
+            F.col("n_rows").alias("__rp"),
+            F.col("n_null").alias("__np"),
+            F.col("__sk").alias("__skp"),
+            F.col("min_val").alias("__mnp"),
+            F.col("max_val").alias("__mxp"),
+        )
+        merged = s.join(p, "column", "full_outer")
+        # hll_union_agg merges the (<=2)-sketch group per column; the
+        # two-row union keeps the merge declarative without a UDF
+        two = merged.select(
+            "column",
+            F.coalesce("__rs", F.lit(0)).alias("n_rows"),
+            F.coalesce("__ns", F.lit(0)).alias("n_null"),
+            F.col("__sks").alias("__sk"),
+            F.col("__mns").alias("min_val"),
+            F.col("__mxs").alias("max_val"),
+        ).unionByName(
+            merged.select(
+                "column",
+                F.coalesce("__rp", F.lit(0)).alias("n_rows"),
+                F.coalesce("__np", F.lit(0)).alias("n_null"),
+                F.col("__skp").alias("__sk"),
+                F.col("__mnp").alias("min_val"),
+                F.col("__mxp").alias("max_val"),
+            )
+        )
+        return two.groupBy("column").agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_null").cast("bigint").alias("n_null"),
+            F.hll_union_agg("__sk", F.lit(True)).alias("__sk"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+
+    def profile(state):
+        return state.select(
+            "column",
+            "n_rows",
+            "n_null",
+            F.hll_sketch_estimate("__sk").cast("bigint").alias("n_distinct"),
+            "min_val",
+            "max_val",
+        )
+
+    return maintain, profile

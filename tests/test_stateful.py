@@ -1434,3 +1434,71 @@ def test_hll_distinct_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert all(abs(got[k] - exact[k]) <= 2 for k in exact)
+
+
+def test_profile_stream_matches_batch(spark, tmp_path):
+    """X159: the streaming column profile folded over two epochs equals
+    the batch profile_columns on the union — exact for
+    n_rows/n_null/min/max (additive / MIN / MAX merges), HLL-exact for
+    n_distinct at these cardinalities — including a column with NULLs
+    in only one epoch."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.stats import profile_columns
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_profile_maintainer,
+    )
+
+    schema = "event_id long, src string, v double"
+    df1 = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), float(i % 25)) for i in range(40)], schema
+    )
+    df2 = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else "s%d" % (i % 5), float(i % 30))
+         for i in range(40, 80)],
+        schema,
+    )
+    cols = ["src", "v"]
+
+    src = str(tmp_path / "pf_src")
+    out = str(tmp_path / "pf_state")
+    chk = str(tmp_path / "pf_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain, profile = make_profile_maintainer(cols)
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_val, r.max_val)
+        for r in profile(spark.read.parquet(out)).collect()
+    }
+    want = {
+        r.column: (r.n_rows, r.n_null, r.n_distinct, r.min_val, r.max_val)
+        for r in profile_columns(
+            df1.unionByName(df2), tuple(cols)
+        ).collect()
+    }
+    assert set(got) == set(want) == {"src", "v"}
+    for c in cols:
+        gr, gn, gd, gmn, gmx = got[c]
+        wr, wn, wd, wmn, wmx = want[c]
+        assert (gr, gn, gmn, gmx) == (wr, wn, wmn, wmx)
+        # HLL at lgK=12 on <=55 distinct strings: allow tiny error
+        assert abs(gd - wd) <= 2, (c, gd, wd)
