@@ -813,3 +813,54 @@ def test_bh_fdr_matches_bruteforce(spark, ps, q):
         for k, (name, _p) in enumerate(ordered, start=1)
     }
     assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.sampled_from(["u", "v"])),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_chi2_and_mi_match_bruteforce(spark, obs):
+    """X97/X124 property (both in this round's driver window via
+    q135/q159): the contraction+margin-join forms must equal the
+    10-line textbook computations for ANY categorical sample —
+    including degenerate single-category margins (dof 0, MI 0)."""
+    import math
+    from collections import Counter
+
+    from emr_trino_autoscale_spark.operators import stats as st_ops
+
+    df = spark.createDataFrame(obs, "a string, b string")
+    chi = st_ops.chi2_independence(df, "a", "b").collect()[0]
+    mi = st_ops.mutual_information(df, "a", "b").collect()[0]
+
+    n = len(obs)
+    cells = Counter(obs)
+    ma = Counter(a for a, _ in obs)
+    mb = Counter(b for _, b in obs)
+    chi2 = sum(
+        (cells.get((a, b), 0) - ma[a] * mb[b] / n) ** 2 / (ma[a] * mb[b] / n)
+        for a in ma
+        for b in mb
+    )
+    dof = (len(ma) - 1) * (len(mb) - 1)
+    assert chi["n"] == n and chi["dof"] == dof
+    # the operator rounds chi2 to 4 decimals HALF_UP (decimal-string
+    # semantics) while python round() is half-even — compare unrounded
+    # with the half-ulp-of-4-decimals tolerance
+    assert abs(chi["chi2"] - chi2) <= 5.0001e-5 + 1e-9 * abs(chi2)
+
+    mi_bits = sum(
+        (c / n) * math.log2(c * n / (ma[a] * mb[b]))
+        for (a, b), c in cells.items()
+    )
+    h_x = -sum((c / n) * math.log2(c / n) for c in ma.values())
+    h_y = -sum((c / n) * math.log2(c / n) for c in mb.values())
+    assert mi["n"] == n
+    # MI/entropies are emitted as raw doubles (rounding happens at the
+    # declared-query layer); float-sum association order may differ
+    for got, want in ((mi["mi_bits"], mi_bits), (mi["h_x"], h_x), (mi["h_y"], h_y)):
+        assert abs(got - want) < 1e-9 + 1e-9 * abs(want), (got, want)
