@@ -3,10 +3,12 @@
 Media are opaque ``binary`` columns with a typed metadata struct — the
 Spark-side contract (schema, partitioning, Arrow batch shape) is real
 and tested. All three declared kinds have REAL reference decoders for
-their uncompressed public formats (P6 PPM images, RIFF/WAV 16-bit PCM
-audio, YUV4MPEG2 raw video — all parseable without codec libraries);
-compressed codecs (JPEG/MP3/H.264) fall back to the clearly-marked
-deterministic stub, the one piece that changes on a real cluster.
+public formats parseable without codec libraries: P6 PPM and — round
+9 — PNG images (chunk parse + stdlib zlib inflate + full scanline
+un-filtering: gray/RGB/RGBA/palette, all five filter types), RIFF/WAV
+16-bit PCM audio, YUV4MPEG2 raw video. Transform-coded formats
+(JPEG/MP3/H.264) fall back to the clearly-marked deterministic stub,
+the one piece that changes on a real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -148,6 +150,133 @@ def decode_wav_audio(payload: bytes) -> list[float]:
     ]
 
 
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+    """Reverse the per-scanline PNG filters (spec 9, filter method 0:
+    None/Sub/Up/Average/Paeth) on 8-bit samples. Returns an
+    (height, width, channels) uint8 array. Pure numpy: each row is one
+    vectorized pass except Sub/Paeth's intra-row prefix dependency,
+    which is a per-pixel-column loop bounded by the row WIDTH — decode
+    cost stays O(pixels), no Python-per-byte work across rows."""
+    import numpy as np
+
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG: truncated inflated stream")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
+        pos += stride + 1
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = row
+    return out.reshape(height, width, channels)
+
+
+def decode_png_image(payload: bytes) -> list[float]:
+    """REAL decoder for PNG (RFC 2083 / ISO 15948 — public): chunk
+    parse + stdlib zlib inflate + scanline un-filtering, no codec
+    libraries. Closes most of the "compressed codecs are stubbed" gap
+    for images: the container's own DEFLATE compression is handled by
+    the stdlib, so only transform-coded formats (JPEG/MP3/MP4) remain
+    stub-backed. Returns the shared 8-float feature contract
+    ([mean_r, mean_g, mean_b, std_intensity, w/4096, h/4096,
+    aspect/8, 1.0] — identical to :func:`decode_ppm_image`, pinned by
+    a same-pixels cross-decoder test).
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit and
+    Adam7 payloads raise (``sniffing_decoder`` falls back to the stub
+    rather than silently mis-decoding — the PPM maxval rule)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # skip CRC; integrity is the reader's gate upstream
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG: no IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"PNG: bit depth {bit_depth} unsupported")
+    if interlace != 0:
+        raise ValueError("PNG: Adam7 interlacing unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG: color type {color_type} unsupported")
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, width, height, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        rgb = plte[px[..., 0]]
+    elif color_type == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color_type == 4:
+        rgb = np.repeat(px[..., :1], 3, axis=2)  # drop alpha
+    elif color_type == 6:
+        rgb = px[..., :3]  # drop alpha
+    else:  # color_type == 2
+        rgb = px
+    rgbf = rgb.astype(np.float64) / 255.0
+    return [
+        float(rgbf[..., 0].mean()),
+        float(rgbf[..., 1].mean()),
+        float(rgbf[..., 2].mean()),
+        float(rgbf.mean(axis=2).std()),
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 8.0,
+        1.0,
+    ]
+
+
 def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
     """REAL decoder for YUV4MPEG2 (.y4m) uncompressed video — the
     public raw-video interchange format (plain-text header + planar
@@ -228,9 +357,11 @@ def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
 
 
 def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
-    """Magic-byte dispatch: P6 -> PPM decode, RIFF/WAVE -> WAV decode,
-    YUV4MPEG2 -> raw-video decode, else the deterministic stub (for
-    compressed codecs genuinely unavailable here). This is the
+    """Magic-byte dispatch: P6 -> PPM decode, PNG signature -> PNG
+    decode (round 9 — stdlib zlib handles the container's DEFLATE, so
+    only transform-coded formats remain stubbed), RIFF/WAVE -> WAV
+    decode, YUV4MPEG2 -> raw-video decode, else the deterministic stub
+    (for compressed codecs genuinely unavailable here). This is the
     production ``decoder=`` slot-in shape: pure
     ``(payload, kind) -> 8 floats``, no per-row Spark calls.
 
@@ -241,6 +372,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
     try:
         if payload is not None and payload.startswith(b"P6"):
             return decode_ppm_image(payload)
+        if payload is not None and payload.startswith(_PNG_SIG):
+            return decode_png_image(payload)
         # RIFF alone is a container family (AVI, WebP, ...); require the
         # WAVE format tag at offset 8 before trying the WAV decoder
         if (

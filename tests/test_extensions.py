@@ -4068,3 +4068,134 @@ def test_mutual_information_ignores_null_categories(spark):
     got = st.mutual_information(dirty, "x", "y").collect()[0]
     assert tuple(got) == tuple(want)
     assert got["n"] == 16
+
+
+def _encode_png(arr, color_type, filters=None, palette=None):
+    """Minimal test-side PNG writer (filter choice per row) so the
+    decoder is exercised against independently-constructed payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.reshape(h, w * channels).astype(np.uint8)
+    filters = filters or [0] * h
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        row = flat[y].astype(np.int32)
+        f = filters[y]
+        enc = row.copy()
+        if f == 1:
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (row[i] - row[i - bpp]) & 0xFF
+        elif f == 2:
+            enc = (row - prev) & 0xFF
+        elif f == 3:
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in enc)
+        prev = row
+
+    def chunk(ctype, data):
+        c = struct.pack(">I", len(data)) + ctype + data
+        return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decoder_matches_ppm_on_same_pixels():
+    """PNG decoder (round 9): decoding a PNG of EXACTLY the pixels a
+    P6 PPM carries must give the identical 8-float feature vector —
+    the shared contract across real decoders — across every filter
+    type (None/Sub/Up/Average/Paeth) and the gray/RGB/RGBA/palette
+    color types."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_png_image,
+        decode_ppm_image,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    ppm = b"P6\n9 12\n255\n" + rgb.tobytes()
+    want = decode_ppm_image(ppm)
+
+    # RGB with every filter type exercised
+    filters = [0, 1, 2, 3, 4, 4, 3, 2, 1, 0, 4, 2]
+    png = _encode_png(rgb, color_type=2, filters=filters)
+    assert decode_png_image(png) == want
+
+    # RGBA (alpha dropped)
+    rgba = np.dstack([rgb, rng.randint(0, 256, size=(12, 9), dtype=np.uint8)])
+    assert decode_png_image(_encode_png(rgba, color_type=6, filters=filters)) == want
+
+    # palette: indices into a 256-entry palette reproducing the pixels
+    # (build a palette from the distinct colors of a small image)
+    small = rgb[:4, :4]
+    colors, inv = np.unique(small.reshape(-1, 3), axis=0, return_inverse=True)
+    idx = inv.reshape(4, 4, 1).astype(np.uint8)
+    png_p = _encode_png(idx, color_type=3, filters=[0, 2, 1, 4], palette=colors)
+    want_small = decode_ppm_image(b"P6\n4 4\n255\n" + small.tobytes())
+    assert decode_png_image(png_p) == want_small
+
+    # grayscale: gray value replicated to rgb
+    gray = rng.randint(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    gray_rgb = np.repeat(gray, 3, axis=2)
+    want_gray = decode_ppm_image(b"P6\n5 6\n255\n" + gray_rgb.tobytes())
+    assert decode_png_image(_encode_png(gray, color_type=0, filters=[4, 3, 2, 1, 0, 4])) == want_gray
+
+
+def test_png_decoder_refuses_unsupported_and_sniffs(spark):
+    """16-bit / interlaced PNGs raise (never silently mis-decode) and
+    sniffing_decoder routes PNG payloads to the real decoder while
+    falling back to the stub for the unsupported variants."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _decode_stub,
+        decode_png_image,
+        sniffing_decoder,
+    )
+
+    rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    good = _encode_png(rgb, color_type=2)
+    assert sniffing_decoder(good, "image") == decode_png_image(good)
+
+    def with_ihdr(bit_depth=8, interlace=0):
+        import re as _re
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, bit_depth, 2, 0, 0, interlace)
+        c = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        c += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        return good[:8] + c + good[8 + 12 + 13:]
+
+    for bad in (with_ihdr(bit_depth=16), with_ihdr(interlace=1)):
+        with _pytest.raises(ValueError):
+            decode_png_image(bad)
+        assert sniffing_decoder(bad, "image") == _decode_stub(bad, "image")
