@@ -5,7 +5,8 @@ Spark-side contract (schema, partitioning, Arrow batch shape) is real
 and tested. All three declared kinds have REAL reference decoders for
 public formats parseable without codec libraries: P6 PPM and — round
 9 — PNG images (chunk parse + stdlib zlib inflate + full scanline
-un-filtering: gray/RGB/RGBA/palette, all five filter types), RIFF/WAV
+un-filtering: gray/RGB/RGBA/palette, all five filter types) and
+uncompressed 24/32-bit BMP, RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Transform-coded formats
 (JPEG/MP3/H.264) fall back to the clearly-marked deterministic stub,
 the one piece that changes on a real cluster.
@@ -277,6 +278,59 @@ def decode_png_image(payload: bytes) -> list[float]:
     ]
 
 
+
+def decode_bmp_image(payload: bytes) -> list[float]:
+    """REAL decoder for uncompressed BMP (Windows DIB, public): 24/32-bit
+    BI_RGB only — fixed headers, BGR(A) samples, 4-byte row padding,
+    bottom-up (or top-down via negative height) row order. Same 8-float
+    feature contract as :func:`decode_ppm_image`/:func:`decode_png_image`
+    (cross-pinned on identical pixels). Compressed (RLE/bitfields) or
+    paletted BMPs raise; ``sniffing_decoder`` falls back to the stub."""
+    import struct
+
+    import numpy as np
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("BMP: truncated header")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"BMP: core header (size {hdr_size}) unsupported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"BMP: compression {compression} unsupported")
+    if bpp not in (24, 32):
+        raise ValueError(f"BMP: {bpp}-bit unsupported")
+    top_down = height < 0
+    height = abs(height)
+    nbytes = bpp // 8
+    stride = (width * nbytes + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError("BMP: truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, : width * nbytes].reshape(height, width, nbytes)
+    if not top_down:
+        rows = rows[::-1]
+    bgr = rows[..., :3]
+    rgb = bgr[..., ::-1].astype(np.float64) / 255.0
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(rgb.mean(axis=2).std()),
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 8.0,
+        1.0,
+    ]
+
+
 def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
     """REAL decoder for YUV4MPEG2 (.y4m) uncompressed video — the
     public raw-video interchange format (plain-text header + planar
@@ -374,6 +428,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             return decode_ppm_image(payload)
         if payload is not None and payload.startswith(_PNG_SIG):
             return decode_png_image(payload)
+        if payload is not None and payload.startswith(b"BM"):
+            return decode_bmp_image(payload)
         # RIFF alone is a container family (AVI, WebP, ...); require the
         # WAVE format tag at offset 8 before trying the WAV decoder
         if (

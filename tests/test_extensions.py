@@ -4199,3 +4199,56 @@ def test_png_decoder_refuses_unsupported_and_sniffs(spark):
         with _pytest.raises(ValueError):
             decode_png_image(bad)
         assert sniffing_decoder(bad, "image") == _decode_stub(bad, "image")
+
+
+def test_bmp_decoder_matches_ppm_on_same_pixels():
+    """BMP decoder (round 9): 24-bit bottom-up and 32-bit top-down BMPs
+    of the same pixels must equal the PPM features; padded rows handled;
+    compressed/paletted refused with stub fallback via the sniffer."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _decode_stub,
+        decode_bmp_image,
+        decode_ppm_image,
+        sniffing_decoder,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)  # stride pads
+    want = decode_ppm_image(b"P6\n5 7\n255\n" + rgb.tobytes())
+
+    def bmp(arr, bpp, top_down):
+        h, w = arr.shape[:2]
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = arr if top_down else arr[::-1]
+        body = bytearray()
+        for y in range(h):
+            line = bytearray()
+            for x in range(w):
+                r, g, b = (int(v) for v in rows[y, x])
+                line += bytes([b, g, r] + ([0] if nb == 4 else []))
+            line += b"\x00" * (stride - len(line))
+            body += line
+        hdrh = -h if top_down else h
+        info = struct.pack("<IiiHHIIiiII", 40, w, hdrh, 1, bpp, 0,
+                           len(body), 2835, 2835, 0, 0)
+        off = 14 + len(info)
+        head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        return head + info + bytes(body)
+
+    b24 = bmp(rgb, 24, top_down=False)
+    b32 = bmp(rgb, 32, top_down=True)
+    assert decode_bmp_image(b24) == want
+    assert decode_bmp_image(b32) == want
+    assert sniffing_decoder(b24, "image") == want
+
+    rle = bytearray(b24)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with _pytest.raises(ValueError):
+        decode_bmp_image(bytes(rle))
+    assert sniffing_decoder(bytes(rle), "image") == _decode_stub(bytes(rle), "image")
