@@ -5,11 +5,13 @@ Spark-side contract (schema, partitioning, Arrow batch shape) is real
 and tested. All three declared kinds have REAL reference decoders for
 public formats parseable without codec libraries: P6 PPM and — round
 9 — PNG images (chunk parse + stdlib zlib inflate + full scanline
-un-filtering: gray/RGB/RGBA/palette, all five filter types) and
-uncompressed 24/32-bit BMP, RIFF/WAV
+un-filtering: gray/RGB/RGBA/palette, all five filter types),
+uncompressed 24/32-bit BMP, and GIF87a/89a (full variable-width LZW
+decode + 4-pass interlace reordering, first frame), RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Transform-coded formats
-(JPEG/MP3/H.264) fall back to the clearly-marked deterministic stub,
-the one piece that changes on a real cluster.
+(JPEG/MP3/H.264 — DCT/psychoacoustic codecs) fall back to the
+clearly-marked deterministic stub, the one piece that changes on a
+real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -331,6 +333,134 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     ]
 
 
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW (GIF89a spec appendix F, public): variable-width
+    LSB-first codes 3..12 bits with CLEAR/END control codes. Pure
+    Python per-code loop — decode cost is O(pixels); acceptable for
+    the slot-in decoder role (a production cluster swaps in a native
+    codec; this is the reference implementation the plumbing tests
+    ride on)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif_image(payload: bytes) -> list[float]:
+    """REAL decoder for GIF87a/89a (public spec): logical-screen parse,
+    global/local color tables, extension-block skipping, full LZW
+    decompression (:func:`_gif_lzw_decode`) and Adam-style 4-pass
+    interlace reordering. FIRST frame only — the feature contract is
+    per-image; animation is out of scope (document over guess).
+    Same 8-float contract as the other image decoders, cross-pinned on
+    identical pixels in pytest."""
+    import numpy as np
+
+    if not (payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipacked = payload[pos + 9]
+            interlaced = bool(ipacked & 0x40)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                ct = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF: no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(bytes(lzw), min_code, w * h), dtype=np.int32
+            ).reshape(h, w)
+            if interlaced:
+                de = np.empty_like(idx)
+                rows = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de[rows] = idx
+                idx = de
+            rgb = ct[idx].astype(np.float64) / 255.0
+            return [
+                float(rgb[..., 0].mean()),
+                float(rgb[..., 1].mean()),
+                float(rgb[..., 2].mean()),
+                float(rgb.mean(axis=2).std()),
+                w / 4096.0,
+                h / 4096.0,
+                (w / h) / 8.0,
+                1.0,
+            ]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    raise ValueError(f"GIF: no image data (screen {sw}x{sh})")
+
+
 def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
     """REAL decoder for YUV4MPEG2 (.y4m) uncompressed video — the
     public raw-video interchange format (plain-text header + planar
@@ -430,6 +560,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             return decode_png_image(payload)
         if payload is not None and payload.startswith(b"BM"):
             return decode_bmp_image(payload)
+        if payload is not None and payload.startswith((b"GIF87a", b"GIF89a")):
+            return decode_gif_image(payload)
         # RIFF alone is a container family (AVI, WebP, ...); require the
         # WAVE format tag at offset 8 before trying the WAV decoder
         if (

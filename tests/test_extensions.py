@@ -4252,3 +4252,127 @@ def test_bmp_decoder_matches_ppm_on_same_pixels():
     with _pytest.raises(ValueError):
         decode_bmp_image(bytes(rle))
     assert sniffing_decoder(bytes(rle), "image") == _decode_stub(bytes(rle), "image")
+
+
+def test_gif_decoder_matches_ppm_on_same_pixels():
+    """GIF decoder (round 9): a REAL LZW-compressed GIF (test-side
+    encoder with dictionary growth across code widths) of the same
+    pixels must equal the PPM features — plain and interlaced, global
+    and local color tables; a GIF89a graphics-control extension is
+    skipped correctly."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_gif_image,
+        decode_ppm_image,
+        sniffing_decoder,
+    )
+
+    def lzw_encode(indices, min_code):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code + 1
+        codes = [clear]
+        buf = ()
+        for px in indices:
+            cand = buf + (px,)
+            if cand in table:
+                buf = cand
+                continue
+            codes.append(table[buf])
+            table[cand] = next_code
+            next_code += 1
+            buf = (px,)
+            if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+            if next_code == 4096:  # table full: clear (spec behavior)
+                codes.append(clear)
+                table = {(i,): i for i in range(clear)}
+                next_code = end + 1
+                code_size = min_code + 1
+        if buf:
+            codes.append(table[buf])
+        codes.append(end)
+        # pack LSB-first with the DECODER's width schedule: the decoder
+        # grows its table one code BEHIND the encoder (no entry on the
+        # first code after a clear — prev is None there)
+        out = bytearray()
+        acc = nbits = 0
+        cs = min_code + 1
+        n_table = end + 1
+        first = True
+        for c in codes:
+            acc |= c << nbits
+            nbits += cs
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                n_table, cs, first = end + 1, min_code + 1, True
+            elif c != end:
+                if not first:
+                    n_table += 1
+                    if n_table == (1 << cs) and cs < 12:
+                        cs += 1
+                first = False
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def gif(idx, palette, interlaced=False, local_ct=False, ext=False):
+        h, w = idx.shape
+        n = len(palette)
+        bits = max(2, int(np.ceil(np.log2(n))))
+        pal = np.zeros((2 ** bits, 3), dtype=np.uint8)
+        pal[:n] = palette
+        out = bytearray(b"GIF89a")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        if local_ct:
+            out += bytes([0x00, 0, 0])  # no GCT
+        else:
+            out += bytes([0x80 | (bits - 1), 0, 0])
+            out += pal.tobytes()
+        if ext:
+            out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE + terminator
+        out += b"\x2C" + (0).to_bytes(2, "little") * 2
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        ipacked = (0x40 if interlaced else 0) | (0x80 | (bits - 1) if local_ct else 0)
+        out += bytes([ipacked])
+        if local_ct:
+            out += pal.tobytes()
+        rows = idx
+        if interlaced:
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            rows = idx[order]
+        min_code = max(2, bits)
+        out += bytes([min_code])
+        data = lzw_encode([int(v) for v in rows.flatten()], min_code)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00\x3B"
+        return bytes(out)
+
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(11, 3), dtype=np.uint8)
+    idx = rng.randint(0, 11, size=(13, 9)).astype(np.int64)
+    rgb = palette[idx]
+    want = decode_ppm_image(b"P6\n9 13\n255\n" + rgb.astype(np.uint8).tobytes())
+
+    plain = gif(idx, palette)
+    assert decode_gif_image(plain) == want
+    assert sniffing_decoder(plain, "image") == want
+    assert decode_gif_image(gif(idx, palette, interlaced=True)) == want
+    assert decode_gif_image(gif(idx, palette, local_ct=True, ext=True)) == want
+
+    # long repetitive stream: forces dictionary growth over >2 code
+    # widths and the KwKwK case
+    idx2 = np.tile(np.arange(4), 600).reshape(60, 40) % 4
+    pal2 = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170], [255, 255, 255]],
+                    dtype=np.uint8)
+    rgb2 = pal2[idx2]
+    want2 = decode_ppm_image(b"P6\n40 60\n255\n" + rgb2.astype(np.uint8).tobytes())
+    assert decode_gif_image(gif(idx2.astype(np.int64), pal2)) == want2
