@@ -1,0 +1,294 @@
+"""Baseline JPEG decoder (ITU-T T.81 / JFIF — public spec), pure
+Python + numpy, no codec libraries.
+
+Scope: baseline sequential DCT (SOF0), 8-bit precision, Huffman
+entropy coding, grayscale or YCbCr with any JFIF sampling factors
+(4:4:4, 4:2:2, 4:2:0 — generic h/v factor handling), DRI/RSTn restart
+intervals, 0xFF00 byte-stuffing. Progressive (SOF2), arithmetic
+coding, 12-bit, and hierarchical modes raise ValueError so
+``multimodal.sniffing_decoder`` falls back to the stub rather than
+mis-decoding (the PPM-maxval rule).
+
+Performance contract: this is the REFERENCE decoder for the
+multimodal slot-in — entropy decode is a per-symbol Python loop
+(O(coefficients), fine at test scale); the IDCT and color transform
+are vectorized numpy over all blocks at once. A production cluster
+replaces the whole callable with a native codec; everything around it
+(Arrow batching, schema, NULL degradation) is the real plumbing.
+
+Decoder structure follows the spec, not any library: marker segment
+parse -> canonical Huffman tables (code lengths + symbols, MSB-first)
+-> MCU scan with per-component DC predictors -> dequant + zigzag ->
+separable IDCT (8x8 DCT-III basis matmul) -> plane upsample ->
+BT.601/JFIF YCbCr->RGB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8x8 IDCT basis: spatial = A @ coeff @ A.T with
+# A[x, u] = c(u)/2 * cos((2x+1) u pi / 16)
+_A = np.array([
+    [
+        (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+        * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        for u in range(8)
+    ]
+    for x in range(8)
+])
+
+
+class _Bits:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 un-stuffing; RSTn markers are consumed by the caller."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker reached: the spec pads with 1-bits; feeding
+                # 0xFF without consuming keeps any trailing reads legal
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        self.acc = 0
+        self.n = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code) -> symbol} (T.81 Annex C)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category sign extension (T.81 F.2.2.1)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_planes(payload: bytes):
+    """Decode a baseline JPEG to per-component float planes in [0, 255]
+    at full image resolution (chroma nearest-upsampled). Returns
+    (planes, width, height) with planes a list of HxW float64 arrays
+    (1 = grayscale, 3 = YCbCr order as stored)."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    data = payload
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[pos:pos + 2], "big")
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported")
+                tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=i + 1)
+                q = np.zeros(64, dtype=np.float64)
+                q[ZIGZAG] = tbl
+                qt[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = seg[i + 17:i + 17 + nsym]
+                tbl = _build_huffman(counts, syms)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                i += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG: SOF{marker - 0xC0} (non-baseline) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_map = {}
+            for s in range(ns):
+                cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
+                scan_map[cs] = (tables >> 4, tables & 0x0F)
+            pos += seglen
+            return _decode_scan(
+                data, pos, comps, scan_map, qt, huff_dc, huff_ac,
+                width, height, restart_interval,
+            )
+        # APPn/COM and anything else: skip
+        pos += seglen
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(data, pos, comps, scan_map, qt, huff_dc, huff_ac,
+                 width, height, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:
+        bw = mcux * c["h"]
+        bh = mcuy * c["v"]
+        c["coef"] = np.zeros((bh, bw, 8, 8), dtype=np.float64)
+        c["dc_tab"], c["ac_tab"] = scan_map[c["id"]]
+        c["pred"] = 0
+
+    bits = _Bits(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.align_to_marker()
+                m = bits.data[bits.pos + 1]
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError("JPEG: expected RSTn marker")
+                bits.pos += 2
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                dct = huff_dc[c["dc_tab"]]
+                act = huff_ac[c["ac_tab"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.float64)
+                        t = _huff_decode(bits, dct)
+                        diff = _extend(bits.bits(t), t) if t else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(bits, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC run overflow")
+                            blk[k] = _extend(bits.bits(s), s)
+                            k += 1
+                        out = np.zeros(64, dtype=np.float64)
+                        out[ZIGZAG] = blk
+                        c["coef"][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = out.reshape(8, 8)
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        coef = c["coef"] * qt[c["tq"]]  # dequant, broadcast over blocks
+        # vectorized separable IDCT over every block at once
+        spatial = np.einsum("xu,bcuv,yv->bcxy", _A, coef, _A) + 128.0
+        bh, bw = coef.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution by sample repetition (JFIF
+        # nearest), then crop the MCU padding
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(np.clip(plane[:height, :width], 0.0, 255.0))
+    return planes, width, height
+
+
+def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Baseline JPEG -> HxWx3 float64 RGB in [0, 1] (JFIF full-range
+    BT.601 for 3-component scans; grayscale replicates)."""
+    planes, width, height = decode_jpeg_planes(payload)
+    if len(planes) == 1:
+        y = planes[0]
+        rgb = np.dstack([y, y, y])
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.dstack([r, g, b]), 0.0, 255.0)
+    else:
+        raise ValueError(f"JPEG: {len(planes)}-component scans unsupported")
+    return rgb / 255.0

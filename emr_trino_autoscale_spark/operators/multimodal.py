@@ -8,10 +8,12 @@ public formats parseable without codec libraries: P6 PPM and — round
 un-filtering: gray/RGB/RGBA/palette, all five filter types),
 uncompressed 24/32-bit BMP, and GIF87a/89a (full variable-width LZW
 decode + 4-pass interlace reordering, first frame), RIFF/WAV
-16-bit PCM audio, YUV4MPEG2 raw video. Transform-coded formats
-(JPEG/MP3/H.264 — DCT/psychoacoustic codecs) fall back to the
-clearly-marked deterministic stub, the one piece that changes on a
-real cluster.
+16-bit PCM audio, YUV4MPEG2 raw video. Baseline JPEG decodes for
+real too (round 9, :mod:`._jpeg` — Huffman + dequant + vectorized
+IDCT + 4:2:0 upsampling, pinned against CPython's independently
+encoded test JPEG); only psychoacoustic/video codecs (MP3/H.264) and
+non-baseline JPEG modes fall back to the clearly-marked deterministic
+stub, the one piece that changes on a real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -283,11 +285,13 @@ def decode_png_image(payload: bytes) -> list[float]:
 
 def decode_bmp_image(payload: bytes) -> list[float]:
     """REAL decoder for uncompressed BMP (Windows DIB, public): 24/32-bit
-    BI_RGB only — fixed headers, BGR(A) samples, 4-byte row padding,
-    bottom-up (or top-down via negative height) row order. Same 8-float
-    feature contract as :func:`decode_ppm_image`/:func:`decode_png_image`
-    (cross-pinned on identical pixels). Compressed (RLE/bitfields) or
-    paletted BMPs raise; ``sniffing_decoder`` falls back to the stub."""
+    BI_RGB, plus 32-bit BI_BITFIELDS with byte-aligned channel masks
+    (the BITMAPV4/V5 form every screenshot tool emits) — fixed headers,
+    BGR(A) samples, 4-byte row padding, bottom-up (or top-down via
+    negative height) row order. Same 8-float feature contract as
+    :func:`decode_ppm_image`/:func:`decode_png_image` (cross-pinned on
+    identical pixels). RLE compression, palettes, and non-byte-aligned
+    masks raise; ``sniffing_decoder`` falls back to the stub."""
     import struct
 
     import numpy as np
@@ -303,7 +307,21 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     width, height = struct.unpack("<ii", payload[18:26])
     bpp = struct.unpack("<H", payload[28:30])[0]
     compression = struct.unpack("<I", payload[30:34])[0]
-    if compression != 0:
+    chan_order = "bgr"  # BI_RGB little-endian sample order
+    if compression == 3:
+        # BI_BITFIELDS (V4/V5 headers carry RGB masks right after the
+        # 40-byte core). Accept the byte-aligned masks only; anything
+        # else would need bit gymnastics a feature probe doesn't owe.
+        if bpp != 32 or hdr_size < 52:
+            raise ValueError("BMP: bitfields only supported for 32-bit V4/V5")
+        masks = struct.unpack("<III", payload[54:66])
+        shifts = []
+        for m in masks:
+            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                raise ValueError(f"BMP: non-byte-aligned mask 0x{m:08x}")
+            shifts.append((m.bit_length() - 8) // 8)  # byte index of channel
+        chan_order = shifts  # byte index per R,G,B
+    elif compression != 0:
         raise ValueError(f"BMP: compression {compression} unsupported")
     if bpp not in (24, 32):
         raise ValueError(f"BMP: {bpp}-bit unsupported")
@@ -319,8 +337,13 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     ).reshape(height, stride)[:, : width * nbytes].reshape(height, width, nbytes)
     if not top_down:
         rows = rows[::-1]
-    bgr = rows[..., :3]
-    rgb = bgr[..., ::-1].astype(np.float64) / 255.0
+    if chan_order == "bgr":
+        rgb = rows[..., :3][..., ::-1].astype(np.float64) / 255.0
+    else:
+        r_i, g_i, b_i = chan_order
+        rgb = np.dstack(
+            [rows[..., r_i], rows[..., g_i], rows[..., b_i]]
+        ).astype(np.float64) / 255.0
     return [
         float(rgb[..., 0].mean()),
         float(rgb[..., 1].mean()),
@@ -461,6 +484,37 @@ def decode_gif_image(payload: bytes) -> list[float]:
     raise ValueError(f"GIF: no image data (screen {sw}x{sh})")
 
 
+
+def decode_jpeg_image(payload: bytes) -> list[float]:
+    """REAL decoder for baseline JPEG (ITU-T T.81, public spec),
+    implemented in :mod:`._jpeg` — marker parse, canonical Huffman
+    entropy decode, dequant + vectorized separable IDCT, generic
+    sampling-factor upsampling (4:4:4/4:2:2/4:2:0), DRI/RSTn restarts,
+    JFIF BT.601 color transform. This closes the image half of the
+    "compressed codecs are stubbed" gap: PPM/PNG/BMP/GIF/JPEG all
+    decode for real; only the psychoacoustic/video codecs (MP3/H.264)
+    remain stub-backed. Progressive (SOF2), arithmetic-coded, and
+    12-bit JPEGs raise so :func:`sniffing_decoder` falls back to the
+    stub (the PPM-maxval rule). Same 8-float feature contract; pinned
+    against an independently-encoded CPython test JPEG (4:2:0) to
+    match the PPM ground truth within DCT quantization loss, and
+    against a test-side spec encoder for exactness structure."""
+    from ._jpeg import decode_jpeg_rgb
+
+    rgb = decode_jpeg_rgb(payload)
+    height, width = rgb.shape[0], rgb.shape[1]
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(rgb.mean(axis=2).std()),
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 8.0,
+        1.0,
+    ]
+
+
 def decode_y4m_video(payload: bytes, max_frames: int = 16) -> list[float]:
     """REAL decoder for YUV4MPEG2 (.y4m) uncompressed video — the
     public raw-video interchange format (plain-text header + planar
@@ -562,6 +616,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             return decode_bmp_image(payload)
         if payload is not None and payload.startswith((b"GIF87a", b"GIF89a")):
             return decode_gif_image(payload)
+        if payload is not None and payload.startswith(b"\xff\xd8"):
+            return decode_jpeg_image(payload)
         # RIFF alone is a container family (AVI, WebP, ...); require the
         # WAVE format tag at offset 8 before trying the WAV decoder
         if (

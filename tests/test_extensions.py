@@ -4,6 +4,7 @@ dedup variants, similarity search, text analysis, multimodal plumbing."""
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -4376,3 +4377,292 @@ def test_gif_decoder_matches_ppm_on_same_pixels():
     rgb2 = pal2[idx2]
     want2 = decode_ppm_image(b"P6\n40 60\n255\n" + rgb2.astype(np.uint8).tobytes())
     assert decode_gif_image(gif(idx2.astype(np.int64), pal2)) == want2
+
+
+_IMGDATA = os.path.join(os.path.dirname(__file__), "data", "imghdr")
+
+
+def test_cross_format_decoders_agree_on_cpython_corpus():
+    """All five image decoders against INDEPENDENTLY-produced files of
+    the same 16x16 image (CPython's imghdr test data, PSF license —
+    see tests/data/imghdr/README.md): PPM == PNG == BMP(BI_BITFIELDS
+    V5) features exactly; GIF within its palette-quantization delta;
+    baseline 4:2:0 JPEG within DCT quantization loss. This is the
+    external ground truth the round-trip tests (self-encoded payloads)
+    cannot provide."""
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_bmp_image,
+        decode_gif_image,
+        decode_jpeg_image,
+        decode_png_image,
+        decode_ppm_image,
+    )
+
+    def load(name):
+        with open(os.path.join(_IMGDATA, name), "rb") as f:
+            return f.read()
+
+    ppm = decode_ppm_image(load("python.ppm"))
+    assert decode_png_image(load("python.png")) == ppm
+    assert decode_bmp_image(load("python.bmp")) == ppm
+    gif = decode_gif_image(load("python.gif"))
+    assert all(abs(a - b) < 0.03 for a, b in zip(gif, ppm))
+    jpg = decode_jpeg_image(load("python.jpg"))
+    assert all(abs(a - b) < 0.04 for a, b in zip(jpg, ppm))
+    assert jpg[4:] == ppm[4:]  # dimensions exact
+
+
+def _encode_jpeg(rgb, subsample=False, restart=0, quality_scale=1.0):
+    """Minimal spec-correct baseline JPEG encoder (test-side): Annex K
+    quant + Huffman tables, 4:4:4 or 4:2:0, optional DRI/RSTn — so the
+    decoder is exercised against payloads it did not produce."""
+    import struct
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import _A, ZIGZAG
+
+    QY = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ], dtype=np.float64).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ], dtype=np.float64).reshape(8, 8)
+    QY = np.clip(np.round(QY * quality_scale), 1, 255)
+    QC = np.clip(np.round(QC * quality_scale), 1, 255)
+    # Annex K Huffman specs: (counts, symbols)
+    DC_L = ([0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0], list(range(12)))
+    DC_C = ([0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0], list(range(12)))
+    AC_L = ([0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7D], [
+        0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,0x61,
+        0x07,0x22,0x71,0x14,0x32,0x81,0x91,0xA1,0x08,0x23,0x42,0xB1,0xC1,0x15,0x52,
+        0xD1,0xF0,0x24,0x33,0x62,0x72,0x82,0x09,0x0A,0x16,0x17,0x18,0x19,0x1A,0x25,
+        0x26,0x27,0x28,0x29,0x2A,0x34,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,0x45,
+        0x46,0x47,0x48,0x49,0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,0x64,
+        0x65,0x66,0x67,0x68,0x69,0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,0x83,
+        0x84,0x85,0x86,0x87,0x88,0x89,0x8A,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,
+        0x9A,0xA2,0xA3,0xA4,0xA5,0xA6,0xA7,0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,0xB5,0xB6,
+        0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,0xC4,0xC5,0xC6,0xC7,0xC8,0xC9,0xCA,0xD2,0xD3,
+        0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,0xE1,0xE2,0xE3,0xE4,0xE5,0xE6,0xE7,0xE8,
+        0xE9,0xEA,0xF1,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,0xF9,0xFA])
+    AC_C = ([0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,0x77], [
+        0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,0x61,
+        0x71,0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xA1,0xB1,0xC1,0x09,0x23,0x33,
+        0x52,0xF0,0x15,0x62,0x72,0xD1,0x0A,0x16,0x24,0x34,0xE1,0x25,0xF1,0x17,0x18,
+        0x19,0x1A,0x26,0x27,0x28,0x29,0x2A,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,
+        0x45,0x46,0x47,0x48,0x49,0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,
+        0x64,0x65,0x66,0x67,0x68,0x69,0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,
+        0x82,0x83,0x84,0x85,0x86,0x87,0x88,0x89,0x8A,0x92,0x93,0x94,0x95,0x96,0x97,
+        0x98,0x99,0x9A,0xA2,0xA3,0xA4,0xA5,0xA6,0xA7,0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,
+        0xB5,0xB6,0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,0xC4,0xC5,0xC6,0xC7,0xC8,0xC9,0xCA,
+        0xD2,0xD3,0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,0xE2,0xE3,0xE4,0xE5,0xE6,0xE7,
+        0xE8,0xE9,0xEA,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,0xF9,0xFA])
+
+    def enc_table(counts, symbols):
+        code, k, out = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[symbols[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsample:
+        # pad to even then 2x2 block-mean
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+        def pad(p, hh, ww):
+            out = np.empty((hh, ww))
+            out[:p.shape[0], :p.shape[1]] = p
+            out[p.shape[0]:, :p.shape[1]] = p[-1:]
+            out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+            return out
+        cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1), (1, 1), (1, 1)]
+    planes = [y, cb, cr]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # pre-pad every plane to its full MCU-covered extent by edge
+    # replication so block extraction never sees an empty slice
+    padded = []
+    for ci, (fh, fv) in enumerate(factors):
+        p = planes[ci]
+        ww, hh = mcux * fh * 8, mcuy * fv * 8
+        out_p = np.empty((hh, ww))
+        out_p[:p.shape[0], :p.shape[1]] = p
+        out_p[p.shape[0]:, :p.shape[1]] = p[-1:]
+        out_p[:, p.shape[1]:] = out_p[:, p.shape[1] - 1:p.shape[1]]
+        padded.append(out_p)
+    planes = padded
+
+    bitbuf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(code, ln):
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            put(0x7F >> (7 - (8 - nbits) + 1) if False else (1 << (8 - nbits)) - 1, 8 - nbits)
+
+    dc_tabs = [enc_table(*DC_L), enc_table(*DC_C), enc_table(*DC_C)]
+    ac_tabs = [enc_table(*AC_L), enc_table(*AC_C), enc_table(*AC_C)]
+    qts = [QY, QC, QC]
+
+    def mag(v):
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    preds = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                flush()
+                bitbuf.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0, 0, 0]
+            for ci, (fh, fv) in enumerate(factors):
+                p = planes[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8]
+                        coeff = _A.T @ (blk - 128.0) @ _A  # forward DCT
+                        q = np.round(coeff / qts[ci]).astype(np.int64)
+                        zz = q.reshape(-1)[ZIGZAG]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        t, v = (0, 0) if diff == 0 else mag(diff)
+                        ln, code = dc_tabs[ci][t]
+                        put(code, ln)
+                        if t:
+                            put(v, t)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_tabs[ci][0xF0]
+                                put(code, ln)
+                                run -= 16
+                            t, v = mag(int(zz[k]))
+                            ln, code = ac_tabs[ci][(run << 4) | t]
+                            put(code, ln)
+                            put(v, t)
+                            run = 0
+                        if run:
+                            ln, code = ac_tabs[ci][0x00]
+                            put(code, ln)
+            mcu_count += 1
+    flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, QY), (1, QC)):
+        zz = np.zeros(64, dtype=np.uint8)
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz.tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for ci, (fh, fv) in enumerate(factors):
+        out += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    for tc, tid, (counts, syms) in ((0, 0, DC_L), (0, 1, DC_C), (1, 0, AC_L), (1, 1, AC_C)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) + bytes([(tc << 4) | tid])
+        out += bytes(counts) + bytes(syms)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for ci in range(3):
+        out += bytes([ci + 1, (0 << 4) | 0 if ci == 0 else (1 << 4) | 1])
+    out += bytes([0, 63, 0])
+    out += bitbuf + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_roundtrip_444_420_and_restarts():
+    """JPEG decoder vs a test-side spec encoder (Annex K tables):
+    4:4:4, 4:2:0 with odd dimensions (MCU padding), and DRI/RSTn
+    restart intervals. DCT quantization is lossy, so the pin is pixel
+    RMSE against the source, not exactness — tight enough (< 0.04)
+    that any Huffman/zigzag/dequant/IDCT/upsampling defect fails
+    loudly (bugs produce garbage, not small noise)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import decode_jpeg_rgb
+
+    rng = np.random.RandomState(5)
+    # smooth image: quantization error stays small and structured
+    xx, yy = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 17))
+    rgb = np.dstack([
+        128 + 90 * np.sin(3 * xx) * np.cos(2 * yy),
+        128 + 80 * xx,
+        128 + 70 * yy,
+    ]).clip(0, 255).astype(np.uint8)
+
+    for kwargs in ({}, {"subsample": True}, {"restart": 2},
+                   {"subsample": True, "restart": 3}):
+        payload = _encode_jpeg(rgb, **kwargs)
+        got = decode_jpeg_rgb(payload)
+        assert got.shape == (17, 24, 3)
+        rmse = float(np.sqrt(((got - rgb / 255.0) ** 2).mean()))
+        assert rmse < 0.04, (kwargs, rmse)
+
+    # sharp random noise through 4:4:4 still bounded by quant tables
+    noise = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got = decode_jpeg_rgb(_encode_jpeg(noise))
+    rmse = float(np.sqrt(((got - noise / 255.0) ** 2).mean()))
+    assert rmse < 0.2
+
+
+def test_jpeg_refuses_progressive_and_sniffs():
+    """Progressive JPEGs raise; sniffing_decoder falls back to the
+    stub for them and routes baseline JPEGs to the real decoder."""
+    import struct
+
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _decode_stub,
+        decode_jpeg_image,
+        sniffing_decoder,
+    )
+
+    with open(os.path.join(_IMGDATA, "python.jpg"), "rb") as f:
+        good = f.read()
+    assert sniffing_decoder(good, "image") == decode_jpeg_image(good)
+
+    # flip SOF0 -> SOF2 (progressive) in a copy
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    with _pytest.raises(ValueError):
+        decode_jpeg_image(prog)
+    assert sniffing_decoder(prog, "image") == _decode_stub(prog, "image")
