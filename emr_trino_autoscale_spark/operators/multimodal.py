@@ -205,7 +205,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
     return out.reshape(height, width, channels)
 
 
-def decode_png_image(payload: bytes) -> list[float]:
+def _png_rgb(payload: bytes):
     """REAL decoder for PNG (RFC 2083 / ISO 15948 — public): chunk
     parse + stdlib zlib inflate + scanline un-filtering, no codec
     libraries. Closes most of the "compressed codecs are stubbed" gap
@@ -269,12 +269,19 @@ def decode_png_image(payload: bytes) -> list[float]:
         rgb = px[..., :3]  # drop alpha
     else:  # color_type == 2
         rgb = px
-    rgbf = rgb.astype(np.float64) / 255.0
+    return rgb.astype(np.float64)
+
+
+def decode_png_image(payload: bytes) -> list[float]:
+    """Feature projection of :func:`_png_rgb` — shared 8-float
+    contract (see the top of the decoder family)."""
+    rgb = _png_rgb(payload) / 255.0
+    height, width = rgb.shape[0], rgb.shape[1]
     return [
-        float(rgbf[..., 0].mean()),
-        float(rgbf[..., 1].mean()),
-        float(rgbf[..., 2].mean()),
-        float(rgbf.mean(axis=2).std()),
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(rgb.mean(axis=2).std()),
         width / 4096.0,
         height / 4096.0,
         (width / height) / 8.0,
@@ -283,7 +290,7 @@ def decode_png_image(payload: bytes) -> list[float]:
 
 
 
-def decode_bmp_image(payload: bytes) -> list[float]:
+def _bmp_rgb(payload: bytes):
     """REAL decoder for uncompressed BMP (Windows DIB, public): 24/32-bit
     BI_RGB, plus 32-bit BI_BITFIELDS with byte-aligned channel masks
     (the BITMAPV4/V5 form every screenshot tool emits) — fixed headers,
@@ -338,12 +345,20 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     if not top_down:
         rows = rows[::-1]
     if chan_order == "bgr":
-        rgb = rows[..., :3][..., ::-1].astype(np.float64) / 255.0
+        rgb = rows[..., :3][..., ::-1].astype(np.float64)
     else:
         r_i, g_i, b_i = chan_order
         rgb = np.dstack(
             [rows[..., r_i], rows[..., g_i], rows[..., b_i]]
-        ).astype(np.float64) / 255.0
+        ).astype(np.float64)
+    return rgb
+
+
+def decode_bmp_image(payload: bytes) -> list[float]:
+    """Feature projection of :func:`_bmp_rgb` — shared 8-float
+    contract."""
+    rgb = _bmp_rgb(payload) / 255.0
+    height, width = rgb.shape[0], rgb.shape[1]
     return [
         float(rgb[..., 0].mean()),
         float(rgb[..., 1].mean()),
@@ -404,7 +419,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]
     return out[:n_pixels]
 
 
-def decode_gif_image(payload: bytes) -> list[float]:
+def _gif_rgb(payload: bytes):
     """REAL decoder for GIF87a/89a (public spec): logical-screen parse,
     global/local color tables, extension-block skipping, full LZW
     decompression (:func:`_gif_lzw_decode`) and Adam-style 4-pass
@@ -466,22 +481,29 @@ def decode_gif_image(payload: bytes) -> list[float]:
                 )
                 de[rows] = idx
                 idx = de
-            rgb = ct[idx].astype(np.float64) / 255.0
-            return [
-                float(rgb[..., 0].mean()),
-                float(rgb[..., 1].mean()),
-                float(rgb[..., 2].mean()),
-                float(rgb.mean(axis=2).std()),
-                w / 4096.0,
-                h / 4096.0,
-                (w / h) / 8.0,
-                1.0,
-            ]
+            return ct[idx].astype(np.float64)
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"GIF: unexpected block 0x{b:02x}")
     raise ValueError(f"GIF: no image data (screen {sw}x{sh})")
+
+
+def decode_gif_image(payload: bytes) -> list[float]:
+    """Feature projection of :func:`_gif_rgb` — shared 8-float
+    contract."""
+    rgb = _gif_rgb(payload) / 255.0
+    height, width = rgb.shape[0], rgb.shape[1]
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(rgb.mean(axis=2).std()),
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 8.0,
+        1.0,
+    ]
 
 
 
@@ -752,8 +774,10 @@ def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
 
 
 def ahash64_ppm(payload: bytes) -> int | None:
-    """X57 — 64-bit average-hash (aHash) perceptual fingerprint of a P6
-    PPM image: grayscale -> 8x8 block-mean downsample -> one bit per
+    """X57 — 64-bit average-hash (aHash) perceptual fingerprint of any
+    REAL-decodable image (PPM fast path; PNG/BMP/GIF/baseline-JPEG via
+    :func:`_parse_gray`, round 9): grayscale -> 8x8 block-mean
+    downsample -> one bit per
     cell (above/below the 64-cell mean). Near-identical images (resize,
     slight re-encode, small edits) land within a few bits of Hamming
     distance; the public baseline perceptual hash (pHash's DCT variant
@@ -762,28 +786,12 @@ def ahash64_ppm(payload: bytes) -> int | None:
     import numpy as np
 
     try:
-        if payload is None or not payload.startswith(b"P6"):
+        gray = _parse_gray(payload)
+        if gray is None:
             return None
-        tokens: list[bytes] = []
-        i = 0
-        while len(tokens) < 4 and i < len(payload):
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            start = i
-            while i < len(payload) and not payload[i : i + 1].isspace():
-                i += 1
-            tokens.append(payload[start:i])
-        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-        if maxval > 255 or width < 8 or height < 8:
+        height, width = gray.shape
+        if width < 8 or height < 8:
             return None
-        px = np.frombuffer(
-            payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
-        ).reshape(height, width, 3)
-        gray = px.astype(np.float64).mean(axis=2)
         # 8x8 block means via truncate-to-multiple then reshape (exact,
         # no interpolation -> deterministic across platforms)
         bh, bw = height // 8, width // 8
@@ -1136,6 +1144,35 @@ def _parse_ppm_gray(payload: bytes):
     return px.reshape(height, width, 3).astype(np.float64).mean(axis=2)
 
 
+def _parse_gray(payload: bytes):
+    """Format-sniffing grayscale parse for the perceptual-hash family
+    (round 9): PPM keeps its original fast path (bit-identical hashes
+    for the declared q103/q122/q184 corpora), and every other REAL
+    decoder's RGB core — PNG, BMP, GIF, baseline JPEG — feeds the same
+    0..255 channel-mean gray. None for undecodable payloads (hash
+    absent, the established degradation)."""
+    import numpy as np  # noqa: F401 — sibling parsers use it
+
+    if payload is None:
+        return None
+    try:
+        if payload.startswith(b"P6"):
+            return _parse_ppm_gray(payload)
+        if payload.startswith(_PNG_SIG):
+            return _png_rgb(payload).mean(axis=2)
+        if payload.startswith(b"BM"):
+            return _bmp_rgb(payload).mean(axis=2)
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            return _gif_rgb(payload).mean(axis=2)
+        if payload.startswith(b"\xff\xd8"):
+            from ._jpeg import decode_jpeg_rgb
+
+            return decode_jpeg_rgb(payload).mean(axis=2) * 255.0
+    except Exception:  # noqa: BLE001 — malformed image: signature absent
+        return None
+    return None
+
+
 def phash64_ppm(payload: bytes) -> int | None:
     """X85 — 64-bit DCT perceptual hash (pHash; the public algorithm
     behind the pHash library): grayscale -> exact 32x32 block-mean
@@ -1158,7 +1195,7 @@ def phash64_ppm(payload: bytes) -> int | None:
     import numpy as np
 
     try:
-        gray = _parse_ppm_gray(payload)
+        gray = _parse_gray(payload)
         if gray is None or gray.shape[0] < 32 or gray.shape[1] < 32:
             return None
         h, w = gray.shape
@@ -1473,8 +1510,9 @@ def audio_profile(
 
 def dhash64_ppm(payload: bytes) -> int | None:
     """X151 — 64-bit difference-hash (dHash) perceptual fingerprint of
-    a P6 PPM image: grayscale -> 8x9 block-mean grid -> one bit per
-    horizontal neighbor pair (left > right). The GRADIENT-structure
+    any REAL-decodable image (PPM fast path; PNG/BMP/GIF/baseline-JPEG
+    via :func:`_parse_gray`, round 9): grayscale -> 8x9 block-mean grid
+    -> one bit per horizontal neighbor pair (left > right). The GRADIENT-structure
     member of the perceptual trio (aHash = brightness vs mean, pHash =
     DCT spectrum, dHash = local gradients — public imagehash family):
     immune to global brightness/contrast shifts that flip aHash bits,
@@ -1484,28 +1522,12 @@ def dhash64_ppm(payload: bytes) -> int | None:
     import numpy as np
 
     try:
-        if payload is None or not payload.startswith(b"P6"):
+        gray = _parse_gray(payload)
+        if gray is None:
             return None
-        tokens: list[bytes] = []
-        i = 0
-        while len(tokens) < 4 and i < len(payload):
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            start = i
-            while i < len(payload) and not payload[i : i + 1].isspace():
-                i += 1
-            tokens.append(payload[start:i])
-        width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-        if maxval > 255 or width < 9 or height < 8:
+        height, width = gray.shape
+        if width < 9 or height < 8:
             return None
-        px = np.frombuffer(
-            payload[i + 1 : i + 1 + width * height * 3], dtype=np.uint8
-        ).reshape(height, width, 3)
-        gray = px.astype(np.float64).mean(axis=2)
         bh, bw = height // 8, width // 9
         g = gray[: bh * 8, : bw * 9].reshape(8, bh, 9, bw).mean(axis=(1, 3))
         bits = (g[:, :-1] > g[:, 1:]).flatten()

@@ -4666,3 +4666,38 @@ def test_jpeg_refuses_progressive_and_sniffs():
     with _pytest.raises(ValueError):
         decode_jpeg_image(prog)
     assert sniffing_decoder(prog, "image") == _decode_stub(prog, "image")
+
+
+def test_perceptual_hashes_cross_format():
+    """Round 9: the perceptual-hash family accepts every REAL-decodable
+    format via the sniffing gray parse. Lossless re-encodings of the
+    same pixels (PPM/PNG/BMP) produce IDENTICAL aHash and dHash;
+    lossy/quantized re-encodings (GIF palette, 4:2:0 JPEG of a 16x16
+    source — worst case: every pixel sits in a quantized block) land
+    within a small Hamming distance, exactly the cross-codec near-dup
+    signal the signature family exists to surface. PPM hashes are
+    bit-identical to the pre-round-9 parser (same fast path), so the
+    declared q103/q122/q184 oracles are unaffected."""
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        ahash64_ppm,
+        dhash64_ppm,
+    )
+
+    def load(name):
+        with open(os.path.join(_IMGDATA, name), "rb") as f:
+            return f.read()
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    names = ["python.ppm", "python.png", "python.bmp", "python.gif", "python.jpg"]
+    a = {n: ahash64_ppm(load(n)) for n in names}
+    d = {n: dhash64_ppm(load(n)) for n in names}
+    assert None not in a.values() and None not in d.values()
+    assert a["python.ppm"] == a["python.png"] == a["python.bmp"]
+    assert d["python.ppm"] == d["python.png"] == d["python.bmp"]
+    assert ham(a["python.ppm"], a["python.gif"]) <= 6
+    assert ham(d["python.ppm"], d["python.gif"]) <= 6
+    # 16x16 4:2:0 JPEG is the quantization worst case; bound loosely
+    assert ham(a["python.ppm"], a["python.jpg"]) <= 12
+    assert ham(d["python.ppm"], d["python.jpg"]) <= 16
