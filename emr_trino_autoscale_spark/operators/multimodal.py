@@ -183,7 +183,9 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
             pass
         elif ftype == 1:  # Sub
             for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
+                # int() avoids numpy's uint8-overflow warning; the sum
+                # is modular by spec
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
         elif ftype == 2:  # Up
             row = (row.astype(np.int32) + prev).astype(np.uint8)
         elif ftype == 3:  # Average
