@@ -927,6 +927,132 @@ def ahash_near_dup_pairs(
     )
 
 
+
+def _rgb_of(payload: bytes):
+    """Format-sniffing RGB parse (the color twin of :func:`_parse_gray`):
+    HxWx3 float64 in [0, 255] via whichever REAL decoder matches the
+    magic bytes, or None. Audio/video and undecodable payloads return
+    None."""
+    if payload is None:
+        return None
+    try:
+        import numpy as np
+
+        if payload.startswith(b"P6"):
+            gray_like = _parse_ppm_gray(payload)  # validates header
+            if gray_like is None:
+                return None
+            # re-parse as RGB (cheap: same token walk inside the decoder)
+            tokens: list[bytes] = []
+            i = 0
+            while len(tokens) < 4 and i < len(payload):
+                while i < len(payload) and payload[i : i + 1].isspace():
+                    i += 1
+                if payload[i : i + 1] == b"#":
+                    while i < len(payload) and payload[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                start = i
+                while i < len(payload) and not payload[i : i + 1].isspace():
+                    i += 1
+                tokens.append(payload[start:i])
+            w, h = int(tokens[1]), int(tokens[2])
+            px = np.frombuffer(payload[i + 1 : i + 1 + w * h * 3], dtype=np.uint8)
+            return px.reshape(h, w, 3).astype(np.float64)
+        if payload.startswith(_PNG_SIG):
+            return _png_rgb(payload)
+        if payload.startswith(b"BM"):
+            return _bmp_rgb(payload)
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            return _gif_rgb(payload)
+        if payload.startswith(b"\xff\xd8"):
+            from ._jpeg import decode_jpeg_rgb
+
+            return decode_jpeg_rgb(payload) * 255.0
+    except Exception:  # noqa: BLE001 — malformed image: no pixels
+        return None
+    return None
+
+
+def transcode_ppm(payload: bytes) -> bytes | None:
+    """Decode ANY real-decodable image format and re-emit canonical
+    binary P6 PPM — the ingest normalization that turns a mixed-codec
+    crawl (PNG originals, JPEG re-encodes, GIF thumbnails, BMP
+    screenshots) into ONE uncompressed representation every downstream
+    stage (resize/aHash/pHash/dHash/near-dup) already consumes on its
+    fast path. Lossless inputs round-trip pixel-exact; JPEG carries its
+    decode result verbatim. None for undecodable payloads."""
+    import numpy as np
+
+    rgb = _rgb_of(payload)
+    if rgb is None:
+        return None
+    h, w = rgb.shape[0], rgb.shape[1]
+    body = np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
+    return b"P6\n%d %d\n255\n" % (w, h) + body
+
+
+def transcode_images(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X6 (transcode stage, round 9) — mixed-codec corpus -> canonical
+    P6 PPM payloads as an Arrow ``mapInPandas`` projection: (id,
+    payload) -> (id, ppm payload, width, height, src_format), NULL row
+    values for undecodable inputs (same degradation contract as
+    :func:`image_ahash`; batch shape unchanged, streaming-safe). At
+    100 TB this runs once at ingest so every downstream image stage
+    reads one format off its fast path instead of sniffing per call."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("src_format", StringType()),
+        ]
+    )
+
+    def _fmt(p) -> str | None:
+        if p is None:
+            return None
+        if p.startswith(b"P6"):
+            return "ppm"
+        if p.startswith(_PNG_SIG):
+            return "png"
+        if p.startswith(b"BM"):
+            return "bmp"
+        if p.startswith((b"GIF87a", b"GIF89a")):
+            return "gif"
+        if p.startswith(b"\xff\xd8"):
+            return "jpeg"
+        return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = [transcode_ppm(p) for p in pdf[payload_col]]
+            ws, hs = [], []
+            for o in outs:
+                if o is None:
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    head = o.split(b"\n", 3)
+                    w_, h_ = head[1].split(b" ")
+                    ws.append(int(w_))
+                    hs.append(int(h_))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": outs,
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "src_format": [_fmt(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """REAL resize for P6 PPM payloads: exact block-mean downsample to
     (out_w, out_h) — the same interpolation-free arithmetic as

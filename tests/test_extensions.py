@@ -4701,3 +4701,44 @@ def test_perceptual_hashes_cross_format():
     # 16x16 4:2:0 JPEG is the quantization worst case; bound loosely
     assert ham(a["python.ppm"], a["python.jpg"]) <= 12
     assert ham(d["python.ppm"], d["python.jpg"]) <= 16
+
+
+def test_transcode_images_mixed_codec_corpus(spark):
+    """X6 transcode stage (round 9): a mixed-codec frame (PNG, BMP,
+    GIF, JPEG, PPM, garbage) normalizes to canonical P6 PPM payloads
+    through the Arrow mapInPandas projection — lossless sources
+    pixel-exact (their PPM re-decode equals the PPM ground truth),
+    JPEG within quantization loss, garbage degraded to NULL row values
+    with the batch intact. Downstream proof: aHash over the transcoded
+    frame equals aHash over the originals (the sniffing parse and the
+    canonical form agree)."""
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        ahash64_ppm,
+        decode_ppm_image,
+        transcode_images,
+    )
+
+    def load(name):
+        with open(os.path.join(_IMGDATA, name), "rb") as f:
+            return f.read()
+
+    rows = [
+        (0, load("python.ppm")), (1, load("python.png")),
+        (2, load("python.bmp")), (3, load("python.gif")),
+        (4, load("python.jpg")), (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in transcode_images(df).collect()}
+    assert len(out) == 6
+    want = decode_ppm_image(load("python.ppm"))
+    for mid, fmt in ((0, "ppm"), (1, "png"), (2, "bmp")):
+        r = out[mid]
+        assert r.src_format == fmt and (r.width, r.height) == (16, 16)
+        assert decode_ppm_image(bytes(r.payload)) == want
+    assert out[4].src_format == "jpeg"
+    jf = decode_ppm_image(bytes(out[4].payload))
+    assert all(abs(a - b) < 0.04 for a, b in zip(jf, want))
+    assert out[5].payload is None and out[5].src_format is None
+    # downstream agreement: hash of transcoded == hash of original
+    for mid, name in ((1, "python.png"), (2, "python.bmp"), (4, "python.jpg")):
+        assert ahash64_ppm(bytes(out[mid].payload)) == ahash64_ppm(load(name))
