@@ -1157,10 +1157,15 @@ def welch_t_test(
     sa = F.col("__va") / F.col("n_a")
     sb = F.col("__vb") / F.col("n_b")
     se2 = sa + sb
-    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(se2)
-    dof = (se2 * se2) / (
-        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
-    )
+    # degenerate samples guard (found by the round-9 brute-force
+    # property test under ANSI mode): two zero-variance samples make
+    # se2 and the W-S denominator 0, and the bare divisions raise
+    # DIVIDE_BY_ZERO instead of returning a row. The test is simply
+    # undefined there — emit NULL t/df (mean_a/mean_b still carry the
+    # comparison) rather than crashing the job.
+    dof_den = sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    t = F.when(se2 > 0, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2))
+    dof = F.when(dof_den > 0, (se2 * se2) / dof_den)
     return agged.select(
         "n_a",
         "n_b",

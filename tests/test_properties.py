@@ -864,3 +864,59 @@ def test_chi2_and_mi_match_bruteforce(spark, obs):
     # declared-query layer); float-sum association order may differ
     for got, want in ((mi["mi_bits"], mi_bits), (mi["h_x"], h_x), (mi["h_y"], h_y)):
         assert abs(got - want) < 1e-9 + 1e-9 * abs(want), (got, want)
+
+
+@given(
+    xs=st.lists(st.integers(0, 30), min_size=2, max_size=30),
+    ys=st.lists(st.integers(0, 30), min_size=2, max_size=30),
+)
+@settings(**SETTINGS)
+def test_rank_sum_and_welch_match_bruteforce(spark, xs, ys):
+    """X96/X102 property (q134/q139, both in this round's driver
+    window): the bucket-decomposed midrank machinery and the stable
+    CentralMomentAgg Welch must equal 10-line textbook references for
+    ANY two integer samples — ties, disjoint ranges, equal samples."""
+    import math
+    from collections import Counter
+
+    from emr_trino_autoscale_spark.operators import stats as st_ops
+
+    rows = [("a", float(v)) for v in xs] + [("b", float(v)) for v in ys]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    r = st_ops.rank_sum_test(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(xs), len(ys)
+    pooled = sorted(xs + ys)
+    # midrank per distinct value
+    c = Counter(pooled)
+    midrank, before = {}, 0
+    for v in sorted(c):
+        midrank[v] = before + (c[v] + 1) / 2.0
+        before += c[v]
+    ra = sum(midrank[v] for v in xs)
+    ua = ra - na * (na + 1) / 2.0
+    nn = na + nb
+    ties = sum(t ** 3 - t for t in c.values())
+    sigma2 = na * nb / 12.0 * ((nn + 1) - ties / (nn * (nn - 1)))
+    z = (ua - na * nb / 2.0) / math.sqrt(sigma2) if sigma2 > 0 else 0.0
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["u_a"] - ua) <= 5.0001e-5
+    assert abs(r["z"] - z) <= 5.0001e-5 + 1e-9 * abs(z)
+
+    w = st_ops.welch_t_test(df, "g", "v", "a", "b").collect()[0]
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((v - ma) ** 2 for v in xs) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in ys) / (nb - 1)
+    se2 = va / na + vb / nb
+    assert (w["n_a"], w["n_b"]) == (na, nb)
+    assert abs(w["mean_a"] - ma) <= 5.0001e-5
+    assert abs(w["mean_b"] - mb) <= 5.0001e-5
+    if se2 > 0:
+        t_stat = (ma - mb) / math.sqrt(se2)
+        dof = se2 * se2 / (va * va / (na * na * (na - 1)) + vb * vb / (nb * nb * (nb - 1)))
+        assert abs(w["t_stat"] - t_stat) <= 5.0001e-5 + 1e-7 * abs(t_stat)
+        assert abs(w["df"] - dof) <= 5.0001e-5 + 1e-7 * abs(dof)
+    else:
+        # degenerate zero-variance samples: NULL t/df, not a crash
+        # (the ANSI DIVIDE_BY_ZERO this property test originally found)
+        assert w["t_stat"] is None and w["df"] is None
