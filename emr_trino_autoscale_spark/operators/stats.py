@@ -1744,21 +1744,25 @@ def grouped_auc(
         if part_cols
         else r2.crossJoin(F.broadcast(totals))
     )
+    # single-class guard (round-9 degenerate-input sweep): a group with
+    # zero positives or zero negatives has no ranking to score — the
+    # Mann-Whitney denominator is 0 and the bare division raises under
+    # ANSI mode. AUC is NULL there by contract, never a crashed job.
+    denom = (
+        F.lit(2.0) * F.max("__np") * (F.max("__n") - F.max("__np"))
+    )
     return (
         j.groupBy(*part_cols)
         .agg(
             F.max("__n").cast("bigint").alias("n"),
             F.max("__np").cast("bigint").alias("n_pos"),
-            (
+            F.when(
+                denom > 0,
                 (
                     F.sum(F.col("__p") * F.col("__r2"))
                     - F.max("__np") * (F.max("__np") + 1)
                 )
-                / (
-                    F.lit(2.0)
-                    * F.max("__np")
-                    * (F.max("__n") - F.max("__np"))
-                )
+                / denom,
             ).alias("auc"),
         )
     )
@@ -2178,7 +2182,23 @@ def spearman_corr(
     rx = _midranks("x")
     ry = _midranks("y")
     ranked = base.join(rx, ["g", "x"]).join(ry, ["g", "y"])
-    return ranked.groupBy("g").agg(
+    # Pearson from the SAME stable CentralMomentAgg family F.corr uses,
+    # but with the zero-variance division guarded: a constant rank
+    # column (all-tied x or y) makes Spark's own corr aggregate raise
+    # DIVIDE_BY_ZERO under ANSI mode at evaluate time — a when() around
+    # F.corr cannot mask it, so the division must be ours. rho is NULL
+    # on the undefined domain (degenerate group), identical floats
+    # otherwise up to the dec4 contract both engines round through.
+    agged = ranked.groupBy("g").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.corr("__rx", "__ry").alias("rho"),
-    ).select(F.col("g").alias(group_col), "n", "rho")
+        F.covar_samp("__rx", "__ry").alias("__cov"),
+        F.stddev_samp("__rx").alias("__sx"),
+        F.stddev_samp("__ry").alias("__sy"),
+    )
+    rho = F.when(
+        (F.col("__sx") > 0) & (F.col("__sy") > 0),
+        F.col("__cov") / (F.col("__sx") * F.col("__sy")),
+    )
+    return agged.select(
+        F.col("g").alias(group_col), "n", rho.alias("rho")
+    )

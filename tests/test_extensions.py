@@ -4742,3 +4742,43 @@ def test_transcode_images_mixed_codec_corpus(spark):
     # downstream agreement: hash of transcoded == hash of original
     for mid, name in ((1, "python.png"), (2, "python.bmp"), (4, "python.jpg")):
         assert ahash64_ppm(bytes(out[mid].payload)) == ahash64_ppm(load(name))
+
+
+def test_degenerate_inputs_never_crash_ansi(spark):
+    """Round-9 degenerate-input sweep under ANSI mode (the q139 Welch
+    crash's bug class): single-class AUC groups, all-tied Spearman rank
+    columns, and zero-variance Welch samples emit NULL for the
+    undefined statistic instead of raising DIVIDE_BY_ZERO and killing
+    the job — one bad slice in a 100 TB grouped run must not abort the
+    other million groups. Healthy groups in the SAME frame keep their
+    values (the guard is per-group, not global)."""
+    from emr_trino_autoscale_spark.operators import stats as st
+
+    auc_df = spark.createDataFrame(
+        [("one_class", 0.5, 1), ("one_class", 0.7, 1), ("one_class", 0.2, 1),
+         ("ok", 0.9, 1), ("ok", 0.8, 1), ("ok", 0.1, 0)],
+        "g string, score double, label int",
+    )
+    auc = {r.g: (r.n, r.n_pos, r.auc)
+           for r in st.grouped_auc(auc_df, "g", "score", "label").collect()}
+    assert auc["one_class"] == (3, 3, None)
+    assert auc["ok"][2] == 1.0  # both positives outrank the negative
+
+    sp_df = spark.createDataFrame(
+        [("tied_x", 1.0, float(v)) for v in (1, 2, 3)]
+        + [("ok", 1.0, 1.0), ("ok", 2.0, 2.0), ("ok", 3.0, 3.0)],
+        "g string, x double, y double",
+    )
+    sp = {r.g: (r.n, r.rho)
+          for r in st.spearman_corr(sp_df, "g", "x", "y").collect()}
+    assert sp["tied_x"] == (3, None)
+    assert abs(sp["ok"][1] - 1.0) < 1e-12
+
+    w = st.welch_t_test(
+        spark.createDataFrame(
+            [("a", 5.0)] * 3 + [("b", 7.0)] * 3, "g string, v double"
+        ),
+        "g", "v", "a", "b",
+    ).collect()[0]
+    assert (w["t_stat"], w["df"]) == (None, None)
+    assert (w["mean_a"], w["mean_b"]) == (5.0, 7.0)
