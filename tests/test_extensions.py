@@ -3966,8 +3966,12 @@ def test_spearman_corr_monotone_and_ties(spark):
     )
     df = spark.createDataFrame(rows, "g string, x double, y double")
     out = {r.g: (r.n, r.rho) for r in spearman_corr(df, "g", "x", "y").collect()}
-    assert out["mono"] == (10, 1.0)
-    assert out["anti"] == (10, -1.0)
+    # ulp tolerance (round 9): rho moved from F.corr to the guarded
+    # covar_samp/(sx*sy) over the same stable moments — algebraically
+    # identical, up to ~2 ulps at the |rho|=1 extremes (the dec4 query
+    # contract absorbs it; q188 parity re-verified at both SFs)
+    assert out["mono"][0] == 10 and abs(out["mono"][1] - 1.0) < 1e-12
+    assert out["anti"][0] == 10 and abs(out["anti"][1] + 1.0) < 1e-12
     n, rho = out["tied"]
     assert n == 4
     # hand midranks: x -> [1.5,1.5,3,4], y -> [2.5,2.5,1,4]; Pearson
