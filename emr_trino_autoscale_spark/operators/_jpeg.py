@@ -144,6 +144,11 @@ def decode_jpeg_planes(payload: bytes):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the space
+        # before a marker code — consume them so a padded stream doesn't
+        # mis-parse the fill byte as the marker (ADVICE r9).
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7):

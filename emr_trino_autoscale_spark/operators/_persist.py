@@ -38,4 +38,10 @@ def default_persist(df: DataFrame) -> DataFrame:
 
 def release_default_persists() -> None:
     while _DEFAULT_PERSISTS:
-        _DEFAULT_PERSISTS.pop().unpersist(blocking=False)
+        # A registered frame's SparkContext may be stopped by now (session
+        # restart between queries in a long pytest/notebook run); one dead
+        # frame must not abort the drain and leave the rest live (ADVICE r9).
+        try:
+            _DEFAULT_PERSISTS.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — drain must complete
+            pass

@@ -4127,63 +4127,11 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_queries_oracle.py::test_driver_window_pinned and documented in
 # README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-9 driver window (positions 1-50): q115-q164, the oldest
-    # half of the never-driver-hashed round-8 declarations (X77-X130).
-    # See README 'Verification coverage map' for the forced r9-r12
-    # rotation schedule; tests/test_queries_oracle.py pins this order.
-    "q115_substring_search": q115,
-    "q116_blocklist_filter": q116,
-    "q117_pmi_cooccurrence": q117,
-    "q118_containment_pairs": q118,
-    "q119_robust_dim_stats": q119,
-    "q120_mmr_select": q120,
-    "q121_distinct_rollup": q121,
-    "q122_image_phash_pairs": q122,
-    "q123_audio_fp_pairs": q123,
-    "q124_cube_grouping": q124,
-    "q125_decile_bands": q125,
-    "q126_interval_join_binned": q126,
-    "q127_overlap_join_binned": q127,
-    "q128_purged_time_split": q128,
-    "q129_zipf_fit": q129,
-    "q130_k_anonymity": q130,
-    "q131_ks_two_sample": q131,
-    "q132_mahalanobis_outliers": q132,
-    "q133_audience_overlap": q133,
-    "q134_rank_sum_test": q134,
-    "q135_chi2_independence": q135,
-    "q136_shrunk_means": q136,
-    "q137_weighted_quantile": q137,
-    "q138_benford_audit": q138,
-    "q139_welch_t_test": q139,
-    "q140_dim_corr_matrix": q140,
-    "q141_diversity_audit": q141,
-    "q142_centroid_similarity": q142,
-    "q143_grouped_mad": q143,
-    "q144_time_weighted_avg": q144,
-    "q145_label_noise_queue": q145,
-    "q146_debounce_audit": q146,
-    "q147_locf_resample": q147,
-    "q148_sliding_active_users": q148,
-    "q149_edit_distance_join": q149,
-    "q150_pagerank": q150,
-    "q151_bloom_semi_join": q151,
-    "q152_pareto_frontier": q152,
-    "q153_association_rules": q153,
-    "q154_cuped": q154,
-    "q155_attribution": q155,
-    "q156_fs_match_weights": q156,
-    "q157_quantile_sketch": q157,
-    "q158_triangle_census": q158,
-    "q159_mutual_information": q159,
-    "q160_calibration_bins": q160,
-    "q161_grouped_auc": q161,
-    "q162_seasonal_decompose": q162,
-    "q163_transition_matrix": q163,
-    "q164_cusum_changepoint": q164,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r10 window candidates first (q165-q188 declared r8 never-hashed;
-    # q42-q50/q68-q72 last driver-hashed r6):
+    # --- round-10 driver window (positions 1-50), per the forced r9-r12
+    # rotation schedule (README 'Verification coverage map', VERDICT r9
+    # task 1): q165-q188 (24, declared r8, never driver-hashed) +
+    # q42-q50/q68-q72 (14, last driver-hashed r6) + q29-q33/q51-q57
+    # (12, oldest r7-hashed). tests/test_queries_oracle.py pins this order.
     "q165_kcore": q165,
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
@@ -4222,7 +4170,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_pq_topk": q70,
     "q71_pq_literal": q71,
     "q72_pq_code_dedup": q72,
-    # r11 window candidates (last driver-hashed r7):
     "q29_lsh_topk": q29,
     "q30_ivf_topk": q30,
     "q31_langid_quality": q31,
@@ -4235,6 +4182,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_repetition_filter": q55,
     "q56_mixing_weights": q56,
     "q57_lsh_multiprobe": q57,
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r11 window candidates first (q58-q65/q73-q102 last driver-hashed r7,
+    # q103-q114 r8):
     "q58_ivf_multiprobe": q58,
     "q59_contamination": q59,
     "q60_ngram_novelty": q60,
@@ -4273,7 +4223,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q100_dp_histogram": q100,
     "q101_sequence_funnel": q101,
     "q102_cohort_retention": q102,
-    # r12 window candidates (last driver-hashed r8):
     "q103_image_ahash_pairs": q103,
     "q104_semantic_dedup": q104,
     "q105_entity_resolution": q105,
@@ -4286,6 +4235,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_entity_multi_pass": q112,
     "q113_normalized_dedup": q113,
     "q114_embedding_dim_stats": q114,
+    # r12 window candidates (q66-q67/q01-q28/q34-q41 last driver-hashed r8,
+    # q115-q126 r9):
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
     "q01_json_projection": q01,
@@ -4324,6 +4275,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_interval_join": q39,
     "q40_distinct_aggs": q40,
     "q41_range_window": q41,
+    "q115_substring_search": q115,
+    "q116_blocklist_filter": q116,
+    "q117_pmi_cooccurrence": q117,
+    "q118_containment_pairs": q118,
+    "q119_robust_dim_stats": q119,
+    "q120_mmr_select": q120,
+    "q121_distinct_rollup": q121,
+    "q122_image_phash_pairs": q122,
+    "q123_audio_fp_pairs": q123,
+    "q124_cube_grouping": q124,
+    "q125_decile_bands": q125,
+    "q126_interval_join_binned": q126,
+    # r13+ (freshest: first driver-hashed r9):
+    "q127_overlap_join_binned": q127,
+    "q128_purged_time_split": q128,
+    "q129_zipf_fit": q129,
+    "q130_k_anonymity": q130,
+    "q131_ks_two_sample": q131,
+    "q132_mahalanobis_outliers": q132,
+    "q133_audience_overlap": q133,
+    "q134_rank_sum_test": q134,
+    "q135_chi2_independence": q135,
+    "q136_shrunk_means": q136,
+    "q137_weighted_quantile": q137,
+    "q138_benford_audit": q138,
+    "q139_welch_t_test": q139,
+    "q140_dim_corr_matrix": q140,
+    "q141_diversity_audit": q141,
+    "q142_centroid_similarity": q142,
+    "q143_grouped_mad": q143,
+    "q144_time_weighted_avg": q144,
+    "q145_label_noise_queue": q145,
+    "q146_debounce_audit": q146,
+    "q147_locf_resample": q147,
+    "q148_sliding_active_users": q148,
+    "q149_edit_distance_join": q149,
+    "q150_pagerank": q150,
+    "q151_bloom_semi_join": q151,
+    "q152_pareto_frontier": q152,
+    "q153_association_rules": q153,
+    "q154_cuped": q154,
+    "q155_attribution": q155,
+    "q156_fs_match_weights": q156,
+    "q157_quantile_sketch": q157,
+    "q158_triangle_census": q158,
+    "q159_mutual_information": q159,
+    "q160_calibration_bins": q160,
+    "q161_grouped_auc": q161,
+    "q162_seasonal_decompose": q162,
+    "q163_transition_matrix": q163,
+    "q164_cusum_changepoint": q164,
 }
 
 

@@ -936,10 +936,28 @@ def make_weighted_reservoir_maintainer(
         )
 
     def maintain(state, batch):
+        # At-least-once delivery / epoch re-scoring can re-present an id
+        # already held in the reservoir (possibly with a new weight).
+        # Without dedup both copies compete for the k slots, displacing
+        # distinct items (ADVICE r9). union_latest shape: batch wins over
+        # state per (strata, id), then re-take the per-stratum top-k —
+        # still |batch| + k*|strata| work per epoch.
         part = _topk(_keyed(batch))
         if state is None:
             return part
-        return _topk(state.unionByName(part))
+        from pyspark.sql import Window
+
+        latest = Window.partitionBy(
+            *[F.col(c) for c in strata_cols], F.col(id_col)
+        ).orderBy(F.col("__src").desc())
+        merged = (
+            state.withColumn("__src", F.lit(0))
+            .unionByName(part.withColumn("__src", F.lit(1)))
+            .withColumn("__keep", F.row_number().over(latest))
+            .filter(F.col("__keep") == 1)
+            .drop("__src", "__keep")
+        )
+        return _topk(merged)
 
     def sample(state):
         from pyspark.sql import Window

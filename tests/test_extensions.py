@@ -4646,6 +4646,31 @@ def test_jpeg_roundtrip_444_420_and_restarts():
     assert rmse < 0.2
 
 
+def test_jpeg_fill_bytes_between_segments():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker code; a padded stream must decode to the same pixels as the
+    unpadded one instead of mis-parsing the fill byte as a marker and
+    falling back to the stub (ADVICE r9)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import decode_jpeg_rgb
+
+    xx, yy = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 17))
+    rgb = np.dstack([
+        128 + 90 * np.sin(3 * xx), 128 + 80 * xx, 128 + 70 * yy,
+    ]).clip(0, 255).astype(np.uint8)
+    payload = _encode_jpeg(rgb)
+    # pad every inter-segment boundary that precedes a DQT/DHT/SOF/SOS
+    # marker with fill bytes: insert after SOI and before SOS
+    padded = payload[:2] + b"\xff\xff" + payload[2:]
+    i = padded.find(b"\xff\xda")
+    assert i > 0
+    padded = padded[:i] + b"\xff\xff\xff" + padded[i:]
+    got = decode_jpeg_rgb(padded)
+    want = decode_jpeg_rgb(payload)
+    assert np.array_equal(got, want)
+
+
 def test_jpeg_refuses_progressive_and_sniffs():
     """Progressive JPEGs raise; sniffing_decoder falls back to the
     stub for them and routes baseline JPEGs to the real decoder."""

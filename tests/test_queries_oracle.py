@@ -29,13 +29,20 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-9 rotation: q115-q164 — the oldest 50 of the 74 round-8
-    declarations that have never appeared in a driver CORRECTNESS file
-    (VERDICT r8 task 1). The tail is pre-ordered by the forced r10-r12
-    rotation schedule recorded in the README coverage map; the suite is
+    Round-10 rotation (VERDICT r9 task 1, per the forced schedule at
+    README 'Verification coverage map'): q165-q188 (24, declared r8,
+    never driver-hashed) + q42-q50/q68-q72 (14, last driver-hashed r6)
+    + q29-q33/q51-q57 (12, the oldest r7-hashed). The tail is
+    pre-ordered by the forced r11-r12 schedule; the suite is
     growth-frozen until round 11 (50-slot window x 3-round horizon = 200
     query capacity; 188 declared)."""
-    expected = [f"q{i}" for i in range(115, 165)]
+    expected = (
+        [f"q{i}" for i in range(165, 189)]
+        + [f"q{i}" for i in range(42, 51)]
+        + [f"q{i}" for i in range(68, 73)]
+        + [f"q{i}" for i in range(29, 34)]
+        + [f"q{i}" for i in range(51, 58)]
+    )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
         "driver correctness window changed — new queries must be appended "

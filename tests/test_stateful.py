@@ -1312,6 +1312,39 @@ def test_weighted_reservoir_stream_matches_batch(spark, tmp_path):
     assert all(r["count"] <= 5 for r in state_rows)
 
 
+def test_weighted_reservoir_redelivered_id_single_slot(spark):
+    """ADVICE r9: an id re-delivered in a later epoch (at-least-once
+    replay, possibly re-weighted) must occupy at most ONE of the k
+    reservoir slots — the maintainer dedups state by (strata, id)
+    keeping the latest row before re-taking the top-k."""
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_weighted_reservoir_maintainer,
+    )
+
+    schema = "doc_id long, src string, w double"
+    epoch1 = spark.createDataFrame(
+        [(i, "s0", float(1 + i % 7)) for i in range(20)], schema
+    )
+    # epoch 2 re-delivers ids 0-9 with NEW weights plus 5 fresh ids
+    epoch2 = spark.createDataFrame(
+        [(i, "s0", float(50 + i)) for i in range(10)]
+        + [(i, "s0", 1.0) for i in range(20, 25)],
+        schema,
+    )
+    maintain, sample = make_weighted_reservoir_maintainer(
+        "w", k=8, strata_cols=("src",), id_col="doc_id"
+    )
+    state = maintain(None, epoch1)
+    state = maintain(state, epoch2)
+    out = sample(state).collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)) == 8
+    # the re-delivered ids carry their LATEST weight (epoch-2 value)
+    for r in out:
+        if r.doc_id < 10:
+            assert r.w == 50.0 + r.doc_id
+
+
 def test_rule_audit_stream_matches_batch(spark, tmp_path):
     """X157: additive row-local rule counters folded over two epochs
     equal the batch conditional sums over the union exactly."""
