@@ -802,20 +802,21 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("p_comp", F.col("comp"))).alias("comp"),
         )
 
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
-    for rounds in range(1, max_iter + 1):
-        # two hop+jump steps per checkpoint round: the per-round fixed
-        # cost (one fused checkpoint+convergence job) dominates on small
-        # graphs, and two un-truncated steps only grow the transient
-        # plan by a constant factor (x3 measured 49.9s vs 7.8s — no)
-        labels = hop_and_jump(hop_and_jump(labels)).localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if new_sum == prev_sum:
-            if stats is not None:
-                stats["rounds"] = rounds
-            return persist_fn(labels) if persist_fn is not None else labels
-        prev_sum = new_sum
-    raise RuntimeError(f"label propagation did not converge in {max_iter} iterations")
+    # two hop+jump steps per checkpoint round: the per-round fixed
+    # cost (one fused checkpoint+convergence job) dominates on small
+    # graphs, and two un-truncated steps only grow the transient
+    # plan by a constant factor (x3 measured 49.9s vs 7.8s — no)
+    from ._iterate import iterate_until_fixpoint
+
+    labels = iterate_until_fixpoint(
+        labels,
+        step_fn=lambda lbl: hop_and_jump(hop_and_jump(lbl)),
+        probe_fn=lambda lbl: lbl.agg(F.sum("comp")).collect()[0][0],
+        max_iter=max_iter,
+        stats=stats,
+        what="label propagation",
+    )
+    return persist_fn(labels) if persist_fn is not None else labels
 
 
 def incremental_dedup_report(

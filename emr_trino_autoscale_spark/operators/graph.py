@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._iterate import iterate_with_checkpoint
 from ._persist import default_persist
 
 
@@ -68,8 +69,7 @@ def pagerank(
     ranks = base.crossJoin(F.broadcast(n_row)).select(
         "node", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(iterations):
-        ranks = ranks.localCheckpoint(eager=False)
+    def _step(ranks, _i):
         contrib = (
             e.join(ranks.select(F.col("node").alias("src"), "__deg", "rank"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -78,7 +78,7 @@ def pagerank(
         dangling = ranks.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
         )
-        ranks = (
+        return (
             ranks.select("node", "__deg", "__n")
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -96,6 +96,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+
+    ranks = iterate_with_checkpoint(ranks, _step, iterations, checkpoint="before")
     return ranks.select("node", "rank")
 
 
@@ -209,8 +211,7 @@ def kcore_peel(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    for _ in range(rounds):
-        e = e.localCheckpoint(eager=False)
+    def _peel(e, _i):
         deg = (
             e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
@@ -218,9 +219,11 @@ def kcore_peel(
             .agg(F.count("*").alias("__d"))
         )
         alive = deg.filter(F.col("__d") >= k).select("node")
-        e = e.join(
+        return e.join(
             alive.withColumnRenamed("node", "a"), "a", "left_semi"
         ).join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+
+    e = iterate_with_checkpoint(e, _peel, rounds, checkpoint="before")
     e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("node"))

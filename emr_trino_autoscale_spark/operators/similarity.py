@@ -2444,7 +2444,7 @@ def corr_top_eigen(
     x = spark.createDataFrame(
         [(i + 1, 1.0 / math.sqrt(dim)) for i in range(dim)], "j int, x double"
     )
-    for _ in range(iterations):
+    def _matvec_normalize(x, _i):
         y = (
             m.join(x, "j")
             .groupBy(F.col("i").alias("j"))
@@ -2452,11 +2452,16 @@ def corr_top_eigen(
         )
         norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("__n"))
         # norm: 1-row normalization broadcast
-        x = (
-            y.crossJoin(F.broadcast(norm))
-            .select("j", (F.col("y") / F.col("__n")).alias("x"))
-            .localCheckpoint(eager=False)
+        return y.crossJoin(F.broadcast(norm)).select(
+            "j", (F.col("y") / F.col("__n")).alias("x")
         )
+
+    from ._iterate import iterate_with_checkpoint
+
+    # checkpoint="after": the initial iterate is a dim-row literal not
+    # worth pinning; each normalized product is what the next matvec
+    # (and the final Rayleigh quotient) re-reads.
+    x = iterate_with_checkpoint(x, _matvec_normalize, iterations, checkpoint="after")
     mx = (
         m.join(x, "j")
         .groupBy(F.col("i").alias("j"))
