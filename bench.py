@@ -45,9 +45,109 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    if "--ab" in sys.argv:
+        run_ab(sys.argv[sys.argv.index("--ab") + 1], sf_dir)
+        return
+
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    _warmup(spark, sf_dir)
+
+    # Per-query failure isolation: one broken query must never zero out
+    # the whole suite's timings (round-4 lesson — an AnalysisException in
+    # a single query aborted the bench with rc=1 and no numbers at all).
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    # scoped query caches (q10/q27) are released query-over-query; drop
+    # the last query's leftovers so the suite exits with nothing cached
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    release_caches()
+
+    total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "declared_query_suite_runtime_full",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        full["errors"] = errors
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f)
+    print(json.dumps(full))
+
+    print(compact_line(timings, total, sf, len(errors)))
+
+
+def run_ab(
+    target: str, sf_dir: str, reps: int = 5, control: str = "q21"
+) -> None:
+    """Interleaved drift-adjudication A/B (VERDICT r9 task 7): the
+    warm-control protocol that adjudicated q85 (r7), q104/q111 (r8) and
+    q170/q174 (r9) as position/co-tenant load, previously hand-run each
+    time. One session, bench-style warmup, then ``reps`` alternations
+    of (target, control) so both arms see identical co-tenant load;
+    prints the docs/SCALE.md-format table. A flat control with an
+    inflated target means real drift; both inflated means load — don't
+    touch the plan (SCALE.md 'guilty until interleaved' rule).
+
+    Usage: ``python bench.py --ab q104`` (bare prefix or full name).
+    """
+    import statistics
+
+    def _resolve(prefix: str) -> tuple[str, object]:
+        for name, fn in QUERIES.items():
+            if name == prefix or name.split("_")[0] == prefix:
+                return name, fn
+        raise SystemExit(f"unknown query {prefix!r}")
+
+    t_name, t_fn = _resolve(target)
+    c_name, c_fn = _resolve(control)
+
+    spark = get_spark(app_name="engine-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warmup(spark, sf_dir)
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    # one untimed pre-run per arm: the A/B measures steady state, and
+    # first-use codegen cost is exactly the confound being adjudicated
+    for fn in (t_fn, c_fn):
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    release_caches()
+
+    arms = [(t_name, t_fn), (f"{c_name.split('_')[0]} control", c_fn)]
+    times: dict[str, list[float]] = {label: [] for label, _ in arms}
+    for _ in range(reps):
+        for label, fn in arms:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[label].append(round(time.time() - t0, 2))
+        release_caches()
+
+    print("| arm | times (s) | median |")
+    print("|---|---|---|")
+    for label, _ in arms:
+        ts = times[label]
+        print(
+            f"| {label} | {' '.join(f'{t:.2f}' for t in ts)} | "
+            f"**{statistics.median(ts):.2f}** |"
+        )
+
+
+def _warmup(spark, sf_dir: str) -> None:
     # JVM/codegen warmup so the first timed query isn't charged for
     # session spin-up (docstring: session startup is excluded). Warm the
     # paths the suite actually uses — parquet footer/reader init, AQE,
@@ -288,41 +388,6 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup must never abort the bench
             pass
     release_caches()
-
-    # Per-query failure isolation: one broken query must never zero out
-    # the whole suite's timings (round-4 lesson — an AnalysisException in
-    # a single query aborted the bench with rc=1 and no numbers at all).
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001 — isolate, record, keep going
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            continue
-        timings[name] = round(time.time() - t0, 3)
-
-    # scoped query caches (q10/q27) are released query-over-query; drop
-    # the last query's leftovers so the suite exits with nothing cached
-    release_caches()
-
-    total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "declared_query_suite_runtime_full",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    if errors:
-        full["errors"] = errors
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
-        json.dump(full, f)
-    print(json.dumps(full))
-
-    print(compact_line(timings, total, sf, len(errors)))
 
 
 def compact_line(

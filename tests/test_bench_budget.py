@@ -24,7 +24,10 @@ machine, not another one. Known anchor caveats: q02's driver-r6 time
 (docs/SCALE.md), so its budget is generous; sub-second queries jitter
 up to ~1.5x run-to-run under the host's noisy co-tenant (load-average
 1.5-2.7 with zero of our processes running), which the ratio + floor
-absorb. ``bench_baseline_r03.json`` is kept for history.
+absorb. ``bench_baseline_r03.json`` is kept under ``docs/history/``
+(round-10 artifact pruning, VERDICT r9 task 8 — the r01-r05
+CORRECTNESS/BENCH files moved there too; r06+ stay at the repo root
+because they anchor current budgets and the staleness guard).
 
 Round-8 provenance update (VERDICT r7 task 2): the twelve round-7
 queries (q103-q114) now carry DRIVER-parsed times from
