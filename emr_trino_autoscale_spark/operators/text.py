@@ -1884,3 +1884,128 @@ def ctfidf_class_terms(
         F.col("rnk").cast("int").alias("rank"),
         F.col("__score").alias("score_x10k"),
     )
+
+
+def curation_keep_flags(
+    docs: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold: float = 0.5,
+) -> "DataFrame":
+    """X27 — the curation funnel's per-document keep flags (raw ->
+    exact dedup -> near dedup -> quality gate) as ONE single-pass plan:
+    two high-cardinality-key windows (md5 digest, min-shingle-md5
+    signature) then a row-local quality gate. Extracted from the q67
+    builder (round 10) so the declared stage-count query and the
+    composed release-gate pipeline (tests/test_release_gate.py) share
+    one copy — the funnel REPORT and the corpus the release actually
+    ships must be the same filter by construction, not by parallel
+    maintenance.
+
+    Short (<3-token) docs fall back to their exact digest as the
+    near-dup key — the funnel must never DROP a doc merely for being
+    short (matches near_dedup_stream's contract, and deliberately
+    diverges from Q22, which merely excludes them from cluster
+    REPORTING).
+
+    Returns the input columns plus n_tok, keep_exact, keep_nd, keep_q.
+    Scale: both windows partition by content-derived digests —
+    high-cardinality keys, so no single-task sort; the quality gate is
+    row-local codegen.
+    """
+    from pyspark.sql import Window
+
+    from . import dedup
+
+    raw = (
+        docs.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn("n_tok", F.size("__toks"))
+        .withColumn("digest", F.md5(text_col))
+        .withColumn(
+            "sig",
+            F.coalesce(
+                F.array_min(
+                    F.transform(dedup.shingles_of(F.col("__toks"), 3), F.md5)
+                ),
+                F.col("digest"),
+            ),
+        )
+        .withColumn("__q", quality_score(text_col))
+    )
+    w_digest = Window.partitionBy("digest")
+    w_sig = Window.partitionBy("sig")
+    return (
+        raw.withColumn(
+            "keep_exact", F.col(id_col) == F.min(id_col).over(w_digest)
+        )
+        .withColumn(
+            "keep_nd",
+            F.col("keep_exact")
+            & (
+                F.col(id_col)
+                == F.min(F.when(F.col("keep_exact"), F.col(id_col))).over(w_sig)
+            ),
+        )
+        .withColumn(
+            "keep_q", F.col("keep_nd") & (F.col("__q") >= quality_threshold)
+        )
+        .drop("__toks", "__q")
+    )
+
+
+def dataset_card(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Dataset card — the one-row corpus summary a dataset release
+    ships with (docs, exact-dup rate, token total, language/source
+    cardinalities, length extremes, median tokens). Extracted from the
+    q186 builder (round 10) so the declared query and the composed
+    release-gate pipeline card the SAME way. All counts exact
+    integers; the median is X100's lower-quantile convention.
+    """
+    from .stats import weighted_quantile
+    from ..functions import dec4
+
+    base = docs.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit("\x00"))).alias("__h"),
+        F.size(F.split(text_col, " ")).alias("__tok"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    agg = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("__h").cast("bigint").alias("n_unique_texts"),
+        F.sum("__tok").cast("bigint").alias("n_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    med = weighted_quantile(
+        base.withColumn("__one", F.lit(1.0)),
+        [],
+        "__tok",
+        "__one",
+        quantiles=((1, 2),),
+    ).select(F.col("wq_1_2").cast("bigint").alias("median_tokens"))
+    return (
+        agg.crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_unique_texts",
+            (
+                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs")
+            ).alias("__dup"),
+            "n_tokens",
+            "median_tokens",
+            "n_langs",
+            "n_sources",
+            "min_chars",
+            "max_chars",
+        )
+        .select(
+            "n_docs", "n_unique_texts",
+            dec4("__dup").alias("dup_rate"),
+            "n_tokens", "median_tokens", "n_langs", "n_sources",
+            "min_chars", "max_chars",
+        )
+    )

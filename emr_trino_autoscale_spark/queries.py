@@ -1605,37 +1605,9 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    raw = (
-        d.withColumn("__toks", F.split(F.col("text"), " "))
-        .withColumn("n_tok", F.size("__toks"))
-        .withColumn("digest", F.md5("text"))
-        .withColumn(
-            "sig",
-            F.coalesce(
-                F.array_min(
-                    F.transform(dedup.shingles_of(F.col("__toks"), 3), F.md5)
-                ),
-                F.col("digest"),
-            ),
-        )
-        .withColumn("__q", text.quality_score())
-    )
-    w_digest = Window.partitionBy("digest")
-    w_sig = Window.partitionBy("sig")
-    flags = (
-        raw.withColumn(
-            "keep_exact", F.col("doc_id") == F.min("doc_id").over(w_digest)
-        )
-        .withColumn(
-            "keep_nd",
-            F.col("keep_exact")
-            & (
-                F.col("doc_id")
-                == F.min(F.when(F.col("keep_exact"), F.col("doc_id"))).over(w_sig)
-            ),
-        )
-        .withColumn("keep_q", F.col("keep_nd") & (F.col("__q") >= 0.5))
-    )
+    # shared with the composed release-gate pipeline
+    # (tests/test_release_gate.py) — one copy of the funnel filter
+    flags = text.curation_keep_flags(d)
     one = flags.agg(
         F.count("*").cast("bigint").alias("n1"),
         F.sum("n_tok").cast("bigint").alias("t1"),
@@ -4025,52 +3997,9 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        F.md5(F.coalesce(F.col("text"), F.lit("\x00"))).alias("__h"),
-        F.size(F.split("text", " ")).alias("__tok"),
-        "lang",
-        "source",
-        "n_chars",
-    )
-    agg = base.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.count_distinct("__h").cast("bigint").alias("n_unique_texts"),
-        F.sum("__tok").cast("bigint").alias("n_tokens"),
-        F.count_distinct("lang").cast("bigint").alias("n_langs"),
-        F.count_distinct("source").cast("bigint").alias("n_sources"),
-        F.min("n_chars").cast("bigint").alias("min_chars"),
-        F.max("n_chars").cast("bigint").alias("max_chars"),
-    )
-    med = stats.weighted_quantile(
-        base.withColumn("__one", F.lit(1.0)),
-        [],
-        "__tok",
-        "__one",
-        quantiles=((1, 2),),
-    ).select(F.col("wq_1_2").cast("bigint").alias("median_tokens"))
-    return (
-        agg.crossJoin(F.broadcast(med))
-        .select(
-            "n_docs",
-            "n_unique_texts",
-            (
-                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs")
-            ).alias("__dup"),
-            "n_tokens",
-            "median_tokens",
-            "n_langs",
-            "n_sources",
-            "min_chars",
-            "max_chars",
-        )
-        .select(
-            "n_docs", "n_unique_texts",
-            dec4("__dup").alias("dup_rate"),
-            "n_tokens", "median_tokens", "n_langs", "n_sources",
-            "min_chars", "max_chars",
-        )
-    )
+    # shared with the composed release-gate pipeline
+    # (tests/test_release_gate.py) — one copy of the card summary
+    return text.dataset_card(d)
 
 
 # Q187 — X153: partition-layout audit of a documents-by-language
