@@ -7,10 +7,11 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json). 188 declared
 queries as of round 8 (184 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
-FIRST 50 entries; round 9 rotated q115-q164 into that window — the
-never-driver-hashed round-8 declarations (see README "Verification
-coverage map" for the forced r9-r12 rotation schedule; the suite is
-growth-frozen until round 11).
+FIRST 50 entries; round 10 rotated q165-q188 + q42-q50/q68-q72 +
+q29-q33/q51-q57 into that window per the forced schedule (see README
+"Verification coverage map"; the suite is growth-frozen until round
+11 — the round-11 declaration candidates are pre-staged in
+emr_trino_autoscale_spark/queries_staging.py).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

@@ -1,11 +1,14 @@
-"""Baseline JPEG decoder (ITU-T T.81 / JFIF — public spec), pure
-Python + numpy, no codec libraries.
+"""Baseline + progressive JPEG decoder (ITU-T T.81 / JFIF — public
+spec), pure Python + numpy, no codec libraries.
 
-Scope: baseline sequential DCT (SOF0), 8-bit precision, Huffman
-entropy coding, grayscale or YCbCr with any JFIF sampling factors
-(4:4:4, 4:2:2, 4:2:0 — generic h/v factor handling), DRI/RSTn restart
-intervals, 0xFF00 byte-stuffing. Progressive (SOF2), arithmetic
-coding, 12-bit, and hierarchical modes raise ValueError so
+Scope: baseline sequential DCT (SOF0/1) and progressive DCT (SOF2,
+round 10 — spectral selection AND successive approximation, DC/AC
+first and refinement scans per Annex G.2, EOB runs, interleaved DC
+scans, per-scan DHT redefinition), 8-bit precision, Huffman entropy
+coding, grayscale or YCbCr with any JFIF sampling factors (4:4:4,
+4:2:2, 4:2:0 — generic h/v factor handling), DRI/RSTn restart
+intervals, 0xFF00 byte-stuffing. Arithmetic coding, 12-bit, lossless
+and hierarchical modes raise ValueError so
 ``multimodal.sniffing_decoder`` falls back to the stub rather than
 mis-decoding (the PPM-maxval rule).
 

@@ -49,6 +49,19 @@ One deliberate round-8 re-anchor: q114 moves from its driver-r7 1.49 s
 numerical-stability rewrite accepted a ~1.4x cost for
 catastrophic-cancellation safety; the regression is the FIX, not a
 leak (docs/SCALE.md, SKILL gotcha "check Spark's built-ins first").
+
+Round-10 anchor decision (VERDICT r9 task 4): considered re-anchoring
+q115-q188 to BENCH_r09 provenance and REJECTED it — q115-q164's r9
+numbers are head-position numbers (the 1.55-1.75x first-use codegen
+inflation the driver's r9 bench paid is IN them), and the r10 rotation
+moves those queries back to tail positions where their r8 anchors were
+captured; re-anchoring would ratchet budgets up by exactly the drift
+bench.py's round-10 head-block warmup (pre-running positions 1-15
+full-scale, untimed) removes. Empirical check: the first standalone
+r10 bench under the new window order ran 254.9 s with ZERO per-query
+overruns against the OLD anchors (docs/SCALE.md round 10). The ratchet
+rule stands: re-anchor only downward or on a structural methodology
+change, never to absorb drift.
 """
 
 from __future__ import annotations

@@ -473,6 +473,9 @@ BROADCAST_ALLOW = {
         # class-dictionary token totals + 1-row avg class size
         # (ctfidf_class_terms)
         "ctot", "avg_row",
+        # 1-row corpus median-tokens frame (dataset_card, moved from
+        # the q186 builder in round 10)
+        "med",
     },
     # bounded tick/node dims (<= MAX_POINTS ticks by ring-buffer contract)
     "metric_store.py": {"ticks", "nodes", "last_tick", "last_ticks", "gate"},
