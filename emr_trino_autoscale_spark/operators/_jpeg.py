@@ -129,10 +129,11 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_planes(payload: bytes):
-    """Decode a baseline JPEG to per-component float planes in [0, 255]
-    at full image resolution (chroma nearest-upsampled). Returns
-    (planes, width, height) with planes a list of HxW float64 arrays
-    (1 = grayscale, 3 = YCbCr order as stored)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    per-component float planes in [0, 255] at full image resolution
+    (chroma nearest-upsampled). Returns (planes, width, height) with
+    planes a list of HxW float64 arrays (1 = grayscale, 3 = YCbCr
+    order as stored)."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -142,6 +143,8 @@ def decode_jpeg_planes(payload: bytes):
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    seen_scan = False
     data = payload
 
     while pos < len(data):
@@ -181,9 +184,10 @@ def decode_jpeg_planes(payload: bytes):
                 tbl = _build_huffman(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
+            progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -191,25 +195,232 @@ def decode_jpeg_planes(payload: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: SOF{marker - 0xC0} (non-baseline) unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
-            scan_map = {}
-            for s in range(ns):
-                cs, tables = seg[1 + 2 * s], seg[2 + 2 * s]
-                scan_map[cs] = (tables >> 4, tables & 0x0F)
-            pos += seglen
-            return _decode_scan(
-                data, pos, comps, scan_map, qt, huff_dc, huff_ac,
-                width, height, restart_interval,
+            scan_ids = [
+                (seg[1 + 2 * s], seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 0x0F)
+                for s in range(ns)
+            ]
+            if not progressive:
+                scan_map = {cs: (d, a) for cs, d, a in scan_ids}
+                pos += seglen
+                return _decode_scan(
+                    data, pos, comps, scan_map, qt, huff_dc, huff_ac,
+                    width, height, restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if "coef" not in comps[0]:
+                _init_progressive_coefs(comps, width, height)
+            by_id = {c["id"]: c for c in comps}
+            scan_comps = []
+            for cs, d, a in scan_ids:
+                c = by_id[cs]
+                c["dc_tab"], c["ac_tab"] = d, a
+                scan_comps.append(c)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, scan_comps, ss, se,
+                ahal >> 4, ahal & 0x0F, huff_dc, huff_ac, restart_interval,
             )
+            seen_scan = True
+            continue
         # APPn/COM and anything else: skip
         pos += seglen
+
+    if progressive and seen_scan:
+        # zigzag int coefficients -> natural-order float blocks
+        for c in comps:
+            bh, bw = c["coef"].shape[:2]
+            nat = np.zeros((bh, bw, 64), dtype=np.float64)
+            nat[..., ZIGZAG] = c["coef"]
+            c["coef"] = nat.reshape(bh, bw, 8, 8)
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _planes_from_coefs(comps, qt, width, height, hmax, vmax)
     raise ValueError("JPEG: no SOS marker")
+
+
+def _init_progressive_coefs(comps, width, height):
+    """Allocate per-component coefficient storage (zigzag order,
+    integer — successive-approximation refinement is bitwise) plus the
+    block-grid geometry both scan orders need: the MCU-padded grid for
+    interleaved scans and the component's own ceil(size/8) grid for
+    non-interleaved ones (T.81 A.2.2/A.2.3 — non-interleaved scans do
+    NOT cover MCU padding blocks)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        cw = -(-(width * c["h"]) // hmax)   # component pixel width
+        ch = -(-(height * c["v"]) // vmax)  # component pixel height
+        c["nbx"] = -(-cw // 8)
+        c["nby"] = -(-ch // 8)
+        c["mcux"], c["mcuy"] = mcux, mcuy
+
+
+def _scan_units(scan_comps):
+    """Yield the scan's data units in T.81 order: interleaved scans
+    walk the MCU grid with h*v blocks per component per MCU;
+    single-component scans walk the component's own block grid in
+    raster order, one block per unit (each unit is one restart
+    interval's counting step either way)."""
+    if len(scan_comps) > 1:
+        mcux, mcuy = scan_comps[0]["mcux"], scan_comps[0]["mcuy"]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                yield [
+                    (c, my * c["v"] + by, mx * c["h"] + bx)
+                    for c in scan_comps
+                    for by in range(c["v"])
+                    for bx in range(c["h"])
+                ]
+    else:
+        c = scan_comps[0]
+        for by in range(c["nby"]):
+            for bx in range(c["nbx"]):
+                yield [(c, by, bx)]
+
+
+def _decode_progressive_scan(data, pos, scan_comps, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval):
+    """Decode ONE progressive scan's entropy-coded segment into the
+    components' zigzag integer coefficient arrays (T.81 Annex G.2) and
+    return the position of the marker that ends the segment. DC scans
+    (Ss=Se=0) may interleave components; AC scans (Ss>=1) are
+    single-component by spec. Ah=0 is a first scan at approximation
+    level Al; Ah>0 is a refinement adding bit Al."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG: invalid progressive DC scan (Se != 0)")
+    else:
+        if len(scan_comps) != 1 or se < ss or se > 63:
+            raise ValueError("JPEG: invalid progressive AC scan")
+
+    bits = _Bits(data, pos)
+    for c in scan_comps:
+        c["pred"] = 0
+    eobrun = 0
+    unit_count = 0
+    for unit in _scan_units(scan_comps):
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            bits.align_to_marker()
+            if not (0xD0 <= bits.data[bits.pos + 1] <= 0xD7):
+                raise ValueError("JPEG: expected RSTn marker")
+            bits.pos += 2
+            for c in scan_comps:
+                c["pred"] = 0
+            eobrun = 0
+        for c, by, bx in unit:
+            coef = c["coef"][by, bx]
+            if ss == 0:
+                if ah == 0:  # DC first scan (G.2.1)
+                    t = _huff_decode(bits, huff_dc[c["dc_tab"]])
+                    diff = _extend(bits.bits(t), t) if t else 0
+                    c["pred"] += diff
+                    coef[0] = c["pred"] << al
+                else:  # DC refinement: one bit per block
+                    if bits.bit():
+                        coef[0] |= 1 << al
+            elif ah == 0:  # AC first scan (G.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                act = huff_ac[c["ac_tab"]]
+                while k <= se:
+                    rs = _huff_decode(bits, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # includes current block
+                        if r:
+                            eobrun += bits.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC run overflow")
+                    coef[k] = _extend(bits.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.2.2, successive approximation)
+                eobrun = _ac_refine_block(
+                    bits, huff_ac[c["ac_tab"]], coef, ss, se, al, eobrun
+                )
+        unit_count += 1
+
+    # the entropy segment ends at the first marker that is neither a
+    # stuffed 0x00 nor an RSTn (robust to the bit reader's lookahead)
+    p = pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
+def _ac_refine_block(bits, act, coef, ss, se, al, eobrun):
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.2.2 / figure G.7 semantics): already-nonzero coefficients
+    consume a correction bit wherever the scan passes over them;
+    zero-history coefficients are created with magnitude 1 at bit Al.
+    The sign conventions are two's complement — Python ints share C's
+    bitwise behavior here, so (v & p1) tests "bit Al already set" for
+    negative values too."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, act)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (bits.bits(r) if r else 0)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: refinement magnitude must be 1")
+                newval = p1 if bits.bit() else m1
+            while k <= se:
+                v = int(coef[k])
+                if v != 0:
+                    if bits.bit() and (v & p1) == 0:
+                        coef[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # the block's remaining coefficients still carry correction
+        # bits for every nonzero-history position
+        while k <= se:
+            v = int(coef[k])
+            if v != 0:
+                if bits.bit() and (v & p1) == 0:
+                    coef[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_scan(data, pos, comps, scan_map, qt, huff_dc, huff_ac,
@@ -268,15 +479,19 @@ def _decode_scan(data, pos, comps, scan_map, qt, huff_dc, huff_ac,
                         ] = out.reshape(8, 8)
             mcu_count += 1
 
+    return _planes_from_coefs(comps, qt, width, height, hmax, vmax)
+
+
+def _planes_from_coefs(comps, qt, width, height, hmax, vmax):
+    """Shared tail of both decode modes: dequant, vectorized separable
+    IDCT over every block at once, JFIF nearest upsample, MCU-padding
+    crop. ``comps[i]["coef"]`` is (bh, bw, 8, 8) natural-order float."""
     planes = []
     for c in comps:
         coef = c["coef"] * qt[c["tq"]]  # dequant, broadcast over blocks
-        # vectorized separable IDCT over every block at once
         spatial = np.einsum("xu,bcuv,yv->bcxy", _A, coef, _A) + 128.0
         bh, bw = coef.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        # upsample to full resolution by sample repetition (JFIF
-        # nearest), then crop the MCU padding
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)

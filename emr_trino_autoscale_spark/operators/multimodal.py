@@ -11,9 +11,13 @@ decode + 4-pass interlace reordering, first frame), RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Baseline JPEG decodes for
 real too (round 9, :mod:`._jpeg` — Huffman + dequant + vectorized
 IDCT + 4:2:0 upsampling, pinned against CPython's independently
-encoded test JPEG); only psychoacoustic/video codecs (MP3/H.264) and
-non-baseline JPEG modes fall back to the clearly-marked deterministic
-stub, the one piece that changes on a real cluster.
+encoded test JPEG), and round 10 added PROGRESSIVE JPEG (SOF2 —
+spectral selection + successive approximation, pinned bit-exact
+against the baseline decode of the same coefficients); only
+psychoacoustic/video codecs (MP3/H.264) and the exotic JPEG modes
+(arithmetic, 12-bit, lossless, hierarchical) fall back to the
+clearly-marked deterministic stub, the one piece that changes on a
+real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -510,19 +514,23 @@ def decode_gif_image(payload: bytes) -> list[float]:
 
 
 def decode_jpeg_image(payload: bytes) -> list[float]:
-    """REAL decoder for baseline JPEG (ITU-T T.81, public spec),
-    implemented in :mod:`._jpeg` — marker parse, canonical Huffman
-    entropy decode, dequant + vectorized separable IDCT, generic
-    sampling-factor upsampling (4:4:4/4:2:2/4:2:0), DRI/RSTn restarts,
-    JFIF BT.601 color transform. This closes the image half of the
-    "compressed codecs are stubbed" gap: PPM/PNG/BMP/GIF/JPEG all
-    decode for real; only the psychoacoustic/video codecs (MP3/H.264)
-    remain stub-backed. Progressive (SOF2), arithmetic-coded, and
-    12-bit JPEGs raise so :func:`sniffing_decoder` falls back to the
-    stub (the PPM-maxval rule). Same 8-float feature contract; pinned
-    against an independently-encoded CPython test JPEG (4:2:0) to
-    match the PPM ground truth within DCT quantization loss, and
-    against a test-side spec encoder for exactness structure."""
+    """REAL decoder for baseline AND progressive JPEG (ITU-T T.81,
+    public spec), implemented in :mod:`._jpeg` — marker parse,
+    canonical Huffman entropy decode (sequential scans, and Annex G
+    progressive DC/AC first + refinement scans with EOB runs), dequant
+    + vectorized separable IDCT, generic sampling-factor upsampling
+    (4:4:4/4:2:2/4:2:0), DRI/RSTn restarts, JFIF BT.601 color
+    transform. This closes the image half of the "compressed codecs
+    are stubbed" gap: PPM/PNG/BMP/GIF/JPEG-baseline/JPEG-progressive
+    all decode for real; only the psychoacoustic/video codecs
+    (MP3/H.264) remain stub-backed. Arithmetic-coded, 12-bit,
+    lossless and hierarchical JPEGs raise so :func:`sniffing_decoder`
+    falls back to the stub (the PPM-maxval rule). Same 8-float
+    feature contract; pinned against an independently-encoded CPython
+    test JPEG (4:2:0) to match the PPM ground truth within DCT
+    quantization loss, against a test-side spec encoder for exactness
+    structure, and progressive-vs-baseline BIT-EXACT on shared
+    coefficients (tests/test_extensions.py round 10)."""
     from ._jpeg import decode_jpeg_rgb
 
     rgb = decode_jpeg_rgb(payload)

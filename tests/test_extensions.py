@@ -4611,6 +4611,365 @@ def _encode_jpeg(rgb, subsample=False, restart=0, quality_scale=1.0):
     return bytes(out)
 
 
+def _jpeg_plan(rgb, subsample=False, quality_scale=1.0):
+    """Shared front half of the test-side encoders: color transform,
+    MCU padding, forward DCT, quantization. Returns (zz, factors, QY,
+    QC, h, w) with zz[ci] an (nby, nbx, 64) int64 array of
+    zigzag-ordered quantized coefficients over the MCU-padded grid —
+    the SAME array baseline and progressive scans serialize, which is
+    what makes the cross-mode bit-exactness test meaningful."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import _A, ZIGZAG
+
+    QY = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ], dtype=np.float64).reshape(8, 8)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ], dtype=np.float64).reshape(8, 8)
+    QY = np.clip(np.round(QY * quality_scale), 1, 255)
+    QC = np.clip(np.round(QC * quality_scale), 1, 255)
+
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if subsample:
+        ph, pw = (h + 1) & ~1, (w + 1) & ~1
+
+        def pad(p, hh, ww):
+            out = np.empty((hh, ww))
+            out[:p.shape[0], :p.shape[1]] = p
+            out[p.shape[0]:, :p.shape[1]] = p[-1:]
+            out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+            return out
+
+        cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1), (1, 1), (1, 1)]
+    planes = [y, cb, cr]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    qts = [QY, QC, QC]
+
+    zz = []
+    for ci, (fh, fv) in enumerate(factors):
+        p = planes[ci]
+        ww, hh = mcux * fh * 8, mcuy * fv * 8
+        out_p = np.empty((hh, ww))
+        out_p[:p.shape[0], :p.shape[1]] = p
+        out_p[p.shape[0]:, :p.shape[1]] = p[-1:]
+        out_p[:, p.shape[1]:] = out_p[:, p.shape[1] - 1:p.shape[1]]
+        nby, nbx = hh // 8, ww // 8
+        blocks = out_p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coeff = np.einsum("ux,bcxy,yv->bcuv", _A.T, blocks, _A)
+        q = np.round(coeff / qts[ci]).astype(np.int64)
+        zz.append(q.reshape(nby, nbx, 64)[:, :, ZIGZAG])
+    return zz, factors, QY, QC, h, w
+
+
+class _JBits:
+    """Test-side MSB-first bit writer with 0xFF00 stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, ln):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1) if ln else 0)
+        self.n += ln
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_mag(v):
+    t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0):
+    """Test-side PROGRESSIVE JPEG encoder (T.81 Annex G, SOF2) so the
+    decoder's progressive paths are exercised against payloads it did
+    not produce. Scan script: interleaved DC first (Al=1) [with
+    optional DRI/RSTn], per-component AC first scans at Al=ac_al with
+    comp 0's band split (1-5, 6-63) for spectral-selection coverage,
+    DC refinement (Ah=1, Al=0), and — when ac_al=1 — per-component AC
+    refinement scans (Ah=1, Al=0) with EOB-run deferral and buffered
+    correction bits. Every AC scan carries its own DHT built from the
+    symbols it actually emits (per-scan table redefinition, and the
+    only way to get EOBn run symbols — Annex K's baseline AC tables
+    don't include them)."""
+    import struct
+
+    import numpy as np
+
+    zz, factors, QY, QC, h, w = _jpeg_plan(rgb, subsample)
+    ncomp = len(zz)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+
+    def enc_table(counts, symbols):
+        code, k, out = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[symbols[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def dht_seg(tc, tid, counts, syms):
+        return (b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+                + bytes([(tc << 4) | tid]) + bytes(counts) + bytes(syms))
+
+    def sos_seg(comp_specs, ss, se, ah, al):
+        out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_specs),
+                                        len(comp_specs))
+        for cid, dc_t, ac_t in comp_specs:
+            out += bytes([cid, (dc_t << 4) | ac_t])
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, QY), (1, QC)):
+        from emr_trino_autoscale_spark.operators._jpeg import ZIGZAG
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes())
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (fh, fv) in enumerate(factors):
+        out += bytes([ci + 1, (fh << 4) | fv, 0 if ci == 0 else 1])
+    out += dht_seg(0, 0, *DC_L) + dht_seg(0, 1, *DC_C)
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    dc_tabs = [enc_table(*DC_L), enc_table(*DC_C), enc_table(*DC_C)]
+
+    # non-interleaved AC scans cover the component's OWN block grid,
+    # not the MCU-padded one (T.81 A.2.2) — padded blocks stay DC-only
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    grids = []
+    for fh, fv in factors:
+        cw = -(-(w * fh) // hmax)
+        ch = -(-(h * fv) // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+
+    # ---- scan 1: DC first, interleaved, Al=1 ----
+    bw = _JBits()
+    preds = [0] * ncomp
+    mcuy, mcux = zz[0].shape[0] // factors[0][1], zz[0].shape[1] // factors[0][0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                bw.flush()
+                bw.buf.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                preds = [0] * ncomp
+            for ci, (fh, fv) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(zz[ci][my * fv + by, mx * fh + bx, 0]) >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t, vb = (0, 0) if diff == 0 else _jpeg_mag(diff)
+                        ln, code = dc_tabs[min(ci, 1)][t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(vb, t)
+            mcu_count += 1
+    bw.flush()
+    out += sos_seg([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)],
+                   0, 0, 0, 1)
+    out += bw.buf
+    if restart:
+        # DRI applies to every later scan until redefined (T.81 B.2.4.4)
+        # — this encoder only restarts the DC scan, so switch it off
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)
+
+    # ---- AC first scans (two-pass: collect symbols -> DHT -> emit) ----
+    def ac_first_ops(ci, ss, se, al):
+        ops = []  # ("sym", s) | ("raw", value, nbits)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("sym", r << 4))
+                if r:
+                    ops.append(("raw", eobrun - (1 << r), r))
+                eobrun = 0
+
+        nby, nbx = grids[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zz[ci][by, bx]
+                vals = [
+                    (1 if int(blk[k]) >= 0 else -1)
+                    * (abs(int(blk[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                last = max((i for i, v in enumerate(vals) if v), default=-1)
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("sym", 0xF0))
+                        run -= 16
+                    t, vb = _jpeg_mag(v)
+                    ops.append(("sym", (run << 4) | t))
+                    ops.append(("raw", vb, t))
+                    run = 0
+                if last < se - ss:
+                    eobrun += 1
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci, ss, se, al):
+        """Position-exact Annex G.2.2 refinement emission: the stream
+        is generated in exactly the order the decoder consumes it —
+        corrections interleaved by coefficient position, EOB runs
+        deferred with their buffered correction bits."""
+        ops = []
+        eobrun = 0
+        ebuf: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, ebuf
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("sym", r << 4))
+                if r:
+                    ops.append(("raw", eobrun - (1 << r), r))
+                for bit in ebuf:
+                    ops.append(("raw", bit, 1))
+                eobrun = 0
+                ebuf = []
+
+        nby, nbx = grids[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = zz[ci][by, bx]
+                mag = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                sgn = [int(blk[k]) >= 0 for k in range(ss, se + 1)]
+                newpos = [i for i, m in enumerate(mag) if m == 1]
+                n = len(mag)
+                if not newpos:
+                    ebuf.extend(m & 1 for m in mag if m > 1)
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                k = 0
+                for p in newpos:
+                    while sum(1 for q in range(k, p) if mag[q] == 0) > 15:
+                        ops.append(("sym", 0xF0))
+                        z = 0
+                        while z < 16:
+                            if mag[k] > 1:
+                                ops.append(("raw", mag[k] & 1, 1))
+                            else:
+                                z += 1
+                            k += 1
+                    r = sum(1 for q in range(k, p) if mag[q] == 0)
+                    ops.append(("sym", (r << 4) | 1))
+                    ops.append(("raw", 1 if sgn[p] else 0, 1))
+                    for q in range(k, p):
+                        if mag[q] > 1:
+                            ops.append(("raw", mag[q] & 1, 1))
+                    k = p + 1
+                if k < n:
+                    ebuf.extend(mag[q] & 1 for q in range(k, n) if mag[q] > 1)
+                    eobrun += 1
+        flush_eob()
+        return ops
+
+    def emit_ac_scan(ci, ss, se, ah, al, ops):
+        nonlocal out
+        syms = sorted({s for kind, *rest in ops if kind == "sym"
+                       for s in [rest[0]]})
+        # canonical table: all used symbols at one length L with
+        # 2^L > n so the all-ones code stays unused (T.81 C.2)
+        ln = max(len(syms).bit_length(), 2)
+        if (1 << ln) <= len(syms):
+            ln += 1
+        counts = [0] * 16
+        counts[ln - 1] = len(syms)
+        tab = enc_table(counts, syms)
+        out += dht_seg(1, 0, counts, syms)
+        out += sos_seg([(ci + 1, 0, 0)], ss, se, ah, al)
+        bw2 = _JBits()
+        for kind, *rest in ops:
+            if kind == "sym":
+                ln2, code = tab[rest[0]]
+                bw2.put(code, ln2)
+            else:
+                bw2.put(rest[0], rest[1])
+        bw2.flush()
+        out += bw2.buf
+
+    for ci in range(ncomp):
+        if ci == 0:  # spectral-selection split for the luma band
+            emit_ac_scan(0, 1, 5, 0, ac_al, ac_first_ops(0, 1, 5, ac_al))
+            emit_ac_scan(0, 6, 63, 0, ac_al, ac_first_ops(0, 6, 63, ac_al))
+        else:
+            emit_ac_scan(ci, 1, 63, 0, ac_al, ac_first_ops(ci, 1, 63, ac_al))
+
+    # ---- DC refinement: one raw bit per block, interleaved ----
+    bw3 = _JBits()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fh, fv) in enumerate(factors):
+                for by in range(fv):
+                    for bx in range(fh):
+                        bw3.put(int(zz[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
+    bw3.flush()
+    out += sos_seg([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
+    out += bw3.buf
+
+    if ac_al:  # AC refinement scans complete the successive approximation
+        for ci in range(ncomp):
+            if ci == 0:
+                emit_ac_scan(0, 1, 5, 1, 0, ac_refine_ops(0, 1, 5, 0))
+                emit_ac_scan(0, 6, 63, 1, 0, ac_refine_ops(0, 6, 63, 0))
+            else:
+                emit_ac_scan(ci, 1, 63, 1, 0, ac_refine_ops(ci, 1, 63, 0))
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_jpeg_roundtrip_444_420_and_restarts():
     """JPEG decoder vs a test-side spec encoder (Annex K tables):
     4:4:4, 4:2:0 with odd dimensions (MCU padding), and DRI/RSTn
@@ -4646,6 +5005,74 @@ def test_jpeg_roundtrip_444_420_and_restarts():
     assert rmse < 0.2
 
 
+def test_jpeg_progressive_matches_baseline_bit_exact():
+    """Progressive decode (round 10) vs baseline decode of the SAME
+    quantized coefficients (_jpeg_plan is the shared front half of
+    both test-side encoders): two completely different entropy paths —
+    spectral-selection bands, successive approximation, EOB runs,
+    buffered refinement correction bits, interleaved DC + non-
+    interleaved AC block orders, per-scan DHT redefinition — must
+    reconstruct IDENTICAL coefficient arrays, so the decoded pixels
+    must match BIT-EXACTLY (same dequant + IDCT tail). Covers 4:4:4
+    and 4:2:0 with odd dimensions (MCU-padded blocks are DC-only in
+    the progressive stream — T.81 A.2.2 non-interleaved grids), AC
+    successive approximation on/off, and DRI/RSTn inside a progressive
+    DC scan."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import decode_jpeg_rgb
+
+    rng = np.random.RandomState(11)
+    xx, yy = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 17))
+    smooth = np.dstack([
+        128 + 90 * np.sin(3 * xx) * np.cos(2 * yy),
+        128 + 80 * xx,
+        128 + 70 * yy,
+    ]).clip(0, 255).astype(np.uint8)
+    noise = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+    for rgb, kwargs in (
+        (smooth, {}),
+        (smooth, {"subsample": True}),
+        (smooth, {"ac_al": 1}),
+        (smooth, {"subsample": True, "ac_al": 1}),
+        (smooth, {"restart": 2}),
+        (noise, {"ac_al": 1}),  # dense spectrum: exercises ZRL + runs
+    ):
+        base = decode_jpeg_rgb(
+            _encode_jpeg(rgb, subsample=kwargs.get("subsample", False))
+        )
+        prog = decode_jpeg_rgb(_encode_jpeg_progressive(rgb, **kwargs))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), kwargs
+        # and both still resemble the source (guards against a shared
+        # front-half bug making "equal garbage")
+        rmse = float(np.sqrt(((prog - rgb / 255.0) ** 2).mean()))
+        assert rmse < 0.2, (kwargs, rmse)
+
+
+def test_jpeg_progressive_multimodal_integration():
+    """The sniffing decoder routes SOF2 payloads to the real decoder
+    now: a progressive re-encode of an image must produce the same
+    features/signature as its baseline twin (the cross-codec near-dup
+    case — same bits out, so aHash agrees exactly)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_jpeg_image,
+        sniffing_decoder,
+    )
+
+    xx, yy = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 17))
+    rgb = np.dstack([
+        128 + 90 * np.sin(3 * xx), 128 + 80 * xx, 128 + 70 * yy,
+    ]).clip(0, 255).astype(np.uint8)
+    base = _encode_jpeg(rgb)
+    prog = _encode_jpeg_progressive(rgb)
+    assert sniffing_decoder(prog, "image") == decode_jpeg_image(prog)
+    assert decode_jpeg_image(prog) == decode_jpeg_image(base)
+
+
 def test_jpeg_fill_bytes_between_segments():
     """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
     marker code; a padded stream must decode to the same pixels as the
@@ -4671,9 +5098,13 @@ def test_jpeg_fill_bytes_between_segments():
     assert np.array_equal(got, want)
 
 
-def test_jpeg_refuses_progressive_and_sniffs():
-    """Progressive JPEGs raise; sniffing_decoder falls back to the
-    stub for them and routes baseline JPEGs to the real decoder."""
+def test_jpeg_refuses_malformed_progressive_and_sniffs():
+    """Round-10 update: REAL progressive streams decode now (see
+    test_jpeg_progressive_matches_baseline_bit_exact); a baseline
+    stream whose SOF0 is merely flipped to SOF2 is MALFORMED
+    progressive (its single scan has Ss=0, Se=63 — an illegal DC-scan
+    header per T.81 G.1) and must still raise so sniffing_decoder
+    falls back to the stub instead of mis-decoding."""
     import struct
 
     import pytest as _pytest
