@@ -163,21 +163,34 @@ def decode_wav_audio(payload: bytes) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass —
+# PNG spec 8.2; each pass is an independently-filtered reduced image.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int,
+                  sample_bytes: int = 1, pos: int = 0):
     """Reverse the per-scanline PNG filters (spec 9, filter method 0:
-    None/Sub/Up/Average/Paeth) on 8-bit samples. Returns an
-    (height, width, channels) uint8 array. Pure numpy: each row is one
-    vectorized pass except Sub/Paeth's intra-row prefix dependency,
-    which is a per-pixel-column loop bounded by the row WIDTH — decode
-    cost stays O(pixels), no Python-per-byte work across rows."""
+    None/Sub/Up/Average/Paeth) on one (sub-)image of ``width`` x
+    ``height`` pixels starting at byte ``pos`` of the inflated stream
+    — filtering operates on BYTES, so 16-bit samples just widen the
+    pixel to ``channels * sample_bytes`` filter bytes (spec 9.2).
+    Returns ((height, width, channels * sample_bytes) uint8 array,
+    next stream position) so Adam7 decodes can chain the seven passes.
+    Pure numpy: each row is one vectorized pass except Sub/Paeth's
+    intra-row prefix dependency, which is a per-pixel-column loop
+    bounded by the row WIDTH — decode cost stays O(pixels), no
+    Python-per-byte work across rows."""
     import numpy as np
 
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    stride = width * channels * sample_bytes
+    if len(raw) - pos < height * (stride + 1):
         raise ValueError("PNG: truncated inflated stream")
     out = np.zeros((height, stride), dtype=np.uint8)
-    pos = 0
-    bpp = channels  # bytes per pixel at bit depth 8
+    bpp = channels * sample_bytes  # filter distance in bytes (spec 9.2)
     for y in range(height):
         ftype = raw[pos]
         row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).copy()
@@ -208,7 +221,7 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int):
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
         out[y] = row
-    return out.reshape(height, width, channels)
+    return out.reshape(height, width, channels * sample_bytes), pos
 
 
 def _png_rgb(payload: bytes):
@@ -222,10 +235,13 @@ def _png_rgb(payload: bytes):
     aspect/8, 1.0] — identical to :func:`decode_ppm_image`, pinned by
     a same-pixels cross-decoder test).
 
-    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3
-    (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. 16-bit and
-    Adam7 payloads raise (``sniffing_decoder`` falls back to the stub
-    rather than silently mis-decoding — the PPM maxval rule)."""
+    Supported: bit depths 8 and 16 (16-bit reduces to 8 by high byte
+    — the probe contract is 8-bit features), color types 0 (gray), 2
+    (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced
+    and Adam7-interlaced (round 10: seven independently-filtered
+    reduced images on the spec 8.2 pass grid). Sub-8-bit depths raise
+    (``sniffing_decoder`` falls back to the stub rather than silently
+    mis-decoding — the PPM maxval rule)."""
     import struct
     import zlib
 
@@ -254,15 +270,39 @@ def _png_rgb(payload: bytes):
             break
     if width is None:
         raise ValueError("PNG: no IHDR")
-    if bit_depth != 8:
+    if bit_depth not in (8, 16):
         raise ValueError(f"PNG: bit depth {bit_depth} unsupported")
-    if interlace != 0:
-        raise ValueError("PNG: Adam7 interlacing unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: interlace method {interlace} unknown")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"PNG: color type {color_type} unsupported")
+    if bit_depth == 16 and color_type == 3:
+        raise ValueError("PNG: 16-bit palette images are illegal")
+    sb = bit_depth // 8
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, channels)
+    if interlace == 0:
+        px, _ = _png_unfilter(raw, width, height, channels, sb)
+    else:
+        # Adam7 (round 10): seven independently-filtered reduced
+        # images, scattered back on the pass grid; empty passes (a
+        # dimension rounds to zero) contribute no bytes at all.
+        import numpy as np
+
+        px = np.zeros((height, width, channels * sb), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos2 = _png_unfilter(raw, pw, ph, channels, sb, pos2)
+            px[y0::dy, x0::dx] = sub
+    if sb == 2:
+        # 16-bit samples are big-endian; the feature/signature probe
+        # reduces to 8-bit by the high byte (floor(v / 257) differs by
+        # at most 1 LSB — the probe contract is 8-bit features)
+        px = px.reshape(px.shape[0], px.shape[1], channels, 2)[..., 0]
     if color_type == 3:
         if plte is None:
             raise ValueError("PNG: palette image without PLTE")

@@ -4075,24 +4075,16 @@ def test_mutual_information_ignores_null_categories(spark):
     assert got["n"] == 16
 
 
-def _encode_png(arr, color_type, filters=None, palette=None):
-    """Minimal test-side PNG writer (filter choice per row) so the
-    decoder is exercised against independently-constructed payloads."""
-    import struct
-    import zlib
-
+def _png_filter_rows(flat, bpp, filters):
+    """Apply the chosen PNG filter per row of a byte matrix (one
+    reduced image) — shared by the plain and Adam7 writer paths."""
     import numpy as np
 
-    h, w = arr.shape[0], arr.shape[1]
-    channels = arr.shape[2] if arr.ndim == 3 else 1
-    flat = arr.reshape(h, w * channels).astype(np.uint8)
-    filters = filters or [0] * h
-    bpp = channels
     raw = bytearray()
-    prev = np.zeros(w * channels, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
         row = flat[y].astype(np.int32)
-        f = filters[y]
+        f = filters[y % len(filters)]
         enc = row.copy()
         if f == 1:
             for i in range(len(row) - 1, bpp - 1, -1):
@@ -4115,12 +4107,53 @@ def _encode_png(arr, color_type, filters=None, palette=None):
         raw.append(f)
         raw.extend(int(v) & 0xFF for v in enc)
         prev = row
+    return raw
+
+
+def _encode_png(arr, color_type, filters=None, palette=None,
+                interlace=False, bit_depth=8):
+    """Minimal test-side PNG writer (filter choice per row, optional
+    Adam7 interlacing and 16-bit depth) so the decoder is exercised
+    against independently-constructed payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    if bit_depth == 16:
+        # big-endian sample bytes
+        a16 = arr.astype(np.uint16).reshape(h, w, channels)
+        by = np.zeros((h, w, channels * 2), dtype=np.uint8)
+        by[..., 0::2] = (a16 >> 8).astype(np.uint8)
+        by[..., 1::2] = (a16 & 0xFF).astype(np.uint8)
+        pix = by
+    else:
+        pix = arr.reshape(h, w, channels).astype(np.uint8)
+    bpp = channels * (bit_depth // 8)
+    filters = filters or [0]
+
+    raw = bytearray()
+    if not interlace:
+        raw = _png_filter_rows(pix.reshape(h, -1), bpp, filters)
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        for x0, y0, dx, dy in passes:
+            sub = pix[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw.extend(_png_filter_rows(
+                sub.reshape(sub.shape[0], -1), bpp, filters
+            ))
 
     def chunk(ctype, data):
         c = struct.pack(">I", len(data)) + ctype + data
         return c + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0,
+                       1 if interlace else 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -4173,9 +4206,14 @@ def test_png_decoder_matches_ppm_on_same_pixels():
 
 
 def test_png_decoder_refuses_unsupported_and_sniffs(spark):
-    """16-bit / interlaced PNGs raise (never silently mis-decode) and
-    sniffing_decoder routes PNG payloads to the real decoder while
-    falling back to the stub for the unsupported variants."""
+    """Sub-8-bit depths and size-lying streams raise (never silently
+    mis-decode) and sniffing_decoder routes PNG payloads to the real
+    decoder while falling back to the stub for the broken variants.
+    Round-10 update: 16-bit and Adam7 are REAL decodes now (see
+    test_png_adam7_interlace_and_16bit) — the refusal cases here are a
+    4-bit depth header and headers whose declared geometry doesn't
+    match the stream (an 8-bit IDAT under a 16-bit or interlaced
+    header is short by construction)."""
     import struct
     import zlib
 
@@ -4193,17 +4231,66 @@ def test_png_decoder_refuses_unsupported_and_sniffs(spark):
     assert sniffing_decoder(good, "image") == decode_png_image(good)
 
     def with_ihdr(bit_depth=8, interlace=0):
-        import re as _re
-
         ihdr = struct.pack(">IIBBBBB", 4, 4, bit_depth, 2, 0, 0, interlace)
         c = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         c += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
         return good[:8] + c + good[8 + 12 + 13:]
 
-    for bad in (with_ihdr(bit_depth=16), with_ihdr(interlace=1)):
+    for bad in (
+        with_ihdr(bit_depth=4),       # unsupported depth
+        with_ihdr(bit_depth=16),      # stream half the declared size
+        with_ihdr(interlace=1),       # sequential stream short of 7 passes
+    ):
         with _pytest.raises(ValueError):
             decode_png_image(bad)
         assert sniffing_decoder(bad, "image") == _decode_stub(bad, "image")
+
+
+def test_png_adam7_interlace_and_16bit():
+    """Round 10: Adam7-interlaced and 16-bit PNGs decode for real. An
+    interlaced encoding of the same pixels must decode IDENTICALLY to
+    the sequential one (all filter types inside the reduced images;
+    odd dimensions exercise empty and partial passes, including the
+    1x1 and 2x1 degenerate images whose later passes are empty), and a
+    16-bit deepening (v << 8 | v) must reduce back to the same 8-bit
+    pixels via the high-byte contract — in both orders (plain 16-bit
+    and interlaced 16-bit)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import _png_rgb
+
+    rng = np.random.RandomState(23)
+    for hh, ww in ((13, 11), (8, 8), (1, 1), (2, 1), (3, 9)):
+        rgb = rng.randint(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        plain = _png_rgb(_encode_png(rgb, color_type=2))
+        inter = _png_rgb(
+            _encode_png(rgb, color_type=2, interlace=True,
+                        filters=[0, 1, 2, 3, 4])
+        )
+        assert np.array_equal(plain, inter), (hh, ww)
+        assert np.array_equal(plain, rgb.astype(np.float64))
+
+        deep = (rgb.astype(np.uint16) << 8) | rgb
+        for kw in ({"bit_depth": 16},
+                   {"bit_depth": 16, "interlace": True,
+                    "filters": [4, 3, 2, 1, 0]}):
+            got = _png_rgb(_encode_png(deep, color_type=2, **kw))
+            assert np.array_equal(got, rgb.astype(np.float64)), (hh, ww, kw)
+
+    # gray + palette variants through the interlaced path
+    gray = rng.randint(0, 256, size=(9, 7, 1), dtype=np.uint8)
+    assert np.array_equal(
+        _png_rgb(_encode_png(gray, color_type=0)),
+        _png_rgb(_encode_png(gray, color_type=0, interlace=True,
+                             filters=[2, 4])),
+    )
+    palette = rng.randint(0, 256, size=(5, 3), dtype=np.uint8)
+    idx = rng.randint(0, 5, size=(6, 10, 1), dtype=np.uint8)
+    assert np.array_equal(
+        _png_rgb(_encode_png(idx, color_type=3, palette=palette)),
+        _png_rgb(_encode_png(idx, color_type=3, palette=palette,
+                             interlace=True, filters=[1, 0])),
+    )
 
 
 def test_bmp_decoder_matches_ppm_on_same_pixels():
