@@ -469,10 +469,12 @@ def _gif_rgb(payload: bytes):
     """REAL decoder for GIF87a/89a (public spec): logical-screen parse,
     global/local color tables, extension-block skipping, full LZW
     decompression (:func:`_gif_lzw_decode`) and Adam-style 4-pass
-    interlace reordering. FIRST frame only — the feature contract is
-    per-image; animation is out of scope (document over guess).
-    Same 8-float contract as the other image decoders, cross-pinned on
-    identical pixels in pytest."""
+    interlace reordering. FIRST frame only, rect-sized — the feature
+    contract is per-image; ANIMATION rides :func:`_gif_frames`
+    (round 10: GCE compositing with transparency + disposal), which
+    :func:`frame_sample` uses to explode animated GIFs into the image
+    pipeline. Same 8-float contract as the other image decoders,
+    cross-pinned on identical pixels in pytest."""
     import numpy as np
 
     if not (payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a")):
@@ -494,45 +496,132 @@ def _gif_rgb(payload: bytes):
                 pos += 1 + payload[pos]
             pos += 1
         elif b == 0x2C:  # image descriptor
-            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
-            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
-            ipacked = payload[pos + 9]
-            interlaced = bool(ipacked & 0x40)
-            pos += 10
-            ct = gct
-            if ipacked & 0x80:
-                n = 2 ** ((ipacked & 0x07) + 1)
-                ct = np.frombuffer(
-                    payload, dtype=np.uint8, count=3 * n, offset=pos
-                ).reshape(n, 3)
-                pos += 3 * n
-            if ct is None:
-                raise ValueError("GIF: no color table")
-            min_code = payload[pos]
-            pos += 1
-            lzw = bytearray()
-            while payload[pos] != 0:
-                ln = payload[pos]
-                lzw += payload[pos + 1:pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            idx = np.array(
-                _gif_lzw_decode(bytes(lzw), min_code, w * h), dtype=np.int32
-            ).reshape(h, w)
-            if interlaced:
-                de = np.empty_like(idx)
-                rows = (
-                    list(range(0, h, 8)) + list(range(4, h, 8))
-                    + list(range(2, h, 4)) + list(range(1, h, 2))
-                )
-                de[rows] = idx
-                idx = de
+            _left, _top, idx, ct, pos = _gif_image_block(payload, pos, gct)
             return ct[idx].astype(np.float64)
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"GIF: unexpected block 0x{b:02x}")
     raise ValueError(f"GIF: no image data (screen {sw}x{sh})")
+
+
+def _gif_image_block(payload: bytes, pos: int, gct):
+    """Parse ONE image descriptor (block 0x2C) at ``pos``: rect
+    geometry, local color table, LZW decode, interlace reorder.
+    Returns (left, top, idx HxW int array, color table, next pos) —
+    shared by the first-frame decoder and the animation walk."""
+    import numpy as np
+
+    left = int.from_bytes(payload[pos + 1:pos + 3], "little")
+    top = int.from_bytes(payload[pos + 3:pos + 5], "little")
+    w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    ipacked = payload[pos + 9]
+    interlaced = bool(ipacked & 0x40)
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 ** ((ipacked & 0x07) + 1)
+        ct = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF: no color table")
+    min_code = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while payload[pos] != 0:
+        ln = payload[pos]
+        lzw += payload[pos + 1:pos + 1 + ln]
+        pos += 1 + ln
+    pos += 1
+    idx = np.array(
+        _gif_lzw_decode(bytes(lzw), min_code, w * h), dtype=np.int32
+    ).reshape(h, w)
+    if interlaced:
+        de = np.empty_like(idx)
+        rows = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        de[rows] = idx
+        idx = de
+    return left, top, idx, ct, pos
+
+
+def _gif_frames(payload: bytes):
+    """Animated-GIF frame walk (round 10, GIF89a spec + the GCE
+    animation model): yields each frame COMPOSITED onto the logical
+    screen — sub-rect placement, transparency holes (transparent-index
+    pixels leave the underlying canvas), and disposal methods 0/1
+    (leave), 2 (restore rect to background color), 3 (restore rect to
+    the pre-draw canvas). The canvas starts as the background color
+    (GCT's background index) or black without a GCT. Returns a list of
+    (sh, sw, 3) uint8 arrays, one per image descriptor."""
+    import numpy as np
+
+    if not (payload.startswith(b"GIF87a") or payload.startswith(b"GIF89a")):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    packed = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list = []
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            if label == 0xF9 and payload[pos + 2] == 4:
+                gpacked = payload[pos + 3]
+                disposal = (gpacked >> 2) & 0x07
+                transparent = payload[pos + 6] if gpacked & 0x01 else None
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, idx, ct, pos = _gif_image_block(payload, pos, gct)
+            h, w = idx.shape
+            # clip defensively to the logical screen
+            h = min(h, sh - top)
+            w = min(w, sw - left)
+            if h <= 0 or w <= 0:
+                raise ValueError("GIF: frame rect outside logical screen")
+            idx = idx[:h, :w]
+            region = canvas[top:top + h, left:left + w]
+            saved = region.copy() if disposal == 3 else None
+            rect = ct[idx].astype(np.uint8)
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rect[mask]
+            else:
+                region[:] = rect
+            frames.append(canvas.copy())
+            if disposal == 2:
+                region[:] = bg_rgb
+            elif disposal == 3:
+                region[:] = saved
+            disposal, transparent = 0, None  # GCE scopes one image
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF: no image data")
+    return frames
 
 
 def decode_gif_image(payload: bytes) -> list[float]:
@@ -1190,11 +1279,15 @@ def frame_sample(
     id_col: str = "media_id",
 ) -> DataFrame:
     """X6 (frame-sample stage) — first-class evenly-strided frame
-    sampling from YUV4MPEG2 video payloads: each input row EXPLODES to
-    at most ``max_frames`` rows (id, frame_idx, frame payload as a
-    grayscale P6 PPM built from the luma plane, width, height). The
-    shape that makes a video corpus feed the image pipeline (ahash
-    near-dup, resize, feature extraction) without a codec dependency.
+    sampling from YUV4MPEG2 video payloads AND animated GIFs (round
+    10): each input row EXPLODES to at most ``max_frames`` rows (id,
+    frame_idx, frame payload as a P6 PPM — grayscale from the luma
+    plane for Y4M, full color for composited GIF frames — width,
+    height). The shape that makes a video/animation corpus feed the
+    image pipeline (ahash near-dup, resize, feature extraction)
+    without a codec dependency. GIF frames are composited per the
+    GCE animation model (:func:`_gif_frames`) so each sampled frame is
+    what a viewer would show, not a bare sub-rect.
 
     Arrow ``mapInPandas`` with a row-multiplying yield — the sanctioned
     fan-out shape (the output row count is bounded by
@@ -1210,10 +1303,24 @@ def frame_sample(
         ]
     )
 
+    def _pick(n: int) -> list[int]:
+        return sorted({
+            int(round(i * (n - 1) / max(1, max_frames - 1)))
+            for i in range(min(max_frames, n))
+        })
+
     def _frames(payload: bytes) -> list[tuple[int, bytes, int, int]]:
         import numpy as np
 
         try:
+            if payload is not None and payload.startswith((b"GIF87a", b"GIF89a")):
+                gframes = _gif_frames(payload)
+                gh, gw = gframes[0].shape[:2]
+                header = f"P6\n{gw} {gh}\n255\n".encode()
+                return [
+                    (fi, header + gframes[fi].tobytes(), gw, gh)
+                    for fi in _pick(len(gframes))
+                ]
             if payload is None or not payload.startswith(b"YUV4MPEG2"):
                 return []
             nl = payload.index(b"\n")
@@ -1247,12 +1354,7 @@ def frame_sample(
                 pos = fh + 1 + fsize
             if not frames:
                 return []
-            idxs = sorted(
-                {
-                    int(round(i * (len(frames) - 1) / max(1, max_frames - 1)))
-                    for i in range(min(max_frames, len(frames)))
-                }
-            )
+            idxs = _pick(len(frames))
             out = []
             header = f"P6\n{width} {height}\n255\n".encode()
             for fi in idxs:

@@ -4346,6 +4346,110 @@ def test_bmp_decoder_matches_ppm_on_same_pixels():
     assert sniffing_decoder(bytes(rle), "image") == _decode_stub(bytes(rle), "image")
 
 
+def _gif_lzw_encode_testside(indices, min_code):
+    """Test-side GIF LZW encoder (dictionary growth across code
+    widths, clear-on-full) — shared by the single-frame and animated
+    GIF builders."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    codes = [clear]
+    buf = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        buf = (px,)
+        if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: clear (spec behavior)
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+    # pack LSB-first with the DECODER's width schedule: the decoder
+    # grows its table one code BEHIND the encoder (no entry on the
+    # first code after a clear — prev is None there)
+    out = bytearray()
+    acc = nbits = 0
+    cs = min_code + 1
+    n_table = end + 1
+    first = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            n_table, cs, first = end + 1, min_code + 1, True
+        elif c != end:
+            if not first:
+                n_table += 1
+                if n_table == (1 << cs) and cs < 12:
+                    cs += 1
+            first = False
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif_animation(screen, palette, frames, bg_index=0):
+    """Test-side ANIMATED GIF builder: logical screen + GCT, then per
+    frame a GCE (disposal/transparency) and an image descriptor at its
+    (left, top) sub-rect. ``frames`` is a list of dicts with keys idx
+    (2-D index array), left, top, and optional disposal / transparent
+    / interlaced."""
+    import numpy as np
+
+    sw, sh = screen
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(n))))
+    pal = np.zeros((2 ** bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), bg_index, 0])
+    out += pal.tobytes()
+    for f in frames:
+        idx = f["idx"]
+        h, w = idx.shape
+        disposal = f.get("disposal", 0)
+        transparent = f.get("transparent")
+        gpacked = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gpacked, 0, 0,
+                      transparent if transparent is not None else 0, 0])
+        out += b"\x2C"
+        out += f.get("left", 0).to_bytes(2, "little")
+        out += f.get("top", 0).to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        interlaced = f.get("interlaced", False)
+        out += bytes([0x40 if interlaced else 0])
+        rows = idx
+        if interlaced:
+            order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                     + list(range(2, h, 4)) + list(range(1, h, 2)))
+            rows = idx[order]
+        min_code = max(2, bits)
+        out += bytes([min_code])
+        data = _gif_lzw_encode_testside([int(v) for v in rows.flatten()], min_code)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def test_gif_decoder_matches_ppm_on_same_pixels():
     """GIF decoder (round 9): a REAL LZW-compressed GIF (test-side
     encoder with dictionary growth across code widths) of the same
@@ -4360,58 +4464,7 @@ def test_gif_decoder_matches_ppm_on_same_pixels():
         sniffing_decoder,
     )
 
-    def lzw_encode(indices, min_code):
-        clear, end = 1 << min_code, (1 << min_code) + 1
-        table = {(i,): i for i in range(clear)}
-        next_code = end + 1
-        code_size = min_code + 1
-        codes = [clear]
-        buf = ()
-        for px in indices:
-            cand = buf + (px,)
-            if cand in table:
-                buf = cand
-                continue
-            codes.append(table[buf])
-            table[cand] = next_code
-            next_code += 1
-            buf = (px,)
-            if next_code - 1 == (1 << code_size) - 1 and code_size < 12:
-                code_size += 1
-            if next_code == 4096:  # table full: clear (spec behavior)
-                codes.append(clear)
-                table = {(i,): i for i in range(clear)}
-                next_code = end + 1
-                code_size = min_code + 1
-        if buf:
-            codes.append(table[buf])
-        codes.append(end)
-        # pack LSB-first with the DECODER's width schedule: the decoder
-        # grows its table one code BEHIND the encoder (no entry on the
-        # first code after a clear — prev is None there)
-        out = bytearray()
-        acc = nbits = 0
-        cs = min_code + 1
-        n_table = end + 1
-        first = True
-        for c in codes:
-            acc |= c << nbits
-            nbits += cs
-            while nbits >= 8:
-                out.append(acc & 0xFF)
-                acc >>= 8
-                nbits -= 8
-            if c == clear:
-                n_table, cs, first = end + 1, min_code + 1, True
-            elif c != end:
-                if not first:
-                    n_table += 1
-                    if n_table == (1 << cs) and cs < 12:
-                        cs += 1
-                first = False
-        if nbits:
-            out.append(acc & 0xFF)
-        return bytes(out)
+    lzw_encode = _gif_lzw_encode_testside
 
     def gif(idx, palette, interlaced=False, local_ct=False, ext=False):
         h, w = idx.shape
@@ -4468,6 +4521,93 @@ def test_gif_decoder_matches_ppm_on_same_pixels():
     rgb2 = pal2[idx2]
     want2 = decode_ppm_image(b"P6\n40 60\n255\n" + rgb2.astype(np.uint8).tobytes())
     assert decode_gif_image(gif(idx2.astype(np.int64), pal2)) == want2
+
+
+def test_gif_animation_compositing():
+    """Round 10: _gif_frames composites an animated GIF per the GCE
+    model — sub-rect placement, transparency holes, disposal 1 (leave)
+    / 2 (restore background) / 3 (restore previous) — against an
+    independently-computed numpy expectation for every frame."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import _gif_frames
+
+    pal = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200], [250, 250, 250]],
+        dtype=np.uint8,
+    )
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 5, size=(10, 12)).astype(np.int64)
+    rect2 = rng.randint(0, 5, size=(4, 5)).astype(np.int64)
+    rect2[1, 2] = 3  # will be declared transparent
+    rect3 = rng.randint(0, 5, size=(3, 3)).astype(np.int64)
+    rect4 = np.full((2, 2), 4, dtype=np.int64)
+
+    payload = _encode_gif_animation(
+        (12, 10), pal, bg_index=0,
+        frames=[
+            {"idx": base, "disposal": 1},
+            {"idx": rect2, "left": 3, "top": 2, "transparent": 3,
+             "disposal": 2, "interlaced": True},
+            {"idx": rect3, "left": 7, "top": 6, "disposal": 3},
+            {"idx": rect4, "left": 0, "top": 0},
+        ],
+    )
+    got = _gif_frames(payload)
+    assert len(got) == 4
+
+    # independent expectation
+    canvas = np.broadcast_to(pal[0], (10, 12, 3)).astype(np.uint8).copy()
+    canvas[:, :] = pal[base]
+    f1 = canvas.copy()
+    pre2 = canvas.copy()
+    r2 = pal[rect2]
+    m2 = rect2 != 3
+    region = canvas[2:6, 3:8]
+    region[m2] = r2[m2]
+    f2 = canvas.copy()
+    canvas[2:6, 3:8] = pal[0]  # disposal 2: restore to background
+    pre3 = canvas[6:9, 7:10].copy()
+    canvas[6:9, 7:10] = pal[rect3]
+    f3 = canvas.copy()
+    canvas[6:9, 7:10] = pre3  # disposal 3: restore previous
+    canvas[0:2, 0:2] = pal[rect4]
+    f4 = canvas.copy()
+
+    for i, want in enumerate((f1, f2, f3, f4)):
+        assert np.array_equal(got[i], want), f"frame {i}"
+    del pre2
+
+
+def test_frame_sample_gif_and_y4m(spark):
+    """frame_sample explodes animated GIFs alongside Y4M clips: color
+    P6 frames at screen size, evenly strided, corrupt payloads
+    contributing zero rows."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _gif_frames,
+        frame_sample,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    rng = np.random.RandomState(9)
+    frames = [{"idx": rng.randint(0, 3, size=(6, 8)).astype(np.int64)}
+              for _ in range(5)]
+    gif_payload = _encode_gif_animation((8, 6), pal, frames=frames)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif_payload)), (2, bytearray(b"not media"))],
+        "media_id long, payload binary",
+    )
+    rows = frame_sample(df, max_frames=3).orderBy("media_id", "frame_idx").collect()
+    assert [r.media_id for r in rows] == [1, 1, 1]
+    assert [r.frame_idx for r in rows] == [0, 2, 4]  # even stride over 5
+    composited = _gif_frames(gif_payload)
+    for r in rows:
+        assert r.width == 8 and r.height == 6
+        want = b"P6\n8 6\n255\n" + composited[r.frame_idx].tobytes()
+        assert bytes(r.payload) == want
 
 
 _IMGDATA = os.path.join(os.path.dirname(__file__), "data", "imghdr")
