@@ -4935,7 +4935,8 @@ def _jpeg_mag(v):
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
-def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0):
+def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0,
+                             bands=None):
     """Test-side PROGRESSIVE JPEG encoder (T.81 Annex G, SOF2) so the
     decoder's progressive paths are exercised against payloads it did
     not produce. Scan script: interleaved DC first (Al=1) [with
@@ -5166,12 +5167,13 @@ def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0):
         bw2.flush()
         out += bw2.buf
 
+    # default scan script: luma band split (1-5, 6-63), chroma whole-band;
+    # `bands` overrides with an arbitrary per-component band partition
+    if bands is None:
+        bands = {0: [(1, 5), (6, 63)]}
     for ci in range(ncomp):
-        if ci == 0:  # spectral-selection split for the luma band
-            emit_ac_scan(0, 1, 5, 0, ac_al, ac_first_ops(0, 1, 5, ac_al))
-            emit_ac_scan(0, 6, 63, 0, ac_al, ac_first_ops(0, 6, 63, ac_al))
-        else:
-            emit_ac_scan(ci, 1, 63, 0, ac_al, ac_first_ops(ci, 1, 63, ac_al))
+        for ss, se in bands.get(ci, [(1, 63)]):
+            emit_ac_scan(ci, ss, se, 0, ac_al, ac_first_ops(ci, ss, se, ac_al))
 
     # ---- DC refinement: one raw bit per block, interleaved ----
     bw3 = _JBits()
@@ -5185,13 +5187,14 @@ def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0):
     out += sos_seg([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
     out += bw3.buf
 
-    if ac_al:  # AC refinement scans complete the successive approximation
+    # AC refinement scans complete the successive approximation, one
+    # bit level per scan (Ah = level, Al = level - 1) — multi-level
+    # ac_al exercises repeated refinement of the same coefficients
+    for lvl in range(ac_al, 0, -1):
         for ci in range(ncomp):
-            if ci == 0:
-                emit_ac_scan(0, 1, 5, 1, 0, ac_refine_ops(0, 1, 5, 0))
-                emit_ac_scan(0, 6, 63, 1, 0, ac_refine_ops(0, 6, 63, 0))
-            else:
-                emit_ac_scan(ci, 1, 63, 1, 0, ac_refine_ops(ci, 1, 63, 0))
+            for ss, se in bands.get(ci, [(1, 63)]):
+                emit_ac_scan(ci, ss, se, lvl, lvl - 1,
+                             ac_refine_ops(ci, ss, se, lvl - 1))
 
     out += b"\xff\xd9"
     return bytes(out)
@@ -5276,6 +5279,40 @@ def test_jpeg_progressive_matches_baseline_bit_exact():
         # front-half bug making "equal garbage")
         rmse = float(np.sqrt(((prog - rgb / 255.0) ** 2).mean()))
         assert rmse < 0.2, (kwargs, rmse)
+
+
+def test_jpeg_progressive_randomized_scan_scripts():
+    """Fuzz the Annex G paths with randomized scan scripts: random
+    spectral-band partitions of 1..63 per component and successive-
+    approximation depth up to Al=2 (two refinement passes over the
+    same coefficients). Every script must reconstruct the exact
+    coefficient array, so every decode must equal the baseline decode
+    bit-for-bit. 12 seeds x (444/420) keeps it under a few seconds
+    while covering band edges (width-1 bands, band ending at 63) and
+    multi-level refinement."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import decode_jpeg_rgb
+
+    for seed in range(12):
+        rng = np.random.RandomState(100 + seed)
+        hh, ww = int(rng.randint(9, 25)), int(rng.randint(9, 25))
+        rgb = rng.randint(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        subsample = bool(seed % 2)
+        ac_al = int(rng.randint(0, 3))
+
+        def rand_bands(r):
+            cuts = sorted(set(
+                [1, 64] + list(r.randint(2, 64, size=r.randint(0, 4)))
+            ))
+            return [(cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)]
+
+        bands = {ci: rand_bands(rng) for ci in range(3)}
+        base = decode_jpeg_rgb(_encode_jpeg(rgb, subsample=subsample))
+        prog = decode_jpeg_rgb(_encode_jpeg_progressive(
+            rgb, subsample=subsample, ac_al=ac_al, bands=bands
+        ))
+        assert np.array_equal(prog, base), (seed, ac_al, bands)
 
 
 def test_jpeg_progressive_multimodal_integration():
