@@ -128,16 +128,22 @@ def decode_ppm_image(payload: bytes) -> list[float]:
     ]
 
 
-def decode_wav_audio(payload: bytes) -> list[float]:
-    """REAL decoder for RIFF/WAV 16-bit PCM — stdlib-parseable, same
-    interface-test role as :func:`decode_ppm_image`. Features:
-    [mean_abs, rms, zero_cross_rate, peak, rate/96k, seconds/600,
-    channels/8, 1.0]."""
+def _audio_samples(payload: bytes):
+    """Shared PCM parse for the audio family (round 10): sniff RIFF/WAV
+    (stdlib ``wave``, 16-bit PCM) or FLAC (:mod:`._flac`, any
+    supported depth) and return (x, rate) with x an (n, channels)
+    float64 array normalized to [-1, 1). Raises on anything else —
+    callers keep their own NULL-degradation contracts."""
     import io
     import wave
 
     import numpy as np
 
+    if payload.startswith(b"fLaC"):
+        from ._flac import decode_flac_pcm
+
+        samples, rate, bps = decode_flac_pcm(payload)
+        return samples.astype(np.float64) / float(1 << (bps - 1)), rate
     with wave.open(io.BytesIO(payload), "rb") as w:
         if w.getsampwidth() != 2:
             raise ValueError(
@@ -145,7 +151,22 @@ def decode_wav_audio(payload: bytes) -> list[float]:
             )
         rate, nframes, nch = w.getframerate(), w.getnframes(), w.getnchannels()
         samples = np.frombuffer(w.readframes(nframes), dtype=np.int16)
-    x = samples.astype(np.float64) / 32768.0
+    return samples.astype(np.float64).reshape(-1, nch) / 32768.0, rate
+
+
+def decode_wav_audio(payload: bytes) -> list[float]:
+    """REAL decoder for RIFF/WAV 16-bit PCM — stdlib-parseable, same
+    interface-test role as :func:`decode_ppm_image`. Round 10: also
+    accepts FLAC payloads through the shared :func:`_audio_samples`
+    parse (lossless, so a FLAC of the same samples produces the
+    IDENTICAL feature vector — the cross-codec audio near-dup case).
+    Features: [mean_abs, rms, zero_cross_rate, peak, rate/96k,
+    seconds/600, channels/8, 1.0]."""
+    import numpy as np
+
+    xs, rate = _audio_samples(payload)
+    nframes, nch = xs.shape
+    x = xs.reshape(-1)  # feature stats are over the interleaved stream
     zc = float(np.mean(np.abs(np.diff(np.signbit(x)))) if x.size > 1 else 0.0)
     return [
         float(np.mean(np.abs(x))),
@@ -786,6 +807,10 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             and payload.startswith(b"RIFF")
             and payload[8:12] == b"WAVE"
         ):
+            return decode_wav_audio(payload)
+        if payload is not None and payload.startswith(b"fLaC"):
+            # round 10: real FLAC decode (._flac) through the shared
+            # PCM parse — same 8-float audio feature contract
             return decode_wav_audio(payload)
         if payload is not None and payload.startswith(b"YUV4MPEG2"):
             return decode_y4m_video(payload)
@@ -1583,22 +1608,11 @@ def afp64_wav(payload: bytes) -> int | None:
     additive content far below the band energies; transposition moves
     energy across bands and flips the hot set. None for undecodable or
     too-short (< 4000 samples) payloads."""
-    import io
-    import wave
-
     import numpy as np
 
     try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                return None
-            rate = w.getframerate()
-            samples = np.frombuffer(
-                w.readframes(w.getnframes()), dtype=np.int16
-            )
-            if w.getnchannels() > 1:
-                samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
-        x = np.asarray(samples, dtype=np.float64) / 32768.0
+        xs, rate = _audio_samples(payload)
+        x = xs.mean(axis=1)  # mono mix
         n_frames, frame_len, n_bands = 4, 1000, 16
         if x.size < n_frames * frame_len or rate <= 0:
             return None
@@ -1703,23 +1717,13 @@ def audio_profile_wav(payload: bytes, silence_db: float = -40.0) -> dict | None:
     milliseconds — the trim points a speech-data pipeline cuts before
     tokenizing audio. None for undecodable payloads (the X6 NULL
     degradation contract)."""
-    import io
     import math
-    import wave
 
     import numpy as np
 
     try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                return None
-            rate = w.getframerate()
-            samples = np.frombuffer(
-                w.readframes(w.getnframes()), dtype=np.int16
-            )
-            if w.getnchannels() > 1:
-                samples = samples.reshape(-1, w.getnchannels()).mean(axis=1)
-        x = np.asarray(samples, dtype=np.float64) / 32768.0
+        xs, rate = _audio_samples(payload)
+        x = xs.mean(axis=1)  # mono mix
         if x.size == 0 or rate <= 0:
             return None
         frame = max(1, rate // 100)          # 10 ms

@@ -4610,6 +4610,299 @@ def test_frame_sample_gif_and_y4m(spark):
         assert bytes(r.payload) == want
 
 
+class _FlacBW:
+    """Test-side MSB-first bit writer (no byte stuffing — FLAC has
+    none)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, nbits):
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1) if nbits else 0)
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def sput(self, v, nbits):
+        self.put(v & ((1 << nbits) - 1), nbits)
+
+    def unary(self, q):
+        for _ in range(q):
+            self.put(0, 1)
+        self.put(1, 1)
+
+    def align(self):
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+def _flac_residual(bw, resid, block_size, order, part_order=0, rice2=False,
+                   escape=False):
+    """Encode a FLAC residual: zigzag + Rice (or escaped raw
+    partitions), any partition order that divides the block size."""
+    bw.put(1 if rice2 else 0, 2)
+    plen = 5 if rice2 else 4
+    bw.put(part_order, 4)
+    nparts = 1 << part_order
+    pos = 0
+    for p in range(nparts):
+        n = block_size >> part_order
+        if p == 0:
+            n -= order
+        part = resid[pos:pos + n]
+        pos += n
+        uz = [(r << 1) if r >= 0 else (-r << 1) - 1 for r in part]
+        if escape:
+            raw = max((abs(r).bit_length() + 1 for r in part), default=1)
+            bw.put((1 << plen) - 1, plen)
+            bw.put(raw, 5)
+            for r in part:
+                bw.sput(r, raw)
+            continue
+        mean_u = sum(uz) // max(1, len(uz))
+        param = min(max(mean_u.bit_length() - 1, 0), (1 << plen) - 2)
+        bw.put(param, plen)
+        for u in uz:
+            bw.unary(u >> param)
+            if param:
+                bw.put(u & ((1 << param) - 1), param)
+
+
+def _flac_subframe(bw, data, bps, kind, part_order=0, rice2=False,
+                   escape=False, lpc=None, wasted=0):
+    """Encode one subframe. ``kind``: 'constant' | 'verbatim' |
+    ('fixed', order) | 'lpc' (with lpc=(coefs, shift, precision)).
+    ``wasted`` shifts all samples right first (they must be divisible
+    by 2^wasted)."""
+    bw.put(0, 1)  # padding
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in data)
+        data = [s >> wasted for s in data]
+        eff_bps = bps - wasted
+    else:
+        eff_bps = bps
+    if kind == "constant":
+        bw.put(0, 6)
+        _emit_wasted(bw, wasted)
+        bw.sput(data[0], eff_bps)
+        return
+    if kind == "verbatim":
+        bw.put(1, 6)
+        _emit_wasted(bw, wasted)
+        for s in data:
+            bw.sput(s, eff_bps)
+        return
+    if isinstance(kind, tuple) and kind[0] == "fixed":
+        order = kind[1]
+        bw.put(8 + order, 6)
+        _emit_wasted(bw, wasted)
+        for s in data[:order]:
+            bw.sput(s, eff_bps)
+        coefs = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}[order]
+        resid = [
+            data[i] - sum(c * data[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(data))
+        ]
+        _flac_residual(bw, resid, len(data), order, part_order, rice2, escape)
+        return
+    assert kind == "lpc"
+    coefs, shift, precision = lpc
+    order = len(coefs)
+    bw.put(32 + order - 1, 6)
+    _emit_wasted(bw, wasted)
+    for s in data[:order]:
+        bw.sput(s, eff_bps)
+    bw.put(precision - 1, 4)
+    bw.sput(shift, 5)
+    for c in coefs:
+        bw.sput(c, precision)
+    resid = [
+        data[i] - (sum(c * data[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+        for i in range(order, len(data))
+    ]
+    _flac_residual(bw, resid, len(data), order, part_order, rice2, escape)
+
+
+def _emit_wasted(bw, wasted):
+    # wasted-bits flag + unary(wasted-1): `wasted-1` zeros then a 1
+    if wasted:
+        bw.put(1, 1)
+        for _ in range(wasted - 1):
+            bw.put(0, 1)
+        bw.put(1, 1)
+    else:
+        bw.put(0, 1)
+
+
+def _encode_flac(samples, rate, frame_size=256, mode="independent",
+                 plan=None, bps=16):
+    """Test-side FLAC encoder (spec-correct streams the decoder did
+    not produce): STREAMINFO + fixed-blocking frames. ``mode``:
+    independent | left_side | right_side | mid_side (2-channel).
+    ``plan(ch, frame_idx) -> kwargs for _flac_subframe`` chooses the
+    subframe type per channel/frame (default: verbatim)."""
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    n, nch = samples.shape
+    plan = plan or (lambda ch, fi: {"kind": "verbatim"})
+
+    out = bytearray(b"fLaC")
+    si = _FlacBW()
+    si.put(frame_size, 16)
+    si.put(frame_size, 16)
+    si.put(0, 24)
+    si.put(0, 24)
+    si.put(rate, 20)
+    si.put(nch - 1, 3)
+    si.put(bps - 1, 5)
+    si.put(n, 36)
+    si.buf.extend(b"\x00" * 16)  # MD5 unset (decoder doesn't verify)
+    out += bytes([0x80]) + len(si.buf).to_bytes(3, "big") + si.buf
+
+    ch_code = {"independent": nch - 1, "left_side": 8,
+               "right_side": 9, "mid_side": 10}[mode]
+    for fi, start in enumerate(range(0, n, frame_size)):
+        blk = samples[start:start + frame_size]
+        bsz = blk.shape[0]
+        bw = _FlacBW()
+        bw.put(0x3FFE, 14)
+        bw.put(0, 1)
+        bw.put(0, 1)  # fixed blocking
+        bw.put(7, 4)   # block size: 16-bit at end
+        bw.put(0, 4)   # sample rate: from STREAMINFO
+        bw.put(ch_code, 4)
+        bw.put(0, 3)   # sample size: from STREAMINFO
+        bw.put(0, 1)
+        assert fi < 128
+        bw.put(fi, 8)  # UTF-8 frame number (single byte)
+        bw.put(bsz - 1, 16)
+        bw.put(0, 8)   # header CRC-8 (decoder skips)
+        if mode == "independent":
+            for ch in range(nch):
+                _flac_subframe(bw, [int(v) for v in blk[:, ch]], bps,
+                               **plan(ch, fi))
+        else:
+            left = [int(v) for v in blk[:, 0]]
+            right = [int(v) for v in blk[:, 1]]
+            side = [l - r for l, r in zip(left, right)]
+            if mode == "left_side":
+                _flac_subframe(bw, left, bps, **plan(0, fi))
+                _flac_subframe(bw, side, bps + 1, **plan(1, fi))
+            elif mode == "right_side":
+                _flac_subframe(bw, side, bps + 1, **plan(0, fi))
+                _flac_subframe(bw, right, bps, **plan(1, fi))
+            else:  # mid_side
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                _flac_subframe(bw, mid, bps, **plan(0, fi))
+                _flac_subframe(bw, side, bps + 1, **plan(1, fi))
+        bw.align()
+        bw.put(0, 16)  # frame CRC-16 (decoder skips)
+        out += bw.buf
+    return bytes(out)
+
+
+def test_flac_decoder_lossless_roundtrip():
+    """FLAC decoder (round 10): spec-correct streams from the
+    test-side encoder must decode to the EXACT original samples across
+    every subframe type (constant / verbatim / fixed 0-4 / LPC),
+    Rice and RICE2 residuals, multi-partition and escaped-raw
+    partitions, wasted bits, every stereo decorrelation mode, and
+    multi-frame streams."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+
+    rng = np.random.RandomState(42)
+    n = 512
+    t = np.arange(n)
+    left = (3000 * np.sin(2 * np.pi * 440 * t / 8000)
+            + rng.randint(-40, 41, size=n)).astype(np.int64)
+    right = (2000 * np.sin(2 * np.pi * 554 * t / 8000)
+             + rng.randint(-40, 41, size=n)).astype(np.int64)
+    stereo = np.stack([left, right], axis=1)
+
+    plans = [
+        lambda ch, fi: {"kind": "verbatim"},
+        lambda ch, fi: {"kind": ("fixed", 1), "part_order": 2},
+        lambda ch, fi: {"kind": ("fixed", 2), "rice2": True},
+        lambda ch, fi: {"kind": ("fixed", 4), "part_order": 1},
+        lambda ch, fi: {"kind": ("fixed", 0), "escape": True},
+        lambda ch, fi: {"kind": "lpc",
+                        "lpc": ([1843, -821], 10, 12), "part_order": 2},
+    ]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        for plan in plans:
+            payload = _encode_flac(stereo, 8000, frame_size=256,
+                                   mode=mode, plan=plan)
+            got, rate, bps = decode_flac_pcm(payload)
+            assert rate == 8000 and bps == 16
+            assert np.array_equal(got, stereo), (mode, plan(0, 0))
+
+    # constant + wasted bits + mono + odd tail frame
+    mono = (np.repeat([1024, -2048, 512, 0], 100)[:, None]).astype(np.int64)
+    payload = _encode_flac(
+        mono, 16000, frame_size=128,
+        plan=lambda ch, fi: {"kind": "verbatim", "wasted": 9},
+    )
+    got, rate, _bps = decode_flac_pcm(payload)
+    assert np.array_equal(got, mono)
+    const = np.full((300, 1), -7 << 3, dtype=np.int64)
+    payload = _encode_flac(
+        const, 8000, frame_size=256,
+        plan=lambda ch, fi: {"kind": "constant", "wasted": 3},
+    )
+    got, _rate, _bps = decode_flac_pcm(payload)
+    assert np.array_equal(got, const)
+
+
+def test_flac_feature_parity_with_wav():
+    """A FLAC and a WAV of the SAME samples produce identical audio
+    features, loudness profiles, and fingerprints (lossless decode +
+    shared PCM parse) — the cross-codec audio near-dup case; the
+    sniffer routes fLaC to the real decoder."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        afp64_wav,
+        audio_profile_wav,
+        decode_wav_audio,
+        sniffing_decoder,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 4200  # >= 4000 so the fingerprint is defined
+    t = np.arange(n)
+    pcm = np.stack([
+        (6000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(np.int64),
+        (4000 * np.sin(2 * np.pi * 520 * t / 8000)
+         + rng.randint(-100, 101, size=n)).astype(np.int64),
+    ], axis=1)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    flac = _encode_flac(pcm, 8000, frame_size=512, mode="mid_side",
+                        plan=lambda ch, fi: {"kind": ("fixed", 2)})
+
+    assert decode_wav_audio(flac) == decode_wav_audio(wav)
+    assert audio_profile_wav(flac) == audio_profile_wav(wav)
+    assert afp64_wav(flac) == afp64_wav(wav)
+    assert afp64_wav(wav) is not None
+    assert sniffing_decoder(flac, "audio") == decode_wav_audio(wav)
+
+
 _IMGDATA = os.path.join(os.path.dirname(__file__), "data", "imghdr")
 
 
