@@ -1215,6 +1215,104 @@ def transcode_images(
     return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def transcode_wav(payload: bytes) -> bytes | None:
+    """Audio twin of :func:`transcode_ppm` (round 10): any decodable
+    audio payload (RIFF/WAV 16-bit PCM, FLAC at any supported depth)
+    -> a canonical 16-bit PCM RIFF/WAV payload. FLAC at 16 bits is
+    lossless, so FLAC->WAV->features equals the direct decode exactly;
+    other depths scale to 16 bits (arithmetic shift — documented,
+    deterministic). None for undecodable inputs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        if payload is None:
+            return None
+        if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+            # already canonical; re-emit as-is (idempotent stage)
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                if w.getsampwidth() != 2:
+                    return None
+            return bytes(payload)
+        if not payload.startswith(b"fLaC"):
+            return None
+        from ._flac import decode_flac_pcm
+
+        samples, rate, bps = decode_flac_pcm(payload)
+        if bps > 16:
+            samples = samples >> (bps - 16)
+        elif bps < 16:
+            samples = samples << (16 - bps)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(samples.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+    except Exception:  # noqa: BLE001 — malformed audio: no payload
+        return None
+
+
+def transcode_audio(
+    media: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """X6 (audio transcode stage, round 10) — mixed-codec audio corpus
+    -> canonical 16-bit PCM WAV payloads, the audio parallel of
+    :func:`transcode_images`: (id, payload) -> (id, wav payload,
+    sample_rate, n_channels, src_format), NULL row values for
+    undecodable inputs. At 100 TB this runs once at ingest so every
+    downstream audio stage (loudness, fingerprint, trim) reads one
+    format off its fast path."""
+    import io
+    import wave
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("payload", BinaryType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("n_channels", IntegerType()),
+            StructField("src_format", StringType()),
+        ]
+    )
+
+    def _fmt(p) -> str | None:
+        if p is None:
+            return None
+        if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+            return "wav"
+        if p.startswith(b"fLaC"):
+            return "flac"
+        return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = [transcode_wav(p) for p in pdf[payload_col]]
+            rates, chans = [], []
+            for o in outs:
+                if o is None:
+                    rates.append(None)
+                    chans.append(None)
+                else:
+                    with wave.open(io.BytesIO(o), "rb") as w:
+                        rates.append(w.getframerate())
+                        chans.append(w.getnchannels())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": outs,
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_channels": pd.Series(chans, dtype="Int32"),
+                    "src_format": [_fmt(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     """REAL resize for P6 PPM payloads: exact block-mean downsample to
     (out_w, out_h) — the same interpolation-free arithmetic as

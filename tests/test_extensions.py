@@ -4903,6 +4903,49 @@ def test_flac_feature_parity_with_wav():
     assert sniffing_decoder(flac, "audio") == decode_wav_audio(wav)
 
 
+def test_transcode_audio_stage(spark):
+    """Audio transcode stage (round 10): FLAC rows become canonical
+    16-bit WAV payloads whose decode equals the direct FLAC decode
+    exactly; WAV rows pass through idempotently; junk degrades to NULL
+    rows — the transcode_images contract, audio twin."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_wav_audio,
+        transcode_audio,
+    )
+
+    t = np.arange(2000)
+    pcm = np.stack([
+        (5000 * np.sin(2 * np.pi * 200 * t / 8000)).astype(np.int64),
+        (3000 * np.sin(2 * np.pi * 330 * t / 8000)).astype(np.int64),
+    ], axis=1)
+    flac = _encode_flac(pcm, 8000, frame_size=512, mode="left_side",
+                        plan=lambda ch, fi: {"kind": ("fixed", 1)})
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(flac)), (2, bytearray(wav)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in transcode_audio(df).collect()}
+    assert rows[1].src_format == "flac" and rows[2].src_format == "wav"
+    assert rows[1].sample_rate == 8000 and rows[1].n_channels == 2
+    assert bytes(rows[2].payload) == wav  # idempotent pass-through
+    # canonical WAV of the FLAC decodes identically to the source PCM
+    assert decode_wav_audio(bytes(rows[1].payload)) == decode_wav_audio(wav)
+    assert rows[3].payload is None and rows[3].src_format is None
+
+
 _IMGDATA = os.path.join(os.path.dirname(__file__), "data", "imghdr")
 
 
