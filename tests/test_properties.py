@@ -920,3 +920,55 @@ def test_rank_sum_and_welch_match_bruteforce(spark, xs, ys):
         # degenerate zero-variance samples: NULL t/df, not a crash
         # (the ANSI DIVIDE_BY_ZERO this property test originally found)
         assert w["t_stat"] is None and w["df"] is None
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_flac_roundtrip_property(data):
+    """Round 10: FLAC decode is the exact inverse of the test-side
+    spec encoder for ARBITRARY 16-bit PCM — random sample values
+    (full int16 range, adversarial for Rice parameter choice and
+    side-channel bps+1 width), random channel count, frame size,
+    stereo mode, and per-frame subframe plan."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+    from test_extensions import _encode_flac
+
+    n = data.draw(st.integers(min_value=16, max_value=600))
+    nch = data.draw(st.integers(min_value=1, max_value=2))
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.RandomState(seed)
+    pcm = rng.randint(-32768, 32768, size=(n, nch)).astype(np.int64)
+    frame_size = data.draw(st.sampled_from([16, 64, 192, 256]))
+    mode = (
+        data.draw(st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]))
+        if nch == 2 else "independent"
+    )
+    kinds = [
+        {"kind": "verbatim"},
+        {"kind": ("fixed", 0)},
+        {"kind": ("fixed", 1), "part_order": 0},
+        {"kind": ("fixed", 2), "rice2": True},
+        {"kind": ("fixed", 3), "escape": True},
+        {"kind": "lpc", "lpc": ([931, -412, 87], 9, 11)},
+    ]
+    picks = data.draw(st.lists(st.integers(0, len(kinds) - 1),
+                               min_size=4, max_size=4))
+
+    def plan(ch, fi):
+        k = dict(kinds[picks[(ch + fi) % 4]])
+        # fixed/LPC orders need enough warmup samples in the frame
+        tail = n % frame_size or frame_size
+        order = (k["kind"][1] if isinstance(k["kind"], tuple)
+                 else len(k["lpc"][0]) if k["kind"] == "lpc" else 0)
+        if tail <= order and fi == (n - 1) // frame_size:
+            return {"kind": "verbatim"}
+        return k
+
+    payload = _encode_flac(pcm, 8000, frame_size=frame_size,
+                           mode=mode, plan=plan)
+    got, rate, bps = decode_flac_pcm(payload)
+    assert rate == 8000 and bps == 16
+    assert np.array_equal(got, pcm)
