@@ -223,3 +223,130 @@ def load_evolving(
 
     parts = [project(spark.read.parquet(p)) for p in paths]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ---------------------------------------------------------------------------
+# Raw-corpus ingest (round 10): a real 100 TB pipeline does not start
+# from parquet — it starts from JSONL/CSV shards (usually .gz). These
+# readers are the ingest edge of the engine; write_compacted is the
+# landing step that turns them into the parquet the query tier reads.
+
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Newline-delimited JSON corpus shards -> the documents schema.
+
+    Scale contract:
+    - EXPLICIT schema, never inference — `spark.read.json` without a
+      schema scans the whole input once just to infer, doubling the
+      read at 100 TB (and inferring differently per shard batch).
+    - ``mode="PERMISSIVE"`` + ``_corrupt_record``: a malformed line
+      lands as a row with all data columns NULL and the raw line
+      captured, so one bad shard can't abort the job and the quarantine
+      split is a plain filter (:func:`split_corrupt`). DROPMALFORMED /
+      FAILFAST pass through for callers that want them.
+    - Compression is by file extension (.gz/.zst/...) via Spark's
+      codec machinery; gzip shards are NOT splittable — at 100 TB keep
+      shards ~256 MB so per-file parallelism is the file count.
+    """
+    reader = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    return reader.json(path)
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    mode: str = "PERMISSIVE",
+    header: bool = True,
+) -> DataFrame:
+    """CSV corpus shards -> the documents schema. Same explicit-schema
+    + corrupt-record contract as :func:`read_documents_jsonl`;
+    multiline quoted fields enabled because document text contains
+    newlines (multiline CSV parses per-file, another reason shards
+    must stay ~256 MB)."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine) split of a PERMISSIVE read: clean rows drop
+    the capture column; quarantine keeps the FULL row (all-NULL data
+    columns + the raw line) for the re-ingest/debug path. One filter
+    each — no extra scan beyond what the caller materializes.
+
+    The quarantine frame deliberately keeps the data columns: Spark
+    refuses plans over raw JSON/CSV whose required schema is ONLY the
+    internal corrupt-record column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN) — project it down only after a persist or a
+    parquet landing."""
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    return clean, bad
+
+
+def ingest_documents(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    fmt: str = "jsonl",
+    target_file_mb: int = 256,
+) -> dict:
+    """The JSONL/CSV -> parquet landing stage: explicit-schema read,
+    corrupt-line quarantine, canonicalization (n_chars recomputed from
+    the text so upstream lies don't propagate; md5 digest added for
+    the dedup tier), and a size-aware compacted parquet write. The
+    quarantine LANDS too (``dest_path + "_quarantine"``, raw line
+    only) — both because an ingest job keeps its rejects for re-ingest
+    and because counting corrupt rows straight off the raw scan is the
+    exact plan Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction
+    forbids; counts come from the landed files. Returns {"n_clean",
+    "n_corrupt", "n_files"} — the numbers an ingest job logs."""
+    from pyspark import StorageLevel
+
+    raw = (
+        read_documents_jsonl(spark, src_path)
+        if fmt == "jsonl"
+        else read_documents_csv(spark, src_path)
+    )
+    # Persist the PARSED frame (Spark's own prescription for the
+    # corrupt-record restriction: pruned plans like the sizing count
+    # otherwise reference only _corrupt_record and are refused). It is
+    # also the right call at scale: gzip shards are not splittable, so
+    # without the persist the quarantine write, sizing count, and
+    # landing write would each re-decompress every shard. DISK-backed
+    # so a 100 TB ingest spills instead of evicting.
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    clean, bad = split_corrupt(raw)
+    canon = clean.withColumn(
+        "n_chars", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+    ).withColumn("digest", F.md5(F.coalesce(F.col("text"), F.lit("\x00"))))
+    bad.write.mode("overwrite").parquet(dest_path + "_quarantine")
+    n_corrupt = (
+        spark.read.parquet(dest_path + "_quarantine")
+        .select("_corrupt_record")
+        .count()
+    )
+    n_files = write_compacted(canon, dest_path, target_file_mb=target_file_mb)
+    raw.unpersist(blocking=False)
+    n_clean = spark.read.parquet(dest_path).count()
+    return {"n_clean": n_clean, "n_corrupt": n_corrupt, "n_files": n_files}
