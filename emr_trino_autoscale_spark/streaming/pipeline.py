@@ -1188,3 +1188,50 @@ def make_profile_maintainer(cols: list[str], lg_config_k: int = 12):
         )
 
     return maintain, profile
+
+
+def ingest_documents_stream(
+    spark,
+    src_path: str,
+    dest_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 64,
+):
+    """X161 (pytest-only) — streaming twin of ``io.ingest_documents``
+    (X160): a file-source stream over arriving JSONL shards, with the
+    SAME explicit schema, corrupt-record quarantine, and
+    n_chars/digest canonicalization per micro-batch, landing clean
+    rows and quarantine rows as parquet via ``foreachBatch``. The
+    batch/stream parity argument is structural: every stage is a
+    row-local projection or filter, so landing the union of
+    micro-batches equals the batch ingest of the union of shards
+    (pinned by tests/test_stateful.py::
+    test_ingest_stream_matches_batch). ``maxFilesPerTrigger`` bounds
+    per-batch work — the knob that keeps a backfill of a million
+    shards from becoming one giant first batch. State: none (file
+    source tracks seen files in the checkpoint, not row state).
+
+    Returns the started StreamingQuery; callers own stop()."""
+    from ..io import DOCUMENTS_SCHEMA, split_corrupt
+
+    raw = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_path)
+    )
+
+    def land(batch, epoch_id):
+        clean, bad = split_corrupt(batch)
+        canon = clean.withColumn(
+            "n_chars", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        ).withColumn("digest", F.md5(F.coalesce(F.col("text"), F.lit("\x00"))))
+        canon.write.mode("append").parquet(dest_path)
+        bad.write.mode("append").parquet(dest_path + "_quarantine")
+
+    return (
+        raw.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

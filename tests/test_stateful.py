@@ -1535,3 +1535,58 @@ def test_profile_stream_matches_batch(spark, tmp_path):
         assert (gr, gn, gmn, gmx) == (wr, wn, wmn, wmx)
         # HLL at lgK=12 on <=55 distinct strings: allow tiny error
         assert abs(gd - wd) <= 2, (c, gd, wd)
+
+
+def test_ingest_stream_matches_batch(spark, tmp_path):
+    """X161: the streaming JSONL ingest landed over two shard arrivals
+    equals the batch ingest of both shards — clean rows (incl.
+    canonicalized n_chars + digest) AND quarantine counts."""
+    import json
+
+    from emr_trino_autoscale_spark import io as eio
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        ingest_documents_stream,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"text body {i}", "lang": "en",
+         "source": "web", "n_chars": -9}
+        for i in range(12)
+    ]
+    with open(src / "a.jsonl", "w") as f:
+        for r in rows[:6]:
+            f.write(json.dumps(r) + "\n")
+        f.write("corrupt-line-one\n")
+
+    dest = str(tmp_path / "stream_landing")
+    q = ingest_documents_stream(
+        spark, str(src / "*.jsonl"), dest, str(tmp_path / "chk")
+    )
+    q.processAllAvailable()
+    with open(src / "b.jsonl", "w") as f:
+        for r in rows[6:]:
+            f.write(json.dumps(r) + "\n")
+        f.write("{broken\n")
+    q.processAllAvailable()
+    q.stop()
+
+    batch_dest = str(tmp_path / "batch_landing")
+    stats = eio.ingest_documents(spark, str(src / "*.jsonl"), batch_dest)
+
+    got = {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars, r.digest)
+        for r in spark.read.parquet(dest).collect()
+    }
+    want = {
+        r.doc_id: (r.text, r.lang, r.source, r.n_chars, r.digest)
+        for r in spark.read.parquet(batch_dest).collect()
+    }
+    assert got == want and len(got) == 12
+    n_quar = (
+        spark.read.parquet(dest + "_quarantine")
+        .select("_corrupt_record")
+        .count()
+    )
+    assert n_quar == stats["n_corrupt"] == 2
