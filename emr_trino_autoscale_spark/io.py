@@ -315,8 +315,10 @@ def ingest_documents(
     corrupt-line quarantine, canonicalization (n_chars recomputed from
     the text so upstream lies don't propagate; md5 digest added for
     the dedup tier), and a size-aware compacted parquet write. The
-    quarantine LANDS too (``dest_path + "_quarantine"``, raw line
-    only) — both because an ingest job keeps its rejects for re-ingest
+    quarantine LANDS too (``dest_path + "_quarantine"``, the FULL
+    permissive row: all-NULL data columns plus the raw line in
+    ``_corrupt_record`` — see :func:`split_corrupt` for why the data
+    columns stay) — both because an ingest job keeps its rejects for re-ingest
     and because counting corrupt rows straight off the raw scan is the
     exact plan Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction
     forbids; counts come from the landed files. Returns {"n_clean",

@@ -225,9 +225,15 @@ def decode_flac_pcm(payload: bytes):
             bits.bits(16)
         elif sr_code == 15:
             raise ValueError("FLAC: invalid sample rate code")
-        bps = _SAMPLE_SIZE.get(ss_code, bps_stream)
         if ss_code == 0:
-            bps = bps_stream
+            bps = bps_stream  # "get from STREAMINFO"
+        elif ss_code in _SAMPLE_SIZE:
+            bps = _SAMPLE_SIZE[ss_code]
+        else:
+            # reserved code (3): raise, don't guess — a wrong bps
+            # misaligns every later bit (module raise-don't-misdecode
+            # contract; round-10 review)
+            raise ValueError(f"FLAC: reserved sample size code {ss_code}")
         bits.bits(8)  # header CRC-8 (not verified; see module docstring)
 
         if ch_code < 8:

@@ -1980,20 +1980,31 @@ def dataset_card(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
-    med = weighted_quantile(
-        base.withColumn("__one", F.lit(1.0)),
-        [],
-        "__tok",
-        "__one",
-        quantiles=((1, 2),),
-    ).select(F.col("wq_1_2").cast("bigint").alias("median_tokens"))
+    # re-aggregate the (0-or-1)-row quantile frame to EXACTLY one row:
+    # an empty corpus otherwise collapses the crossJoin to zero rows,
+    # breaking the one-row card contract (and the release-gate caller's
+    # collect()[0]) — round-10 review; the card of an empty corpus is
+    # all-zero counts with NULL median/dup_rate/min/max.
+    med = (
+        weighted_quantile(
+            base.withColumn("__one", F.lit(1.0)),
+            [],
+            "__tok",
+            "__one",
+            quantiles=((1, 2),),
+        )
+        .agg(F.max("wq_1_2").cast("bigint").alias("median_tokens"))
+    )
     return (
         agg.crossJoin(F.broadcast(med))
         .select(
             "n_docs",
             "n_unique_texts",
-            (
-                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs")
+            # NULL (not 0/0) on an empty corpus — the ANSI
+            # degenerate-input contract (docs/SCALE.md round 9)
+            F.when(
+                F.col("n_docs") > 0,
+                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"),
             ).alias("__dup"),
             "n_tokens",
             "median_tokens",

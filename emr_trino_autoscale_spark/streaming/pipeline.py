@@ -939,24 +939,39 @@ def make_weighted_reservoir_maintainer(
         # At-least-once delivery / epoch re-scoring can re-present an id
         # already held in the reservoir (possibly with a new weight).
         # Without dedup both copies compete for the k slots, displacing
-        # distinct items (ADVICE r9). union_latest shape: batch wins over
-        # state per (strata, id), then re-take the per-stratum top-k —
-        # still |batch| + k*|strata| work per epoch.
-        part = _topk(_keyed(batch))
-        if state is None:
-            return part
+        # distinct items (ADVICE r9); and the dedup must happen BEFORE
+        # any top-k — taking the batch top-k first would drop a
+        # re-scored id whose NEW (lower) weight misses the batch cutoff,
+        # leaving the state's stale row to win the merge (round-10
+        # review). union_latest shape per (strata, id): batch wins over
+        # state; within one unordered batch the conservative resolution
+        # is the greatest (weight, key) pair (deterministic; exact
+        # replays carry identical weights so it is a no-op there).
+        # Work per epoch stays |batch| + k*|strata|.
         from pyspark.sql import Window
 
-        latest = Window.partitionBy(
-            *[F.col(c) for c in strata_cols], F.col(id_col)
-        ).orderBy(F.col("__src").desc())
-        merged = (
-            state.withColumn("__src", F.lit(0))
-            .unionByName(part.withColumn("__src", F.lit(1)))
-            .withColumn("__keep", F.row_number().over(latest))
-            .filter(F.col("__keep") == 1)
-            .drop("__src", "__keep")
+        def _latest(df, order_cols):
+            win = Window.partitionBy(
+                *[F.col(c) for c in strata_cols], F.col(id_col)
+            ).orderBy(*order_cols)
+            return (
+                df.withColumn("__keep", F.row_number().over(win))
+                .filter(F.col("__keep") == 1)
+                .drop("__keep")
+            )
+
+        part = _latest(
+            _keyed(batch),
+            [F.col(weight_col).desc(), F.col("__key").desc()],
         )
+        if state is None:
+            return _topk(part)
+        merged = _latest(
+            state.withColumn("__src", F.lit(0)).unionByName(
+                part.withColumn("__src", F.lit(1))
+            ),
+            [F.col("__src").desc()],
+        ).drop("__src")
         return _topk(merged)
 
     def sample(state):
@@ -1211,6 +1226,14 @@ def ingest_documents_stream(
     shards from becoming one giant first batch. State: none (file
     source tracks seen files in the checkpoint, not row state).
 
+    Exactly-once: foreachBatch's contract makes the WRITER responsible
+    for idempotence — a replayed epoch (failure between the two writes
+    or before checkpoint commit) must not duplicate rows. Each write
+    therefore lands in an ``epoch_id=<N>`` partition directory with
+    per-epoch OVERWRITE, so replaying epoch N rewrites exactly epoch N
+    (round-10 review). Readers see ``epoch_id`` as a partition column
+    — useful lineage; project it away for the batch-parity view.
+
     Returns the started StreamingQuery; callers own stop()."""
     from ..io import DOCUMENTS_SCHEMA, split_corrupt
 
@@ -1227,8 +1250,9 @@ def ingest_documents_stream(
         canon = clean.withColumn(
             "n_chars", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
         ).withColumn("digest", F.md5(F.coalesce(F.col("text"), F.lit("\x00"))))
-        canon.write.mode("append").parquet(dest_path)
-        bad.write.mode("append").parquet(dest_path + "_quarantine")
+        ep = f"epoch_id={int(epoch_id)}"
+        canon.write.mode("overwrite").parquet(f"{dest_path}/{ep}")
+        bad.write.mode("overwrite").parquet(f"{dest_path}_quarantine/{ep}")
 
     return (
         raw.writeStream.foreachBatch(land)

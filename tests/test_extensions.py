@@ -4860,6 +4860,25 @@ def test_flac_decoder_lossless_roundtrip():
     assert np.array_equal(got, const)
 
 
+def test_flac_reserved_sample_size_code_raises():
+    """Round-10 review: a frame header carrying the RESERVED sample
+    size code 3 must raise (a guessed bps misaligns every later bit),
+    not silently decode at the STREAMINFO depth. Bit surgery: the
+    encoder's frame header starts right after the 42-byte
+    fLaC+STREAMINFO prefix; byte 45 holds [ch_code(4) | ss(3) | r(1)]."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+
+    mono = np.arange(64, dtype=np.int64).reshape(-1, 1)
+    payload = bytearray(_encode_flac(mono, 8000, frame_size=64))
+    assert payload[45] & 0x0E == 0  # encoder wrote ss_code 0
+    payload[45] |= 3 << 1  # ss_code := 3 (reserved)
+    with _pytest.raises(ValueError, match="reserved sample size"):
+        decode_flac_pcm(bytes(payload))
+
+
 def test_flac_feature_parity_with_wav():
     """A FLAC and a WAV of the SAME samples produce identical audio
     features, loudness profiles, and fingerprints (lossless decode +
@@ -5842,3 +5861,17 @@ def test_degenerate_inputs_never_crash_ansi(spark):
     ).collect()[0]
     assert (w["t_stat"], w["df"]) == (None, None)
     assert (w["mean_a"], w["mean_b"]) == (5.0, 7.0)
+
+    # dataset_card on an EMPTY corpus (round-10 review): the release
+    # gate cards a filtered corpus, and a gate that drops everything
+    # must yield the one-row all-zero card, not 0/0 or zero rows
+    from emr_trino_autoscale_spark.operators.text import dataset_card
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    card = dataset_card(empty).collect()
+    assert len(card) == 1
+    r = card[0]
+    assert (r.n_docs, r.n_unique_texts, r.n_tokens) == (0, 0, None)
+    assert r.dup_rate is None and r.median_tokens is None

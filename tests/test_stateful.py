@@ -1344,6 +1344,33 @@ def test_weighted_reservoir_redelivered_id_single_slot(spark):
         if r.doc_id < 10:
             assert r.w == 50.0 + r.doc_id
 
+    # DOWN-weighting (round-10 review): a re-scored id whose new weight
+    # would miss the batch's own top-k must still replace the state row
+    # — the dedup has to happen before any top-k, not after
+    epoch3 = spark.createDataFrame(
+        [(i, "s0", 0.001) for i in range(10)]  # crush the old winners
+        + [(i, "s0", 10.0) for i in range(30, 40)],
+        schema,
+    )
+    state = maintain(state, epoch3)
+    out3 = {r.doc_id: r.w for r in sample(state).collect()}
+    for i in range(10):
+        # either evicted by the fresh high-weight items or present with
+        # the NEW weight — never the stale epoch-2 weight
+        assert out3.get(i, 0.001) == 0.001
+
+    # intra-batch duplicate on the FIRST epoch: one id delivered twice
+    # must occupy at most one slot
+    m2, s2 = make_weighted_reservoir_maintainer(
+        "w", k=4, strata_cols=("src",), id_col="doc_id"
+    )
+    first = spark.createDataFrame(
+        [(1, "s0", 5.0), (1, "s0", 5.0), (2, "s0", 4.0), (3, "s0", 3.0)],
+        schema,
+    )
+    got = [r.doc_id for r in s2(m2(None, first)).collect()]
+    assert sorted(got) == [1, 2, 3]
+
 
 def test_rule_audit_stream_matches_batch(spark, tmp_path):
     """X157: additive row-local rule counters folded over two epochs
