@@ -4579,6 +4579,65 @@ def test_gif_animation_compositing():
     del pre2
 
 
+def test_gif_animation_randomized_scripts():
+    """Fuzz the GIF compositor with randomized animation scripts —
+    random frame rects/palettes/disposals/transparency/interlace per
+    frame — against a straight-line numpy reference compositor written
+    directly from the GIF89a model (independent of the decoder's
+    incremental canvas logic)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import _gif_frames
+
+    for seed in range(10):
+        rng = np.random.RandomState(200 + seed)
+        sw, sh = int(rng.randint(6, 20)), int(rng.randint(6, 20))
+        npal = int(rng.randint(4, 9))
+        pal = rng.randint(0, 256, size=(npal, 3), dtype=np.uint8)
+        bg = int(rng.randint(0, npal))
+        frames = []
+        for _ in range(int(rng.randint(2, 6))):
+            w = int(rng.randint(1, sw + 1))
+            h = int(rng.randint(1, sh + 1))
+            left = int(rng.randint(0, sw - w + 1))
+            top = int(rng.randint(0, sh - h + 1))
+            f = {
+                "idx": rng.randint(0, npal, size=(h, w)).astype(np.int64),
+                "left": left,
+                "top": top,
+                "disposal": int(rng.randint(0, 4)),
+                "interlaced": bool(rng.randint(0, 2)),
+            }
+            if rng.randint(0, 2):
+                f["transparent"] = int(rng.randint(0, npal))
+            frames.append(f)
+
+        payload = _encode_gif_animation((sw, sh), pal, frames, bg_index=bg)
+        got = _gif_frames(payload)
+
+        # independent reference compositor (spec model, no shared code)
+        canvas = np.tile(pal[bg], (sh, sw, 1)).astype(np.uint8)
+        want = []
+        for f in frames:
+            h, w = f["idx"].shape
+            t, l = f["top"], f["left"]
+            before = canvas[t:t + h, l:l + w].copy()
+            rect = pal[f["idx"]]
+            tr = f.get("transparent")
+            for yy in range(h):
+                for xx in range(w):
+                    if tr is None or f["idx"][yy, xx] != tr:
+                        canvas[t + yy, l + xx] = rect[yy, xx]
+            want.append(canvas.copy())
+            if f["disposal"] == 2:
+                canvas[t:t + h, l:l + w] = pal[bg]
+            elif f["disposal"] == 3:
+                canvas[t:t + h, l:l + w] = before
+        assert len(got) == len(want)
+        for i, (g, wf) in enumerate(zip(got, want)):
+            assert np.array_equal(g, wf), (seed, i)
+
+
 def test_frame_sample_gif_and_y4m(spark):
     """frame_sample explodes animated GIFs alongside Y4M clips: color
     P6 frames at screen size, evenly strided, corrupt payloads
