@@ -36,6 +36,11 @@ def test_driver_window_pinned():
     pre-ordered by the forced r11-r12 schedule; the suite is
     growth-frozen until round 11 (50-slot window x 3-round horizon = 200
     query capacity; 188 declared)."""
+    # r11 rotation (pre-written; README schedule): positions 1-50 =
+    # q58-q65 + q73-q102 (38, r7-hashed) + q103-q114 (12, r8-hashed);
+    # r11 also opens the declaration window for the five staged
+    # X155-X159 queries (queries_staging.py) — append them AFTER
+    # position 50 and extend declared_round below with round 10.
     expected = (
         [f"q{i}" for i in range(165, 189)]
         + [f"q{i}" for i in range(42, 51)]
