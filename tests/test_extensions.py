@@ -4919,6 +4919,48 @@ def test_flac_decoder_lossless_roundtrip():
     assert np.array_equal(got, const)
 
 
+def test_flac_24bit_depth_and_transcode():
+    """24-bit FLAC: exact sample round-trip (the 17/25-bit side
+    channel widths ride the bps+1 rule), normalized features scale by
+    1<<23, and transcode_wav reduces to 16-bit by arithmetic shift —
+    so a 24-bit FLAC whose samples are 16-bit PCM << 8 transcodes to
+    exactly that PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        decode_wav_audio,
+        transcode_wav,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    pcm16 = np.stack([
+        (7000 * np.sin(2 * np.pi * 250 * np.arange(n) / 8000)).astype(np.int64),
+        rng.randint(-2000, 2000, size=n).astype(np.int64),
+    ], axis=1)
+    pcm24 = pcm16 << 8
+
+    flac24 = _encode_flac(pcm24, 8000, frame_size=128, mode="mid_side",
+                          plan=lambda ch, fi: {"kind": ("fixed", 2)},
+                          bps=24)
+    got, rate, bps = decode_flac_pcm(flac24)
+    assert (rate, bps) == (8000, 24)
+    assert np.array_equal(got, pcm24)
+
+    wav = transcode_wav(flac24)
+    with wave.open(io.BytesIO(wav), "rb") as w:
+        assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (8000, 2, 2)
+        back = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(back.reshape(-1, 2), pcm16)
+    # features of the 24-bit FLAC equal the 16-bit WAV's (same
+    # normalized samples: v<<8 over 1<<23 == v over 1<<15)
+    assert decode_wav_audio(flac24) == decode_wav_audio(wav)
+
+
 def test_flac_reserved_sample_size_code_raises():
     """Round-10 review: a frame header carrying the RESERVED sample
     size code 3 must raise (a guessed bps misaligns every later bit),
@@ -5350,7 +5392,7 @@ def _jpeg_mag(v):
 
 
 def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0,
-                             bands=None):
+                             bands=None, dc_al=1):
     """Test-side PROGRESSIVE JPEG encoder (T.81 Annex G, SOF2) so the
     decoder's progressive paths are exercised against payloads it did
     not produce. Scan script: interleaved DC first (Al=1) [with
@@ -5431,7 +5473,7 @@ def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0,
             for ci, (fh, fv) in enumerate(factors):
                 for by in range(fv):
                     for bx in range(fh):
-                        v = int(zz[ci][my * fv + by, mx * fh + bx, 0]) >> 1
+                        v = int(zz[ci][my * fv + by, mx * fh + bx, 0]) >> dc_al
                         diff = v - preds[ci]
                         preds[ci] = v
                         t, vb = (0, 0) if diff == 0 else _jpeg_mag(diff)
@@ -5442,7 +5484,7 @@ def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0,
             mcu_count += 1
     bw.flush()
     out += sos_seg([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)],
-                   0, 0, 0, 1)
+                   0, 0, 0, dc_al)
     out += bw.buf
     if restart:
         # DRI applies to every later scan until redefined (T.81 B.2.4.4)
@@ -5589,17 +5631,24 @@ def _encode_jpeg_progressive(rgb, subsample=False, ac_al=0, restart=0,
         for ss, se in bands.get(ci, [(1, 63)]):
             emit_ac_scan(ci, ss, se, 0, ac_al, ac_first_ops(ci, ss, se, ac_al))
 
-    # ---- DC refinement: one raw bit per block, interleaved ----
-    bw3 = _JBits()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (fh, fv) in enumerate(factors):
-                for by in range(fv):
-                    for bx in range(fh):
-                        bw3.put(int(zz[ci][my * fv + by, mx * fh + bx, 0]) & 1, 1)
-    bw3.flush()
-    out += sos_seg([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, 1, 0)
-    out += bw3.buf
+    # ---- DC refinement: one raw bit per block per level, interleaved
+    # (multi-level successive approximation when dc_al > 1) ----
+    for lvl in range(dc_al, 0, -1):
+        bw3 = _JBits()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (fh, fv) in enumerate(factors):
+                    for by in range(fv):
+                        for bx in range(fh):
+                            bw3.put(
+                                (int(zz[ci][my * fv + by, mx * fh + bx, 0])
+                                 >> (lvl - 1)) & 1,
+                                1,
+                            )
+        bw3.flush()
+        out += sos_seg([(ci + 1, 0, 0) for ci in range(ncomp)],
+                       0, 0, lvl, lvl - 1)
+        out += bw3.buf
 
     # AC refinement scans complete the successive approximation, one
     # bit level per scan (Ah = level, Al = level - 1) — multi-level
@@ -5714,6 +5763,7 @@ def test_jpeg_progressive_randomized_scan_scripts():
         rgb = rng.randint(0, 256, size=(hh, ww, 3), dtype=np.uint8)
         subsample = bool(seed % 2)
         ac_al = int(rng.randint(0, 3))
+        dc_al = int(rng.randint(1, 3))  # multi-level DC refinement too
 
         def rand_bands(r):
             cuts = sorted(set(
@@ -5724,9 +5774,9 @@ def test_jpeg_progressive_randomized_scan_scripts():
         bands = {ci: rand_bands(rng) for ci in range(3)}
         base = decode_jpeg_rgb(_encode_jpeg(rgb, subsample=subsample))
         prog = decode_jpeg_rgb(_encode_jpeg_progressive(
-            rgb, subsample=subsample, ac_al=ac_al, bands=bands
+            rgb, subsample=subsample, ac_al=ac_al, bands=bands, dc_al=dc_al
         ))
-        assert np.array_equal(prog, base), (seed, ac_al, bands)
+        assert np.array_equal(prog, base), (seed, ac_al, dc_al, bands)
 
 
 def test_jpeg_progressive_multimodal_integration():
