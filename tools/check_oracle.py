@@ -7,6 +7,8 @@ SQL over the same parquet tables, then compares row count, schema
 non-zero and prints per-query diffs on mismatch.
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only q09,...]
+       python tools/check_oracle.py --staged   # round-11 candidates
+                                               # (queries_staging.py)
 """
 
 from __future__ import annotations
@@ -46,9 +48,21 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
     ap.add_argument("--cpus", default="8")
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="check the round-11 declaration candidates (queries_staging.py) "
+        "instead of the declared suite",
+    )
     args = ap.parse_args()
 
-    from emr_trino_autoscale_spark.queries import ORACLE, QUERIES
+    if args.staged:
+        from emr_trino_autoscale_spark.queries_staging import (
+            STAGED_QUERIES as QUERIES,
+            STAGED_SQL as ORACLE,
+        )
+    else:
+        from emr_trino_autoscale_spark.queries import ORACLE, QUERIES
     from emr_trino_autoscale_spark.session import get_spark
 
     spark = get_spark(cpus=args.cpus, shuffle_partitions=16)
