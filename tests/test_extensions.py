@@ -5066,6 +5066,63 @@ def test_transcode_audio_stage(spark):
     assert rows[3].payload is None and rows[3].src_format is None
 
 
+def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
+    """The 100 TB corrupt-payload contract, fuzzed: single-byte
+    corruptions and truncations of VALID payloads in every real-decode
+    format (PPM/PNG/BMP/GIF/JPEG-baseline/JPEG-progressive/WAV/FLAC)
+    must NEVER raise out of sniffing_decoder — each either still
+    decodes (the flip hit a don't-care byte) or falls back to the
+    8-float stub. One poisoned row must never abort an extract batch;
+    the direct decoders may raise anything, the sniffer boundary is
+    the contract."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import sniffing_decoder
+
+    rng = np.random.RandomState(77)
+    rgb = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    pal = rng.randint(0, 256, size=(6, 3), dtype=np.uint8)
+    idx = rng.randint(0, 6, size=(9, 11)).astype(np.int64)
+    pcm = rng.randint(-3000, 3000, size=(600, 1)).astype(np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+
+    payloads = {
+        "ppm": b"P6\n11 9\n255\n" + rgb.tobytes(),
+        "png": _encode_png(rgb, color_type=2, interlace=True,
+                           filters=[0, 1, 2, 3, 4]),
+        "gif": _encode_gif_animation((11, 9), pal, [{"idx": idx}]),
+        "jpeg": _encode_jpeg(rgb),
+        "jpeg_prog": _encode_jpeg_progressive(rgb, ac_al=1),
+        "wav": buf.getvalue(),
+        "flac": _encode_flac(pcm, 8000, frame_size=256,
+                             plan=lambda ch, fi: {"kind": ("fixed", 2)}),
+    }
+    for name, good in payloads.items():
+        kind = "audio" if name in ("wav", "flac") else "image"
+        base = sniffing_decoder(good, kind)
+        assert isinstance(base, list) and len(base) == 8, name
+        for t in range(40):
+            b = bytearray(good)
+            if t % 4 == 0:  # truncation
+                b = b[: int(rng.randint(1, len(b)))]
+            else:  # single-byte corruption
+                b[int(rng.randint(0, len(b)))] = int(rng.randint(0, 256))
+            out = sniffing_decoder(bytes(b), kind)
+            assert isinstance(out, list) and len(out) == 8, (name, t)
+    # empty payloads fall through to the stub; None keeps its declared
+    # NotImplementedError contract (the SURVEY X6 stub guard)
+    for kind in ("image", "audio", "video"):
+        assert len(sniffing_decoder(b"", kind)) == 8
+
+
 _IMGDATA = os.path.join(os.path.dirname(__file__), "data", "imghdr")
 
 
