@@ -15,8 +15,12 @@ At round 11: move each builder into queries.py (APPENDED after
 position 50 per the window-pin rule), move its SQL into queries_sql.py,
 extend declared_round in tests/test_queries_oracle.py, and delete this
 module. Until then tests/test_queries_staging.py runs all five against
-their oracles every pytest run, so declaration is a file move, not new
-work.
+their oracles every pytest run (and ``tools/check_oracle.py --staged``
+runs the exact driver-gate comparison at any SF), so declaration is a
+file move, not new work. Anchor note for the r11 bench budgets: warm
+steady-state at sf0.01 these run ~1.0-1.5x their batch twins (the
+two-epoch fold + latest-wins merge; q189 measured 1.4 s vs q174's
+0.9 s warm) — their first driver bench positions will set the anchors.
 
 Sketch-valued outputs follow the q121/X84 evidence pattern: the HLL
 estimate itself is engine-specific, so the query emits the EXACT
