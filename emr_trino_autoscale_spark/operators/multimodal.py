@@ -439,6 +439,130 @@ def decode_bmp_image(payload: bytes) -> list[float]:
 
 
 
+def _tiff_rgb(payload: bytes):
+    """REAL decoder for baseline TIFF (TIFF 6.0, public spec): both
+    byte orders (II little / MM big), first IFD, 8-bit gray
+    (PhotometricInterpretation 0/1, including 0's inverted scale) and
+    RGB(A), chunky planar config, strip layout (any RowsPerStrip),
+    Compression 1 (none) and 32773 (PackBits RLE, spec section 9).
+    Scanned-document corpora are TIFF-heavy, which is why the format
+    earns a real decoder (round 10). Tiles, palettes, LZW/JPEG/
+    deflate compression, planar=2, and non-8-bit depths raise so
+    :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
+    rule)."""
+    import struct
+
+    import numpy as np
+
+    if payload.startswith(b"II*\x00"):
+        e = "<"
+    elif payload.startswith(b"MM\x00*"):
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
+    # type -> (byte size, struct code) for the value kinds we read
+    sizes = {1: (1, "B"), 3: (2, "H"), 4: (4, "I")}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(e + "HH", payload[off:off + 4])
+        (count,) = struct.unpack(e + "I", payload[off + 4:off + 8])
+        if typ not in sizes:
+            continue  # rationals etc. — not needed for the baseline set
+        sz, code = sizes[typ]
+        total = sz * count
+        if total <= 4:
+            raw = payload[off + 8:off + 8 + total]
+        else:
+            (voff,) = struct.unpack(e + "I", payload[off + 8:off + 12])
+            raw = payload[voff:voff + total]
+        tags[tag] = list(struct.unpack(e + code * count, raw))
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF: missing required tag {tag}")
+            return default
+        return v[0]
+
+    width, height = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    planar = one(284, 1)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: only 8-bit samples supported (got {bits})")
+    if planar != 1:
+        raise ValueError("TIFF: planar configuration 2 unsupported")
+    if compression not in (1, 32773):
+        raise ValueError(f"TIFF: compression {compression} unsupported")
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"TIFF: photometric {photometric} unsupported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("TIFF: tiled layout unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: missing strip layout")
+
+    data = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off:off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("TIFF: truncated strip")
+        if compression == 1:
+            data.extend(strip)
+        else:  # PackBits (spec section 9)
+            i = 0
+            while i < len(strip):
+                n = strip[i]
+                i += 1
+                if n < 128:  # literal run of n+1 bytes
+                    data.extend(strip[i:i + n + 1])
+                    i += n + 1
+                elif n > 128:  # repeat next byte 257-n times
+                    data.extend(strip[i:i + 1] * (257 - n))
+                    i += 1
+                # n == 128: no-op per spec
+    need = width * height * spp
+    if len(data) < need:
+        raise ValueError("TIFF: pixel data short of declared geometry")
+    px = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
+        height, width, spp
+    )
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("TIFF: RGB photometric with <3 samples")
+        rgb = px[..., :3]  # extra samples (alpha) dropped
+    else:
+        g = px[..., 0]
+        if photometric == 0:  # WhiteIsZero: inverted grayscale
+            g = 255 - g
+        rgb = np.repeat(g[..., None], 3, axis=2)
+    return rgb.astype(np.float64)
+
+
+def decode_tiff_image(payload: bytes) -> list[float]:
+    """Feature projection of :func:`_tiff_rgb` — shared 8-float
+    contract."""
+    rgb = _tiff_rgb(payload) / 255.0
+    height, width = rgb.shape[0], rgb.shape[1]
+    return [
+        float(rgb[..., 0].mean()),
+        float(rgb[..., 1].mean()),
+        float(rgb[..., 2].mean()),
+        float(rgb.mean(axis=2).std()),
+        width / 4096.0,
+        height / 4096.0,
+        (width / height) / 8.0,
+        1.0,
+    ]
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     """GIF-flavor LZW (GIF89a spec appendix F, public): variable-width
     LSB-first codes 3..12 bits with CLEAR/END control codes. Pure
@@ -800,6 +924,8 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
             return decode_gif_image(payload)
         if payload is not None and payload.startswith(b"\xff\xd8"):
             return decode_jpeg_image(payload)
+        if payload is not None and payload.startswith((b"II*\x00", b"MM\x00*")):
+            return decode_tiff_image(payload)
         # RIFF alone is a container family (AVI, WebP, ...); require the
         # WAVE format tag at offset 8 before trying the WAV decoder
         if (
@@ -1131,6 +1257,8 @@ def _rgb_of(payload: bytes):
             from ._jpeg import decode_jpeg_rgb
 
             return decode_jpeg_rgb(payload) * 255.0
+        if payload.startswith((b"II*\x00", b"MM\x00*")):
+            return _tiff_rgb(payload)
     except Exception:  # noqa: BLE001 — malformed image: no pixels
         return None
     return None
@@ -1187,6 +1315,8 @@ def transcode_images(
             return "gif"
         if p.startswith(b"\xff\xd8"):
             return "jpeg"
+        if p.startswith((b"II*\x00", b"MM\x00*")):
+            return "tiff"
         return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1569,6 +1699,8 @@ def _parse_gray(payload: bytes):
             from ._jpeg import decode_jpeg_rgb
 
             return decode_jpeg_rgb(payload).mean(axis=2) * 255.0
+        if payload.startswith((b"II*\x00", b"MM\x00*")):
+            return _tiff_rgb(payload).mean(axis=2)
     except Exception:  # noqa: BLE001 — malformed image: signature absent
         return None
     return None

@@ -4450,6 +4450,185 @@ def _encode_gif_animation(screen, palette, frames, bg_index=0):
     return bytes(out)
 
 
+def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
+                 rows_per_strip=None, alpha=False):
+    """Minimal test-side TIFF 6.0 writer (II or MM, strips, optional
+    PackBits, optional alpha extra sample) so the decoder is exercised
+    against independently-constructed payloads."""
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    h, w = arr.shape[0], arr.shape[1]
+    channels = arr.shape[2] if arr.ndim == 3 else 1
+    if photometric is None:
+        photometric = 2 if channels >= 3 else 1
+    if alpha:
+        a = np.full((h, w, 1), 200, dtype=np.uint8)
+        arr = np.concatenate([arr.reshape(h, w, channels), a], axis=2)
+        channels += 1
+    flat = arr.reshape(h, w * channels).astype(np.uint8)
+    rps = rows_per_strip or h
+
+    def pack_row_bytes(rows):
+        raw = rows.tobytes()
+        if not packbits:
+            return raw
+        # simple PackBits: runs of >=3 identical bytes as repeats, the
+        # rest as literal chunks (<=128), with an occasional 0x80 no-op
+        out = bytearray()
+        i = 0
+        lit: list[int] = []
+
+        def flush_lit():
+            j = 0
+            while j < len(lit):
+                chunk = lit[j:j + 128]
+                out.append(len(chunk) - 1)
+                out.extend(chunk)
+                j += 128
+            lit.clear()
+
+        while i < len(raw):
+            run = 1
+            while (i + run < len(raw) and raw[i + run] == raw[i]
+                   and run < 130):
+                run += 1
+            if run >= 3:
+                flush_lit()
+                out.append(257 - min(run, 128))
+                out.append(raw[i])
+                i += min(run, 128)
+            else:
+                lit.append(raw[i])
+                i += 1
+        flush_lit()
+        out.append(128)  # trailing no-op byte (spec: skipped)
+        return bytes(out)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(pack_row_bytes(flat[y0:y0 + rps]))
+
+    # layout: header(8) + IFD + values + strips
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def entry(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    entry(256, 3, [w])
+    entry(257, 3, [h])
+    entry(258, 3, [8] * channels)
+    entry(259, 3, [32773 if packbits else 1])
+    entry(262, 3, [photometric])
+    entry(277, 3, [channels])
+    entry(278, 3, [rps])
+    n = len(entries) + 2  # + strip offsets/counts below
+    ifd_off = 8
+    sizes = {3: 2, 4: 4}
+    # compute value-area layout after the IFD
+    val_off = ifd_off + 2 + 12 * (n) + 4
+    blobs = []
+
+    def ser(tag, typ, values):
+        nonlocal val_off
+        sz = sizes[typ] * len(values)
+        code = {3: "H", 4: "I"}[typ] * len(values)
+        raw = struct.pack(e + code, *values)
+        if sz <= 4:
+            raw = raw + b"\x00" * (4 - sz)
+            return struct.pack(e + "HHI", tag, typ, len(values)) + raw
+        blobs.append(raw)
+        out_ = struct.pack(e + "HHII", tag, typ, len(values), val_off)
+        val_off += sz
+        return out_
+
+    # serialize everything except strip offsets first to learn sizes
+    body = []
+    for tag, typ, values in entries:
+        body.append(ser(tag, typ, values))
+    counts = [len(s) for s in strips]
+    # strip byte counts
+    body.append(ser(279, 4, counts))
+    # strip offsets: strips land after the value blobs
+    offs = []
+    cur = val_off + (4 * len(strips) if len(strips) > 1 else 0)
+    for c in counts:
+        offs.append(cur)
+        cur += c
+    body.append(ser(273, 4, offs))
+
+    body.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
+    out = (b"II" if not big_endian else b"MM") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n) + b"".join(body) + struct.pack(e + "I", 0)
+    out += b"".join(blobs)
+    out += b"".join(strips)
+    return out
+
+
+def test_tiff_decoder_matches_ppm_on_same_pixels():
+    """TIFF decoder (round 10): II and MM byte orders, single- and
+    multi-strip layouts, PackBits compression, RGBA extra sample, and
+    both grayscale photometrics (incl. WhiteIsZero inversion) decode
+    to the same features as a PPM of identical pixels; the sniffer
+    routes TIFF magic to the real decoder."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _tiff_rgb,
+        decode_ppm_image,
+        decode_tiff_image,
+        sniffing_decoder,
+    )
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    want = decode_ppm_image(b"P6\n7 11\n255\n" + rgb.tobytes())
+
+    for kwargs in (
+        {},
+        {"big_endian": True},
+        {"rows_per_strip": 3},
+        {"packbits": True, "rows_per_strip": 4},
+        {"alpha": True},
+        {"packbits": True, "big_endian": True},
+    ):
+        payload = _encode_tiff(rgb, **kwargs)
+        assert decode_tiff_image(payload) == want, kwargs
+        assert sniffing_decoder(payload, "image") == want, kwargs
+
+    # grayscale: BlackIsZero direct, WhiteIsZero inverted
+    gray = rng.randint(0, 256, size=(6, 9, 1), dtype=np.uint8)
+    g3 = np.repeat(gray, 3, axis=2)
+    want_g = decode_ppm_image(b"P6\n9 6\n255\n" + g3.tobytes())
+    assert decode_tiff_image(_encode_tiff(gray, photometric=1)) == want_g
+    inv = _encode_tiff(255 - gray, photometric=0)  # WhiteIsZero stores inverse
+    assert decode_tiff_image(inv) == want_g
+
+    # repetitive image: exercises long PackBits repeat runs (>128)
+    flat = np.full((5, 80, 3), 7, dtype=np.uint8)
+    want_f = decode_ppm_image(b"P6\n80 5\n255\n" + flat.tobytes())
+    assert decode_tiff_image(_encode_tiff(flat, packbits=True)) == want_f
+
+    # unsupported variants raise -> sniffer falls back to the stub
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import _decode_stub
+
+    lzw = bytearray(_encode_tiff(rgb))
+    # compression tag (259) value: flip to 5 (LZW) — find via decode of
+    # a fresh encode with compression none at a known IFD slot is
+    # brittle; instead rewrite through the encoder path: not provided,
+    # so patch the 16-bit value right after the 259 entry header
+    i = lzw.find(b"\x03\x01")  # tag 259 little-endian
+    assert i > 0
+    lzw[i + 8] = 5
+    with _pytest.raises(ValueError):
+        _tiff_rgb(bytes(lzw))
+    assert sniffing_decoder(bytes(lzw), "image") == _decode_stub(bytes(lzw), "image")
+
+
 def test_gif_decoder_matches_ppm_on_same_pixels():
     """GIF decoder (round 9): a REAL LZW-compressed GIF (test-side
     encoder with dictionary growth across code widths) of the same
@@ -5104,6 +5283,7 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "wav": buf.getvalue(),
         "flac": _encode_flac(pcm, 8000, frame_size=256,
                              plan=lambda ch, fi: {"kind": ("fixed", 2)}),
+        "tiff": _encode_tiff(rgb, packbits=True, rows_per_strip=3),
     }
     for name, good in payloads.items():
         kind = "audio" if name in ("wav", "flac") else "image"
