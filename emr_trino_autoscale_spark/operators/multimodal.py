@@ -6,8 +6,10 @@ and tested. All three declared kinds have REAL reference decoders for
 public formats parseable without codec libraries: P6 PPM and — round
 9 — PNG images (chunk parse + stdlib zlib inflate + full scanline
 un-filtering: gray/RGB/RGBA/palette, all five filter types),
-uncompressed 24/32-bit BMP, and GIF87a/89a (full variable-width LZW
-decode + 4-pass interlace reordering, first frame), RIFF/WAV
+uncompressed 24/32-bit BMP, baseline TIFF (II/MM, strips, PackBits —
+round 10), and GIF87a/89a (full variable-width LZW
+decode + 4-pass interlace reordering, first frame + round-10 GCE
+animation compositing), RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Baseline JPEG decodes for
 real too (round 9, :mod:`._jpeg` — Huffman + dequant + vectorized
 IDCT + 4:2:0 upsampling, pinned against CPython's independently
