@@ -3,15 +3,15 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 188 declared
-queries as of round 8 (184 with oracles; the iterative trainers q68,
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 193 declared
+queries as of round 11 (189 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
-FIRST 50 entries; round 10 rotated q165-q188 + q42-q50/q68-q72 +
-q29-q33/q51-q57 into that window per the forced schedule (see README
-"Verification coverage map"; the suite is growth-frozen until round
-11 — the round-11 declaration candidates are pre-staged in
-emr_trino_autoscale_spark/queries_staging.py).
+FIRST 50 entries; round 11 rotated q58-q65 + q73-q102 + q103-q114
+into that window per the forced schedule and declared q189-q193 (the
+X155-X159 streaming maintainers, staged + oracle-tested since round
+10) at tail positions — see README "Verification coverage map" for
+the rotation schedule and the 200-query capacity ledger.
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

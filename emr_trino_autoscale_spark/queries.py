@@ -4038,6 +4038,183 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q189-Q193 — X155-X159: the round-9 streaming maintainers in a
+# driver-oracle-able form (staged round 10 in queries_staging.py with
+# per-run oracle tests, declared round 11 per VERDICT r10 task 2). Each
+# folds its maintainer over a deterministic two-epoch split of a
+# synthetic table — the epochs partition the table, so the maintained
+# state must equal the batch operator over the whole table, which has
+# plain-SQL semantics DuckDB can replay. The split key is an
+# integer-modulus on the row key, so the driver's plain session
+# reproduces it bit-for-bit. Sketch-valued outputs (q192/q193 NDV)
+# follow the q121/X84 evidence pattern: exact distinct count + a
+# boolean pinning the estimate inside its published error bound.
+
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 — the q174 BH-FDR test family delivered in two epochs
+    (c_custkey parity); verdicts over the maintained state must equal
+    batch bh_fdr over the full family (q174's oracle verbatim)."""
+    from .streaming.pipeline import make_bh_fdr_maintainer
+
+    c = load_table(spark, sf_dir, "customer")
+    base_p = md5_long60(F.col("c_custkey").cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    tests = c.select(
+        F.col("c_custkey").alias("test_id"),
+        F.when(F.pmod(F.col("c_custkey"), F.lit(50)) == 0, base_p / 1e6)
+        .otherwise(base_p)
+        .alias("p"),
+    )
+    maintain, verdicts = make_bh_fdr_maintainer("test_id", "p", fdr_q=0.1)
+    state = None
+    for epoch in (0, 1):
+        batch = tests.filter(F.pmod(F.col("test_id"), 2) == epoch)
+        state = maintain(state, batch, epoch_id=epoch)
+    return (
+        verdicts(state)
+        .filter(F.col("rejected"))
+        .select(
+            F.col("test").alias("test_id"),
+            "rank",
+            dec4(F.col("p") * 1000).alias("p_x1000"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 — the q106 weighted sample maintained over two document
+    epochs (doc_id parity); the A-ES key determinism makes the folded
+    reservoir equal the batch sample over the union exactly."""
+    from .streaming.pipeline import make_weighted_reservoir_maintainer
+
+    d = load_table(spark, sf_dir, "documents")
+    maintain, sample = make_weighted_reservoir_maintainer(
+        "n_chars", k=10, strata_cols=("lang",), id_col="doc_id"
+    )
+    state = None
+    for epoch in (0, 1):
+        state = maintain(state, d.filter(F.pmod(F.col("doc_id"), 2) == epoch))
+    return (
+        sample(state)
+        .select("lang", "doc_id", "n_chars", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 — q94's three ADDITIVE row-local rules (the cross-row
+    PK/FK rules are out of the streaming contract by the operator's
+    fence) maintained over two lineitem epochs (l_orderkey parity);
+    counters merge by addition, so totals equal the batch scan."""
+    from .streaming.pipeline import make_rule_audit_maintainer
+
+    li = load_table(spark, sf_dir, "lineitem")
+    maintain = make_rule_audit_maintainer(
+        {
+            "l_quantity_in_1_45": (F.col("l_quantity") < 1)
+            | (F.col("l_quantity") > 45),
+            "l_discount_le_008": F.col("l_discount") > 0.08,
+            "extendedprice_positive": F.col("l_extendedprice") <= 0,
+        }
+    )
+    state = None
+    for epoch in (0, 1):
+        state = maintain(
+            state, li.filter(F.pmod(F.col("l_orderkey"), 2) == epoch)
+        )
+    return state.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        dec4(F.col("n_violations").cast("double") / F.col("n_checked")).alias(
+            "violation_rate"
+        ),
+    ).orderBy("rule")
+
+
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 — per-event-type distinct users maintained over two event
+    epochs (user_id parity); HLL registers merge by MAX so the merged
+    sketch equals the sketch of the union. Evidence follows q121:
+    exact NDV + in-bound boolean (HLL lgK=12 standard error ~1.6%,
+    bound at 6%)."""
+    from .streaming.pipeline import make_hll_distinct_maintainer
+
+    e = load_table(spark, sf_dir, "events")
+    maintain, estimates = make_hll_distinct_maintainer("event_type", "user_id")
+    state = None
+    for epoch in (0, 1):
+        state = maintain(state, e.filter(F.pmod(F.col("user_id"), 2) == epoch))
+    exact = e.groupBy(F.col("event_type").alias("key")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_ndv")
+    )
+    return (
+        estimates(state)
+        .join(exact, "key")
+        .select(
+            "key",
+            "exact_ndv",
+            (
+                F.abs(F.col("estimate") - F.col("exact_ndv"))
+                <= 0.06 * F.col("exact_ndv")
+            ).alias("ndv_within_bound"),
+        )
+        .orderBy("key")
+    )
+
+
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 — the q107 column profile maintained over two orders
+    epochs (o_orderkey parity). n_rows/n_null/min/max are exactly
+    mergeable and oracle-compared directly; n_distinct is HLL-valued,
+    so it rides the q121 evidence pattern (exact + bound boolean)."""
+    from .streaming.pipeline import make_profile_maintainer
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    maintain, profile = make_profile_maintainer(cols)
+    state = None
+    for epoch in (0, 1):
+        state = maintain(
+            state, o.filter(F.pmod(F.col("o_orderkey"), 2) == epoch)
+        )
+    pairs = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.val")
+    exact = pairs.groupBy("column").agg(
+        F.countDistinct("val").cast("bigint").alias("exact_ndv")
+    )
+    return (
+        profile(state)
+        .join(exact, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_null",
+            "exact_ndv",
+            (
+                F.abs(F.col("n_distinct") - F.col("exact_ndv"))
+                <= 0.06 * F.col("exact_ndv")
+            ).alias("ndv_within_bound"),
+            "min_val",
+            "max_val",
+        )
+        .orderBy("column")
+    )
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4056,64 +4233,11 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_queries_oracle.py::test_driver_window_pinned and documented in
 # README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-10 driver window (positions 1-50), per the forced r9-r12
-    # rotation schedule (README 'Verification coverage map', VERDICT r9
-    # task 1): q165-q188 (24, declared r8, never driver-hashed) +
-    # q42-q50/q68-q72 (14, last driver-hashed r6) + q29-q33/q51-q57
-    # (12, oldest r7-hashed). tests/test_queries_oracle.py pins this order.
-    "q165_kcore": q165,
-    "q166_grouping_sets": q166,
-    "q167_theil_sen": q167,
-    "q168_linear_resample": q168,
-    "q169_audio_profile": q169,
-    "q170_textrank_keywords": q170,
-    "q171_stratified_split": q171,
-    "q172_sketch_intersection": q172,
-    "q173_ivm_merge": q173,
-    "q174_bh_fdr": q174,
-    "q175_transition_latency": q175,
-    "q176_unpivot_melt": q176,
-    "q177_cms_join_size": q177,
-    "q178_session_paths": q178,
-    "q179_outlier_days": q179,
-    "q180_ctfidf_terms": q180,
-    "q181_rrf_fusion": q181,
-    "q182_corr_top_eigen": q182,
-    "q183_quantile_normalize": q183,
-    "q184_image_dhash_pairs": q184,
-    "q185_langid_confusion": q185,
-    "q186_dataset_card": q186,
-    "q187_partition_layout": q187,
-    "q188_spearman_corr": q188,
-    "q42_pandas_udf_vowels": q42,
-    "q43_approx_sketches": q43,
-    "q44_pivot_counts": q44,
-    "q45_map_roundtrip": q45,
-    "q46_revenue_join": q46,
-    "q47_simhash_hamming": q47,
-    "q48_train_test_split": q48,
-    "q49_dedup_components": q49,
-    "q50_tfidf_top_terms": q50,
-    "q68_kmeans_quantizer": q68,
-    "q69_vocab_coverage": q69,
-    "q70_pq_topk": q70,
-    "q71_pq_literal": q71,
-    "q72_pq_code_dedup": q72,
-    "q29_lsh_topk": q29,
-    "q30_ivf_topk": q30,
-    "q31_langid_quality": q31,
-    "q32_fingerprint_tokens": q32,
-    "q33_rollup_stats": q33,
-    "q51_value_histogram": q51,
-    "q52_pii_scrub": q52,
-    "q53_quality_topk_per_lang": q53,
-    "q54_token_packing": q54,
-    "q55_repetition_filter": q55,
-    "q56_mixing_weights": q56,
-    "q57_lsh_multiprobe": q57,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r11 window candidates first (q58-q65/q73-q102 last driver-hashed r7,
-    # q103-q114 r8):
+    # --- round-11 driver window (positions 1-50), per the forced
+    # rotation schedule (README 'Verification coverage map', VERDICT r10
+    # task 1): q58-q65 + q73-q102 (38, last driver-hashed r7 — the
+    # staleness guard's literal backlog) + q103-q114 (12, r8-hashed).
+    # tests/test_queries_oracle.py pins this order.
     "q58_ivf_multiprobe": q58,
     "q59_contamination": q59,
     "q60_ngram_novelty": q60,
@@ -4164,8 +4288,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_entity_multi_pass": q112,
     "q113_normalized_dedup": q113,
     "q114_embedding_dim_stats": q114,
-    # r12 window candidates (q66-q67/q01-q28/q34-q41 last driver-hashed r8,
-    # q115-q126 r9):
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r12 window candidates first: q66-q67/q01-q28/q34-q41 (38, last
+    # driver-hashed r8) + q189-q193 (5, declared r11) + q115-q121 (7,
+    # oldest r9-hashed):
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
     "q01_json_projection": q01,
@@ -4204,6 +4330,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_interval_join": q39,
     "q40_distinct_aggs": q40,
     "q41_range_window": q41,
+    # q189-q193 declared round 11 (first window slot: r12, per the
+    # README rotation schedule — appended after position 50 per the
+    # window-pin rule):
+    "q189_stream_bh_fdr": q189,
+    "q190_stream_reservoir": q190,
+    "q191_stream_rule_audit": q191,
+    "q192_stream_hll_distinct": q192,
+    "q193_stream_profile": q193,
     "q115_substring_search": q115,
     "q116_blocklist_filter": q116,
     "q117_pmi_cooccurrence": q117,
@@ -4216,7 +4350,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_cube_grouping": q124,
     "q125_decile_bands": q125,
     "q126_interval_join_binned": q126,
-    # r13+ (freshest: first driver-hashed r9):
+    # r13 window candidates (q127-q164 r9-hashed remainder):
     "q127_overlap_join_binned": q127,
     "q128_purged_time_split": q128,
     "q129_zipf_fit": q129,
@@ -4255,7 +4389,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_seasonal_decompose": q162,
     "q163_transition_matrix": q163,
     "q164_cusum_changepoint": q164,
+    # freshest last — the round-10 window block (driver-hashed r10,
+    # stale at r14), in its r10 window order:
+    "q165_kcore": q165,
+    "q166_grouping_sets": q166,
+    "q167_theil_sen": q167,
+    "q168_linear_resample": q168,
+    "q169_audio_profile": q169,
+    "q170_textrank_keywords": q170,
+    "q171_stratified_split": q171,
+    "q172_sketch_intersection": q172,
+    "q173_ivm_merge": q173,
+    "q174_bh_fdr": q174,
+    "q175_transition_latency": q175,
+    "q176_unpivot_melt": q176,
+    "q177_cms_join_size": q177,
+    "q178_session_paths": q178,
+    "q179_outlier_days": q179,
+    "q180_ctfidf_terms": q180,
+    "q181_rrf_fusion": q181,
+    "q182_corr_top_eigen": q182,
+    "q183_quantile_normalize": q183,
+    "q184_image_dhash_pairs": q184,
+    "q185_langid_confusion": q185,
+    "q186_dataset_card": q186,
+    "q187_partition_layout": q187,
+    "q188_spearman_corr": q188,
+    "q42_pandas_udf_vowels": q42,
+    "q43_approx_sketches": q43,
+    "q44_pivot_counts": q44,
+    "q45_map_roundtrip": q45,
+    "q46_revenue_join": q46,
+    "q47_simhash_hamming": q47,
+    "q48_train_test_split": q48,
+    "q49_dedup_components": q49,
+    "q50_tfidf_top_terms": q50,
+    "q68_kmeans_quantizer": q68,
+    "q69_vocab_coverage": q69,
+    "q70_pq_topk": q70,
+    "q71_pq_literal": q71,
+    "q72_pq_code_dedup": q72,
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
 }
+
 
 
 # Keep the oracle iteration order identical to QUERIES (driver window order).

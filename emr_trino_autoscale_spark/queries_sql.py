@@ -3680,6 +3680,91 @@ GROUP BY base.g ORDER BY lang
 """
 
 
+# Q189-Q193 — X155-X159 streaming maintainers in two-epoch-fold form
+# (declared round 11; staged round 10 in queries_staging.py). The
+# epochs partition each table, so the oracle is simply the batch
+# operator over the whole table.
+
+Q189_SQL = """
+WITH tests AS (
+  SELECT c_custkey AS test_id,
+         CASE WHEN c_custkey % 50 = 0
+              THEN (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                         AS BIGINT) / 1152921504606846976.0) / 1e6
+              ELSE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) / 1152921504606846976.0 END AS p
+  FROM customer),
+ranked AS (
+  SELECT test_id, p,
+         ROW_NUMBER() OVER (ORDER BY p, test_id) AS rnk,
+         CAST(COUNT(*) OVER () AS DOUBLE) AS m
+  FROM tests),
+k AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= rnk / m * 0.1 THEN rnk END), 0) AS kmax
+  FROM ranked)
+SELECT test_id, CAST(rnk AS BIGINT) AS rank,
+       CAST(CAST(ROUND(p * 1000, 4) AS DECIMAL(38,4)) AS VARCHAR) AS p_x1000
+FROM ranked, k WHERE rnk <= kmax ORDER BY rank
+"""
+
+Q190_SQL = """
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846977.0) / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0),
+r AS (SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id ASC) AS rnk
+      FROM k)
+SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rank
+FROM r WHERE rnk <= 10 ORDER BY lang, rank
+"""
+
+Q191_SQL = """
+WITH row_rules AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_disc,
+         CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_price
+  FROM lineitem),
+u AS (
+  SELECT 'l_quantity_in_1_45' AS rule, n AS n_checked, v_qty AS n_violations
+  FROM row_rules
+  UNION ALL
+  SELECT 'l_discount_le_008', n, v_disc FROM row_rules
+  UNION ALL
+  SELECT 'extendedprice_positive', n, v_price FROM row_rules)
+SELECT rule, n_checked, n_violations,
+       CAST(CAST(ROUND(CAST(n_violations AS DOUBLE) / n_checked, 4) AS DECIMAL(38,4)) AS VARCHAR) AS violation_rate
+FROM u ORDER BY rule
+"""
+
+Q192_SQL = """
+SELECT event_type AS key,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_bound
+FROM events GROUP BY event_type ORDER BY key
+"""
+
+Q193_SQL = """
+WITH p AS (
+  SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS val FROM orders
+  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+SELECT "column",
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT val) AS BIGINT) AS exact_ndv,
+       TRUE AS ndv_within_bound,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM p GROUP BY "column" ORDER BY "column"
+"""
+
+
 SQL: dict[str, str] = {
     "q01_json_projection": Q01_SQL,
     "q02_registry_filter": Q02_SQL,
@@ -3867,4 +3952,9 @@ SQL: dict[str, str] = {
     "q186_dataset_card": Q186_SQL,
     "q187_partition_layout": Q187_SQL,
     "q188_spearman_corr": Q188_SQL,
+    "q189_stream_bh_fdr": Q189_SQL,
+    "q190_stream_reservoir": Q190_SQL,
+    "q191_stream_rule_audit": Q191_SQL,
+    "q192_stream_hll_distinct": Q192_SQL,
+    "q193_stream_profile": Q193_SQL,
 }

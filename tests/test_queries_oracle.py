@@ -29,24 +29,19 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-10 rotation (VERDICT r9 task 1, per the forced schedule at
-    README 'Verification coverage map'): q165-q188 (24, declared r8,
-    never driver-hashed) + q42-q50/q68-q72 (14, last driver-hashed r6)
-    + q29-q33/q51-q57 (12, the oldest r7-hashed). The tail is
-    pre-ordered by the forced r11-r12 schedule; the suite is
-    growth-frozen until round 11 (50-slot window x 3-round horizon = 200
-    query capacity; 188 declared)."""
-    # r11 rotation (pre-written; README schedule): positions 1-50 =
-    # q58-q65 + q73-q102 (38, r7-hashed) + q103-q114 (12, r8-hashed);
-    # r11 also opens the declaration window for the five staged
-    # X155-X159 queries (queries_staging.py) — append them AFTER
-    # position 50 and extend declared_round below with round 10.
+    Round-11 rotation (VERDICT r10 task 1, per the forced schedule at
+    README 'Verification coverage map'): q58-q65 + q73-q102 (38, last
+    driver-hashed r7 — the staleness guard's literal backlog) +
+    q103-q114 (12, r8-hashed). Steady-state capacity: 50-slot window x
+    4-round re-hash period = 200 declared queries max (see the README
+    capacity ledger and test_declaration_capacity below)."""
+    # r12 rotation (pre-written; README schedule): positions 1-50 =
+    # q66-q67 + q01-q28 + q34-q41 (38, r8-hashed) + q189-q193 (5,
+    # declared r11, first hashable window) + q115-q121 (7, r9-hashed).
     expected = (
-        [f"q{i}" for i in range(165, 189)]
-        + [f"q{i}" for i in range(42, 51)]
-        + [f"q{i}" for i in range(68, 73)]
-        + [f"q{i}" for i in range(29, 34)]
-        + [f"q{i}" for i in range(51, 58)]
+        [f"q{i}" for i in range(58, 66)]
+        + [f"q{i}" for i in range(73, 103)]
+        + [f"q{i}" for i in range(103, 115)]
     )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
@@ -145,6 +140,7 @@ def test_driver_staleness_guard():
     # fails loudly on an unknown never-hashed query).
     declared_round = {f"q{i}": 7 for i in range(103, 115)}
     declared_round.update({f"q{i}": 8 for i in range(115, 189)})
+    declared_round.update({f"q{i}": 11 for i in range(189, 194)})
 
     window = set(list(QUERIES)[:50])
     stale = []
@@ -166,4 +162,21 @@ def test_driver_staleness_guard():
     assert not stale, (
         "driver coverage went stale — rotate these into the first-50 "
         f"window: {stale}"
+    )
+
+
+def test_declaration_capacity():
+    """Capacity ledger (VERDICT r10 task 5): a query outside the window
+    must carry a driver hash from within the last 3 completed rounds,
+    so every declared query must re-enter the 50-slot window at least
+    every 4 rounds — steady-state capacity is 50 x 4 = 200 declared
+    queries. This fails any declaration that would overrun the horizon;
+    the README capacity ledger lists the sanctioned escape hatches
+    (retire a hash-twin per new declaration, widen the window with
+    driver sign-off, or lengthen the horizon) — never declare past it."""
+    window_slots, horizon_rounds = 50, 4
+    assert len(QUERIES) <= window_slots * horizon_rounds, (
+        f"{len(QUERIES)} declared queries exceed the "
+        f"{window_slots}x{horizon_rounds}=200 rotation capacity — see "
+        "README 'Capacity ledger'"
     )

@@ -51,16 +51,21 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="check the round-11 declaration candidates (queries_staging.py) "
+        help="check the next-round declaration candidates (queries_staging.py) "
         "instead of the declared suite",
     )
     args = ap.parse_args()
 
     if args.staged:
-        from emr_trino_autoscale_spark.queries_staging import (
-            STAGED_QUERIES as QUERIES,
-            STAGED_SQL as ORACLE,
-        )
+        try:
+            from emr_trino_autoscale_spark.queries_staging import (
+                STAGED_QUERIES as QUERIES,
+                STAGED_SQL as ORACLE,
+            )
+        except ImportError:
+            print("nothing staged (queries_staging.py absent — all "
+                  "candidates declared)")
+            return 0
     else:
         from emr_trino_autoscale_spark.queries import ORACLE, QUERIES
     from emr_trino_autoscale_spark.session import get_spark
