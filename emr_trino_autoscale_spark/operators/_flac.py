@@ -168,7 +168,19 @@ def decode_flac_pcm(payload: bytes):
     """Decode a FLAC stream to (samples, sample_rate, bits_per_sample)
     with samples an (n_samples, n_channels) int32 array — lossless
     PCM, so a FLAC of a 16-bit WAV's samples reproduces them EXACTLY
-    (the pytest pin)."""
+    (the pytest pin).
+
+    Exception contract: corrupt/truncated input raises ValueError,
+    never IndexError — the bit reader indexes past a truncated buffer,
+    so overruns are converted here rather than bounds-checking the
+    per-bit hot loop (round-10 ADVICE)."""
+    try:
+        return _decode_flac_pcm(payload)
+    except IndexError:
+        raise ValueError("FLAC: truncated stream") from None
+
+
+def _decode_flac_pcm(payload: bytes):
     if not payload.startswith(b"fLaC"):
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -202,6 +214,12 @@ def decode_flac_pcm(payload: bytes):
     while bits.bitpos + 32 <= nbits_total and (total == 0 or len(chans[0]) < total):
         sync = bits.bits(14)
         if sync != 0x3FFE:
+            if total == 0 and chans[0]:
+                # STREAMINFO total_samples unknown (0): the frame loop
+                # can only stop on a failed sync, so trailing padding or
+                # an appended tag after the last decoded frame is
+                # end-of-stream, not corruption (round-10 ADVICE)
+                break
             raise ValueError("FLAC: lost frame sync")
         bits.bits(1)  # reserved
         bits.bits(1)  # blocking strategy
@@ -229,6 +247,15 @@ def decode_flac_pcm(payload: bytes):
             bps = bps_stream  # "get from STREAMINFO"
         elif ss_code in _SAMPLE_SIZE:
             bps = _SAMPLE_SIZE[ss_code]
+            if bps != bps_stream:
+                # the frame would decode at its own depth, but every
+                # caller normalizes amplitudes by the STREAMINFO bps
+                # (_audio_samples division, transcode_wav shift) — raise,
+                # don't silently mis-scale (raise-don't-misdecode
+                # contract; round-10 ADVICE)
+                raise ValueError(
+                    f"FLAC: frame bps {bps} != STREAMINFO bps {bps_stream}"
+                )
         else:
             # reserved code (3): raise, don't guess — a wrong bps
             # misaligns every later bit (module raise-don't-misdecode

@@ -98,6 +98,11 @@ def _run_bench() -> dict:
     # guard budgets per full name, so parse the full record.
     out = json.loads(lines[-2])
     assert out["metric"] == "declared_query_suite_runtime_full"
+    # warm/cold boundary must be recorded (round-10 ADVICE): the first
+    # bench.WARM_HEAD_N positions are steady-state, the rest still pay
+    # first-use codegen — anchor comparisons need to know the regime.
+    assert len(out.get("warmed_head", [])) == 15
+    assert set(out["warmed_head"]) <= set(out["queries"]) | set(out.get("errors", {}))
 
     # driver-tail contract (round-6 fix for BENCH_r03/r05 parsed:null):
     # the final line must parse standalone and fit the ~2000-char tail

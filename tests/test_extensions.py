@@ -5159,6 +5159,88 @@ def test_flac_reserved_sample_size_code_raises():
         decode_flac_pcm(bytes(payload))
 
 
+def test_flac_frame_bps_mismatch_raises():
+    """Round-10 ADVICE: a frame whose explicit sample-size code differs
+    from STREAMINFO would decode at the frame depth while every caller
+    normalizes by the STREAMINFO bps (silent amplitude mis-scale) —
+    raise instead. A frame code that MATCHES STREAMINFO (code 4 =
+    16-bit) stays a valid, byte-identical decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+
+    mono = np.arange(64, dtype=np.int64).reshape(-1, 1)
+    base = bytearray(_encode_flac(mono, 8000, frame_size=64))
+    assert base[45] & 0x0E == 0  # encoder wrote ss_code 0
+
+    mismatched = bytearray(base)
+    mismatched[45] |= 1 << 1  # ss_code := 1 (8-bit) vs 16-bit stream
+    with _pytest.raises(ValueError, match="frame bps"):
+        decode_flac_pcm(bytes(mismatched))
+
+    matching = bytearray(base)
+    matching[45] |= 4 << 1  # ss_code := 4 (16-bit) == STREAMINFO
+    got, rate, bps = decode_flac_pcm(bytes(matching))
+    assert bps == 16 and np.array_equal(got[:, 0], np.arange(64))
+
+
+def test_flac_truncation_raises_valueerror_never_indexerror():
+    """Round-10 ADVICE: the bit reader indexes past a truncated buffer;
+    the public decode must convert that to the module's ValueError
+    contract ('FLAC: truncated stream'), never leak IndexError. Sweep
+    every truncation point of a short two-frame stream: each prefix
+    either decodes (possibly short) or raises ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-(1 << 12), 1 << 12, size=(128, 2)).astype(np.int64)
+    payload = _encode_flac(pcm, 8000, frame_size=64, mode="mid_side",
+                           plan=lambda ch, fi: {"kind": ("fixed", 2)})
+    saw_truncated = False
+    for cut in range(4, len(payload)):
+        try:
+            decode_flac_pcm(payload[:cut])
+        except ValueError as exc:
+            saw_truncated = saw_truncated or "truncated" in str(exc)
+        except Exception as exc:  # noqa: BLE001 — the contract under test
+            _pytest.fail(
+                f"cut={cut}: non-ValueError {type(exc).__name__}: {exc}"
+            )
+    assert saw_truncated  # at least one prefix ended mid-read
+
+
+def test_flac_unknown_total_tolerates_trailing_bytes():
+    """Round-10 ADVICE: when STREAMINFO total_samples is 0 (unknown),
+    the frame loop can only stop on a failed sync match — trailing
+    padding or an appended tag after the last frame is end-of-stream,
+    not 'lost frame sync'. A corrupt FIRST sync must still raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._flac import decode_flac_pcm
+
+    pcm = (np.arange(96, dtype=np.int64) % 17 - 8).reshape(-1, 1)
+    payload = bytearray(_encode_flac(pcm, 8000, frame_size=48))
+    # zero the 36-bit STREAMINFO total field (body bits 28-63 of the
+    # rate/ch/bps/total 8-byte group at payload[18:26])
+    payload[21] &= 0xF0
+    payload[22:26] = b"\x00\x00\x00\x00"
+    got, rate, bps = decode_flac_pcm(bytes(payload + b"\x00" * 8))
+    assert np.array_equal(got[:, 0], pcm[:, 0])
+    # appended non-zero tag bytes (no sync pattern) are tolerated too
+    got2, _r, _b = decode_flac_pcm(bytes(payload + b"TAG!" * 3))
+    assert np.array_equal(got2[:, 0], pcm[:, 0])
+    # but a stream whose FIRST frame sync is corrupt still raises
+    broken = bytearray(payload)
+    broken[42] = 0x00  # clobber the first frame's sync byte
+    with _pytest.raises(ValueError, match="lost frame sync"):
+        decode_flac_pcm(bytes(broken))
+
+
 def test_flac_feature_parity_with_wav():
     """A FLAC and a WAV of the SAME samples produce identical audio
     features, loudness profiles, and fingerprints (lossless decode +
