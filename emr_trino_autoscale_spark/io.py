@@ -120,14 +120,27 @@ def write_compacted(
     only. Output count = ceil(est_bytes / target); the repartition is a
     round-robin exchange so files are even-sized.
 
-    When ``partition_by`` is set, files split per partition directory;
-    the estimator sizes the WHOLE frame and `maxRecordsPerFile` caps
-    stragglers inside hot partitions instead of a global repartition
-    (which would break partition locality).
+    When ``partition_by`` is set, rows are first CO-LOCATED by
+    (partition tuple, bounded salt) before the partitioned write.
+    Without that exchange, every upstream task containing a partition
+    value writes its own file into that directory — 1000 tasks x 50
+    partition values = 50k shards, the exact small-files failure this
+    writer exists to prevent (round-11 fix; the release-gate write leg
+    pins landed file counts against the layout audit's estimates). The
+    salt bound is the per-partition planned file count
+    ceil(rows_p / rows_per_file) — a map-side-combinable count agg
+    broadcast back onto the rows (null-safe join: NULL partition
+    values land in their own directory) — so hot partitions fan out
+    across that many writer tasks instead of serializing on one
+    straggler, and `maxRecordsPerFile` stays as the cap when salt
+    buckets collide on a task. The broadcast is #distinct-partition-
+    tuples rows — bounded by definition of a sane partitioned layout.
 
-    Returns the file count it asked for (callers log it against what
-    landed). Citation: reference writes no data files (control loop
-    only) — this is engine-side operational surface.
+    Returns the file count it asked for (global estimate, or the sum
+    of per-partition planned counts when ``partition_by`` is set —
+    callers log it against what landed). Citation: reference writes no
+    data files (control loop only) — this is engine-side operational
+    surface.
     """
     import io as _io
     import math
@@ -147,16 +160,45 @@ def write_compacted(
     n_files = max(1, math.ceil(est_bytes / (target_file_mb * (1 << 20))))
     rows_per_file = max(1, math.ceil(n_rows / n_files))
     if partition_by:
+        per_files = (
+            df.groupBy(*partition_by)
+            .agg(F.count("*").alias("__n_rows_p"))
+            .select(
+                *partition_by,
+                F.greatest(
+                    F.ceil(F.col("__n_rows_p") / float(rows_per_file)),
+                    F.lit(1),
+                )
+                .cast("int")
+                .alias("__n_files_p"),
+            )
+        )
+        planned = per_files.agg(F.sum("__n_files_p").alias("s")).collect()[0]["s"]
+        d, p = df.alias("__d"), F.broadcast(per_files).alias("__p")
+        salted = d.join(
+            p,
+            [
+                F.col(f"__d.{c}").eqNullSafe(F.col(f"__p.{c}"))
+                for c in partition_by
+            ],
+        ).select("__d.*", F.col("__p.__n_files_p").alias("__n_files_p"))
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.col("__n_files_p"),
+        ).cast("int")
         (
-            df.write.mode(mode)
+            salted.withColumn("__salt", salt)
+            .repartition(*[F.col(c) for c in partition_by], F.col("__salt"))
+            .drop("__n_files_p", "__salt")
+            .write.mode(mode)
             .option("maxRecordsPerFile", rows_per_file)
             .partitionBy(*partition_by)
             .parquet(path)
         )
-    else:
-        df.repartition(n_files).write.mode(mode).option(
-            "maxRecordsPerFile", rows_per_file
-        ).parquet(path)
+        return int(planned)
+    df.repartition(n_files).write.mode(mode).option(
+        "maxRecordsPerFile", rows_per_file
+    ).parquet(path)
     return n_files
 
 

@@ -83,5 +83,61 @@ def test_release_gate_pipeline_consistent(spark):
     ns = [funnel[s][0] for s in ("raw", "exact_dedup", "near_dedup", "quality")]
     assert ns == sorted(ns, reverse=True)
 
+    # Stage 5 (round-11, VERDICT r10 task 6): the REAL write. Land the
+    # shipped corpus with the X49 compacted writer under the audit's
+    # parameters and cross-check the audit's plan against actual
+    # parquet footers — estimate-vs-actual, not plan-vs-plan.
+    import glob
+    import shutil
+    import tempfile
+
+    from emr_trino_autoscale_spark.io import write_compacted
+
+    dest = tempfile.mkdtemp(prefix="release_gate_")
+    try:
+        planned = write_compacted(
+            survivors,
+            dest,
+            target_file_mb=1,
+            partition_by=("lang",),
+        )
+        landed = spark.read.parquet(dest)
+        # the landed corpus is row-for-row the audited one, per language
+        landed_rows = {
+            r["lang"]: r["n"]
+            for r in landed.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert landed_rows == {r["lang"]: r["n_rows"] for r in layout}
+        # file geometry: every audited language directory landed, with a
+        # file count in the same regime the writer planned (co-located
+        # salted write — NOT one shard per upstream task; collisions of
+        # salt buckets on a task merge files, never exceed the plan by
+        # more than the partition count)
+        landed_files = {
+            d.split("lang=")[-1]: len(glob.glob(d + "/*.parquet"))
+            for d in glob.glob(dest + "/lang=*")
+        }
+        assert set(landed_files) == set(landed_rows)
+        assert sum(landed_files.values()) <= planned + len(landed_files)
+        assert all(n >= 1 for n in landed_files.values())
+        # estimate-vs-actual bytes: the audit's est_bytes model
+        # (n_chars + 64/row) must agree with the landed encoded bytes
+        # within the snappy/dictionary compression regime — a gross
+        # model error (wrong column, forgotten rows) lands outside
+        # [0.1x, 3x] on text corpora long before compression does
+        actual_bytes = {
+            d.split("lang=")[-1]: sum(
+                os.path.getsize(f) for f in glob.glob(d + "/*.parquet")
+            )
+            for d in glob.glob(dest + "/lang=*")
+        }
+        est_bytes = {r["lang"]: r["est_bytes"] for r in layout}
+        for lang, est in est_bytes.items():
+            assert 0.1 * est <= actual_bytes[lang] <= 3.0 * est, (
+                lang, est, actual_bytes[lang]
+            )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+
     flags.unpersist()
     release_caches()

@@ -327,6 +327,47 @@ def test_write_compacted_sizes_file_count(spark, tmp_path):
     assert n2 == 0
 
 
+def test_write_compacted_partitioned_colocates(spark, tmp_path):
+    """X49 (io), round-11 fix: a partitioned write must CO-LOCATE rows
+    by (partition tuple, bounded salt) first — without that exchange
+    every upstream task containing a value writes its own shard into
+    that directory (32 tasks x 4 langs = 128 files where ~4 belong).
+    Landed per-directory file counts must track the per-partition plan
+    ceil(rows_p / rows_per_file), and NULL partition values must land
+    (null-safe broadcast join), not drop."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.io import write_compacted
+
+    df = (
+        spark.range(40_000)
+        .repartition(32)  # many upstream tasks, every lang in each
+        .select(
+            "id",
+            F.when(F.col("id") % 4 == 3, None)
+            .otherwise(F.concat(F.lit("lang"), (F.col("id") % 4).cast("string")))
+            .alias("lang"),
+            F.expr("repeat('x', 200)").alias("payload"),
+        )
+    )
+    out = tmp_path / "by_lang"
+    planned = write_compacted(
+        df, str(out), target_file_mb=1, partition_by=("lang",)
+    )
+    dirs = glob.glob(str(out / "lang=*"))
+    assert len(dirs) == 4  # 3 langs + the NULL directory
+    landed = {d: len(glob.glob(d + "/*.parquet")) for d in dirs}
+    # each ~10k-row 2MB-encoded partition plans ~2-3 files at 1MB —
+    # NOT one shard per upstream task
+    assert sum(landed.values()) <= planned
+    assert all(1 <= n <= 8 for n in landed.values()), landed
+    back = spark.read.parquet(str(out))
+    assert back.count() == 40_000
+    assert back.filter(F.col("lang").isNull()).count() == 10_000
+
+
 def test_load_evolving_merges_missing_and_drifted_columns(spark, tmp_path):
     """X49 (io): old files without a column read as NULL/default; a
     column stored int in old files and long in new casts to the target."""
