@@ -6,8 +6,10 @@ and tested. All three declared kinds have REAL reference decoders for
 public formats parseable without codec libraries: P6 PPM and — round
 9 — PNG images (chunk parse + stdlib zlib inflate + full scanline
 un-filtering: gray/RGB/RGBA/palette, all five filter types),
-uncompressed 24/32-bit BMP, baseline TIFF (II/MM, strips, PackBits —
-round 10), and GIF87a/89a (full variable-width LZW
+uncompressed 24/32-bit BMP, TIFF (II/MM; strip + tiled layouts;
+chunky + separate planes; none/LZW/PackBits compression with the
+horizontal-differencing predictor — rounds 10-11), and GIF87a/89a
+(full variable-width LZW
 decode + 4-pass interlace reordering, first frame + round-10 GCE
 animation compositing), RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Baseline JPEG decodes for
@@ -441,15 +443,96 @@ def decode_bmp_image(payload: bytes) -> list[float]:
 
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 spec section 13, public): MSB-first
+    bit packing, ClearCode 256 / EOI 257, first table entry 258,
+    9->12-bit variable width with the spec's EARLY code-width change.
+    Width timing derived from the spec's normative encoder rule
+    ("when NextCode equals 511 begin writing 10-bit codes"): the
+    encoder's emission k is 10-bit from k=254 on, and the decoder's
+    table lags the encoder's by exactly one entry, so the decoder
+    switches after ITS NextCode reaches 510/1022/2046 — i.e. at
+    (1 << width) - 2. A legacy "late change" writer (the historical
+    interop wart this boundary is famous for) would desync exactly one
+    code after a width boundary and surface as a bad-code ValueError,
+    never silent mis-decode."""
+    out = bytearray()
+    bitpos, nbits = 0, len(data) * 8
+    CLEAR, EOI = 256, 257
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return EOI  # spec: strips may end without an explicit EOI
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    table: list[bytes] | None = None
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if table is None:
+            raise ValueError("TIFF: LZW stream must begin with a clear code")
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"TIFF: bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF: bad LZW code {code}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        if len(table) > 4095:
+            raise ValueError("TIFF: LZW table overflow (missing clear)")
+    return bytes(out)
+
+
+def _tiff_unpackbits(strip: bytes) -> bytearray:
+    """PackBits RLE (TIFF 6.0 spec section 9)."""
+    data = bytearray()
+    i = 0
+    while i < len(strip):
+        n = strip[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            data.extend(strip[i:i + n + 1])
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            data.extend(strip[i:i + 1] * (257 - n))
+            i += 1
+        # n == 128: no-op per spec
+    return data
+
+
 def _tiff_rgb(payload: bytes):
-    """REAL decoder for baseline TIFF (TIFF 6.0, public spec): both
-    byte orders (II little / MM big), first IFD, 8-bit gray
+    """REAL decoder for TIFF (TIFF 6.0, public spec): both byte orders
+    (II little / MM big), first IFD, 8-bit gray
     (PhotometricInterpretation 0/1, including 0's inverted scale) and
-    RGB(A), chunky planar config, strip layout (any RowsPerStrip),
-    Compression 1 (none) and 32773 (PackBits RLE, spec section 9).
-    Scanned-document corpora are TIFF-heavy, which is why the format
-    earns a real decoder (round 10). Tiles, palettes, LZW/JPEG/
-    deflate compression, planar=2, and non-8-bit depths raise so
+    RGB(A), strip AND tile layouts (round 11), chunky (planar 1) AND
+    separate-plane (planar 2, round 11) configurations, Compression 1
+    (none), 5 (LZW, spec section 13 — round 11), 32773 (PackBits RLE,
+    spec section 9), and the horizontal-differencing Predictor (tag
+    317 value 2, spec section 14 — round 11), which real LZW writers
+    almost always pair with. Scanned-document corpora are TIFF-heavy,
+    which is why the format earns a real decoder (round 10). Palettes,
+    JPEG/deflate-in-TIFF compression, and non-8-bit depths raise so
     :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
     rule)."""
     import struct
@@ -475,11 +558,19 @@ def _tiff_rgb(payload: bytes):
             continue  # rationals etc. — not needed for the baseline set
         sz, code = sizes[typ]
         total = sz * count
+        # bound BEFORE building the count-sized format string: a
+        # corrupted 32-bit count would otherwise allocate a GB-scale
+        # struct format (round-11 fuzz finding — decoder bomb, not
+        # just a bad decode)
+        if count > len(payload):
+            raise ValueError("TIFF: tag count overruns payload")
         if total <= 4:
             raw = payload[off + 8:off + 8 + total]
         else:
             (voff,) = struct.unpack(e + "I", payload[off + 8:off + 12])
             raw = payload[voff:voff + total]
+        if len(raw) != total:
+            raise ValueError("TIFF: tag value overruns payload")
         tags[tag] = list(struct.unpack(e + code * count, raw))
 
     def one(tag, default=None):
@@ -496,46 +587,95 @@ def _tiff_rgb(payload: bytes):
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
+    predictor = one(317, 1)
     if any(b != 8 for b in bits):
         raise ValueError(f"TIFF: only 8-bit samples supported (got {bits})")
-    if planar != 1:
-        raise ValueError("TIFF: planar configuration 2 unsupported")
-    if compression not in (1, 32773):
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF: reserved planar configuration {planar}")
+    if compression not in (1, 5, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
     if photometric not in (0, 1, 2):
         raise ValueError(f"TIFF: photometric {photometric} unsupported")
-    if 322 in tags or 323 in tags:
-        raise ValueError("TIFF: tiled layout unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: missing strip layout")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF: predictor {predictor} unsupported")
 
-    data = bytearray()
-    for off, cnt in zip(offsets, counts):
-        strip = payload[off:off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("TIFF: truncated strip")
+    def segment(off: int, cnt: int) -> bytes:
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise ValueError("TIFF: truncated strip/tile")
         if compression == 1:
-            data.extend(strip)
-        else:  # PackBits (spec section 9)
-            i = 0
-            while i < len(strip):
-                n = strip[i]
-                i += 1
-                if n < 128:  # literal run of n+1 bytes
-                    data.extend(strip[i:i + n + 1])
-                    i += n + 1
-                elif n > 128:  # repeat next byte 257-n times
-                    data.extend(strip[i:i + 1] * (257 - n))
-                    i += 1
-                # n == 128: no-op per spec
-    need = width * height * spp
-    if len(data) < need:
-        raise ValueError("TIFF: pixel data short of declared geometry")
-    px = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
-        height, width, spp
-    )
+            return seg
+        if compression == 5:
+            return _tiff_lzw_decode(seg)
+        return bytes(_tiff_unpackbits(seg))
+
+    def undiff(a):
+        # Predictor 2 (spec section 14): horizontal differencing per
+        # scanline per channel; decode = cumulative sum mod 256. Rows
+        # restart, so applying after (rows, width, ch) assembly of any
+        # segment is exact.
+        if predictor == 2:
+            return (a.astype(np.uint32).cumsum(axis=1) % 256).astype(np.uint8)
+        return a
+
+    nplanes = spp if planar == 2 else 1
+    ch = 1 if planar == 2 else spp
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw, th = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing tile layout")
+        ta, td = -(-width // tw), -(-height // th)
+        per_plane = ta * td
+        if len(offsets) != per_plane * nplanes:
+            raise ValueError("TIFF: tile count mismatch")
+        planes = []
+        for p in range(nplanes):
+            img = np.zeros((height, width, ch), dtype=np.uint8)
+            for t in range(per_plane):
+                seg = segment(
+                    offsets[p * per_plane + t], counts[p * per_plane + t]
+                )
+                need = tw * th * ch
+                if len(seg) < need:
+                    raise ValueError("TIFF: tile short of declared geometry")
+                tile = undiff(
+                    np.frombuffer(seg[:need], dtype=np.uint8).reshape(
+                        th, tw, ch
+                    )
+                )
+                ty, tx = divmod(t, ta)
+                y0, x0 = ty * th, tx * tw
+                ys, xs = min(th, height - y0), min(tw, width - x0)
+                img[y0:y0 + ys, x0:x0 + xs] = tile[:ys, :xs]
+            planes.append(img)
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing strip layout")
+        per_plane = len(offsets) // nplanes
+        if per_plane * nplanes != len(offsets):
+            raise ValueError("TIFF: strip count not divisible by planes")
+        planes = []
+        for p in range(nplanes):
+            data = bytearray()
+            for s in range(per_plane):
+                data.extend(
+                    segment(offsets[p * per_plane + s],
+                            counts[p * per_plane + s])
+                )
+            need = width * height * ch
+            if len(data) < need:
+                raise ValueError("TIFF: pixel data short of declared geometry")
+            planes.append(
+                undiff(
+                    np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
+                        height, width, ch
+                    )
+                )
+            )
+    px = planes[0] if nplanes == 1 else np.concatenate(planes, axis=2)
     if photometric == 2:
         if spp < 3:
             raise ValueError("TIFF: RGB photometric with <3 samples")

@@ -4450,69 +4450,159 @@ def _encode_gif_animation(screen, palette, frames, bg_index=0):
     return bytes(out)
 
 
+def _tiff_lzw_encode_test(raw: bytes) -> bytes:
+    """Test-side TIFF LZW encoder (TIFF 6.0 spec section 13, the
+    normative pseudocode): MSB-first packing, 9->12-bit widths with
+    the spec's encoder rule ("when NextCode equals 511 begin writing
+    10-bit codes"), ClearCode re-emission when the table approaches
+    4094. Independent of the decoder's implementation — the decoder
+    derives its (one-entry-lagged) width boundaries separately."""
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    w = b""
+    for b in raw:
+        k = bytes([b])
+        wk = w + k
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        w = k
+        if next_code == 4094:  # spec: clear before the table fills
+            emit(table[w], width)
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+            w = b""
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_packbits_encode_test(raw: bytes) -> bytes:
+    # simple PackBits: runs of >=3 identical bytes as repeats, the
+    # rest as literal chunks (<=128), with a trailing 0x80 no-op
+    out = bytearray()
+    i = 0
+    lit: list[int] = []
+
+    def flush_lit():
+        j = 0
+        while j < len(lit):
+            chunk = lit[j:j + 128]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            j += 128
+        lit.clear()
+
+    while i < len(raw):
+        run = 1
+        while (i + run < len(raw) and raw[i + run] == raw[i]
+               and run < 130):
+            run += 1
+        if run >= 3:
+            flush_lit()
+            out.append(257 - min(run, 128))
+            out.append(raw[i])
+            i += min(run, 128)
+        else:
+            lit.append(raw[i])
+            i += 1
+    flush_lit()
+    out.append(128)  # trailing no-op byte (spec: skipped)
+    return bytes(out)
+
+
 def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
-                 rows_per_strip=None, alpha=False):
-    """Minimal test-side TIFF 6.0 writer (II or MM, strips, optional
-    PackBits, optional alpha extra sample) so the decoder is exercised
-    against independently-constructed payloads."""
+                 rows_per_strip=None, alpha=False, compression=None,
+                 predictor=1, tiles=None, planar=1):
+    """Test-side TIFF 6.0 writer (II or MM; strip or tiled layout;
+    chunky or separate planes; none/PackBits/LZW compression; optional
+    horizontal-differencing predictor; optional alpha extra sample) so
+    the decoder is exercised against independently-constructed
+    payloads. ``packbits=True`` is the round-10 alias for
+    ``compression='packbits'``."""
     import struct
 
     import numpy as np
 
+    if compression is None:
+        compression = "packbits" if packbits else "none"
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     e = ">" if big_endian else "<"
     h, w = arr.shape[0], arr.shape[1]
     channels = arr.shape[2] if arr.ndim == 3 else 1
     if photometric is None:
         photometric = 2 if channels >= 3 else 1
+    arr = arr.reshape(h, w, channels).astype(np.uint8)
     if alpha:
         a = np.full((h, w, 1), 200, dtype=np.uint8)
-        arr = np.concatenate([arr.reshape(h, w, channels), a], axis=2)
+        arr = np.concatenate([arr, a], axis=2)
         channels += 1
-    flat = arr.reshape(h, w * channels).astype(np.uint8)
-    rps = rows_per_strip or h
 
-    def pack_row_bytes(rows):
-        raw = rows.tobytes()
-        if not packbits:
-            return raw
-        # simple PackBits: runs of >=3 identical bytes as repeats, the
-        # rest as literal chunks (<=128), with an occasional 0x80 no-op
-        out = bytearray()
-        i = 0
-        lit: list[int] = []
+    def finish(seg):
+        # seg: (rows, cols, ch) uint8 — difference, then compress
+        if predictor == 2:
+            seg = np.concatenate(
+                [seg[:, :1], (seg[:, 1:].astype(np.int16)
+                              - seg[:, :-1].astype(np.int16)) % 256],
+                axis=1,
+            ).astype(np.uint8)
+        raw = seg.tobytes()
+        if compression == "lzw":
+            return _tiff_lzw_encode_test(raw)
+        if compression == "packbits":
+            return _tiff_packbits_encode_test(raw)
+        return raw
 
-        def flush_lit():
-            j = 0
-            while j < len(lit):
-                chunk = lit[j:j + 128]
-                out.append(len(chunk) - 1)
-                out.extend(chunk)
-                j += 128
-            lit.clear()
+    nplanes = channels if planar == 2 else 1
+    plane_arrs = (
+        [arr[..., p:p + 1] for p in range(channels)] if planar == 2 else [arr]
+    )
+    segments = []
+    if tiles:
+        tw, th = tiles
+        for pa in plane_arrs:
+            padded = np.zeros(
+                (-(-h // th) * th, -(-w // tw) * tw, pa.shape[2]),
+                dtype=np.uint8,
+            )
+            padded[:h, :w] = pa
+            for y0 in range(0, padded.shape[0], th):
+                for x0 in range(0, padded.shape[1], tw):
+                    segments.append(
+                        finish(padded[y0:y0 + th, x0:x0 + tw])
+                    )
+    else:
+        rps = rows_per_strip or h
+        for pa in plane_arrs:
+            for y0 in range(0, h, rps):
+                segments.append(finish(pa[y0:y0 + rps]))
 
-        while i < len(raw):
-            run = 1
-            while (i + run < len(raw) and raw[i + run] == raw[i]
-                   and run < 130):
-                run += 1
-            if run >= 3:
-                flush_lit()
-                out.append(257 - min(run, 128))
-                out.append(raw[i])
-                i += min(run, 128)
-            else:
-                lit.append(raw[i])
-                i += 1
-        flush_lit()
-        out.append(128)  # trailing no-op byte (spec: skipped)
-        return bytes(out)
-
-    strips = []
-    for y0 in range(0, h, rps):
-        strips.append(pack_row_bytes(flat[y0:y0 + rps]))
-
-    # layout: header(8) + IFD + values + strips
-    entries = []  # (tag, type, count, value_or_bytes)
+    # layout: header(8) + IFD + values + segments
+    entries = []  # (tag, type, values)
 
     def entry(tag, typ, values):
         entries.append((tag, typ, values))
@@ -4520,11 +4610,18 @@ def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
     entry(256, 3, [w])
     entry(257, 3, [h])
     entry(258, 3, [8] * channels)
-    entry(259, 3, [32773 if packbits else 1])
+    entry(259, 3, [comp_tag])
     entry(262, 3, [photometric])
     entry(277, 3, [channels])
-    entry(278, 3, [rps])
-    n = len(entries) + 2  # + strip offsets/counts below
+    entry(284, 3, [planar])
+    if predictor == 2:
+        entry(317, 3, [predictor])
+    if tiles:
+        entry(322, 3, [tiles[0]])
+        entry(323, 3, [tiles[1]])
+    else:
+        entry(278, 3, [rows_per_strip or h])
+    n = len(entries) + 2  # + segment offsets/counts below
     ifd_off = 8
     sizes = {3: 2, 4: 4}
     # compute value-area layout after the IFD
@@ -4544,26 +4641,26 @@ def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
         val_off += sz
         return out_
 
-    # serialize everything except strip offsets first to learn sizes
+    # serialize everything except segment offsets first to learn sizes
     body = []
     for tag, typ, values in entries:
         body.append(ser(tag, typ, values))
-    counts = [len(s) for s in strips]
-    # strip byte counts
-    body.append(ser(279, 4, counts))
-    # strip offsets: strips land after the value blobs
+    counts = [len(s) for s in segments]
+    count_tag, offset_tag = (325, 324) if tiles else (279, 273)
+    body.append(ser(count_tag, 4, counts))
+    # segment offsets: segments land after the value blobs
     offs = []
-    cur = val_off + (4 * len(strips) if len(strips) > 1 else 0)
+    cur = val_off + (4 * len(segments) if len(segments) > 1 else 0)
     for c in counts:
         offs.append(cur)
         cur += c
-    body.append(ser(273, 4, offs))
+    body.append(ser(offset_tag, 4, offs))
 
     body.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
     out = (b"II" if not big_endian else b"MM") + struct.pack(e + "HI", 42, ifd_off)
     out += struct.pack(e + "H", n) + b"".join(body) + struct.pack(e + "I", 0)
     out += b"".join(blobs)
-    out += b"".join(strips)
+    out += b"".join(segments)
     return out
 
 
@@ -4612,21 +4709,114 @@ def test_tiff_decoder_matches_ppm_on_same_pixels():
     assert decode_tiff_image(_encode_tiff(flat, packbits=True)) == want_f
 
     # unsupported variants raise -> sniffer falls back to the stub
+    # (LZW graduated to a real decode in round 11; deflate-in-TIFF is
+    # the remaining compression stub — patch the 16-bit value right
+    # after the 259 entry header)
     import pytest as _pytest
 
     from emr_trino_autoscale_spark.operators.multimodal import _decode_stub
 
-    lzw = bytearray(_encode_tiff(rgb))
-    # compression tag (259) value: flip to 5 (LZW) — find via decode of
-    # a fresh encode with compression none at a known IFD slot is
-    # brittle; instead rewrite through the encoder path: not provided,
-    # so patch the 16-bit value right after the 259 entry header
-    i = lzw.find(b"\x03\x01")  # tag 259 little-endian
+    defl = bytearray(_encode_tiff(rgb))
+    i = defl.find(b"\x03\x01")  # tag 259 little-endian
     assert i > 0
-    lzw[i + 8] = 5
+    defl[i + 8] = 8  # Adobe deflate
     with _pytest.raises(ValueError):
-        _tiff_rgb(bytes(lzw))
-    assert sniffing_decoder(bytes(lzw), "image") == _decode_stub(bytes(lzw), "image")
+        _tiff_rgb(bytes(defl))
+    assert sniffing_decoder(bytes(defl), "image") == _decode_stub(bytes(defl), "image")
+
+
+def test_tiff_lzw_tiles_planar_predictor_match_baseline():
+    """Round-11 TIFF extensions: LZW compression (spec section 13),
+    horizontal-differencing predictor (section 14), tiled layout
+    (section 15), and separate-plane configuration all decode to the
+    SAME pixels as the uncompressed chunky-strip baseline of the same
+    image — the cross-variant pinning standard the FLAC/WAV and
+    interlaced/sequential-PNG twins set. Geometries include non-tile-
+    multiple edges (padded edge tiles cropped) and the noise image is
+    big enough to push LZW across the 9->10-bit width boundary."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _tiff_rgb,
+        decode_tiff_image,
+    )
+
+    rng = np.random.RandomState(29)
+    # smooth gradient + noise: gradient makes the predictor productive,
+    # noise forces LZW table growth across the first width boundary
+    gx = np.linspace(0, 255, 37, dtype=np.float64)
+    base = (gx[None, :, None] + gx[:37][:, None, None] / 2) % 256
+    rgb = (
+        (base + rng.randint(0, 32, size=(37, 37, 3))) % 256
+    ).astype(np.uint8)
+    want = _tiff_rgb(_encode_tiff(rgb))  # uncompressed chunky strips
+
+    variants = (
+        {"compression": "lzw"},
+        {"compression": "lzw", "predictor": 2},
+        {"compression": "lzw", "predictor": 2, "big_endian": True},
+        {"compression": "lzw", "rows_per_strip": 5},
+        {"compression": "packbits", "predictor": 2},
+        {"tiles": (16, 8)},                      # non-multiple edges
+        {"tiles": (16, 8), "compression": "lzw", "predictor": 2},
+        {"tiles": (37, 37), "compression": "packbits"},  # single tile
+        {"planar": 2},
+        {"planar": 2, "compression": "lzw", "predictor": 2},
+        {"planar": 2, "tiles": (8, 16), "compression": "lzw"},
+        {"planar": 2, "rows_per_strip": 4, "compression": "packbits"},
+    )
+    for kwargs in variants:
+        got = _tiff_rgb(_encode_tiff(rgb, **kwargs))
+        assert np.array_equal(got, want), kwargs
+
+    # grayscale planar/tiled/predictor twins agree with the chunky form
+    gray = rng.randint(0, 256, size=(13, 21, 1), dtype=np.uint8)
+    want_g = decode_tiff_image(_encode_tiff(gray, photometric=1))
+    for kwargs in (
+        {"compression": "lzw", "predictor": 2},
+        {"tiles": (8, 8), "compression": "lzw"},
+    ):
+        got_g = decode_tiff_image(
+            _encode_tiff(gray, photometric=1, **kwargs)
+        )
+        assert got_g == want_g, kwargs
+
+
+def test_tiff_lzw_width_boundaries_and_clear():
+    """The LZW variable-width boundaries are where the historical
+    encoder/decoder interop bug lives. Pin the round trip across ALL
+    boundaries (9->10->11->12) AND a mid-stream ClearCode (table
+    approaching 4094 forces the test encoder to re-clear): a
+    ~20k-byte incompressible plane guarantees >4000 table entries."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_rgb,
+    )
+
+    rng = np.random.RandomState(31)
+    raw = bytes(rng.randint(0, 256, size=20_000, dtype=np.int64).tolist())
+    enc = _tiff_lzw_encode_test(raw)
+    assert _tiff_lzw_decode(enc) == raw
+    # the mid-stream clear actually happened (table filled)
+    assert len(raw) / 2 > 4094 - 258  # enough breaks to fill the table
+
+    # and through the full image path: a 96x96 RGB noise image is
+    # 27648 bytes -> multiple width bumps inside one strip
+    rgb = rng.randint(0, 256, size=(96, 96, 3), dtype=np.uint8)
+    want = _tiff_rgb(_encode_tiff(rgb))
+    got = _tiff_rgb(_encode_tiff(rgb, compression="lzw"))
+    assert np.array_equal(got, want)
+
+    # truncated LZW stream: ValueError (decode may legally end at a
+    # code boundary, so sweep cuts and require no non-ValueError)
+    payload = _encode_tiff(rgb[:8, :8], compression="lzw")
+    for cut in range(len(payload) - 40, len(payload)):
+        try:
+            _tiff_rgb(payload[:cut])
+        except ValueError:
+            pass
 
 
 def test_gif_decoder_matches_ppm_on_same_pixels():
@@ -5366,6 +5556,10 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "flac": _encode_flac(pcm, 8000, frame_size=256,
                              plan=lambda ch, fi: {"kind": ("fixed", 2)}),
         "tiff": _encode_tiff(rgb, packbits=True, rows_per_strip=3),
+        "tiff_lzw": _encode_tiff(rgb, compression="lzw", predictor=2),
+        "tiff_tiled": _encode_tiff(rgb, tiles=(8, 4), compression="lzw"),
+        "tiff_planar": _encode_tiff(rgb, planar=2, compression="lzw",
+                                    predictor=2),
     }
     for name, good in payloads.items():
         kind = "audio" if name in ("wav", "flac") else "image"
