@@ -523,16 +523,18 @@ def _tiff_unpackbits(strip: bytes) -> bytearray:
 
 def _tiff_rgb(payload: bytes):
     """REAL decoder for TIFF (TIFF 6.0, public spec): both byte orders
-    (II little / MM big), first IFD, 8-bit gray
+    (II little / MM big), first IFD, 8- and 16-bit gray
     (PhotometricInterpretation 0/1, including 0's inverted scale) and
-    RGB(A), strip AND tile layouts (round 11), chunky (planar 1) AND
-    separate-plane (planar 2, round 11) configurations, Compression 1
-    (none), 5 (LZW, spec section 13 — round 11), 32773 (PackBits RLE,
+    RGB(A) (16-bit reduces to the high byte after un-differencing —
+    the PNG16 probe contract), strip AND tile layouts (round 11),
+    chunky (planar 1) AND separate-plane (planar 2, round 11)
+    configurations, Compression 1 (none), 5 (LZW, spec section 13 —
+    round 11), 8/32946 (zlib deflate — round 11), 32773 (PackBits RLE,
     spec section 9), and the horizontal-differencing Predictor (tag
-    317 value 2, spec section 14 — round 11), which real LZW writers
-    almost always pair with. Scanned-document corpora are TIFF-heavy,
-    which is why the format earns a real decoder (round 10). Palettes,
-    JPEG/deflate-in-TIFF compression, and non-8-bit depths raise so
+    317 value 2, spec section 14 — round 11), which real LZW/deflate
+    writers almost always pair with. Scanned-document corpora are
+    TIFF-heavy, which is why the format earns a real decoder (round
+    10). Palettes, JPEG-in-TIFF, and other depths raise so
     :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
     rule)."""
     import struct
@@ -588,11 +590,13 @@ def _tiff_rgb(payload: bytes):
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
     predictor = one(317, 1)
-    if any(b != 8 for b in bits):
-        raise ValueError(f"TIFF: only 8-bit samples supported (got {bits})")
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise ValueError(f"TIFF: only uniform 8/16-bit samples (got {bits})")
+    depth = bits[0]
+    sw = depth // 8  # bytes per sample
     if planar not in (1, 2):
         raise ValueError(f"TIFF: reserved planar configuration {planar}")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
     if photometric not in (0, 1, 2):
         raise ValueError(f"TIFF: photometric {photometric} unsupported")
@@ -607,16 +611,31 @@ def _tiff_rgb(payload: bytes):
             return seg
         if compression == 5:
             return _tiff_lzw_decode(seg)
+        if compression in (8, 32946):  # Adobe / old-style deflate
+            import zlib
+
+            try:
+                return zlib.decompress(seg)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF: bad deflate stream ({exc})") from None
         return bytes(_tiff_unpackbits(seg))
 
-    def undiff(a):
-        # Predictor 2 (spec section 14): horizontal differencing per
-        # scanline per channel; decode = cumulative sum mod 256. Rows
-        # restart, so applying after (rows, width, ch) assembly of any
-        # segment is exact.
+    def grid(raw: bytes, rows: int, cols: int):
+        # raw segment bytes -> (rows, cols, ch) at the probe's 8-bit
+        # contract: 16-bit samples follow the file byte order and
+        # reduce to their high byte AFTER un-differencing (same
+        # reduction the PNG16 path uses)
+        a = np.frombuffer(raw, dtype=np.uint8 if sw == 1 else e + "u2")
+        a = a.reshape(rows, cols, ch)
         if predictor == 2:
-            return (a.astype(np.uint32).cumsum(axis=1) % 256).astype(np.uint8)
-        return a
+            # Predictor 2 (spec section 14): horizontal differencing
+            # per scanline per channel at the SAMPLE width; decode =
+            # cumulative sum mod 2^depth. Rows restart, so applying
+            # per assembled segment is exact.
+            a = (a.astype(np.uint64).cumsum(axis=1) % (1 << depth)).astype(
+                np.uint16 if sw == 2 else np.uint8
+            )
+        return (a >> 8).astype(np.uint8) if sw == 2 else a
 
     nplanes = spp if planar == 2 else 1
     ch = 1 if planar == 2 else spp
@@ -637,14 +656,10 @@ def _tiff_rgb(payload: bytes):
                 seg = segment(
                     offsets[p * per_plane + t], counts[p * per_plane + t]
                 )
-                need = tw * th * ch
+                need = tw * th * ch * sw
                 if len(seg) < need:
                     raise ValueError("TIFF: tile short of declared geometry")
-                tile = undiff(
-                    np.frombuffer(seg[:need], dtype=np.uint8).reshape(
-                        th, tw, ch
-                    )
-                )
+                tile = grid(seg[:need], th, tw)
                 ty, tx = divmod(t, ta)
                 y0, x0 = ty * th, tx * tw
                 ys, xs = min(th, height - y0), min(tw, width - x0)
@@ -665,16 +680,10 @@ def _tiff_rgb(payload: bytes):
                     segment(offsets[p * per_plane + s],
                             counts[p * per_plane + s])
                 )
-            need = width * height * ch
+            need = width * height * ch * sw
             if len(data) < need:
                 raise ValueError("TIFF: pixel data short of declared geometry")
-            planes.append(
-                undiff(
-                    np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(
-                        height, width, ch
-                    )
-                )
-            )
+            planes.append(grid(bytes(data[:need]), height, width))
     px = planes[0] if nplanes == 1 else np.concatenate(planes, axis=2)
     if photometric == 2:
         if spp < 3:

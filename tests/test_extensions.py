@@ -4537,44 +4537,49 @@ def _tiff_packbits_encode_test(raw: bytes) -> bytes:
 
 def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
                  rows_per_strip=None, alpha=False, compression=None,
-                 predictor=1, tiles=None, planar=1):
+                 predictor=1, tiles=None, planar=1, bits=8):
     """Test-side TIFF 6.0 writer (II or MM; strip or tiled layout;
-    chunky or separate planes; none/PackBits/LZW compression; optional
-    horizontal-differencing predictor; optional alpha extra sample) so
-    the decoder is exercised against independently-constructed
-    payloads. ``packbits=True`` is the round-10 alias for
-    ``compression='packbits'``."""
+    chunky or separate planes; none/PackBits/LZW/deflate compression;
+    optional horizontal-differencing predictor; 8- or 16-bit samples;
+    optional alpha extra sample) so the decoder is exercised against
+    independently-constructed payloads. ``packbits=True`` is the
+    round-10 alias for ``compression='packbits'``."""
     import struct
+    import zlib
 
     import numpy as np
 
     if compression is None:
         compression = "packbits" if packbits else "none"
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     e = ">" if big_endian else "<"
+    dt = np.uint8 if bits == 8 else np.dtype(e + "u2")
     h, w = arr.shape[0], arr.shape[1]
     channels = arr.shape[2] if arr.ndim == 3 else 1
     if photometric is None:
         photometric = 2 if channels >= 3 else 1
-    arr = arr.reshape(h, w, channels).astype(np.uint8)
+    arr = arr.reshape(h, w, channels).astype(dt)
     if alpha:
-        a = np.full((h, w, 1), 200, dtype=np.uint8)
+        a = np.full((h, w, 1), 200, dtype=dt)
         arr = np.concatenate([arr, a], axis=2)
         channels += 1
 
     def finish(seg):
-        # seg: (rows, cols, ch) uint8 — difference, then compress
+        # seg: (rows, cols, ch) at the sample width — difference at
+        # that width, then compress the serialized bytes
         if predictor == 2:
             seg = np.concatenate(
-                [seg[:, :1], (seg[:, 1:].astype(np.int16)
-                              - seg[:, :-1].astype(np.int16)) % 256],
+                [seg[:, :1], (seg[:, 1:].astype(np.int32)
+                              - seg[:, :-1].astype(np.int32)) % (1 << bits)],
                 axis=1,
-            ).astype(np.uint8)
-        raw = seg.tobytes()
+            ).astype(dt)
+        raw = seg.astype(dt).tobytes()
         if compression == "lzw":
             return _tiff_lzw_encode_test(raw)
         if compression == "packbits":
             return _tiff_packbits_encode_test(raw)
+        if compression == "deflate":
+            return zlib.compress(raw, 6)
         return raw
 
     nplanes = channels if planar == 2 else 1
@@ -4587,7 +4592,7 @@ def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
         for pa in plane_arrs:
             padded = np.zeros(
                 (-(-h // th) * th, -(-w // tw) * tw, pa.shape[2]),
-                dtype=np.uint8,
+                dtype=dt,
             )
             padded[:h, :w] = pa
             for y0 in range(0, padded.shape[0], th):
@@ -4609,7 +4614,7 @@ def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
 
     entry(256, 3, [w])
     entry(257, 3, [h])
-    entry(258, 3, [8] * channels)
+    entry(258, 3, [bits] * channels)
     entry(259, 3, [comp_tag])
     entry(262, 3, [photometric])
     entry(277, 3, [channels])
@@ -4709,20 +4714,20 @@ def test_tiff_decoder_matches_ppm_on_same_pixels():
     assert decode_tiff_image(_encode_tiff(flat, packbits=True)) == want_f
 
     # unsupported variants raise -> sniffer falls back to the stub
-    # (LZW graduated to a real decode in round 11; deflate-in-TIFF is
-    # the remaining compression stub — patch the 16-bit value right
-    # after the 259 entry header)
+    # (LZW and deflate graduated to real decodes in round 11;
+    # JPEG-in-TIFF is the remaining compression stub — patch the
+    # 16-bit value right after the 259 entry header)
     import pytest as _pytest
 
     from emr_trino_autoscale_spark.operators.multimodal import _decode_stub
 
-    defl = bytearray(_encode_tiff(rgb))
-    i = defl.find(b"\x03\x01")  # tag 259 little-endian
+    jpg = bytearray(_encode_tiff(rgb))
+    i = jpg.find(b"\x03\x01")  # tag 259 little-endian
     assert i > 0
-    defl[i + 8] = 8  # Adobe deflate
+    jpg[i + 8] = 7  # JPEG-in-TIFF
     with _pytest.raises(ValueError):
-        _tiff_rgb(bytes(defl))
-    assert sniffing_decoder(bytes(defl), "image") == _decode_stub(bytes(defl), "image")
+        _tiff_rgb(bytes(jpg))
+    assert sniffing_decoder(bytes(jpg), "image") == _decode_stub(bytes(jpg), "image")
 
 
 def test_tiff_lzw_tiles_planar_predictor_match_baseline():
@@ -4817,6 +4822,64 @@ def test_tiff_lzw_width_boundaries_and_clear():
             _tiff_rgb(payload[:cut])
         except ValueError:
             pass
+
+
+def test_tiff_deflate_and_16bit_match_baseline():
+    """Round-11 TIFF extensions, part 2: zlib-deflate compression
+    (tags 8 and legacy 32946) and 16-bit samples (high-byte reduction
+    AFTER un-differencing, the PNG16 probe contract) decode to the
+    same pixels as their 8-bit / uncompressed twins; a corrupt deflate
+    stream raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import _tiff_rgb
+
+    rng = np.random.RandomState(41)
+    rgb = rng.randint(0, 256, size=(14, 10, 3), dtype=np.uint8)
+    want = _tiff_rgb(_encode_tiff(rgb))
+    for kwargs in (
+        {"compression": "deflate"},
+        {"compression": "deflate", "predictor": 2},
+        {"compression": "deflate", "tiles": (8, 8), "big_endian": True},
+        {"compression": "deflate", "planar": 2, "predictor": 2},
+    ):
+        got = _tiff_rgb(_encode_tiff(rgb, **kwargs))
+        assert np.array_equal(got, want), kwargs
+
+    # legacy old-style deflate tag (32946) decodes identically: patch
+    # the SHORT value of tag 259 from 8 to 32946 (fits in 2 bytes)
+    legacy = bytearray(_encode_tiff(rgb, compression="deflate"))
+    i = legacy.find(b"\x03\x01")
+    assert i > 0 and struct.unpack("<H", legacy[i + 8:i + 10])[0] == 8
+    legacy[i + 8:i + 10] = struct.pack("<H", 32946)
+    assert np.array_equal(_tiff_rgb(bytes(legacy)), want)
+
+    # 16-bit: exact high bytes of the 16-bit samples, across byte
+    # orders, compression, predictor (16-bit differencing), planar
+    hi = rng.randint(0, 256, size=(9, 12, 3), dtype=np.uint16)
+    px16 = (hi.astype(np.uint16) << 8) | rng.randint(
+        0, 256, size=(9, 12, 3), dtype=np.uint16
+    )
+    want16 = _tiff_rgb(_encode_tiff(hi.astype(np.uint8)))  # 8-bit of hi
+    for kwargs in (
+        {},
+        {"big_endian": True},
+        {"compression": "lzw", "predictor": 2},
+        {"compression": "deflate", "big_endian": True, "predictor": 2},
+        {"tiles": (8, 4), "compression": "lzw"},
+        {"planar": 2, "compression": "deflate", "predictor": 2},
+    ):
+        got16 = _tiff_rgb(_encode_tiff(px16, bits=16, **kwargs))
+        assert np.array_equal(got16, want16), kwargs
+
+    # corrupt deflate payload: ValueError, not zlib.error
+    bad = bytearray(_encode_tiff(rgb, compression="deflate"))
+    bad[-10] ^= 0xFF
+    with _pytest.raises(ValueError):
+        _tiff_rgb(bytes(bad))
 
 
 def test_gif_decoder_matches_ppm_on_same_pixels():
@@ -5560,6 +5623,9 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "tiff_tiled": _encode_tiff(rgb, tiles=(8, 4), compression="lzw"),
         "tiff_planar": _encode_tiff(rgb, planar=2, compression="lzw",
                                     predictor=2),
+        "tiff_deflate16": _encode_tiff(
+            rgb.astype(np.uint16) << 8, bits=16, compression="deflate",
+            predictor=2),
     }
     for name, good in payloads.items():
         kind = "audio" if name in ("wav", "flac") else "image"
