@@ -2020,3 +2020,122 @@ def dataset_card(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
             "min_chars", "max_chars",
         )
     )
+
+
+# --- X162/X163: URL canonicalization + per-domain curation (round 11).
+# Web corpora dedup on URLs before they dedup on text: the same page
+# arrives as http://WWW.Site.com:80/a?utm_source=x&b=2&a=1#frag and
+# https://www.site.com/a?a=1&b=2. Pure Column work (regexp + HOF
+# filter/sort) — zero shuffle until the caller's rollup, replayable in
+# ANSI SQL (list_filter/list_sort), no Python in the hot path.
+
+# Tracking parameters stripped by canonicalization: the utm_* family
+# plus the common click identifiers. Deliberately small and hard-coded
+# (deterministic; callers pass their own list for site-specific noise).
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src",
+)
+
+
+def url_canonicalize(
+    url_col: str | Column = "url",
+    tracking_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """Canonical form of an absolute http(s)-style URL (RFC 3986
+    syntax-based normalization, public): lowercase scheme and host,
+    strip userinfo / fragment / trailing host dot, drop the scheme's
+    default port (http:80, https:443), empty path -> "/", drop
+    tracking query params (``utm_*`` + *tracking_params*), and sort
+    the surviving params so equivalent orderings collide. Percent-
+    decoding and dot-segment collapse are deliberately OUT of scope
+    (they require table-driven decoding that plain SQL replay can't
+    mirror byte-for-byte; syntax-based normalization is the
+    dedup-safe subset). Malformed URLs (no scheme://) canonicalize to
+    NULL so callers can quarantine them."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_extract(auth, r"([^@]*)$", 1)  # strip userinfo
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1)), r"\.$", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+
+    def keep(p: Column) -> Column:
+        key = F.lower(F.split(p, "=").getItem(0))
+        return (
+            (p != "")
+            & ~key.startswith("utm_")
+            & ~key.isin(*tracking_params)
+        )
+
+    params = F.array_sort(F.filter(F.split(query, "&"), keep))
+    port_part = F.when(
+        (port == "")
+        | ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&"))
+               ).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), canon).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def url_domain(url_col: str | Column = "url") -> Column:
+    """Last-two-labels domain of the canonical host (site.com from
+    www.site.com). A real crawl pipeline swaps in the public-suffix
+    list (co.uk-style suffixes need the table; shipping a partial copy
+    would silently mis-group — the PPM-maxval rule applied to text);
+    the two-label heuristic is the deterministic, dependency-free
+    default and is explicit in the name of every downstream column."""
+    canon = url_canonicalize(url_col)
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1)
+    return F.when(
+        canon.isNotNull(), F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def domain_curation_stats(
+    df: DataFrame, url_col: str = "url", quota: int = 0
+) -> DataFrame:
+    """Per-domain curation rollup over a URL column: raw URL count,
+    distinct canonical URLs (URL-level dup rate is raw/distinct), NULL
+    (malformed) count, and — when ``quota`` > 0 — how many rows a
+    per-domain quota would keep (the domain-cap sampling every web
+    corpus applies so megasites don't dominate the mixture). ONE hash
+    aggregation on the domain key; canonicalization is a narrow
+    projection, so the shuffle carries only (domain, canonical digest)
+    — never the page payload."""
+    base = df.select(
+        url_domain(url_col).alias("domain"),
+        url_canonicalize(url_col).alias("canonical_url"),
+    )
+    agg = base.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.count("canonical_url").cast("bigint").alias("n_parsed"),
+        F.countDistinct("canonical_url").cast("bigint").alias("n_canonical"),
+    )
+    out = agg.select(
+        "domain",
+        "n_urls",
+        (F.col("n_urls") - F.col("n_parsed")).alias("n_malformed"),
+        "n_canonical",
+    )
+    if quota > 0:
+        out = out.withColumn(
+            "n_kept_under_quota", F.least(F.col("n_canonical"), F.lit(quota))
+        )
+    return out

@@ -1,5 +1,13 @@
 """Round-12 declaration candidates, STAGED (VERDICT r10 task 4).
 
+Two candidates, both oracle-tested every pytest run and via
+``tools/check_oracle.py --staged``:
+
+q195 gives the round-11 URL curation family (X162 canonicalization +
+X163 per-domain rollup) a driver-oracle-able form over a
+deterministic messy-URL synthesis; its oracle derives the expected
+canonical forms from first principles (see the builder docstring).
+
 q194 gives the round-10 raw-corpus ingest edge (X160, unit-only so
 far) a DRIVER-ORACLE-ABLE form: the builder round-trips the documents
 table through the REAL ingest path — JSON-encode each row to newline-
@@ -95,8 +103,90 @@ def q194_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_row.unionByName(quar_row).orderBy("status")
 
 
+def q195_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162/X163 — URL canonicalization + per-domain curation rollup
+    over a deterministic messy-URL synthesis (documents has no URL
+    column, so the query builds one per doc from doc_id/source with
+    every normalization hazard: mixed case, userinfo, default and
+    non-default ports, empty paths, tracking params in shuffled
+    positions, fragments, and a malformed class). The oracle derives
+    the EXPECTED canonical form from the same components from first
+    principles — it never reimplements the parser — so a hash match
+    proves the canonicalizer strips/sorts/defaults exactly right,
+    including the variant collisions n_canonical counts."""
+    from .operators.text import url_canonicalize, url_domain
+
+    did = F.col("doc_id")
+    s = did.cast("string")
+    scheme = F.when(did % 3 == 1, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Ex"),
+        (did % 4).cast("string"),
+        F.lit(".COM"),
+    )
+    userinfo = F.when(did % 9 == 0, F.lit("u:pw@")).otherwise(F.lit(""))
+    port = (
+        F.when(did % 5 == 0, F.lit(":443"))
+        .when(did % 5 == 1, F.lit(":80"))
+        .when(did % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(did % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (did % 11).cast("string"))
+    )
+    q = (
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit("?utm_source=news&b="), (did % 13).cast("string"),
+                     F.lit("&a=1")),
+        )
+        .when(did % 6 == 1,
+              F.concat(F.lit("?a=1&b="), (did % 13).cast("string")))
+        .when(did % 6 == 2, F.concat(F.lit("?gclid="), s))
+        .when(did % 6 == 4,
+              F.concat(F.lit("?z="), (did % 3).cast("string"),
+                       F.lit("&utm_medium=email")))
+        .when(did % 6 == 5, F.lit("?ref=home"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 8 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.when(did % 17 == 0, F.concat(F.lit("junk "), s)).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, host, port, path, q, frag)
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    base = urls.select(
+        url_domain("url").alias("domain"),
+        url_canonicalize("url").alias("canonical_url"),
+    )
+    return (
+        base.groupBy("domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            (F.count("*") - F.count("canonical_url"))
+            .cast("bigint")
+            .alias("n_malformed"),
+            F.countDistinct("canonical_url").cast("bigint").alias("n_canonical"),
+            F.min("canonical_url").alias("sample_url"),
+        )
+        .select(
+            "domain",
+            "n_urls",
+            "n_malformed",
+            "n_canonical",
+            F.least(F.col("n_canonical"), F.lit(100))
+            .cast("bigint")
+            .alias("n_kept_under_quota"),
+            "sample_url",
+        )
+        .orderBy("domain")
+    )
+
+
 STAGED_QUERIES = {
     "q194_raw_ingest": q194_raw_ingest,
+    "q195_domain_curation": q195_domain_curation,
 }
 
 
@@ -122,6 +212,46 @@ u AS (
 SELECT * FROM u ORDER BY status
 """
 
+# First-principles canonical derivation (never a parser replay): the
+# oracle rebuilds the canonical URL from the synthesis components —
+# lowercase host, userinfo/fragment gone, default port dropped per the
+# ACTUAL scheme, '' path -> '/', tracking params gone and the
+# survivors in sorted order (a=1 < b=N < z=K byte order).
+Q195_SQL = """
+WITH comp AS (
+  SELECT doc_id,
+         doc_id % 17 = 0 AS malformed,
+         CASE WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END AS scheme,
+         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+         CASE WHEN doc_id % 5 = 2 THEN ':8080'
+              WHEN doc_id % 5 = 1 AND doc_id % 3 <> 1 THEN ':80'
+              WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 THEN ':443'
+              ELSE '' END AS portpart,
+         CASE WHEN doc_id % 7 = 0 THEN '/'
+              ELSE '/p/' || CAST(doc_id % 11 AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 6 IN (0, 1)
+                THEN '?a=1&b=' || CAST(doc_id % 13 AS VARCHAR)
+              WHEN doc_id % 6 = 4 THEN '?z=' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE '' END AS q
+  FROM documents),
+canon AS (
+  SELECT CASE WHEN malformed THEN NULL
+              ELSE scheme || '://' || host || portpart || path || q END AS c,
+         CASE WHEN malformed THEN NULL
+              ELSE 'ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' END AS d
+  FROM comp)
+SELECT d AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical,
+       CAST(LEAST(COUNT(DISTINCT c), 100) AS BIGINT) AS n_kept_under_quota,
+       MIN(c) AS sample_url
+FROM canon GROUP BY d ORDER BY d
+"""
+
 STAGED_SQL = {
     "q194_raw_ingest": Q194_SQL,
+    "q195_domain_curation": Q195_SQL,
 }

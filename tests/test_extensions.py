@@ -6563,3 +6563,78 @@ def test_degenerate_inputs_never_crash_ansi(spark):
     r = card[0]
     assert (r.n_docs, r.n_unique_texts, r.n_tokens) == (0, 0, None)
     assert r.dup_rate is None and r.median_tokens is None
+
+
+def test_url_canonicalize_cases(spark):
+    """X162: RFC 3986 syntax-based normalization — case, default
+    ports, userinfo, fragments, tracking params, param ordering,
+    trailing host dot, empty path — all collapse to one canonical
+    form; non-default ports and real params survive; malformed URLs
+    canonicalize to NULL (the quarantine contract)."""
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import (
+        url_canonicalize,
+        url_domain,
+    )
+
+    cases = [
+        # (input, canonical, domain)
+        ("https://www.site.com/a?b=2&a=1", "https://www.site.com/a?a=1&b=2",
+         "site.com"),
+        ("HTTPS://WWW.Site.COM:443/a?a=1&b=2#frag",
+         "https://www.site.com/a?a=1&b=2", "site.com"),
+        ("http://user:pw@site.com.:80?utm_source=x",
+         "http://site.com/", "site.com"),
+        ("http://site.com:8080/a", "http://site.com:8080/a", "site.com"),
+        ("https://sub.a.example.org/p/q?gclid=123&z=9&fbclid=4",
+         "https://sub.a.example.org/p/q?z=9", "example.org"),
+        ("https://x.io/?utm_campaign=a&utm_medium=b", "https://x.io/",
+         "x.io"),
+        ("ftp://files.example.com/pub", "ftp://files.example.com/pub",
+         "example.com"),
+        ("not a url", None, None),
+        ("/relative/path?a=1", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        url_canonicalize("url").alias("c"), url_domain("url").alias("d")
+    ).collect()
+    for (u, want_c, want_d), row in zip(cases, got):
+        assert row["c"] == want_c, (u, row["c"])
+        assert row["d"] == want_d, (u, row["d"])
+
+    # idempotence: canonicalizing a canonical form is a no-op
+    canon_df = spark.createDataFrame(
+        [(c,) for _, c, _ in cases if c], "url string"
+    )
+    again = canon_df.select(F.col("url"), url_canonicalize("url").alias("c2"))
+    assert all(r["c2"] == r["url"] for r in again.collect())
+
+
+def test_domain_curation_stats(spark):
+    """X163: the per-domain rollup counts raw/malformed/canonical and
+    applies the quota cap; equivalent URL variants of the same page
+    collapse into one canonical count."""
+    from emr_trino_autoscale_spark.operators.text import domain_curation_stats
+
+    rows = [
+        ("https://big.com/p1?b=2&a=1",),
+        ("HTTPS://BIG.com:443/p1?a=1&b=2#x",),   # same page as above
+        ("https://big.com/p2",),
+        ("https://big.com/p3",),
+        ("http://small.org/only",),
+        ("garbage",),                            # malformed -> NULL domain
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        r["domain"]: r
+        for r in domain_curation_stats(df, "url", quota=2).collect()
+    }
+    assert got["big.com"]["n_urls"] == 4
+    assert got["big.com"]["n_canonical"] == 3  # p1 variants collapsed
+    assert got["big.com"]["n_malformed"] == 0
+    assert got["big.com"]["n_kept_under_quota"] == 2
+    assert got["small.org"]["n_canonical"] == 1
+    assert got["small.org"]["n_kept_under_quota"] == 1
+    assert got[None]["n_malformed"] == 1 and got[None]["n_canonical"] == 0
