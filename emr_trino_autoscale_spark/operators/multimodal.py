@@ -534,7 +534,9 @@ def _tiff_rgb(payload: bytes):
     317 value 2, spec section 14 — round 11), which real LZW/deflate
     writers almost always pair with. Scanned-document corpora are
     TIFF-heavy, which is why the format earns a real decoder (round
-    10). Palettes, JPEG-in-TIFF, and other depths raise so
+    10). Palette-color (photometric 3, 8-bit indices, the ColorMap's
+    16-bit values reduced v>>8) decodes for real too (round 11);
+    JPEG-in-TIFF and other depths raise so
     :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
     rule)."""
     import struct
@@ -598,10 +600,22 @@ def _tiff_rgb(payload: bytes):
         raise ValueError(f"TIFF: reserved planar configuration {planar}")
     if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise ValueError(f"TIFF: photometric {photometric} unsupported")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF: predictor {predictor} unsupported")
+    colormap = None
+    if photometric == 3:  # palette-color (spec: ColorMap is REQUIRED)
+        cm = tags.get(320)
+        if depth != 8 or spp != 1:
+            raise ValueError("TIFF: only 8-bit single-sample palettes")
+        if not cm or len(cm) != 3 * (1 << depth):
+            raise ValueError("TIFF: palette image without a valid ColorMap")
+        # ColorMap values are 16-bit (0 = black, 65535 = white); reduce
+        # to the 8-bit probe contract like every other 16-bit sample
+        colormap = (
+            np.array(cm, dtype=np.uint32).reshape(3, 1 << depth).T >> 8
+        ).astype(np.uint8)
 
     def segment(off: int, cnt: int) -> bytes:
         seg = payload[off:off + cnt]
@@ -689,6 +703,8 @@ def _tiff_rgb(payload: bytes):
         if spp < 3:
             raise ValueError("TIFF: RGB photometric with <3 samples")
         rgb = px[..., :3]  # extra samples (alpha) dropped
+    elif photometric == 3:
+        rgb = colormap[px[..., 0]]
     else:
         g = px[..., 0]
         if photometric == 0:  # WhiteIsZero: inverted grayscale

@@ -4537,7 +4537,7 @@ def _tiff_packbits_encode_test(raw: bytes) -> bytes:
 
 def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
                  rows_per_strip=None, alpha=False, compression=None,
-                 predictor=1, tiles=None, planar=1, bits=8):
+                 predictor=1, tiles=None, planar=1, bits=8, palette=None):
     """Test-side TIFF 6.0 writer (II or MM; strip or tiled layout;
     chunky or separate planes; none/PackBits/LZW/deflate compression;
     optional horizontal-differencing predictor; 8- or 16-bit samples;
@@ -4619,6 +4619,11 @@ def _encode_tiff(arr, big_endian=False, photometric=None, packbits=False,
     entry(262, 3, [photometric])
     entry(277, 3, [channels])
     entry(284, 3, [planar])
+    if palette is not None:
+        # ColorMap (tag 320): 16-bit values, all reds then greens then
+        # blues; v8 * 257 is the exact 8->16 bit expansion
+        entry(320, 3, [int(v) * 257 for ch_ in range(3)
+                       for v in palette[:, ch_]])
     if predictor == 2:
         entry(317, 3, [predictor])
     if tiles:
@@ -6638,3 +6643,39 @@ def test_domain_curation_stats(spark):
     assert got["small.org"]["n_canonical"] == 1
     assert got["small.org"]["n_kept_under_quota"] == 1
     assert got[None]["n_malformed"] == 1 and got[None]["n_canonical"] == 0
+
+
+def test_tiff_palette_matches_rgb_twin():
+    """Round-11 TIFF extensions, part 3: palette-color (photometric 3,
+    ColorMap tag 320 with the 16-bit v*257 expansion) decodes to the
+    same pixels as an RGB TIFF of palette[index]; a palette image
+    without a ColorMap raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import _tiff_rgb
+
+    rng = np.random.RandomState(43)
+    pal = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.randint(0, 256, size=(10, 13), dtype=np.uint8)
+    want = _tiff_rgb(_encode_tiff(pal[idx]))
+    for kwargs in (
+        {},
+        {"compression": "lzw", "predictor": 2},
+        {"tiles": (8, 8), "compression": "deflate"},
+        {"big_endian": True},
+    ):
+        got = _tiff_rgb(
+            _encode_tiff(idx[..., None], photometric=3, palette=pal, **kwargs)
+        )
+        assert np.array_equal(got, want), kwargs
+
+    # missing ColorMap -> ValueError (spec: required for photometric 3)
+    import struct
+
+    bad = bytearray(_encode_tiff(idx[..., None], photometric=1))
+    i = bad.find(b"\x06\x01")  # tag 262
+    assert i > 0
+    bad[i + 8:i + 10] = struct.pack("<H", 3)
+    with _pytest.raises(ValueError, match="ColorMap|palette"):
+        _tiff_rgb(bytes(bad))
