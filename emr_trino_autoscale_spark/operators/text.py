@@ -2139,3 +2139,43 @@ def domain_curation_stats(
             "n_kept_under_quota", F.least(F.col("n_canonical"), F.lit(quota))
         )
     return out
+
+
+# --- X164: HTML -> text extraction (round 11). Web-corpus ingest
+# sees markup, not prose; quality scoring over raw HTML mis-ranks
+# every page. Pure chained regexp_replace (codegen'd, zero shuffle),
+# each pattern RE2-compatible so a plain-SQL oracle can replay it
+# (no backreferences — script/style handled as separate patterns).
+
+def html_to_text(text_col: str | Column = "text") -> Column:
+    """Markup-stripped text of an HTML document: drop <script>/<style>
+    blocks and comments wholesale, replace every remaining tag with a
+    space, decode the six ubiquitous named entities (&amp; &lt; &gt;
+    &quot; &#39; &nbsp;), and squeeze whitespace. Numeric character
+    references and the long tail of named entities are deliberately
+    OUT of scope — decoding them needs the full entity table and
+    char() arithmetic that plain-SQL replay can't mirror, and they are
+    rare enough in body text that quality metrics don't move. NOT a
+    sanitizer: this is a feature/ingest transform, never a security
+    boundary."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def markup_density(text_col: str | Column = "text") -> Column:
+    """Fraction of the document consumed by markup: 1 - len(extracted
+    text)/len(raw). The standard cheap boilerplate signal — a nav-and-
+    chrome page scores near 1, an article near 0 — used as a keep/drop
+    feature alongside the X4 quality scores."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    raw_len = F.length(t)
+    return F.when(raw_len > 0,
+                  1.0 - F.length(html_to_text(t)) / raw_len.cast("double")
+                  ).otherwise(F.lit(0.0))

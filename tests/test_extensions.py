@@ -6679,3 +6679,39 @@ def test_tiff_palette_matches_rgb_twin():
     bad[i + 8:i + 10] = struct.pack("<H", 3)
     with _pytest.raises(ValueError, match="ColorMap|palette"):
         _tiff_rgb(bytes(bad))
+
+
+def test_html_to_text_and_markup_density(spark):
+    """X164: script/style/comment blocks vanish wholesale, tags become
+    spaces, the six core entities decode (with &amp; last so literal
+    '&amp;lt;' yields '&lt;', never double-decodes), whitespace
+    squeezes; markup_density separates a chrome-heavy page from plain
+    prose."""
+    from emr_trino_autoscale_spark.operators.text import (
+        html_to_text,
+        markup_density,
+    )
+
+    cases = [
+        ("<html><body><h1>Title</h1><p>Hello   world</p></body></html>",
+         "Title Hello world"),
+        ("<script>var x = '<p>not text</p>';</script>after", "after"),
+        ("<STYLE type='a'>.c{color:red}</style>kept", "kept"),
+        ("<!-- a <b> comment -->text<!--x-->", "text"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+         "a & b <tag> \"q\" 's' end"),
+        ("&amp;lt; stays encoded once", "&lt; stays encoded once"),
+        ("no markup at all", "no markup at all"),
+        ("<br><br/><a href='x'>link</a>", "link"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "text string")
+    got = df.select(html_to_text("text").alias("t")).collect()
+    for (h, want), row in zip(cases, got):
+        assert row["t"] == want, (h, row["t"])
+
+    dens = spark.createDataFrame(
+        [("<div><nav><a href='/'>x</a></nav></div>",),
+         ("plain prose with no tags whatsoever",), ("",)],
+        "text string",
+    ).select(markup_density("text").alias("d")).collect()
+    assert dens[0]["d"] > 0.9 and dens[1]["d"] == 0.0 and dens[2]["d"] == 0.0
