@@ -1259,3 +1259,62 @@ def ingest_documents_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def make_domain_curation_maintainer(url_col: str = "url", lg_config_k: int = 12):
+    """X165 (round 11) — streaming per-domain URL curation, the live
+    twin of :func:`..operators.text.domain_curation_stats` (X163) over
+    the X162 canonicalizer: a crawl frontier delivers URL batches
+    continuously, and the domain quota/dup decisions need a maintained
+    view, not a nightly batch. Every published statistic is mergeable
+    — n_urls/n_malformed by ADDITION (the X142/X157 shape), distinct
+    canonical URLs by HLL register-MAX (the X158 shape: the merged
+    sketch IS the sketch of the union, so batching can't change the
+    estimate; exact distinct sets are not mergeable without carrying
+    them). Each micro-batch costs one narrow canonicalize projection +
+    one hash agg on the domain key — the canonical string never rides
+    the merge, only the fixed-size sketch blob. Returned pair
+    (maintain, stats): ``maintain(state_or_None, batch) -> state``;
+    ``stats(state) -> (domain, n_urls, n_malformed, n_canonical_est)``.
+    Parity pinned by tests/test_stateful.py::
+    test_domain_curation_stream_matches_batch."""
+    from ..operators.text import url_canonicalize, url_domain
+
+    def _partial(batch):
+        base = batch.select(
+            url_domain(url_col).alias("domain"),
+            url_canonicalize(url_col).alias("__c"),
+        )
+        return base.groupBy("domain").agg(
+            F.count("*").cast("bigint").alias("n_urls"),
+            (F.count("*") - F.count("__c")).cast("bigint").alias("n_malformed"),
+            F.hll_sketch_agg("__c", F.lit(lg_config_k)).alias("__sk"),
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        return (
+            state.unionByName(part)
+            .groupBy("domain")
+            .agg(
+                F.sum("n_urls").cast("bigint").alias("n_urls"),
+                F.sum("n_malformed").cast("bigint").alias("n_malformed"),
+                F.hll_union_agg("__sk", F.lit(False)).alias("__sk"),
+            )
+        )
+
+    def stats(state):
+        # a domain whose every URL is malformed (the NULL-domain
+        # quarantine group) has a NULL sketch — its distinct count is 0
+        return state.select(
+            "domain",
+            "n_urls",
+            "n_malformed",
+            F.coalesce(F.hll_sketch_estimate("__sk"), F.lit(0))
+            .cast("bigint")
+            .alias("n_canonical_est"),
+        )
+
+    return maintain, stats

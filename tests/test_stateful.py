@@ -1617,3 +1617,73 @@ def test_ingest_stream_matches_batch(spark, tmp_path):
         .count()
     )
     assert n_quar == stats["n_corrupt"] == 2
+
+
+def test_domain_curation_stream_matches_batch(spark, tmp_path):
+    """X165: per-domain URL curation folded over two streamed epochs
+    equals the batch domain_curation_stats on the union — exact for
+    n_urls/n_malformed (additive merges), HLL-exact for canonical NDV
+    at these cardinalities — with URL variants of the same page split
+    ACROSS epochs (the case a batched recount gets right only because
+    register-MAX merge equals the sketch of the union) and a malformed
+    class landing in the NULL-domain quarantine group."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.text import domain_curation_stats
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_domain_curation_maintainer,
+    )
+
+    # epoch 1 sees one casing of each page, epoch 2 the other casing
+    # plus new pages and the malformed rows
+    e1 = [("https://big.com/p%d?b=2&a=1" % (i % 7),) for i in range(30)]
+    e2 = (
+        [("HTTPS://BIG.com:443/p%d?a=1&b=2#x" % (i % 7),) for i in range(20)]
+        + [("http://small.org/q%d" % i,) for i in range(5)]
+        + [("junk %d" % i,) for i in range(3)]
+    )
+    df1 = spark.createDataFrame(e1, "url string")
+    df2 = spark.createDataFrame(e2, "url string")
+
+    src = str(tmp_path / "dc_src")
+    out = str(tmp_path / "dc_state")
+    chk = str(tmp_path / "dc_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain, stats = make_domain_curation_maintainer("url")
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.domain: (r.n_urls, r.n_malformed, r.n_canonical_est)
+        for r in stats(spark.read.parquet(out)).collect()
+    }
+    want = {
+        r.domain: (r.n_urls, r.n_malformed, r.n_canonical)
+        for r in domain_curation_stats(
+            df1.unionByName(df2), "url"
+        ).collect()
+    }
+    assert set(got) == set(want) == {"big.com", "small.org", None}
+    for d in want:
+        assert got[d][:2] == want[d][:2], d          # exact adds
+        assert abs(got[d][2] - want[d][2]) <= 1, d   # HLL at tiny NDV
+    # the cross-epoch variant pairs actually collapsed: 7 pages, not 14
+    assert want["big.com"][2] == 7 and got["big.com"][2] == 7
+    assert got[None] == (3, 3, 0)
