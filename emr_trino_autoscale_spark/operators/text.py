@@ -2179,3 +2179,71 @@ def markup_density(text_col: str | Column = "text") -> Column:
     return F.when(raw_len > 0,
                   1.0 - F.length(html_to_text(t)) / raw_len.cast("double")
                   ).otherwise(F.lit(0.0))
+
+
+# --- X166: encoding QA (round 11). Double-encoding (UTF-8 bytes
+# decoded as Latin-1/cp1252) is the most common corpus corruption
+# after truncation. Detect, never repair — repair needs the byte
+# history (which decode happened) and guessing wrong corrupts clean
+# text; the score routes documents to quarantine/re-ingest instead.
+
+# The character images of UTF-8 CONTINUATION bytes (0x80-0xBF) under
+# BOTH common mis-decodes: Latin-1 maps them to \u0080-\u00bf
+# identically; cp1252 remaps 0x80-0x9F to the punctuation/letter set
+# enumerated below (public cp1252 table) and passes 0xA0-0xBF through.
+_UTF8_CONT_IMAGES = (
+    "\u0080-\u00bf"
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030"
+    "\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022"
+    "\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+# Valid UTF-8 lead bytes 0xC2-0xEF map to \u00c2-\u00ef under BOTH
+# decodes (cp1252 is identity at >=0xA0), so a lead-image followed by
+# continuation-images is the mis-decode signature; 0xC0/0xC1 are not
+# valid UTF-8 leads, which conveniently excludes real words starting
+# with A-grave/A-acute. Plain alternation, RE2-replayable.
+_MOJIBAKE_RE = (
+    "([\u00c2-\u00df][" + _UTF8_CONT_IMAGES + "])"
+    "|([\u00e0-\u00ef][" + _UTF8_CONT_IMAGES + "]{2})"
+)
+_CONTROL_RE = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def mojibake_score(text_col: str | Column = "text") -> Column:
+    """Per-1000-chars density of UTF-8-as-Latin-1/cp1252 artifact
+    sequences (a mis-decoded lead byte's image followed by
+    continuation-byte images) — ~0 on clean text in any language
+    (accented letters in real prose are followed by ASCII, which is
+    outside the continuation-image class), large on genuinely
+    double-encoded text (EVERY non-ASCII character contributes one
+    artifact). Detection only; see the module note on why repair is
+    out of scope."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    hits = F.size(F.regexp_extract_all(t, F.lit(_MOJIBAKE_RE), 0))
+    return F.when(
+        F.length(t) > 0, hits * 1000.0 / F.length(t).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def control_char_count(text_col: str | Column = "text") -> Column:
+    """Count of C0/DEL control characters (tab/newline/CR excluded) —
+    binary-in-text contamination, the cheap signal that a 'text' shard
+    is actually mis-sniffed binary."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(t, F.lit(_CONTROL_RE), 0)).cast("bigint")
+
+
+def replacement_char_count(text_col: str | Column = "text") -> Column:
+    """Count of U+FFFD replacement characters — the upstream decoder
+    already lost those bytes; a high count means re-ingest from
+    source, not repair."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(t, F.lit("\ufffd"), 0)).cast("bigint")
+
+
+def strip_control_chars(text_col: str | Column = "text") -> Column:
+    """The one SAFE encoding repair: drop C0/DEL controls (keeping
+    tab/newline/CR). Unlike mojibake repair this cannot corrupt clean
+    text — the stripped range is never legitimate prose."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_replace(t, _CONTROL_RE, "")

@@ -6715,3 +6715,51 @@ def test_html_to_text_and_markup_density(spark):
         "text string",
     ).select(markup_density("text").alias("d")).collect()
     assert dens[0]["d"] > 0.9 and dens[1]["d"] == 0.0 and dens[2]["d"] == 0.0
+
+
+def test_encoding_qa_operators(spark):
+    """X166: mojibake detection fires on UTF-8-as-Latin-1/cp1252
+    double-encodes (2-byte Western, Cyrillic, 3-byte CJK) and stays at
+    zero on clean accented prose in several languages; control/
+    replacement counters and the safe control-strip behave."""
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import (
+        control_char_count,
+        mojibake_score,
+        replacement_char_count,
+        strip_control_chars,
+    )
+
+    bad_we = "café résumé".encode("utf-8").decode("latin-1")
+    bad_cy = "кот и пёс".encode("utf-8").decode("latin-1")
+    bad_cjk = "日本語テキスト".encode("utf-8").decode("latin-1")
+    rows = [
+        (1, bad_we), (2, bad_cy), (3, bad_cjk),
+        (4, "père Noël à côté de l'hôtel"),
+        (5, "Übung macht den Meister, straße"),
+        (6, "el año del señor"),
+        (7, "plain ascii text only"),
+        (8, "null\x00byte and bell\x07 kept\ttab\nnewline"),
+        (9, "lost � bytes � here"),
+        (10, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            mojibake_score("text").alias("moji"),
+            control_char_count("text").alias("ctrl"),
+            replacement_char_count("text").alias("repl"),
+            strip_control_chars("text").alias("clean"),
+        ).collect()
+    }
+    assert got[1]["moji"] > 0 and got[2]["moji"] > 0 and got[3]["moji"] > 0
+    for i in (4, 5, 6, 7, 10):
+        assert got[i]["moji"] == 0.0, (i, got[i]["moji"])
+    assert got[8]["ctrl"] == 2 and got[8]["repl"] == 0
+    assert got[8]["clean"] == "nullbyte and bell kept\ttab\nnewline"
+    assert got[9]["repl"] == 2 and got[9]["ctrl"] == 0
+    # the score is a keep/drop separator at any threshold in (0, 1]
+    assert min(got[i]["moji"] for i in (1, 2, 3)) > 40  # per-1000 density
