@@ -972,3 +972,66 @@ def test_flac_roundtrip_property(data):
     got, rate, bps = decode_flac_pcm(payload)
     assert rate == 8000 and bps == 16
     assert np.array_equal(got, pcm)
+
+
+_URL_SCHEMES = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"])
+_URL_HOSTLBL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ09-", min_size=1, max_size=8
+)
+_URL_PARAM = st.tuples(
+    st.sampled_from(["a", "B", "z2", "utm_source", "utm_x", "gclid", "ref"]),
+    st.text(alphabet="abcXYZ019.~%", min_size=0, max_size=6),
+)
+
+
+@given(
+    scheme=_URL_SCHEMES,
+    labels=st.lists(_URL_HOSTLBL, min_size=2, max_size=4),
+    userinfo=st.sampled_from(["", "u@", "u:p@"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080", ":1"]),
+    path=st.sampled_from(["", "/", "/a", "/a/b.html", "/a%20b"]),
+    params=st.lists(_URL_PARAM, max_size=5),
+    frag=st.sampled_from(["", "#f", "#a?b=1"]),
+    junk=st.text(max_size=20),
+)
+@settings(**SETTINGS)
+def test_url_canonicalize_total_and_idempotent(
+    spark, scheme, labels, userinfo, port, path, params, frag, junk
+):
+    """X162 algebraic contract: over a grammar of URL-ish strings PLUS
+    arbitrary unicode junk, canonicalization (1) never throws — total
+    function, NULL for unparseable, (2) is IDEMPOTENT — canon(canon(u))
+    == canon(u), the property that makes it safe to run at any
+    pipeline stage without tracking whether an upstream already ran
+    it, and (3) never emits uppercase scheme/host, default ports,
+    fragments, or tracking params."""
+    from emr_trino_autoscale_spark.operators.text import url_canonicalize
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = (
+        scheme + "://" + userinfo + ".".join(labels) + port + path
+        + ("?" + q if q else "") + frag
+    )
+    df = spark.createDataFrame([(url,), (junk,)], "url string")
+    got = df.select(
+        F.col("url"), url_canonicalize("url").alias("c")
+    ).collect()
+    canon = {r["url"]: r["c"] for r in got}
+    # idempotence on everything that parsed
+    parsed = [(c,) for c in canon.values() if c is not None]
+    if parsed:
+        again = spark.createDataFrame(parsed, "url string").select(
+            F.col("url"), url_canonicalize("url").alias("c2")
+        ).collect()
+        for r in again:
+            assert r["c2"] == r["url"], (r["url"], r["c2"])
+    for c in canon.values():
+        if c is None:
+            continue
+        host = c.split("://")[1].split("/")[0]
+        assert host == host.lower()
+        assert "#" not in c and "@" not in host
+        assert not c.startswith("http://") or ":80/" not in c
+        assert not c.startswith("https://") or ":443/" not in c
+        assert "utm_" not in c.split("?")[-1] if "?" in c else True
+        assert "gclid=" not in c
