@@ -160,7 +160,12 @@ def write_compacted(
     n_files = max(1, math.ceil(est_bytes / (target_file_mb * (1 << 20))))
     rows_per_file = max(1, math.ceil(n_rows / n_files))
     if partition_by:
-        per_files = (
+        # ONE aggregation scan: collect the bounded per-partition plan
+        # (#distinct partition tuples rows) and rebuild it as a
+        # driver-local frame for the broadcast — re-joining the live
+        # aggregate would re-scan the input a second time under the
+        # write (round-11 review finding).
+        plan_rows = (
             df.groupBy(*partition_by)
             .agg(F.count("*").alias("__n_rows_p"))
             .select(
@@ -172,8 +177,14 @@ def write_compacted(
                 .cast("int")
                 .alias("__n_files_p"),
             )
+            .collect()
         )
-        planned = per_files.agg(F.sum("__n_files_p").alias("s")).collect()[0]["s"]
+        planned = sum(r["__n_files_p"] for r in plan_rows)
+        spark = df.sparkSession
+        per_files = spark.createDataFrame(
+            plan_rows,
+            df.select(*partition_by).schema.add("__n_files_p", "integer"),
+        )
         d, p = df.alias("__d"), F.broadcast(per_files).alias("__p")
         salted = d.join(
             p,
@@ -182,8 +193,18 @@ def write_compacted(
                 for c in partition_by
             ],
         ).select("__d.*", F.col("__p.__n_files_p").alias("__n_files_p"))
+        # Salt = content hash + the upstream partition id. Content
+        # alone would send byte-identical duplicate rows (a pre-dedup
+        # web corpus's hottest case) to ONE bucket and re-serialize
+        # the straggler; the partition-id term spreads duplicates
+        # across upstream splits while staying deterministic under
+        # task retry (same split -> same id -> same routing, unlike a
+        # rand() salt, which breaks the fetch-retry consistency that
+        # plain repartition(n) gets via its round-robin sort).
         salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.xxhash64(
+                *[F.col(c) for c in df.columns], F.spark_partition_id()
+            ),
             F.col("__n_files_p"),
         ).cast("int")
         (

@@ -2109,36 +2109,45 @@ def url_domain(url_col: str | Column = "url") -> Column:
 
 
 def domain_curation_stats(
-    df: DataFrame, url_col: str = "url", quota: int = 0
+    df: DataFrame, url_col: str = "url", quota: int = 0,
+    with_sample: bool = False,
 ) -> DataFrame:
     """Per-domain curation rollup over a URL column: raw URL count,
     distinct canonical URLs (URL-level dup rate is raw/distinct), NULL
-    (malformed) count, and — when ``quota`` > 0 — how many rows a
-    per-domain quota would keep (the domain-cap sampling every web
-    corpus applies so megasites don't dominate the mixture). ONE hash
-    aggregation on the domain key; canonicalization is a narrow
-    projection, so the shuffle carries only (domain, canonical digest)
-    — never the page payload."""
+    (malformed) count, when ``quota`` > 0 how many rows a per-domain
+    quota would keep (the domain-cap sampling every web corpus applies
+    so megasites don't dominate the mixture), and with ``with_sample``
+    the lexicographically-first canonical URL as an inspectable
+    exemplar. ONE hash aggregation on the domain key; canonicalization
+    is a narrow projection, so the shuffle carries only (domain,
+    canonical digest) — never the page payload."""
     base = df.select(
         url_domain(url_col).alias("domain"),
         url_canonicalize(url_col).alias("canonical_url"),
     )
-    agg = base.groupBy("domain").agg(
+    aggs = [
         F.count("*").cast("bigint").alias("n_urls"),
         F.count("canonical_url").cast("bigint").alias("n_parsed"),
         F.countDistinct("canonical_url").cast("bigint").alias("n_canonical"),
-    )
-    out = agg.select(
-        "domain",
-        "n_urls",
+    ]
+    if with_sample:
+        aggs.append(F.min("canonical_url").alias("sample_url"))
+    agg = base.groupBy("domain").agg(*aggs)
+    cols = [
+        F.col("domain"),
+        F.col("n_urls"),
         (F.col("n_urls") - F.col("n_parsed")).alias("n_malformed"),
-        "n_canonical",
-    )
+        F.col("n_canonical"),
+    ]
     if quota > 0:
-        out = out.withColumn(
-            "n_kept_under_quota", F.least(F.col("n_canonical"), F.lit(quota))
+        cols.append(
+            F.least(F.col("n_canonical"), F.lit(quota))
+            .cast("bigint")
+            .alias("n_kept_under_quota")
         )
-    return out
+    if with_sample:
+        cols.append(F.col("sample_url"))
+    return agg.select(*cols)
 
 
 # --- X164: HTML -> text extraction (round 11). Web-corpus ingest

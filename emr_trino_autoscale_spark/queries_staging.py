@@ -114,7 +114,7 @@ def q195_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     principles — it never reimplements the parser — so a hash match
     proves the canonicalizer strips/sorts/defaults exactly right,
     including the variant collisions n_canonical counts."""
-    from .operators.text import url_canonicalize, url_domain
+    from .operators.text import domain_curation_stats
 
     did = F.col("doc_id")
     s = did.cast("string")
@@ -156,32 +156,9 @@ def q195_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(scheme, F.lit("://"), userinfo, host, port, path, q, frag)
     )
     urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
-    base = urls.select(
-        url_domain("url").alias("domain"),
-        url_canonicalize("url").alias("canonical_url"),
-    )
-    return (
-        base.groupBy("domain")
-        .agg(
-            F.count("*").cast("bigint").alias("n_urls"),
-            (F.count("*") - F.count("canonical_url"))
-            .cast("bigint")
-            .alias("n_malformed"),
-            F.countDistinct("canonical_url").cast("bigint").alias("n_canonical"),
-            F.min("canonical_url").alias("sample_url"),
-        )
-        .select(
-            "domain",
-            "n_urls",
-            "n_malformed",
-            "n_canonical",
-            F.least(F.col("n_canonical"), F.lit(100))
-            .cast("bigint")
-            .alias("n_kept_under_quota"),
-            "sample_url",
-        )
-        .orderBy("domain")
-    )
+    return domain_curation_stats(
+        urls, "url", quota=100, with_sample=True
+    ).orderBy("domain")
 
 
 STAGED_QUERIES = {

@@ -62,7 +62,13 @@ def main() -> int:
                 STAGED_QUERIES as QUERIES,
                 STAGED_SQL as ORACLE,
             )
-        except ImportError:
+        except ModuleNotFoundError as exc:
+            # ONLY the module-deleted-after-declaration case is
+            # "nothing staged"; a broken import INSIDE an existing
+            # staging module must fail loudly, not green-light
+            # (round-11 review finding)
+            if exc.name != "emr_trino_autoscale_spark.queries_staging":
+                raise
             print("nothing staged (queries_staging.py absent — all "
                   "candidates declared)")
             return 0
