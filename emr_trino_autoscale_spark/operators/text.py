@@ -2256,3 +2256,164 @@ def strip_control_chars(text_col: str | Column = "text") -> Column:
     text — the stripped range is never legitimate prose."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.regexp_replace(t, _CONTROL_RE, "")
+
+
+# --- X167: Markdown -> text extraction (round 11). Code-hosting and
+# docs corpora arrive as Markdown, not HTML; the X164 stripper leaves
+# every fence, link target, and emphasis marker in place, which skews
+# length/punctuation quality signals and leaks URLs into token
+# statistics. Same contract as X164: chained RE2-compatible
+# regexp_replace (capture groups but no backreferences or lookaround,
+# so a plain-SQL oracle can replay each pattern), zero shuffle.
+
+_MD_STRIPS: tuple[tuple[str, str], ...] = (
+    # fenced code blocks vanish wholesale (code is not prose; keeping
+    # it would let a README full of shell blocks pass length gates)
+    (r"(?s)```.*?```", " "),
+    (r"(?s)~~~.*?~~~", " "),
+    # images contribute their alt text; links contribute their label
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),
+    (r"\[([^\]]*)\]\[[^\]]*\]", "$1"),
+    # reference-link definition lines are pure plumbing
+    (r"(?m)^\s*\[[^\]]+\]:\s*\S.*$", " "),
+    # autolinks drop their URL (URLs are routing, not prose)
+    (r"<(https?|mailto):[^>]*>", " "),
+    # inline HTML rides Markdown freely; reuse the X164 tag shape
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+    # ATX headers / blockquotes / list markers / horizontal rules
+    (r"(?m)^#{1,6}\s*", ""),
+    (r"(?m)^\s*>+\s?", ""),
+    (r"(?m)^\s*([-*+]|\d{1,9}[.)])\s+", ""),
+    (r"(?m)^\s*([-*_]\s*){3,}$", " "),
+    # table scaffolding: separator rows, then cell pipes
+    (r"(?m)^\s*\|?[\s:|-]+\|[\s:|-]*$", " "),
+    (r"\|", " "),
+    # emphasis/strikethrough markers; single underscores are left
+    # alone on purpose (snake_case identifiers are real content, and
+    # telling emphasis from them needs lookaround RE2 lacks)
+    (r"\*{1,3}", ""),
+    (r"~~", ""),
+    (r"__", ""),
+    # inline-code backticks (content kept: short spans are prose-like)
+    (r"`", ""),
+)
+
+
+def markdown_to_text(text_col: str | Column = "text") -> Column:
+    """Markup-stripped text of a Markdown document: fenced code blocks
+    and link/image targets vanish, labels and alt text survive, list/
+    header/table/emphasis scaffolding is removed, whitespace squeezes.
+    Scope notes: setext underlines are consumed by the horizontal-rule
+    pattern; single-underscore emphasis is deliberately NOT stripped
+    (indistinguishable from snake_case without lookaround); indented
+    (4-space) code blocks are kept as text (distinguishing them from
+    list continuations is parser work, not regex work). NOT a
+    sanitizer — ingest transform only, never a security boundary."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in _MD_STRIPS:
+        t = F.regexp_replace(t, pat, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def markdown_density(text_col: str | Column = "text") -> Column:
+    """Fraction of the document consumed by Markdown scaffolding:
+    1 - len(extracted)/len(raw). A link-farm README scores high, plain
+    prose ~0 — the X164 markup_density twin for Markdown corpora."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    raw_len = F.length(t)
+    return F.when(
+        raw_len > 0,
+        1.0 - F.length(markdown_to_text(t)) / raw_len.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+# --- X168: adjacent-repeated-line squeeze (round 11). Generation
+# glitches, crawler pagination, and template chrome all materialize
+# as the SAME line repeated back-to-back; the Gopher-style X13
+# signals only measure repetition, and the X20 boilerplate strip
+# works on corpus-frequency, not intra-document adjacency. This is
+# the row-local repair: keep the first of every run of identical
+# lines. Pure higher-order-function Column work — the line array is
+# compared against its own shift, so there is no UDF, no explode, no
+# shuffle, and the op composes into any narrow projection.
+
+
+def _dedup_adjacent(arr: Column) -> Column:
+    """NULL-mark every element equal to its predecessor. The shifted
+    twin is built with slice+concat (never element_at(.., 0), which
+    ANSI mode rejects); split() never yields NULL elements, so NULL
+    unambiguously means 'duplicate of previous'."""
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+    )
+    return F.zip_with(
+        arr, prev,
+        lambda a, b: F.when(a.eqNullSafe(b), F.lit(None)).otherwise(a),
+    )
+
+
+def squeeze_repeated_lines(text_col: str | Column = "text") -> Column:
+    """Text with every run of consecutive identical lines collapsed to
+    its first line (exact match; runs of blank lines collapse too, so
+    multi-blank paragraph gaps become single). Distinct lines,
+    including non-adjacent repeats, are untouched — corpus-level
+    boilerplate is X20's job, not this op's."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_join(F.array_compact(_dedup_adjacent(F.split(t, "\n"))), "\n")
+
+
+def repeated_line_fraction(text_col: str | Column = "text") -> Column:
+    """Fraction of a document's lines that are adjacent repeats — the
+    keep/drop signal companion to squeeze_repeated_lines (a page that
+    is mostly one repeated line should be dropped, not repaired)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.split(t, "\n")
+    n = F.size(arr)
+    kept = F.size(F.array_compact(_dedup_adjacent(arr)))
+    return F.when(
+        n > 0, (n - kept) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def encoding_qa_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "source",
+    moji_per_1000: float = 5.0,
+) -> DataFrame:
+    """Per-source batch rollup of the X166 detectors — doc counts,
+    mojibake/control-contaminated doc counts, raw control/replacement
+    character totals, and the derived rates. ONE narrow detector
+    projection + one hash agg on the source key; the text never rides
+    the shuffle. The streaming twin (X169,
+    streaming.pipeline.make_encoding_qa_maintainer) folds the same
+    counters additively per micro-batch."""
+    base = docs.select(
+        F.col(key_col).alias("source"),
+        mojibake_score(text_col).alias("__moji"),
+        control_char_count(text_col).alias("__ctrl"),
+        replacement_char_count(text_col).alias("__repl"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("__moji") > moji_per_1000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_mojibake_docs"),
+        F.sum((F.col("__ctrl") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_control_docs"),
+        F.sum("__ctrl").cast("bigint").alias("n_control_chars"),
+        F.sum("__repl").cast("bigint").alias("n_replacement_chars"),
+    )
+    return agg.select(
+        "*",
+        (F.col("n_mojibake_docs") / F.col("n_docs").cast("double")).alias(
+            "mojibake_rate"
+        ),
+        (F.col("n_control_docs") / F.col("n_docs").cast("double")).alias(
+            "control_rate"
+        ),
+    )

@@ -1318,3 +1318,87 @@ def make_domain_curation_maintainer(url_col: str = "url", lg_config_k: int = 12)
         )
 
     return maintain, stats
+
+
+def make_encoding_qa_maintainer(
+    text_col: str = "text",
+    key_col: str = "source",
+    moji_per_1000: float = 5.0,
+):
+    """X169 (round 11) — streaming encoding-QA gate, the live twin of
+    the X166 detectors: an ingest stream needs the mojibake/control/
+    replacement contamination picture per delivery source WHILE shards
+    arrive, so a poisoned feed is quarantined after one micro-batch,
+    not after the nightly batch audit. Every published statistic is a
+    plain SUM/COUNT — all merges are ADDITION (the X142/X157 shape),
+    so epoch boundaries cannot change any number. Each micro-batch
+    costs one narrow detector projection (the X166 regexp Columns,
+    zero shuffle) + one hash agg on the source key; only the
+    fixed-width counter row rides the merge. Returned pair
+    (maintain, stats): ``maintain(state_or_None, batch) -> state``;
+    ``stats(state)`` adds the per-source contamination rates. Parity
+    pinned by tests/test_stateful.py::
+    test_encoding_qa_stream_matches_batch."""
+    from ..operators.text import (
+        control_char_count,
+        mojibake_score,
+        replacement_char_count,
+    )
+
+    def _partial(batch):
+        base = batch.select(
+            F.col(key_col).alias("source"),
+            mojibake_score(text_col).alias("__moji"),
+            control_char_count(text_col).alias("__ctrl"),
+            replacement_char_count(text_col).alias("__repl"),
+        )
+        return base.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("__moji") > moji_per_1000).cast("bigint"))
+            .cast("bigint")
+            .alias("n_mojibake_docs"),
+            F.sum((F.col("__ctrl") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_control_docs"),
+            F.sum("__ctrl").cast("bigint").alias("n_control_chars"),
+            F.sum("__repl").cast("bigint").alias("n_replacement_chars"),
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        return (
+            state.unionByName(part)
+            .groupBy("source")
+            .agg(
+                *[
+                    F.sum(c).cast("bigint").alias(c)
+                    for c in (
+                        "n_docs",
+                        "n_mojibake_docs",
+                        "n_control_docs",
+                        "n_control_chars",
+                        "n_replacement_chars",
+                    )
+                ]
+            )
+        )
+
+    def stats(state):
+        return state.select(
+            "source",
+            "n_docs",
+            "n_mojibake_docs",
+            "n_control_docs",
+            "n_control_chars",
+            "n_replacement_chars",
+            (F.col("n_mojibake_docs") / F.col("n_docs").cast("double")).alias(
+                "mojibake_rate"
+            ),
+            (F.col("n_control_docs") / F.col("n_docs").cast("double")).alias(
+                "control_rate"
+            ),
+        )
+
+    return maintain, stats

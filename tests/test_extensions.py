@@ -6763,3 +6763,91 @@ def test_encoding_qa_operators(spark):
     assert got[9]["repl"] == 2 and got[9]["ctrl"] == 0
     # the score is a keep/drop separator at any threshold in (0, 1]
     assert min(got[i]["moji"] for i in (1, 2, 3)) > 40  # per-1000 density
+
+
+def test_markdown_to_text_and_density(spark):
+    """X167: fenced code vanishes, links/images keep their labels,
+    list/header/table/emphasis scaffolding strips, snake_case
+    identifiers survive (single underscores deliberately kept);
+    markdown_density separates a link-farm from prose."""
+    from emr_trino_autoscale_spark.operators.text import (
+        markdown_density,
+        markdown_to_text,
+    )
+
+    cases = [
+        ("# Title\n\nplain *bold* prose", "Title plain bold prose"),
+        ("before\n```python\nx = 1\nprint(x)\n```\nafter", "before after"),
+        ("see [the docs](https://example.com/a?b=1) now", "see the docs now"),
+        ("![alt text](img.png) and [ref link][1]\n[1]: http://x.y",
+         "alt text and ref link"),
+        ("- item one\n- item two\n1. third\n2) fourth",
+         "item one item two third fourth"),
+        ("> quoted\n>> deeper", "quoted deeper"),
+        ("| a | b |\n|---|---|\n| 1 | 2 |", "a b 1 2"),
+        ("keep snake_case and __strip__ this", "keep snake_case and strip this"),
+        ("auto <https://u.rl> gone; `code` kept", "auto gone; code kept"),
+        ("***\nrule gone\n---", "rule gone"),
+        ("~~struck~~ text", "struck text"),
+        ("no markdown at all", "no markdown at all"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "text string")
+    got = df.select(markdown_to_text("text").alias("t")).collect()
+    for (m, want), row in zip(cases, got):
+        assert row["t"] == want, (m, row["t"])
+
+    dens = spark.createDataFrame(
+        [("[a](http://very-long-url.example.com/x/y/z)",),
+         ("plain prose with no markdown whatsoever",), ("",)],
+        "text string",
+    ).select(markdown_density("text").alias("d")).collect()
+    assert dens[0]["d"] > 0.8 and dens[1]["d"] == 0.0 and dens[2]["d"] == 0.0
+
+
+def test_squeeze_repeated_lines(spark):
+    """X168: runs of identical adjacent lines collapse to one, blank
+    runs included; non-adjacent repeats survive; the fraction signal
+    separates a glitch page from clean prose."""
+    from emr_trino_autoscale_spark.operators.text import (
+        repeated_line_fraction,
+        squeeze_repeated_lines,
+    )
+
+    cases = [
+        ("a\na\na\nb", "a\nb"),
+        ("a\nb\na", "a\nb\na"),          # non-adjacent repeat kept
+        ("x\n\n\n\ny", "x\n\ny"),        # blank-run squeeze
+        ("only one line", "only one line"),
+        ("", ""),
+        ("same\nsame", "same"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = df.select(squeeze_repeated_lines("text").alias("t")).collect()
+    for (t, want), row in zip(cases, got):
+        assert row["t"] == want, (t, row["t"])
+
+    frac = spark.createDataFrame(
+        [("spam\n" * 99 + "spam",), ("a\nb\nc\nd",)], "text string"
+    ).select(repeated_line_fraction("text").alias("f")).collect()
+    assert frac[0]["f"] > 0.95 and frac[1]["f"] == 0.0
+
+
+def test_encoding_qa_stats_batch(spark):
+    """X166 rollup: per-source counters match a hand count on a mixed
+    clean/mojibake/control corpus."""
+    from emr_trino_autoscale_spark.operators.text import encoding_qa_stats
+
+    bad = "café résumé".encode("utf-8").decode("latin-1")
+    rows = [
+        ("web", bad), ("web", bad), ("web", "clean prose here"),
+        ("books", "père Noël à côté"), ("books", "null\x00\x07 and �"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in encoding_qa_stats(df).collect()}
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_mojibake_docs"] == 2
+    assert got["web"]["n_control_docs"] == 0
+    assert abs(got["web"]["mojibake_rate"] - 2 / 3) < 1e-12
+    assert got["books"]["n_docs"] == 2 and got["books"]["n_mojibake_docs"] == 0
+    assert got["books"]["n_control_chars"] == 2
+    assert got["books"]["n_replacement_chars"] == 1
+    assert abs(got["books"]["control_rate"] - 0.5) < 1e-12

@@ -1687,3 +1687,71 @@ def test_domain_curation_stream_matches_batch(spark, tmp_path):
     # the cross-epoch variant pairs actually collapsed: 7 pages, not 14
     assert want["big.com"][2] == 7 and got["big.com"][2] == 7
     assert got[None] == (3, 3, 0)
+
+
+def test_encoding_qa_stream_matches_batch(spark, tmp_path):
+    """X169: encoding-QA counters folded over two streamed epochs
+    equal the batch encoding_qa_stats on the union exactly (every
+    merge is addition), with a poisoned source whose mojibake rows are
+    split ACROSS epochs and a clean source that must stay at zero."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.text import encoding_qa_stats
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_encoding_qa_maintainer,
+    )
+
+    bad = "кот и пёс".encode("utf-8").decode("latin-1")
+    e1 = [("crawl", bad)] * 4 + [("crawl", "clean line")] * 2 + [
+        ("books", "père Noël à côté de l'hôtel"),
+        ("books", "bell\x07 and null\x00"),
+    ]
+    e2 = [("crawl", bad)] * 3 + [("crawl", "more clean")] * 5 + [
+        ("books", "lost � bytes"),
+    ]
+    df1 = spark.createDataFrame(e1, "source string, text string")
+    df2 = spark.createDataFrame(e2, "source string, text string")
+
+    src = str(tmp_path / "eq_src")
+    out = str(tmp_path / "eq_state")
+    chk = str(tmp_path / "eq_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain, stats = make_encoding_qa_maintainer()
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        r["source"]: r
+        for r in stats(spark.read.parquet(out)).collect()
+    }
+    batch = {
+        r["source"]: r
+        for r in encoding_qa_stats(df1.unionByName(df2)).collect()
+    }
+    assert set(streamed) == set(batch) == {"crawl", "books"}
+    for src_key in ("crawl", "books"):
+        for c in ("n_docs", "n_mojibake_docs", "n_control_docs",
+                  "n_control_chars", "n_replacement_chars"):
+            assert streamed[src_key][c] == batch[src_key][c], (src_key, c)
+        for c in ("mojibake_rate", "control_rate"):
+            assert abs(streamed[src_key][c] - batch[src_key][c]) < 1e-12
+    assert streamed["crawl"]["n_mojibake_docs"] == 7
+    assert streamed["books"]["n_mojibake_docs"] == 0
+    assert streamed["books"]["n_replacement_chars"] == 1
