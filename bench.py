@@ -44,7 +44,16 @@ from emr_trino_autoscale_spark.session import get_spark  # noqa: E402
 # position >= this still pays first-use codegen in its timed number;
 # bench_full.json records the boundary as "warmed_head" so anchor
 # comparisons know which regime each number came from (round-10 ADVICE).
-WARM_HEAD_N = 15
+# Round 11 widened 15 -> 50 (the full driver hash window): the r11
+# rotation put q103 (mapInPandas + a parquet write+readback) at
+# position 39 where its first-use cost landed IN its timed number —
+# 4.7 s in-suite vs 1.5-2.0 s measured warm-isolated against a 2.54 s
+# anchor; positions 16-49 (q88-q102) showed the same class. Anchors
+# were all captured at steady state, so the whole WINDOW must be
+# timed at steady state. Measured cost: ~+80 s of untimed warmup at
+# sf0.1 — bounded, and it buys rotation-proof like-for-like numbers
+# for every driver-hashed position.
+WARM_HEAD_N = 50
 
 
 def main() -> None:
@@ -159,6 +168,18 @@ def run_ab(
             f"| {label} | {' '.join(f'{t:.2f}' for t in ts)} | "
             f"**{statistics.median(ts):.2f}** |"
         )
+    # machine-readable FINAL line so the budget guard can run this
+    # adjudication protocol unattended (round 11): control-normalized
+    # comparisons need both medians, not the markdown table
+    ctl_label = f"{c_name.split('_')[0]} control"
+    print(json.dumps({
+        "ab_target": t_name,
+        "ab_control": c_name,
+        "target_median": statistics.median(times[t_name]),
+        "control_median": statistics.median(times[ctl_label]),
+        "target_times": times[t_name],
+        "control_times": times[ctl_label],
+    }))
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -380,12 +401,13 @@ def _warmup(spark, sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # Round-10 generalization (VERDICT r9 task 2): every rotation moves a
-    # block of queries from suite-tail to positions 1-15, and each time
+    # block of queries from suite-tail to the head, and each time
     # the same first-use-codegen drift class recurred under driver
     # conditions (q02 r6, q79 r7, q104/q111 r8, q115-q118/q122 +
     # q170/q174 r9) because the hand-picked representative-tree warmups
     # above only covered SOME of the relocated trees. Close the class
-    # structurally: pre-run the entire head block (first 15 positions)
+    # structurally: pre-run the entire head block (first WARM_HEAD_N
+    # positions — round 11: the full 50-slot driver window)
     # once, full-scale, untimed. Full-scale — not a 200-row slice —
     # because `.limit()` changes the fused WholeStageCodegen unit (the
     # q114 lesson above), so only the real plan compiles the real

@@ -1,14 +1,18 @@
 """Baseline + progressive JPEG decoder (ITU-T T.81 / JFIF — public
 spec), pure Python + numpy, no codec libraries.
 
-Scope: baseline sequential DCT (SOF0/1) and progressive DCT (SOF2,
+Scope: baseline sequential DCT (SOF0/1), progressive DCT (SOF2,
 round 10 — spectral selection AND successive approximation, DC/AC
 first and refinement scans per Annex G.2, EOB runs, interleaved DC
-scans, per-scan DHT redefinition), 8-bit precision, Huffman entropy
-coding, grayscale or YCbCr with any JFIF sampling factors (4:4:4,
-4:2:2, 4:2:0 — generic h/v factor handling), DRI/RSTn restart
-intervals, 0xFF00 byte-stuffing. Arithmetic coding, 12-bit, lossless
-and hierarchical modes raise ValueError so
+scans, per-scan DHT redefinition), and LOSSLESS mode (SOF3, round 11
+— Annex H predictive coding: predictors 1-7, point transform,
+2-16-bit precision, modulo-2^16 reconstruction, category-16
+diff=32768 case; sampling factors other than 1x1 and restart
+intervals in lossless scans raise honestly). DCT modes are 8-bit
+precision, Huffman entropy coding, grayscale or YCbCr with any JFIF
+sampling factors (4:4:4, 4:2:2, 4:2:0 — generic h/v factor handling),
+DRI/RSTn restart intervals, 0xFF00 byte-stuffing. Arithmetic coding,
+12-bit DCT, and hierarchical modes raise ValueError so
 ``multimodal.sniffing_decoder`` falls back to the stub rather than
 mis-decoding (the PPM-maxval rule).
 
@@ -128,12 +132,16 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_planes(payload: bytes):
-    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
-    per-component float planes in [0, 255] at full image resolution
-    (chroma nearest-upsampled). Returns (planes, width, height) with
-    planes a list of HxW float64 arrays (1 = grayscale, 3 = YCbCr
-    order as stored)."""
+def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
+    """Decode a baseline (SOF0/1), progressive (SOF2), or lossless
+    (SOF3) JPEG to per-component float planes in [0, 255] at full
+    image resolution (chroma nearest-upsampled; lossless samples
+    scaled by 255/(2^P - 1) so every precision lands on the shared
+    plane contract). Returns (planes, width, height) with planes a
+    list of HxW float64 arrays; with_mode=True appends the coding mode
+    ('dct' | 'lossless') so color-space decisions downstream can tell
+    a YCbCr DCT scan from a lossless scan (which T.81 leaves
+    color-space-free)."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -144,6 +152,8 @@ def decode_jpeg_planes(payload: bytes):
     width = height = 0
     restart_interval = 0
     progressive = False
+    lossless = False
+    precision = 8
     seen_scan = False
     data = payload
 
@@ -184,9 +194,14 @@ def decode_jpeg_planes(payload: bytes):
                 tbl = _build_huffman(counts, syms)
                 (huff_dc if tc == 0 else huff_ac)[th] = tbl
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            if seg[0] != 8:
-                raise ValueError("JPEG: only 8-bit precision supported")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
+            lossless = marker == 0xC3
+            precision = seg[0]
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError("JPEG: lossless precision out of range")
+            elif precision != 8:
+                raise ValueError("JPEG: only 8-bit DCT precision supported")
             progressive = marker == 0xC2
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
@@ -195,7 +210,9 @@ def decode_jpeg_planes(payload: bytes):
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if lossless and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                raise ValueError("JPEG: lossless sampling factors unsupported")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"JPEG: SOF{marker - 0xC0} (non-baseline) unsupported")
         elif marker == 0xDD:  # DRI
@@ -208,13 +225,30 @@ def decode_jpeg_planes(payload: bytes):
                 (seg[1 + 2 * s], seg[2 + 2 * s] >> 4, seg[2 + 2 * s] & 0x0F)
                 for s in range(ns)
             ]
+            if lossless:
+                if len(scan_ids) != len(comps):
+                    raise ValueError("JPEG: lossless multi-scan unsupported")
+                if restart_interval:
+                    raise ValueError(
+                        "JPEG: lossless restart intervals unsupported"
+                    )
+                sel = seg[1 + 2 * ns]  # Ss field = predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # Al field = point transform
+                tabs = {cs: d for cs, d, _a in scan_ids}
+                planes = _decode_lossless_scan(
+                    data, pos + seglen, comps, tabs, huff_dc,
+                    width, height, precision, sel, pt,
+                )
+                res = (planes, width, height)
+                return (*res, "lossless") if with_mode else res
             if not progressive:
                 scan_map = {cs: (d, a) for cs, d, a in scan_ids}
                 pos += seglen
-                return _decode_scan(
+                res = _decode_scan(
                     data, pos, comps, scan_map, qt, huff_dc, huff_ac,
                     width, height, restart_interval,
                 )
+                return (*res, "dct") if with_mode else res
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if "coef" not in comps[0]:
@@ -243,8 +277,70 @@ def decode_jpeg_planes(payload: bytes):
             c["coef"] = nat.reshape(bh, bw, 8, 8)
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
-        return _planes_from_coefs(comps, qt, width, height, hmax, vmax)
+        res = _planes_from_coefs(comps, qt, width, height, hmax, vmax)
+        return (*res, "dct") if with_mode else res
     raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_lossless_scan(data, pos, comps, tabs, huff_dc,
+                          width, height, precision, sel, pt):
+    """Decode a lossless (SOF3) scan per T.81 Annex H: one
+    Huffman-coded difference per sample (DC-class tables; category 16
+    means diff=32768 with NO extra bits, H.2), prediction in the
+    point-transformed domain — default 2^(P-Pt-1) for the scan's first
+    sample, left (Ra) along the first line, above (Rb) down the first
+    column, the selected predictor 1-7 elsewhere — and modulo-2^16
+    reconstruction (H.1.2.1). Components interleave one sample per MCU
+    (all sampling factors are 1x1, enforced at SOF). Returns planes
+    scaled to the shared [0, 255] float contract."""
+    if not 1 <= sel <= 7:
+        raise ValueError("JPEG: invalid lossless predictor")
+    bits = _Bits(data, pos)
+    try:
+        tables = [huff_dc[tabs[c["id"]]] for c in comps]
+    except KeyError as exc:
+        raise ValueError("JPEG: lossless scan references missing table") from exc
+    planes = [np.zeros((height, width), dtype=np.int64) for _ in comps]
+    default = 1 << (precision - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            for ci, table in enumerate(tables):
+                p = planes[ci]
+                t = _huff_decode(bits, table)
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(bits.bits(t), t)
+                else:
+                    diff = 0
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra = int(p[y, x - 1])
+                    rb = int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    if sel == 1:
+                        px = ra
+                    elif sel == 2:
+                        px = rb
+                    elif sel == 3:
+                        px = rc
+                    elif sel == 4:
+                        px = ra + rb - rc
+                    elif sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                p[y, x] = (px + diff) & 0xFFFF
+    maxval = (1 << precision) - 1
+    return [
+        np.clip((p << pt).astype(np.float64) * (255.0 / maxval), 0.0, 255.0)
+        for p in planes
+    ]
 
 
 def _init_progressive_coefs(comps, width, height):
@@ -500,18 +596,26 @@ def _planes_from_coefs(comps, qt, width, height, hmax, vmax):
 
 
 def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> HxWx3 float64 RGB in [0, 1] (JFIF full-range
-    BT.601 for 3-component scans; grayscale replicates)."""
-    planes, width, height = decode_jpeg_planes(payload)
+    """JPEG -> HxWx3 float64 RGB in [0, 1]. DCT 3-component scans are
+    JFIF full-range BT.601 YCbCr; LOSSLESS 3-component scans are taken
+    as RGB directly (T.81 lossless carries no color-transform contract
+    — component-wise identity is the DNG/Adobe-transform-0 convention,
+    and applying the YCbCr matrix to RGB samples would silently
+    mis-color, the exact failure the PPM-maxval rule forbids).
+    Grayscale replicates either way."""
+    planes, width, height, mode = decode_jpeg_planes(payload, with_mode=True)
     if len(planes) == 1:
         y = planes[0]
         rgb = np.dstack([y, y, y])
     elif len(planes) == 3:
-        y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        rgb = np.clip(np.dstack([r, g, b]), 0.0, 255.0)
+        if mode == "lossless":
+            rgb = np.dstack(planes)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.clip(np.dstack([r, g, b]), 0.0, 255.0)
     else:
         raise ValueError(f"JPEG: {len(planes)}-component scans unsupported")
     return rgb / 255.0

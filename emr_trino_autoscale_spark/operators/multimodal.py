@@ -15,13 +15,15 @@ animation compositing), RIFF/WAV
 16-bit PCM audio, YUV4MPEG2 raw video. Baseline JPEG decodes for
 real too (round 9, :mod:`._jpeg` — Huffman + dequant + vectorized
 IDCT + 4:2:0 upsampling, pinned against CPython's independently
-encoded test JPEG), and round 10 added PROGRESSIVE JPEG (SOF2 —
+encoded test JPEG), round 10 added PROGRESSIVE JPEG (SOF2 —
 spectral selection + successive approximation, pinned bit-exact
-against the baseline decode of the same coefficients); only
-psychoacoustic/video codecs (MP3/H.264) and the exotic JPEG modes
-(arithmetic, 12-bit, lossless, hierarchical) fall back to the
-clearly-marked deterministic stub, the one piece that changes on a
-real cluster.
+against the baseline decode of the same coefficients), and round 11
+added LOSSLESS JPEG (SOF3 — Annex H predictors 1-7, point transform,
+2-16-bit precision, round-trip-exact against a test-side spec
+encoder); only psychoacoustic/video codecs (MP3/H.264) and the
+remaining exotic JPEG modes (arithmetic, 12-bit DCT, hierarchical)
+fall back to the clearly-marked deterministic stub, the one piece
+that changes on a real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -132,12 +134,129 @@ def decode_ppm_image(payload: bytes) -> list[float]:
     ]
 
 
+def _ulaw_to_linear16(codes):
+    """G.711 mu-law decode, vectorized from the spec formula (no
+    table files): 8-bit code -> int16. Bias 0x84 (132), 3-bit segment
+    exponent, 4-bit mantissa, ones-complemented on the wire."""
+    import numpy as np
+
+    u = (~np.asarray(codes, dtype=np.uint8)).astype(np.int64) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -t, t).astype(np.int16)
+
+
+def _alaw_to_linear16(codes):
+    """G.711 A-law decode, vectorized from the spec formula: 8-bit
+    code -> int16. Even bits inverted on the wire (XOR 0x55); segment
+    0 is linear, segments 1-7 place an implicit leading 1; the A-law
+    sign bit is 1 for POSITIVE values (opposite of mu-law's
+    complemented convention) — pinned against stdlib audioop over all
+    256 codes in tests."""
+    import numpy as np
+
+    a = (np.asarray(codes, dtype=np.uint8).astype(np.int64)) ^ 0x55
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, t, -t).astype(np.int16)
+
+
+def _parse_wav_chunks(payload: bytes):
+    """Manual RIFF/WAVE chunk walk for the formats stdlib ``wave``
+    rejects: returns (fmt_code, channels, rate, bits, data bytes).
+    Chunks are little-endian sized and word-aligned."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = (
+                int.from_bytes(body[0:2], "little"),
+                int.from_bytes(body[2:4], "little"),
+                int.from_bytes(body[4:8], "little"),
+                int.from_bytes(body[14:16], "little"),
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    code, nch, rate, bits = fmt
+    if nch < 1 or rate < 1:
+        raise ValueError("WAV: invalid fmt fields")
+    return code, nch, rate, bits, data
+
+
+def _parse_aiff(payload: bytes):
+    """AIFF (EA IFF 85 / Apple AIFF 1.3 — public spec) parse: COMM
+    (channels, frames, bits, 80-bit extended-float rate) + SSND
+    big-endian PCM. Returns (samples int64 (n, nch), rate, bits).
+    AIFF-C is accepted only with compression 'NONE' (anything else —
+    sowt/ima4/ulaw variants — raises so the sniffer falls back rather
+    than mis-decoding byte order). Chunks are big-endian sized and
+    word-aligned."""
+    import numpy as np
+
+    if not (payload.startswith(b"FORM") and payload[8:12] in (b"AIFF", b"AIFC")):
+        raise ValueError("not an AIFF payload")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND" and len(body) >= 8:
+            off = int.from_bytes(body[0:4], "big")
+            ssnd = body[8 + off:]
+        pos += 8 + sz + (sz & 1)
+    if comm is None or ssnd is None or len(comm) < 18:
+        raise ValueError("AIFF: missing COMM/SSND chunk")
+    nch = int.from_bytes(comm[0:2], "big")
+    nframes = int.from_bytes(comm[2:6], "big")
+    bits = int.from_bytes(comm[6:8], "big")
+    # 80-bit IEEE 754 extended: 1 sign + 15 exponent + 64 mantissa
+    # (explicit integer bit); value = mant * 2^(exp - 16383 - 63)
+    se = int.from_bytes(comm[8:10], "big")
+    mant = int.from_bytes(comm[10:18], "big")
+    exp = se & 0x7FFF
+    if mant == 0 or exp == 0x7FFF:
+        raise ValueError("AIFF: invalid sample rate")
+    rate = int(round(mant * 2.0 ** (exp - 16383 - 63)))
+    if se & 0x8000 or rate < 1 or nch < 1:
+        raise ValueError("AIFF: invalid COMM fields")
+    if is_aifc and comm[18:22] != b"NONE":
+        raise ValueError("AIFF-C: compressed variants unsupported")
+    if bits not in (8, 16, 24):
+        raise ValueError(f"AIFF: {bits}-bit PCM unsupported")
+    bw = bits // 8
+    n = min(nframes * nch, len(ssnd) // bw)
+    raw = np.frombuffer(ssnd, dtype=np.uint8, count=n * bw).reshape(n, bw)
+    val = np.zeros(n, dtype=np.int64)
+    for b in range(bw):  # big-endian bytes, MSB first
+        val = (val << 8) | raw[:, b].astype(np.int64)
+    val = np.where(val >= (1 << (bits - 1)), val - (1 << bits), val)
+    n_frames_eff = n // nch
+    return val[: n_frames_eff * nch].reshape(-1, nch), rate, bits
+
+
 def _audio_samples(payload: bytes):
     """Shared PCM parse for the audio family (round 10): sniff RIFF/WAV
-    (stdlib ``wave``, 16-bit PCM) or FLAC (:mod:`._flac`, any
-    supported depth) and return (x, rate) with x an (n, channels)
-    float64 array normalized to [-1, 1). Raises on anything else —
-    callers keep their own NULL-degradation contracts."""
+    (stdlib ``wave``, 16-bit PCM), FLAC (:mod:`._flac`, any supported
+    depth), AIFF/AIFF-C-NONE big-endian PCM (round 11), or G.711
+    mu-law/A-law RIFF payloads (round 11, format codes 7/6 — the
+    telephony-corpus codecs, decoded from the spec formulas) and
+    return (x, rate) with x an (n, channels) float64 array normalized
+    to [-1, 1). Raises on anything else — callers keep their own
+    NULL-degradation contracts."""
     import io
     import wave
 
@@ -148,13 +267,30 @@ def _audio_samples(payload: bytes):
 
         samples, rate, bps = decode_flac_pcm(payload)
         return samples.astype(np.float64) / float(1 << (bps - 1)), rate
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise ValueError(
-                f"only 16-bit PCM supported (got {8 * w.getsampwidth()}-bit)"
+    if payload.startswith(b"FORM"):
+        samples, rate, bits = _parse_aiff(payload)
+        return samples.astype(np.float64) / float(1 << (bits - 1)), rate
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM supported (got {8 * w.getsampwidth()}-bit)"
+                )
+            rate, nframes, nch = (
+                w.getframerate(), w.getnframes(), w.getnchannels()
             )
-        rate, nframes, nch = w.getframerate(), w.getnframes(), w.getnchannels()
-        samples = np.frombuffer(w.readframes(nframes), dtype=np.int16)
+            samples = np.frombuffer(w.readframes(nframes), dtype=np.int16)
+    except wave.Error:
+        # stdlib wave only reads PCM; walk the chunks ourselves for
+        # the G.711 companded formats
+        code, nch, rate, bits, raw = _parse_wav_chunks(payload)
+        if code == 7 and bits == 8:
+            samples = _ulaw_to_linear16(np.frombuffer(raw, dtype=np.uint8))
+        elif code == 6 and bits == 8:
+            samples = _alaw_to_linear16(np.frombuffer(raw, dtype=np.uint8))
+        else:
+            raise ValueError(f"WAV: format code {code}/{bits}-bit unsupported")
+        samples = samples[: (len(samples) // nch) * nch]
     return samples.astype(np.float64).reshape(-1, nch) / 32768.0, rate
 
 
@@ -164,6 +300,9 @@ def decode_wav_audio(payload: bytes) -> list[float]:
     accepts FLAC payloads through the shared :func:`_audio_samples`
     parse (lossless, so a FLAC of the same samples produces the
     IDENTICAL feature vector — the cross-codec audio near-dup case).
+    Round 11: AIFF big-endian PCM (16-bit AIFF of the same samples is
+    feature-identical to the WAV — the endianness twin) and G.711
+    mu-law/A-law RIFF payloads through the same shared parse.
     Features: [mean_abs, rms, zero_cross_rate, peak, rate/96k,
     seconds/600, channels/8, 1.0]."""
     import numpy as np
@@ -964,9 +1103,12 @@ def decode_jpeg_image(payload: bytes) -> list[float]:
     transform. This closes the image half of the "compressed codecs
     are stubbed" gap: PPM/PNG/BMP/GIF/JPEG-baseline/JPEG-progressive
     all decode for real; only the psychoacoustic/video codecs
-    (MP3/H.264) remain stub-backed. Arithmetic-coded, 12-bit,
-    lossless and hierarchical JPEGs raise so :func:`sniffing_decoder`
-    falls back to the stub (the PPM-maxval rule). Same 8-float
+    (MP3/H.264) remain stub-backed. Round 11 adds LOSSLESS (SOF3,
+    Annex H predictive coding — 3-component lossless is taken as RGB,
+    not YCbCr, since T.81 lossless has no color-transform contract).
+    Arithmetic-coded, 12-bit-DCT and hierarchical JPEGs raise so
+    :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
+    rule). Same 8-float
     feature contract; pinned against an independently-encoded CPython
     test JPEG (4:2:0) to match the PPM ground truth within DCT
     quantization loss, against a test-side spec encoder for exactness
@@ -1104,6 +1246,14 @@ def sniffing_decoder(payload: bytes, kind: str) -> list[float]:
         if payload is not None and payload.startswith(b"fLaC"):
             # round 10: real FLAC decode (._flac) through the shared
             # PCM parse — same 8-float audio feature contract
+            return decode_wav_audio(payload)
+        if (
+            payload is not None
+            and payload.startswith(b"FORM")
+            and payload[8:12] in (b"AIFF", b"AIFC")
+        ):
+            # round 11: AIFF big-endian PCM through the shared parse
+            # (AIFF-C compressed variants raise inside -> stub)
             return decode_wav_audio(payload)
         if payload is not None and payload.startswith(b"YUV4MPEG2"):
             return decode_y4m_video(payload)
@@ -1514,11 +1664,14 @@ def transcode_images(
 
 def transcode_wav(payload: bytes) -> bytes | None:
     """Audio twin of :func:`transcode_ppm` (round 10): any decodable
-    audio payload (RIFF/WAV 16-bit PCM, FLAC at any supported depth)
-    -> a canonical 16-bit PCM RIFF/WAV payload. FLAC at 16 bits is
-    lossless, so FLAC->WAV->features equals the direct decode exactly;
-    other depths scale to 16 bits (arithmetic shift — documented,
-    deterministic). None for undecodable inputs."""
+    audio payload (RIFF/WAV 16-bit PCM, FLAC at any supported depth,
+    and — round 11 — AIFF/AIFF-C-NONE big-endian PCM and G.711
+    mu-law/A-law RIFF payloads) -> a canonical 16-bit PCM RIFF/WAV
+    payload. FLAC at 16 bits and AIFF at 16 bits are lossless, so
+    transcode->features equals the direct decode exactly; other depths
+    scale to 16 bits (arithmetic shift — documented, deterministic);
+    G.711 expands by the spec formulas. None for undecodable
+    inputs."""
     import io
     import wave
 
@@ -1528,20 +1681,42 @@ def transcode_wav(payload: bytes) -> bytes | None:
         if payload is None:
             return None
         if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
-            # already canonical; re-emit as-is (idempotent stage)
-            with wave.open(io.BytesIO(payload), "rb") as w:
-                if w.getsampwidth() != 2:
+            try:
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    ok = w.getsampwidth() == 2
+                # already canonical; re-emit as-is (idempotent stage);
+                # PCM at other depths stays None (unchanged contract)
+                return bytes(payload) if ok else None
+            except wave.Error:
+                # stdlib wave only reads PCM: companded G.711 payloads
+                code, nch, rate, bits, raw = _parse_wav_chunks(payload)
+                if code == 7 and bits == 8:
+                    flat = _ulaw_to_linear16(np.frombuffer(raw, dtype=np.uint8))
+                elif code == 6 and bits == 8:
+                    flat = _alaw_to_linear16(np.frombuffer(raw, dtype=np.uint8))
+                else:
                     return None
-            return bytes(payload)
-        if not payload.startswith(b"fLaC"):
-            return None
-        from ._flac import decode_flac_pcm
+                samples = (
+                    flat[: (len(flat) // nch) * nch]
+                    .astype(np.int64)
+                    .reshape(-1, nch)
+                )
+        elif payload.startswith(b"FORM"):
+            samples, rate, bits = _parse_aiff(payload)
+            if bits > 16:
+                samples = samples >> (bits - 16)
+            elif bits < 16:
+                samples = samples << (16 - bits)
+        elif payload.startswith(b"fLaC"):
+            from ._flac import decode_flac_pcm
 
-        samples, rate, bps = decode_flac_pcm(payload)
-        if bps > 16:
-            samples = samples >> (bps - 16)
-        elif bps < 16:
-            samples = samples << (16 - bps)
+            samples, rate, bps = decode_flac_pcm(payload)
+            if bps > 16:
+                samples = samples >> (bps - 16)
+            elif bps < 16:
+                samples = samples << (16 - bps)
+        else:
+            return None
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
             w.setnchannels(samples.shape[1])
@@ -1580,9 +1755,15 @@ def transcode_audio(
         if p is None:
             return None
         if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
-            return "wav"
+            try:
+                code = _parse_wav_chunks(p)[0]
+            except ValueError:
+                return "wav"
+            return {1: "wav", 6: "wav_alaw", 7: "wav_ulaw"}.get(code, "wav")
         if p.startswith(b"fLaC"):
             return "flac"
+        if p.startswith(b"FORM") and p[8:12] in (b"AIFF", b"AIFC"):
+            return "aiff"
         return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -2474,3 +2474,124 @@ def corr_top_eigen(
     return x.crossJoin(F.broadcast(ray)).select(
         F.col("j").alias("dim_index"), F.col("x").alias("loading"), "eigenvalue"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    method: str = "exact",
+    planes: list[list[float]] | None = None,
+    n_bands: int | None = None,
+    vectorized: bool = False,
+) -> DataFrame:
+    """X170 (round 11) — embedding-space decontamination: flag every
+    corpus vector whose cosine to ANY benchmark vector clears
+    ``threshold``. The n-gram decontaminator (X17/q59) catches verbatim
+    and near-verbatim leaks; paraphrased and translated benchmark items
+    share no 13-grams but land next to the original in embedding space
+    — this is the semantic leg of the same gate (the complement, not a
+    replacement). Returns one row per CONTAMINATED corpus id:
+    (id, bench_id, cosine) with bench_id the best-matching benchmark
+    item (max_by cosine, id tiebreak via the 4-decimal rounding) —
+    callers LEFT ANTI join to drop, or keep the rows as the audit
+    trail.
+
+    Scale shape: a benchmark suite is model-sized (10^3-10^5 rows), so
+    ``method='exact'`` broadcasts it and scans the corpus ONCE with a
+    per-row fold (or Arrow pair-cosine when ``vectorized=True``) over
+    the broadcast side — no corpus shuffle at all; cost is
+    n_corpus x n_bench dots, embarrassingly parallel.
+    ``method='banded'`` reuses the X32 SRP band geometry for a
+    sub-quadratic candidate join against the benchmark's narrow
+    (band, bucket) signature index — the emitted set is a SUBSET of
+    the exact result (every row re-verified with the exact cosine at
+    the shared 4-decimal rounding); recall is the band-geometry knob,
+    and identical vectors (cosine 1) collide with certainty. Choose
+    'banded' only when the benchmark is too large to broadcast-scan.
+    """
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__ce"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"), F.col(bench_vec_col).alias("__be")
+    )
+    if method == "exact":
+        if vectorized:
+            from ..functions.arrow_udfs import pair_cosine
+
+            scored = c.crossJoin(F.broadcast(b)).withColumn(
+                "cosine", pair_cosine(F.col("__ce"), F.col("__be"))
+            )
+        else:
+            cn = with_norm(c, "__ce").withColumnRenamed(
+                "__v", "__cv"
+            ).withColumnRenamed("__norm", "__cn")
+            bn = with_norm(b, "__be").withColumnRenamed(
+                "__v", "__bv"
+            ).withColumnRenamed("__norm", "__bn")
+            scored = cn.crossJoin(F.broadcast(bn)).withColumn(
+                "cosine",
+                cosine(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")),
+            )
+    elif method == "banded":
+        if not planes or not n_bands or len(planes) % n_bands:
+            raise ValueError("banded method needs planes divisible by n_bands")
+        r = len(planes) // n_bands
+        bands = [planes[i * r:(i + 1) * r] for i in range(n_bands)]
+
+        def _sig(df, key):
+            cols = [srp_bucket_literal(F.col("__e"), bp) for bp in bands]
+            return df.select(
+                key, F.posexplode(F.array(*cols)).alias("band", "bucket")
+            )
+
+        csig = _sig(c.withColumnRenamed("__ce", "__e"), "id")
+        bsig = _sig(b.withColumnRenamed("__be", "__e"), "bench_id")
+        cand = (
+            csig.join(
+                bsig.withColumnRenamed("band", "bband")
+                .withColumnRenamed("bucket", "bbucket"),
+                (F.col("band") == F.col("bband"))
+                & (F.col("bucket") == F.col("bbucket")),
+            )
+            .select("id", "bench_id")
+            .distinct()
+        )
+        cn = with_norm(c, "__ce")
+        bn = with_norm(b, "__be")
+        scored = (
+            cand.join(
+                cn.select("id", F.col("__v").alias("__cv"),
+                          F.col("__norm").alias("__cn")),
+                "id",
+            )
+            .join(
+                F.broadcast(
+                    bn.select("bench_id", F.col("__v").alias("__bv"),
+                              F.col("__norm").alias("__bn"))
+                ),
+                "bench_id",
+            )
+            .withColumn(
+                "cosine",
+                cosine(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")),
+            )
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        scored.withColumn(
+            "cosine", F.round(F.col("cosine"), 4).cast("decimal(38,4)")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.col("bench_id"), F.struct(F.col("cosine"), F.col("bench_id"))
+            ).alias("bench_id"),
+            F.max("cosine").alias("cosine"),
+        )
+    )

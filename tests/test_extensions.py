@@ -5620,9 +5620,12 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "gif": _encode_gif_animation((11, 9), pal, [{"idx": idx}]),
         "jpeg": _encode_jpeg(rgb),
         "jpeg_prog": _encode_jpeg_progressive(rgb, ac_al=1),
+        "jpeg_lossless": _encode_jpeg_lossless(rgb, predictor=4),
         "wav": buf.getvalue(),
         "flac": _encode_flac(pcm, 8000, frame_size=256,
                              plan=lambda ch, fi: {"kind": ("fixed", 2)}),
+        "aiff": _encode_aiff(pcm, 8000, bits=16),
+        "wav_ulaw": _encode_g711_wav(pcm, 8000, law="ulaw"),
         "tiff": _encode_tiff(rgb, packbits=True, rows_per_strip=3),
         "tiff_lzw": _encode_tiff(rgb, compression="lzw", predictor=2),
         "tiff_tiled": _encode_tiff(rgb, tiles=(8, 4), compression="lzw"),
@@ -6851,3 +6854,451 @@ def test_encoding_qa_stats_batch(spark):
     assert got["books"]["n_control_chars"] == 2
     assert got["books"]["n_replacement_chars"] == 1
     assert abs(got["books"]["control_rate"] - 0.5) < 1e-12
+
+
+def _encode_jpeg_lossless(samples, predictor=1, precision=8, pt=0):
+    """Minimal spec-correct lossless JPEG (SOF3) encoder (test-side,
+    T.81 Annex H): Huffman-coded per-sample prediction differences
+    (category+extra-bits, category 16 = diff 32768 with no extra
+    bits), predictors 1-7, point transform, modulo-2^16 arithmetic,
+    any 2-16-bit precision, interleaved 1x1 components — so the
+    decoder is exercised against payloads it did not produce."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, nc = arr.shape
+    vals = arr >> pt
+    default = 1 << (precision - pt - 1)
+
+    # canonical table for categories 0..16: lengths 2,2,2,3,4,...,16
+    counts = [0, 3] + [1] * 14
+    symbols = list(range(17))
+    code, k, enc = 0, 0, {}
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[symbols[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+
+    bitbuf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(c, ln):
+        nonlocal acc, nbits
+        acc = (acc << ln) | c
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    for y in range(h):
+        for x in range(w):
+            for c in range(nc):
+                p = vals[..., c]
+                if y == 0:
+                    px = default if x == 0 else int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    px = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                          5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[predictor]
+                diff = (int(p[y, x]) - px) % 65536
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    ln, cd = enc[16]
+                    put(cd, ln)  # category 16: no extra bits
+                    continue
+                t = abs(diff).bit_length()
+                ln, cd = enc[t]
+                put(cd, ln)
+                if t:
+                    extra = diff if diff > 0 else diff + (1 << t) - 1
+                    put(extra & ((1 << t) - 1), t)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # 1-pad to byte
+
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(counts) + bytes(symbols)
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bytes(bitbuf) + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 is LOSSLESS: every predictor 1-7 must round-trip 8-bit
+    gray and RGB pixels bit-exactly (unlike the DCT modes, which are
+    pinned within quantization loss)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import decode_jpeg_rgb
+
+    rng = np.random.RandomState(42)
+    gray = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    rgb = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for sel in range(1, 8):
+        got = decode_jpeg_rgb(_encode_jpeg_lossless(gray, predictor=sel))
+        back = np.rint(got[..., 0] * 255.0).astype(np.uint8)
+        assert np.array_equal(back, gray), f"gray predictor {sel}"
+        got3 = decode_jpeg_rgb(_encode_jpeg_lossless(rgb, predictor=sel))
+        back3 = np.rint(got3 * 255.0).astype(np.uint8)
+        # 3-component lossless is RGB directly — exact equality also
+        # proves no YCbCr transform was misapplied
+        assert np.array_equal(back3, rgb), f"rgb predictor {sel}"
+
+
+def test_jpeg_lossless_high_precision_and_point_transform():
+    """12/16-bit precisions land exactly on the scaled plane contract;
+    point transform Pt reconstructs (x >> Pt) << Pt; category-16
+    (diff == +-32768 mod 2^16) survives; sampling factors != 1x1 and
+    DRI in lossless raise to the stub boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._jpeg import (
+        decode_jpeg_planes,
+        decode_jpeg_rgb,
+    )
+
+    rng = np.random.RandomState(7)
+    for precision in (12, 16):
+        maxv = (1 << precision) - 1
+        img = rng.randint(0, maxv + 1, size=(8, 9)).astype(np.int64)
+        # force a full-swing first-line step so big diffs are exercised
+        img[0, :4] = 0
+        img[0, 4:] = maxv
+        planes, w, h = decode_jpeg_planes(
+            _encode_jpeg_lossless(img, predictor=4, precision=precision)
+        )
+        back = np.rint(planes[0] * (maxv / 255.0)).astype(np.int64)
+        assert np.array_equal(back, img), precision
+
+    img8 = rng.randint(0, 256, size=(6, 7)).astype(np.int64)
+    planes, w, h = decode_jpeg_planes(
+        _encode_jpeg_lossless(img8, predictor=2, pt=2)
+    )
+    back = np.rint(planes[0]).astype(np.int64)
+    assert np.array_equal(back, (img8 >> 2) << 2)
+
+    good = _encode_jpeg_lossless(img8)
+    subsampled = bytearray(good)
+    i = subsampled.find(b"\xff\xc3")
+    subsampled[i + 11] = 0x22  # h=v=2 on component 1 (seg: FFC3 len P hh ww nc id HV tq)
+    with _pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_rgb(bytes(subsampled))
+    with_dri = good[:2] + b"\xff\xdd\x00\x04\x00\x08" + good[2:]
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg_rgb(with_dri)
+
+
+def test_jpeg_lossless_feature_parity_with_ppm():
+    """Integration through the sniffer: a lossless JPEG of the same
+    pixels as a P6 PPM produces IDENTICAL 8-float features (the DCT
+    pins allow quantization tolerance; lossless allows none)."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import sniffing_decoder
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    ppm = b"P6\n16 16\n255\n" + rgb.tobytes()
+    jls = _encode_jpeg_lossless(rgb, predictor=7)
+    assert sniffing_decoder(jls, "image") == sniffing_decoder(ppm, "image")
+
+
+def _encode_aiff(samples, rate, bits=16, aifc=False):
+    """Minimal spec-correct AIFF encoder (test-side): COMM with the
+    80-bit extended-float sample rate + SSND big-endian PCM, so the
+    decoder is exercised against payloads it did not produce."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    nframes, nch = arr.shape
+    bw = bits // 8
+    # 80-bit extended float for an integer rate: normalize mantissa
+    # to the explicit-integer-bit form
+    m = rate
+    e = 16383 + 63
+    while m < (1 << 63):
+        m <<= 1
+        e -= 1
+    while m >= (1 << 64):
+        m >>= 1
+        e += 1
+    ext = e.to_bytes(2, "big") + m.to_bytes(8, "big")
+    flat = arr.reshape(-1)
+    raw = bytearray()
+    for v in flat:
+        raw += int(v & ((1 << bits) - 1)).to_bytes(bw, "big")
+    comm = (
+        nch.to_bytes(2, "big") + nframes.to_bytes(4, "big")
+        + bits.to_bytes(2, "big") + ext
+    )
+    if aifc:
+        comm += b"NONE" + bytes([4]) + b"none" + b"\x00"
+    ssnd = bytes(8) + bytes(raw)  # offset=0, blocksize=0
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "big") + body + pad
+
+    form = (b"AIFC" if aifc else b"AIFF") + (
+        chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    )
+    return b"FORM" + len(form).to_bytes(4, "big") + form
+
+
+def _encode_g711_wav(samples16, rate, law="ulaw"):
+    """Test-side G.711 encoder (segmented companding per the spec's
+    encoding tables, independent of the decoder's expansion formula)
+    wrapped in a RIFF/WAVE container with format code 7 (mu) / 6 (A)."""
+    import numpy as np
+
+    x = np.asarray(samples16, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    nch = x.shape[1]
+    flat = [int(v) for v in x.reshape(-1)]
+    out = bytearray()
+    for v in flat:
+        if law == "ulaw":
+            sign = 0x80 if v < 0 else 0
+            v2 = min((-v if v < 0 else v) + 0x84, 0x7FFF)
+            exp = v2.bit_length() - 8  # segment: top set bit below 0x84<<8
+            mant = (v2 >> (exp + 3)) & 0x0F
+            code = ~(sign | (exp << 4) | mant) & 0xFF
+        else:
+            sign = 0x80 if v >= 0 else 0  # A-law: sign bit 1 = positive
+            v2 = min(v if v >= 0 else -v - 1, 0x7FFF)
+            if v2 < 256:
+                code = sign | (v2 >> 4)
+            else:
+                exp = v2.bit_length() - 8
+                mant = (v2 >> (exp + 3)) & 0x0F
+                code = sign | (exp << 4) | mant
+            code ^= 0x55
+        out.append(code)
+    data = bytes(out)
+    code_id = 7 if law == "ulaw" else 6
+    fmt = (
+        code_id.to_bytes(2, "little") + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * nch).to_bytes(4, "little")
+        + nch.to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    inner = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+
+
+def test_aiff_decode_and_wav_feature_parity():
+    """AIFF 16-bit of the same PCM is feature-IDENTICAL to the WAV
+    (pure endianness twin); 8/24-bit depths decode at their scale;
+    AIFF-C 'NONE' decodes, compressed AIFF-C falls to the stub."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _decode_stub,
+        sniffing_decoder,
+    )
+
+    rng = np.random.RandomState(5)
+    pcm = rng.randint(-20000, 20000, size=(500, 2)).astype(np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    aiff = _encode_aiff(pcm, 16000, bits=16)
+    assert sniffing_decoder(aiff, "audio") == sniffing_decoder(wav, "audio")
+
+    aifc = _encode_aiff(pcm, 16000, bits=16, aifc=True)
+    assert sniffing_decoder(aifc, "audio") == sniffing_decoder(wav, "audio")
+
+    # 24-bit: samples << 8 normalize to the same [-1, 1) floats
+    aiff24 = _encode_aiff(pcm << 8, 16000, bits=24)
+    f24 = sniffing_decoder(aiff24, "audio")
+    f16 = sniffing_decoder(aiff, "audio")
+    assert all(abs(a - b) < 1e-9 for a, b in zip(f24, f16))
+
+    # compressed AIFF-C must fall back to the stub, never mis-decode
+    bad = bytearray(aifc)
+    i = bad.find(b"NONE")
+    bad[i:i + 4] = b"sowt"
+    assert sniffing_decoder(bytes(bad), "audio") == _decode_stub(bytes(bad), "audio")
+
+
+def test_g711_decode_known_values_and_roundtrip():
+    """G.711 decode formulas: spec-pinned endpoints (0xFF/0x7F mu-law
+    are zero, 0x80 mu-law is +32124; A-law max magnitude 32256 after
+    the 0x55 toggle), re-encode(decode(code)) == code for every code
+    (both laws — bijectivity on the code space), and an independently
+    companded sine decodes within the spec's segment quantization
+    error through the sniffer."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _alaw_to_linear16,
+        _ulaw_to_linear16,
+        sniffing_decoder,
+        transcode_wav,
+    )
+
+    assert _ulaw_to_linear16([0xFF])[0] == 0
+    assert _ulaw_to_linear16([0x7F])[0] == 0
+    assert _ulaw_to_linear16([0x80])[0] == 32124
+    assert _ulaw_to_linear16([0x00])[0] == -32124
+    assert _alaw_to_linear16([0xAA])[0] == 32256
+    assert _alaw_to_linear16([0x2A])[0] == -32256
+
+    # all-256-codes pin against the stdlib's independent G.711 tables
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        import audioop as _audioop
+    _codes = bytes(range(256))
+    assert np.array_equal(
+        _ulaw_to_linear16(np.arange(256, dtype=np.uint8)),
+        np.frombuffer(_audioop.ulaw2lin(_codes, 2), dtype="<i2"),
+    )
+    assert np.array_equal(
+        _alaw_to_linear16(np.arange(256, dtype=np.uint8)),
+        np.frombuffer(_audioop.alaw2lin(_codes, 2), dtype="<i2"),
+    )
+
+    # decode -> re-encode identity over all 256 codes, both laws
+    for law, dec in (("ulaw", _ulaw_to_linear16), ("alaw", _alaw_to_linear16)):
+        codes = np.arange(256, dtype=np.uint8)
+        lin = dec(codes).astype(np.int64)
+        re = _encode_g711_wav(lin[:, None], 8000, law=law)
+        back = np.frombuffer(re[re.find(b"data") + 8:][:256], dtype=np.uint8)
+        if law == "ulaw":
+            # mu-law has two zero codes (0x7F = 'negative zero'); a
+            # canonical encoder emits 0xFF for 0, so bijectivity holds
+            # everywhere except that single inherent collision
+            mism = np.nonzero(back != codes)[0]
+            assert list(mism) == [0x7F] and back[0x7F] == 0xFF
+        else:
+            assert np.array_equal(back, codes), law
+
+    t = np.arange(800)
+    sine = (12000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    for law in ("ulaw", "alaw"):
+        payload = _encode_g711_wav(sine[:, None], 8000, law=law)
+        feats = sniffing_decoder(payload, "audio")
+        rms_true = float(np.sqrt(np.mean((sine / 32768.0) ** 2)))
+        assert abs(feats[1] - rms_true) < 0.005, law  # rms within companding error
+        assert feats[4] == 8000 / 96000.0
+        wav = transcode_wav(payload)
+        assert wav is not None and wav.startswith(b"RIFF")
+        assert sniffing_decoder(wav, "audio") == feats  # expansion is the decode
+        assert transcode_wav(wav) == wav  # canonical output is a fixed point
+
+
+def test_embedding_decontaminate(spark):
+    """X170: the exact path flags exactly the planted benchmark
+    near-copies (paraphrase-shaped: benchmark vector + small noise)
+    and nothing else; the banded path is a subset of exact and catches
+    verbatim copies with certainty; vectorized == fold; anti-join
+    leaves the clean corpus."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.similarity import (
+        embedding_decontaminate,
+        md5_sign_planes,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    bench = rng.randn(5, dim)
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    clean = rng.randn(40, dim)
+    clean /= np.linalg.norm(clean, axis=1, keepdims=True)
+    # make sure no clean vector accidentally clears the gate
+    for i in range(len(clean)):
+        while float(np.max(np.abs(bench @ clean[i]))) > 0.7:
+            clean[i] = rng.randn(dim)
+            clean[i] /= np.linalg.norm(clean[i])
+
+    rows = []
+    want = set()
+    for i, v in enumerate(clean):
+        rows.append((i, [float(x) for x in v]))
+    for j in range(3):  # planted paraphrases of bench 0..2
+        v = bench[j] + 0.05 * rng.randn(dim)
+        v /= np.linalg.norm(v)
+        rows.append((100 + j, [float(x) for x in v]))
+        want.add(100 + j)
+    rows.append((200, [float(x) for x in bench[4]]))  # verbatim copy
+    want.add(200)
+
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(
+        [(j, [float(x) for x in bench[j]]) for j in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+
+    exact = {
+        r["id"]: r
+        for r in embedding_decontaminate(corpus, bdf, threshold=0.9).collect()
+    }
+    assert set(exact) == want
+    assert exact[200]["bench_id"] == 4 and float(exact[200]["cosine"]) == 1.0
+    for j in range(3):
+        assert exact[100 + j]["bench_id"] == j
+
+    vec = {
+        r["id"]: r
+        for r in embedding_decontaminate(
+            corpus, bdf, threshold=0.9, vectorized=True
+        ).collect()
+    }
+    assert {(k, v["bench_id"], v["cosine"]) for k, v in vec.items()} == {
+        (k, v["bench_id"], v["cosine"]) for k, v in exact.items()
+    }
+
+    planes = md5_sign_planes(n_planes=12, dim=dim)
+    banded = {
+        r["id"]: r
+        for r in embedding_decontaminate(
+            corpus, bdf, threshold=0.9, method="banded",
+            planes=planes, n_bands=4,
+        ).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert 200 in banded  # identical vectors collide with certainty
+    for k, r in banded.items():
+        assert r["cosine"] == exact[k]["cosine"]
