@@ -1,7 +1,13 @@
 """Round-12 declaration candidates, STAGED (VERDICT r10 task 4).
 
-Two candidates, both oracle-tested every pytest run and via
+Three candidates, all oracle-tested every pytest run and via
 ``tools/check_oracle.py --staged``:
+
+q196 turns the X164 HTML->text extractor's RE2-replayability claim
+into driver-grade evidence: a deterministic markup synthesis around
+each document's text, extracted by the X164 chain, fingerprinted
+per-document (bit_xor of md5 prefixes) — the oracle replays the same
+public regexp chain in DuckDB.
 
 q195 gives the round-11 URL curation family (X162 canonicalization +
 X163 per-domain rollup) a driver-oracle-able form over a
@@ -161,9 +167,65 @@ def q195_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+
+def q196_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 — HTML->text extraction, oracle-checkable: documents has
+    no markup column, so the query wraps each doc's text in a
+    deterministic markup synthesis exercising every stripper stage
+    (script/style blocks with nested fake tags, comments, attribute
+    tags, all six entities incl. the &amp;-last double-decode hazard),
+    extracts with the X164 chain, and reports per-bucket counts,
+    raw/extracted length sums, and an order-insensitive content
+    fingerprint (bit_xor of the md5-prefix of each EXTRACTED text —
+    the q194 convention), so the hash match proves per-document
+    equality of the extraction, not just aggregate lengths. The
+    oracle replays each regexp literally — the X164 patterns are
+    RE2-compatible by design (no backreferences/lookaround), which is
+    exactly the property this staged query turns into driver-grade
+    evidence."""
+    from .operators.text import html_to_text
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.col("text")
+    html = (
+        F.when(did % 5 == 0, F.concat(
+            F.lit("<script>var x = '<p>not text</p>';</script><P class='a'>"),
+            t, F.lit("</p>")))
+        .when(did % 5 == 1, F.concat(
+            F.lit("<!-- note <b> -->"), t,
+            F.lit("<br/><a href='/x?a=1&b=2'>more</a>")))
+        .when(did % 5 == 2, F.concat(
+            F.lit("<div><H2>T</h2> "), t, F.lit(" &amp;lt; tail &lt;ok&gt;")))
+        .when(did % 5 == 3, F.concat(
+            F.lit("<STYLE type='c'>.x{color:red}</style>"), t,
+            F.lit("&nbsp;&quot;q&quot; &#39;s&#39;")))
+        .otherwise(t)
+    )
+    return (
+        d.select(
+            (did % 5).cast("bigint").alias("bucket"),
+            html.alias("__h"),
+            html_to_text(html).alias("__x"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("__h")).cast("bigint").alias("raw_len_sum"),
+            F.sum(F.length("__x")).cast("bigint").alias("text_len_sum"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(__x), 1, 15), 16, 10)"
+                " as bigint))"
+            ).cast("bigint").alias("text_digest_xor"),
+        )
+        .orderBy("bucket")
+    )
+
+
 STAGED_QUERIES = {
     "q194_raw_ingest": q194_raw_ingest,
     "q195_domain_curation": q195_domain_curation,
+    "q196_html_extract": q196_html_extract,
 }
 
 
@@ -228,7 +290,55 @@ SELECT d AS domain,
 FROM canon GROUP BY d ORDER BY d
 """
 
+
+# Literal replay of the X164 chain — sanctioned for this operator
+# family: the patterns are RE2-compatible BY DESIGN (inline (?is)
+# flags, no backreferences), so DuckDB running the same chain is an
+# independent engine executing the same public spec, like the md5
+# convention elsewhere. Entity order matters: &amp; LAST; the quote
+# and ampersand literals go through chr() to keep the SQL readable.
+Q196_SQL = """
+WITH h AS (
+  SELECT doc_id % 5 AS bucket,
+         CASE doc_id % 5
+           WHEN 0 THEN '<script>var x = ' || chr(39) || '<p>not text</p>'
+                       || chr(39) || ';</script><P class=' || chr(39) || 'a'
+                       || chr(39) || '>' || text || '</p>'
+           WHEN 1 THEN '<!-- note <b> -->' || text
+                       || '<br/><a href=' || chr(39) || '/x?a=1&b=2'
+                       || chr(39) || '>more</a>'
+           WHEN 2 THEN '<div><H2>T</h2> ' || text || ' &amp;lt; tail &lt;ok&gt;'
+           WHEN 3 THEN '<STYLE type=' || chr(39) || 'c' || chr(39)
+                       || '>.x{color:red}</style>' || text
+                       || '&nbsp;&quot;q&quot; &#39;s&#39;'
+           ELSE text END AS html
+  FROM documents),
+x AS (
+  SELECT bucket, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        chr(38) || 'nbsp;', ' '), chr(38) || 'amp;', chr(38)),
+      '\\s+', ' ', 'g')) AS extracted
+  FROM h)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(html)) AS BIGINT) AS raw_len_sum,
+       CAST(SUM(length(extracted)) AS BIGINT) AS text_len_sum,
+       CAST(bit_xor(CAST('0x' || substr(md5(extracted), 1, 15) AS BIGINT))
+            AS BIGINT) AS text_digest_xor
+FROM x GROUP BY bucket ORDER BY bucket
+"""
+
 STAGED_SQL = {
     "q194_raw_ingest": Q194_SQL,
     "q195_domain_curation": Q195_SQL,
+    "q196_html_extract": Q196_SQL,
 }
