@@ -660,6 +660,82 @@ def _tiff_unpackbits(strip: bytes) -> bytearray:
     return data
 
 
+def _tiff_jpeg_rgb(payload, tags, e, width, height, photometric,
+                   planar, predictor, depth, tiled):
+    """New-style JPEG-in-TIFF decode (TIFF Technical Note 2): every
+    strip/tile is its own SOI..EOI JPEG; when tag 347 (JPEGTables)
+    exists its DQT/DHT payload (an abbreviated SOI..EOI stream) is
+    spliced after each segment's SOI so abbreviated streams decode
+    with the shared tables. Reuses :mod:`._jpeg` wholesale — the
+    segment geometry comes from each JPEG's own SOF, pasted at the
+    strip/tile origin and cropped to the image."""
+    import numpy as np
+
+    from ._jpeg import decode_jpeg_rgb
+
+    if photometric not in (0, 1, 6):
+        raise ValueError(
+            f"TIFF: photometric {photometric} with JPEG compression unsupported"
+        )
+    if planar != 1 or predictor != 1 or depth != 8:
+        raise ValueError("TIFF: JPEG compression needs 8-bit chunky, no predictor")
+    tables = bytes(tags[347]) if 347 in tags else b""
+    if tables and (
+        not tables.startswith(b"\xff\xd8") or not tables.endswith(b"\xff\xd9")
+    ):
+        raise ValueError("TIFF: malformed JPEGTables")
+
+    def seg_rgb(off: int, cnt: int) -> "np.ndarray":
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise ValueError("TIFF: truncated strip/tile")
+        if not seg.startswith(b"\xff\xd8"):
+            raise ValueError("TIFF: JPEG strip without SOI")
+        if tables:
+            seg = b"\xff\xd8" + tables[2:-2] + seg[2:]
+        arr = decode_jpeg_rgb(seg) * 255.0
+        return np.rint(arr).astype(np.uint8)
+
+    img = np.zeros((height, width, 3), dtype=np.uint8)
+    if tiled:
+        tw = tags.get(322, [None])[0]
+        th = tags.get(323, [None])[0]
+        offsets, counts = tags.get(324), tags.get(325)
+        if not tw or not th or not offsets or not counts:
+            raise ValueError("TIFF: missing tile layout")
+        ta = -(-width // tw)
+        for t in range(len(offsets)):
+            arr = seg_rgb(offsets[t], counts[t])
+            ty, tx = divmod(t, ta)
+            y0, x0 = ty * th, tx * tw
+            ys = min(arr.shape[0], height - y0)
+            xs = min(arr.shape[1], width - x0)
+            if ys <= 0 or xs <= 0:
+                raise ValueError("TIFF: tile outside image")
+            img[y0:y0 + ys, x0:x0 + xs] = arr[:ys, :xs]
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing strip layout")
+        rps = tags.get(278, [height])[0]
+        if rps == 0 or rps == 0xFFFFFFFF:
+            rps = height
+        for s in range(len(offsets)):
+            arr = seg_rgb(offsets[s], counts[s])
+            y0 = s * rps
+            ys = min(arr.shape[0], height - y0)
+            xs = min(arr.shape[1], width)
+            if ys <= 0:
+                raise ValueError("TIFF: strip outside image")
+            img[y0:y0 + ys, :xs] = arr[:ys, :xs]
+    if photometric in (0, 1):
+        g = img[..., 0]
+        if photometric == 0:  # WhiteIsZero
+            g = 255 - g
+        img = np.repeat(g[..., None], 3, axis=2)
+    return img.astype(np.float64)
+
+
 def _tiff_rgb(payload: bytes):
     """REAL decoder for TIFF (TIFF 6.0, public spec): both byte orders
     (II little / MM big), first IFD, 8- and 16-bit gray
@@ -674,8 +750,10 @@ def _tiff_rgb(payload: bytes):
     writers almost always pair with. Scanned-document corpora are
     TIFF-heavy, which is why the format earns a real decoder (round
     10). Palette-color (photometric 3, 8-bit indices, the ColorMap's
-    16-bit values reduced v>>8) decodes for real too (round 11);
-    JPEG-in-TIFF and other depths raise so
+    16-bit values reduced v>>8) decodes for real too (round 11), and
+    so does new-style JPEG-in-TIFF (compression 7 incl. shared
+    JPEGTables — :func:`_tiff_jpeg_rgb`, round 11); old-style JPEG
+    (compression 6) and other depths raise so
     :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
     rule)."""
     import struct
@@ -691,7 +769,8 @@ def _tiff_rgb(payload: bytes):
     (ifd_off,) = struct.unpack(e + "I", payload[4:8])
     (n_entries,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
     # type -> (byte size, struct code) for the value kinds we read
-    sizes = {1: (1, "B"), 3: (2, "H"), 4: (4, "I")}
+    # (7 = UNDEFINED raw bytes — carries tag 347 JPEGTables)
+    sizes = {1: (1, "B"), 3: (2, "H"), 4: (4, "I"), 7: (1, "B")}
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
@@ -737,6 +816,20 @@ def _tiff_rgb(payload: bytes):
     sw = depth // 8  # bytes per sample
     if planar not in (1, 2):
         raise ValueError(f"TIFF: reserved planar configuration {planar}")
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Technical Note 2, round 11):
+        # each strip/tile is an SOI..EOI JPEG stream, optionally
+        # abbreviated with shared tables in tag 347 (JPEGTables). The
+        # JPEG stream self-describes depth/sampling, so the honest
+        # envelope is: 8-bit, chunky, no predictor, photometric
+        # grayscale (0/1) or YCbCr (6 — the JFIF transform
+        # decode_jpeg_rgb already applies). Photometric 2 (RGB-coded
+        # JPEG) raises: the stream would still look 3-component and
+        # silently get the YCbCr matrix (the PPM-maxval rule).
+        return _tiff_jpeg_rgb(
+            payload, tags, e, width, height, photometric, planar,
+            predictor, depth, tiled=322 in tags or 323 in tags,
+        )
     if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"TIFF: compression {compression} unsupported")
     if photometric not in (0, 1, 2, 3):

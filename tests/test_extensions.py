@@ -5634,6 +5634,8 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "tiff_deflate16": _encode_tiff(
             rgb.astype(np.uint16) << 8, bits=16, compression="deflate",
             predictor=2),
+        "tiff_jpeg": _encode_tiff_jpeg(rgb, rows_per_strip=4,
+                                       shared_tables=True),
     }
     for name, good in payloads.items():
         kind = "audio" if name in ("wav", "flac") else "image"
@@ -7302,3 +7304,177 @@ def test_embedding_decontaminate(spark):
     assert 200 in banded  # identical vectors collide with certainty
     for k, r in banded.items():
         assert r["cosine"] == exact[k]["cosine"]
+
+
+def _split_jpeg_tables(stream):
+    """Partition a full JPEG stream into (tables, abbreviated): DQT/DHT
+    segments move into an SOI..EOI tables stream (the TIFF tag 347
+    JPEGTables form); everything else (SOF/SOS/entropy) stays."""
+    pos = 2
+    tables = b""
+    rest = b""
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xDA:  # SOS header + entropy run to EOI
+            rest += stream[pos:len(stream) - 2]
+            break
+        seglen = int.from_bytes(stream[pos + 2:pos + 4], "big")
+        seg = stream[pos:pos + 2 + seglen]
+        if marker in (0xC4, 0xDB):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+    return (b"\xff\xd8" + tables + b"\xff\xd9",
+            b"\xff\xd8" + rest + b"\xff\xd9")
+
+
+def _encode_tiff_jpeg(rgb, rows_per_strip=None, tiles=None,
+                      shared_tables=False, photometric=6, big_endian=False):
+    """Test-side new-style JPEG-in-TIFF writer (TIFF TechNote 2): each
+    strip/tile is an independent baseline JPEG from _encode_jpeg;
+    shared_tables=True moves DQT/DHT into tag 347 (JPEGTables, type 7
+    UNDEFINED) and writes abbreviated per-segment streams."""
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    h, w = rgb.shape[0], rgb.shape[1]
+    segments = []
+    if tiles:
+        tw, th = tiles
+        padded = np.zeros((-(-h // th) * th, -(-w // tw) * tw, 3),
+                          dtype=rgb.dtype)
+        padded[:h, :w] = rgb
+        for y0 in range(0, padded.shape[0], th):
+            for x0 in range(0, padded.shape[1], tw):
+                segments.append(_encode_jpeg(padded[y0:y0 + th, x0:x0 + tw]))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            segments.append(_encode_jpeg(rgb[y0:y0 + rps]))
+    tables = b""
+    if shared_tables:
+        split = [_split_jpeg_tables(s) for s in segments]
+        tables = split[0][0]
+        segments = [abbr for _t, abbr in split]
+
+    entries = []
+
+    def entry(tag, typ, values):
+        entries.append((tag, typ, values))
+
+    entry(256, 3, [w])
+    entry(257, 3, [h])
+    entry(258, 3, [8, 8, 8])
+    entry(259, 3, [7])
+    entry(262, 3, [photometric])
+    entry(277, 3, [3])
+    entry(284, 3, [1])
+    if tiles:
+        entry(322, 3, [tiles[0]])
+        entry(323, 3, [tiles[1]])
+    else:
+        entry(278, 4, [rows_per_strip or h])
+    if tables:
+        entry(347, 7, list(tables))
+    n = len(entries) + 2
+    ifd_off = 8
+    val_off = ifd_off + 2 + 12 * n + 4
+    blobs = []
+    tsz = {3: 2, 4: 4, 7: 1}
+    tcode = {3: "H", 4: "I", 7: "B"}
+
+    def ser(tag, typ, values):
+        nonlocal val_off
+        sz = tsz[typ] * len(values)
+        raw = struct.pack(e + tcode[typ] * len(values), *values)
+        if sz <= 4:
+            raw += b"\x00" * (4 - sz)
+            return struct.pack(e + "HHI", tag, typ, len(values)) + raw
+        blobs.append(raw)
+        out_ = struct.pack(e + "HHII", tag, typ, len(values), val_off)
+        val_off += sz
+        return out_
+
+    body = [ser(t, ty, v) for t, ty, v in entries]
+    counts = [len(s) for s in segments]
+    count_tag, offset_tag = (325, 324) if tiles else (279, 273)
+    body.append(ser(count_tag, 4, counts))
+    offs = []
+    cur = val_off + (4 * len(segments) if len(segments) > 1 else 0)
+    for c in counts:
+        offs.append(cur)
+        cur += c
+    body.append(ser(offset_tag, 4, offs))
+    body.sort(key=lambda b_: struct.unpack(e + "H", b_[:2])[0])
+    out = (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n) + b"".join(body) + struct.pack(e + "I", 0)
+    out += b"".join(blobs) + b"".join(segments)
+    return out
+
+
+def test_tiff_jpeg_compression():
+    """New-style JPEG-in-TIFF: strip and tile layouts decode within
+    baseline-JPEG quantization loss of the original; the shared-
+    JPEGTables abbreviated form decodes BIT-IDENTICALLY to the inline
+    form (same entropy data, tables just relocated); equal strip/tile
+    geometry gives equal pixels; RGB-photometric JPEG and old-style
+    compression 6 raise to the stub boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _decode_stub,
+        _tiff_rgb,
+        sniffing_decoder,
+    )
+
+    # spatially smooth content (JPEG loss on white noise is ~25/pixel;
+    # the gradient keeps the tolerance pin meaningful — the bit-exact
+    # pins below are the structural checks)
+    yy, xx = np.mgrid[0:24, 0:17]
+    rgb = np.stack(
+        [(yy * 7 + xx * 3) % 200 + 20,
+         (yy * 2 + xx * 9) % 180 + 40,
+         (yy * 5 + xx * 5) % 160 + 60], axis=2
+    ).astype(np.uint8)
+
+    strip = _encode_tiff_jpeg(rgb, rows_per_strip=8)
+    dec = _tiff_rgb(strip)
+    assert dec.shape == (24, 17, 3)
+    assert np.abs(dec - rgb.astype(np.float64)).mean() < 6.0
+
+    shared = _encode_tiff_jpeg(rgb, rows_per_strip=8, shared_tables=True)
+    assert np.array_equal(_tiff_rgb(shared), dec)
+
+    tiled = _encode_tiff_jpeg(rgb, tiles=(17, 8))
+    assert np.array_equal(_tiff_rgb(tiled), dec)  # same segment geometry
+
+    tiled2 = _encode_tiff_jpeg(rgb, tiles=(8, 8), shared_tables=True,
+                               big_endian=True)
+    assert np.abs(_tiff_rgb(tiled2) - rgb.astype(np.float64)).mean() < 6.0
+
+    with _pytest.raises(ValueError, match="photometric 2"):
+        _tiff_rgb(_encode_tiff_jpeg(rgb, rows_per_strip=8, photometric=2))
+    oldstyle = bytearray(_encode_tiff_jpeg(rgb, rows_per_strip=8))
+    # flip compression tag value 7 -> 6 (old-style, deliberately out)
+    import struct as _struct
+
+    n = _struct.unpack("<H", oldstyle[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack("<H", oldstyle[off:off + 2])[0] == 259:
+            oldstyle[off + 8] = 6
+    with _pytest.raises(ValueError, match="compression 6"):
+        _tiff_rgb(bytes(oldstyle))
+    # sniffer: undecodable variant degrades to stub, good one decodes
+    assert sniffing_decoder(bytes(oldstyle), "image") == _decode_stub(
+        bytes(oldstyle), "image"
+    )
+    feats = sniffing_decoder(strip, "image")
+    assert len(feats) == 8 and feats[7] == 1.0
