@@ -1402,3 +1402,56 @@ def make_encoding_qa_maintainer(
         )
 
     return maintain, stats
+
+
+def decontamination_stream(
+    vecs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """X171 (round 11) — streaming twin of X170
+    (`similarity.embedding_decontaminate`): arriving corpus embeddings
+    are checked against the static benchmark suite IN-FLIGHT, so a
+    contaminated document is rejected before it ever lands — the
+    admit/reject gate an ingest pipeline keys on, like X33's near-dup
+    signal. Emits one (id, bench_id, cosine) row per match at or above
+    ``threshold`` (match EVENTS — any match means reject; the per-doc
+    best-match reduction is the batch tier's reporting shape, which
+    would need streaming aggregation state for no decision value).
+
+    State shape: completely STATELESS — the benchmark is model-sized
+    and broadcast, the scan is a per-row fold projection, and there is
+    no keyed state, no watermark, no aggregation; the same plan runs
+    unchanged over a batch frame, which is exactly how the parity test
+    pins it. Benchmark refresh is a stream-static re-plan per
+    micro-batch (the X33 index contract): replacing the benchmark
+    table needs no query restart."""
+    from ..operators.similarity import as_double, cosine, l2_norm
+
+    c = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__ce"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.col(bench_vec_col).alias("__be"),
+    )
+    cn = c.withColumn("__cv", as_double(F.col("__ce"))).withColumn(
+        "__cn", l2_norm(F.col("__cv"))
+    )
+    bn = b.withColumn("__bv", as_double(F.col("__be"))).withColumn(
+        "__bn", l2_norm(F.col("__bv"))
+    )
+    return (
+        cn.crossJoin(F.broadcast(bn))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")),
+                4,
+            ).cast("decimal(38,4)"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id", "bench_id", "cosine")
+    )

@@ -1755,3 +1755,75 @@ def test_encoding_qa_stream_matches_batch(spark, tmp_path):
     assert streamed["crawl"]["n_mojibake_docs"] == 7
     assert streamed["books"]["n_mojibake_docs"] == 0
     assert streamed["books"]["n_replacement_chars"] == 1
+
+
+def test_decontamination_stream_matches_batch(spark, tmp_path):
+    """X171: the streaming decontamination gate over two epochs emits
+    match events whose per-id maxima equal the batch X170 report on
+    the union — the plan is stateless, so epoch boundaries cannot
+    change any decision; clean vectors emit nothing."""
+    import os
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        decontamination_stream,
+    )
+
+    rng = np.random.RandomState(23)
+    dim = 12
+    bench = rng.randn(4, dim)
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    bdf = spark.createDataFrame(
+        [(j, [float(x) for x in bench[j]]) for j in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def mk(i, v):
+        return (i, [float(x) for x in v / np.linalg.norm(v)])
+
+    e1 = [mk(i, rng.randn(dim)) for i in range(10)] + [
+        mk(100, bench[0] + 0.03 * rng.randn(dim)),
+        mk(101, bench[1]),
+    ]
+    e2 = [mk(i, rng.randn(dim)) for i in range(10, 20)] + [
+        mk(102, bench[2] + 0.03 * rng.randn(dim)),
+    ]
+    df1 = spark.createDataFrame(e1, "vec_id long, embedding array<double>")
+    df2 = spark.createDataFrame(e2, "vec_id long, embedding array<double>")
+
+    src = str(tmp_path / "dc2_src")
+    out = str(tmp_path / "dc2_out")
+    chk = str(tmp_path / "dc2_chk")
+    df1.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    q = (
+        decontamination_stream(stream, bdf, threshold=0.9)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = spark.read.parquet(out).collect()
+    got = {}
+    for r in streamed:
+        k = r["id"]
+        if k not in got or r["cosine"] > got[k]:
+            got[k] = r["cosine"]
+    batch = {
+        r["id"]: r["cosine"]
+        for r in embedding_decontaminate(
+            df1.unionByName(df2), bdf, threshold=0.9
+        ).collect()
+    }
+    assert set(got) == set(batch) == {100, 101, 102}
+    for k in got:
+        assert got[k] == batch[k], k
