@@ -8,11 +8,14 @@ scans, per-scan DHT redefinition), and LOSSLESS mode (SOF3, round 11
 — Annex H predictive coding: predictors 1-7, point transform,
 2-16-bit precision, modulo-2^16 reconstruction, category-16
 diff=32768 case; sampling factors other than 1x1 and restart
-intervals in lossless scans raise honestly). DCT modes are 8-bit
-precision, Huffman entropy coding, grayscale or YCbCr with any JFIF
+intervals in lossless scans raise honestly). Sequential DCT frames
+decode at 8-bit AND 12-bit precision (round 11 — pq=1 16-bit quant
+tables, 2^(P-1) level shift, exact chroma-center handling); the
+progressive scan logic is 8-bit-validated only, so 12-bit SOF2
+raises. Huffman entropy coding, grayscale or YCbCr with any JFIF
 sampling factors (4:4:4, 4:2:2, 4:2:0 — generic h/v factor handling),
-DRI/RSTn restart intervals, 0xFF00 byte-stuffing. Arithmetic coding,
-12-bit DCT, and hierarchical modes raise ValueError so
+DRI/RSTn restart intervals, 0xFF00 byte-stuffing. Arithmetic coding
+and hierarchical modes raise ValueError so
 ``multimodal.sniffing_decoder`` falls back to the stub rather than
 mis-decoding (the PPM-maxval rule).
 
@@ -139,9 +142,9 @@ def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
     scaled by 255/(2^P - 1) so every precision lands on the shared
     plane contract). Returns (planes, width, height) with planes a
     list of HxW float64 arrays; with_mode=True appends the coding mode
-    ('dct' | 'lossless') so color-space decisions downstream can tell
-    a YCbCr DCT scan from a lossless scan (which T.81 leaves
-    color-space-free)."""
+    ('dct' | 'dct12' | 'lossless') so downstream color-space decisions
+    can tell a YCbCr DCT scan (and its exact chroma center) from a
+    lossless scan (which T.81 leaves color-space-free)."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -177,13 +180,17 @@ def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
-                if pq != 0:
-                    raise ValueError("JPEG: 16-bit quant tables unsupported")
-                tbl = np.frombuffer(seg, dtype=np.uint8, count=64, offset=i + 1)
+                if pq not in (0, 1):
+                    raise ValueError("JPEG: invalid quant table precision")
+                # pq=1: 16-bit big-endian table values (12-bit frames)
+                tbl = np.frombuffer(
+                    seg, dtype=np.uint8 if pq == 0 else ">u2",
+                    count=64, offset=i + 1,
+                ).astype(np.float64)
                 q = np.zeros(64, dtype=np.float64)
                 q[ZIGZAG] = tbl
                 qt[tq] = q.reshape(8, 8)
-                i += 65
+                i += 65 + 64 * pq
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -197,12 +204,20 @@ def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1/2 DCT, SOF3 lossless
             lossless = marker == 0xC3
             precision = seg[0]
+            progressive = marker == 0xC2
             if lossless:
                 if not 2 <= precision <= 16:
                     raise ValueError("JPEG: lossless precision out of range")
+            elif precision == 12:
+                # 12-bit extended sequential (SOF1) decodes for real
+                # (round 11); progressive scan logic is 8-bit-validated
+                # only, so 12-bit SOF2 stays an honest raise
+                if progressive:
+                    raise ValueError("JPEG: 12-bit progressive unsupported")
             elif precision != 8:
-                raise ValueError("JPEG: only 8-bit DCT precision supported")
-            progressive = marker == 0xC2
+                raise ValueError(
+                    f"JPEG: {precision}-bit DCT precision unsupported"
+                )
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -246,9 +261,10 @@ def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
                 pos += seglen
                 res = _decode_scan(
                     data, pos, comps, scan_map, qt, huff_dc, huff_ac,
-                    width, height, restart_interval,
+                    width, height, restart_interval, precision,
                 )
-                return (*res, "dct") if with_mode else res
+                mode = "dct12" if precision == 12 else "dct"
+                return (*res, mode) if with_mode else res
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             if "coef" not in comps[0]:
@@ -520,7 +536,7 @@ def _ac_refine_block(bits, act, coef, ss, se, al, eobrun):
 
 
 def _decode_scan(data, pos, comps, scan_map, qt, huff_dc, huff_ac,
-                 width, height, restart_interval):
+                 width, height, restart_interval, precision=8):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-width // (8 * hmax))
@@ -575,23 +591,31 @@ def _decode_scan(data, pos, comps, scan_map, qt, huff_dc, huff_ac,
                         ] = out.reshape(8, 8)
             mcu_count += 1
 
-    return _planes_from_coefs(comps, qt, width, height, hmax, vmax)
+    return _planes_from_coefs(comps, qt, width, height, hmax, vmax, precision)
 
 
-def _planes_from_coefs(comps, qt, width, height, hmax, vmax):
+def _planes_from_coefs(comps, qt, width, height, hmax, vmax, precision=8):
     """Shared tail of both decode modes: dequant, vectorized separable
     IDCT over every block at once, JFIF nearest upsample, MCU-padding
     crop. ``comps[i]["coef"]`` is (bh, bw, 8, 8) natural-order float."""
+    # level shift is 2^(P-1) (T.81 A.3.1); planes land on the shared
+    # [0, 255] float contract — 12-bit scales by 255/4095, 8-bit is
+    # untouched (bit-compatible with the pre-round-11 path)
+    center = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     planes = []
     for c in comps:
         coef = c["coef"] * qt[c["tq"]]  # dequant, broadcast over blocks
-        spatial = np.einsum("xu,bcuv,yv->bcxy", _A, coef, _A) + 128.0
+        spatial = np.einsum("xu,bcuv,yv->bcxy", _A, coef, _A) + center
         bh, bw = coef.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        planes.append(np.clip(plane[:height, :width], 0.0, 255.0))
+        plane = np.clip(plane[:height, :width], 0.0, maxval)
+        if precision != 8:
+            plane = plane * (255.0 / maxval)
+        planes.append(plane)
     return planes, width, height
 
 
@@ -611,10 +635,14 @@ def decode_jpeg_rgb(payload: bytes) -> np.ndarray:
         if mode == "lossless":
             rgb = np.dstack(planes)
         else:
+            # chroma neutral is 2^(P-1) in the native range; the planes
+            # are already scaled to [0,255], so the 12-bit center maps
+            # to 2048 * 255/4095, not exactly 128
+            cc = 128.0 if mode == "dct" else 2048.0 * 255.0 / 4095.0
             y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
+            r = y + 1.402 * (cr - cc)
+            g = y - 0.344136 * (cb - cc) - 0.714136 * (cr - cc)
+            b = y + 1.772 * (cb - cc)
             rgb = np.clip(np.dstack([r, g, b]), 0.0, 255.0)
     else:
         raise ValueError(f"JPEG: {len(planes)}-component scans unsupported")

@@ -5621,6 +5621,7 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "jpeg": _encode_jpeg(rgb),
         "jpeg_prog": _encode_jpeg_progressive(rgb, ac_al=1),
         "jpeg_lossless": _encode_jpeg_lossless(rgb, predictor=4),
+        "jpeg12": _encode_jpeg12(rgb.astype(np.float64) * 16.0),
         "wav": buf.getvalue(),
         "flac": _encode_flac(pcm, 8000, frame_size=256,
                              plan=lambda ch, fi: {"kind": ("fixed", 2)}),
@@ -7478,3 +7479,203 @@ def test_tiff_jpeg_compression():
     )
     feats = sniffing_decoder(strip, "image")
     assert len(feats) == 8 and feats[7] == 1.0
+
+
+def _encode_jpeg12(img12, subsample=False):
+    """Test-side 12-bit extended-sequential JPEG encoder (SOF1):
+    pq=1 16-bit DQT (all-ones tables — near-lossless), flat-length
+    canonical Huffman tables wide enough for 12-bit categories
+    (DC 0..15 at length 5, AC (r,s) s<=14 at length 8 plus EOB/ZRL),
+    2048 level shift, gray or YCbCr 4:4:4/4:2:0 — so the decoder is
+    exercised against payloads it did not produce."""
+    import struct
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._jpeg import _A, ZIGZAG
+
+    arr = np.asarray(img12, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr]
+        factors = [(1, 1)]
+    else:
+        r, g, b = (arr[..., i] for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = (h + 1) & ~1, (w + 1) & ~1
+
+            def pad(p):
+                out = np.empty((ph, pw))
+                out[:h, :w] = p
+                out[h:, :w] = p[-1:]
+                out[:, w:] = out[:, w - 1:w]
+                return out
+
+            cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            factors = [(1, 1)] * 3
+        planes = [y, cb, cr]
+
+    # flat canonical tables: DC symbols 0..15 all length 5;
+    # AC: EOB, ZRL and every (r, s<=14) all length 8
+    dc_counts = [0, 0, 0, 0, 16] + [0] * 11
+    dc_syms = list(range(16))
+    ac_syms = [0x00, 0xF0] + [
+        (r_ << 4) | s_ for r_ in range(16) for s_ in range(1, 15)
+    ]
+    ac_counts = [0] * 7 + [len(ac_syms)] + [0] * 8
+    assert len(ac_syms) * 2 ** -8 < 1.0
+
+    def enc_table(counts, symbols):
+        code, k, out = 0, 0, {}
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                out[symbols[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dct_t = enc_table(dc_counts, dc_syms)
+    act_t = enc_table(ac_counts, ac_syms)
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for ci, (fh, fv) in enumerate(factors):
+        p = planes[ci]
+        ww, hh = mcux * fh * 8, mcuy * fv * 8
+        out_p = np.empty((hh, ww))
+        out_p[:p.shape[0], :p.shape[1]] = p
+        out_p[p.shape[0]:, :p.shape[1]] = out_p[p.shape[0] - 1, :p.shape[1]]
+        out_p[:, p.shape[1]:] = out_p[:, p.shape[1] - 1:p.shape[1]]
+        padded.append(out_p)
+    planes = padded
+
+    bitbuf = bytearray()
+    acc, nbits = 0, 0
+
+    def put(code, ln):
+        nonlocal acc, nbits
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            bitbuf.append(byte)
+            if byte == 0xFF:
+                bitbuf.append(0x00)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def put_val(v):
+        t = abs(v).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    preds = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (fh, fv) in enumerate(factors):
+                p = planes[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        blk = p[y0:y0 + 8, x0:x0 + 8] - 2048.0
+                        # A's columns are orthonormal, so the forward
+                        # transform is the plain conjugation — no scale
+                        coef = _A.T @ blk @ _A
+                        zz = np.rint(coef.reshape(64)).astype(np.int64)[ZIGZAG]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        t, bits_v = put_val(diff)
+                        ln, cd = dct_t[t]
+                        put(cd, ln)
+                        if t:
+                            put(bits_v & ((1 << t) - 1), t)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                ln, cd = act_t[0xF0]
+                                put(cd, ln)
+                                run -= 16
+                            t, bits_v = put_val(v)
+                            ln, cd = act_t[(run << 4) | t]
+                            put(cd, ln)
+                            put(bits_v & ((1 << t) - 1), t)
+                            run = 0
+                        if run:
+                            ln, cd = act_t[0x00]
+                            put(cd, ln)
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+    out = bytearray(b"\xff\xd8")
+    # pq=1 DQT, all-ones (near-lossless; exercises the 16-bit parse)
+    q16 = struct.pack(">64H", *([1] * 64))
+    dqt = bytes([0x10]) + q16
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    dht = (bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+           + bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    nc = 1 if gray else 3
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        fh, fv = factors[ci]
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += b"\xff\xc1" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += bytes(bitbuf) + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_12bit_sequential():
+    """12-bit extended-sequential JPEG (SOF1, pq=1 quant tables):
+    near-lossless round-trip at Q=1 for gray and RGB in the native
+    12-bit range; 4:2:0 subsampling sanity; 12-bit progressive raises
+    honestly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators._jpeg import (
+        decode_jpeg_planes,
+        decode_jpeg_rgb,
+    )
+
+    rng = np.random.RandomState(31)
+    gray = rng.randint(0, 4096, size=(16, 13)).astype(np.float64)
+    planes, w, h = decode_jpeg_planes(_encode_jpeg12(gray))
+    back = planes[0] * (4095.0 / 255.0)
+    # Q=1: error budget is DCT round-off only (<= a few counts in 4095)
+    assert np.abs(back - gray).max() < 4.0
+
+    rgb12 = rng.randint(200, 3896, size=(9, 11, 3)).astype(np.float64)
+    got = decode_jpeg_rgb(_encode_jpeg12(rgb12)) * 4095.0
+    assert np.abs(got - rgb12).max() < 8.0  # color transform round-trip
+
+    # smooth content, 4:2:0: decodes and stays close
+    yy, xx = np.mgrid[0:12, 0:10]
+    smooth = np.stack([yy * 100.0 + 500, xx * 120.0 + 700,
+                       (yy + xx) * 60.0 + 900], axis=2)
+    got = decode_jpeg_rgb(_encode_jpeg12(smooth, subsample=True)) * 4095.0
+    assert np.abs(got - smooth).mean() < 60.0
+
+    prog = bytearray(_encode_jpeg12(gray))
+    i = prog.find(b"\xff\xc1")
+    prog[i + 1] = 0xC2  # claim progressive at 12-bit
+    with _pytest.raises(ValueError, match="12-bit progressive"):
+        decode_jpeg_planes(bytes(prog))
