@@ -228,7 +228,10 @@ def _parse_aiff(payload: bytes):
     se = int.from_bytes(comm[8:10], "big")
     mant = int.from_bytes(comm[10:18], "big")
     exp = se & 0x7FFF
-    if mant == 0 or exp == 0x7FFF:
+    # any real sample rate has an exponent within a few dozen of the
+    # bias; the range guard keeps the float conversion from raising
+    # OverflowError (a non-contractual exception type) on corrupt COMM
+    if mant == 0 or not 16000 <= exp <= 16500:
         raise ValueError("AIFF: invalid sample rate")
     rate = int(round(mant * 2.0 ** (exp - 16383 - 63)))
     if se & 0x8000 or rate < 1 or nch < 1:

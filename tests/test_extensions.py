@@ -7679,3 +7679,25 @@ def test_jpeg_12bit_sequential():
     prog[i + 1] = 0xC2  # claim progressive at 12-bit
     with _pytest.raises(ValueError, match="12-bit progressive"):
         decode_jpeg_planes(bytes(prog))
+
+
+def test_aiff_corrupt_comm_exception_contract():
+    """A corrupt COMM exponent must raise ValueError (the decoder
+    contract), never OverflowError from the 80-bit float conversion;
+    nframes/rate endpoints stay sane."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import _parse_aiff
+
+    pcm = np.arange(64, dtype=np.int64).reshape(-1, 1)
+    good = bytearray(_encode_aiff(pcm, 44100, bits=16))
+    i = good.find(b"COMM")
+    # COMM body starts at i+8; the 80-bit rate at body offset 8
+    for se in (0x7FFE, 0x0001, 0xFFFF):
+        bad = bytearray(good)
+        bad[i + 8 + 8:i + 8 + 10] = se.to_bytes(2, "big")
+        with _pytest.raises(ValueError):
+            _parse_aiff(bytes(bad))
+    samples, rate, bits = _parse_aiff(bytes(good))
+    assert rate == 44100 and bits == 16 and samples.shape == (64, 1)
