@@ -2552,8 +2552,12 @@ def embedding_decontaminate(
         bsig = _sig(b.withColumnRenamed("__be", "__e"), "bench_id")
         cand = (
             csig.join(
-                bsig.withColumnRenamed("band", "bband")
-                .withColumnRenamed("bucket", "bbucket"),
+                # benchmark signatures are model-sized x n_bands —
+                # broadcast so the corpus signatures never shuffle
+                F.broadcast(
+                    bsig.withColumnRenamed("band", "bband")
+                    .withColumnRenamed("bucket", "bbucket")
+                ),
                 (F.col("band") == F.col("bband"))
                 & (F.col("bucket") == F.col("bbucket")),
             )

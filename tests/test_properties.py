@@ -1035,3 +1035,46 @@ def test_url_canonicalize_total_and_idempotent(
         assert not c.startswith("https://") or ":443/" not in c
         assert "utm_" not in c.split("?")[-1] if "?" in c else True
         assert "gclid=" not in c
+
+
+@given(
+    lines=st.lists(
+        st.sampled_from(["", "a", "b", "spam spam", "x y", "\t", " "]),
+        max_size=20,
+    ),
+    junk=st.text(max_size=40),
+)
+@settings(**SETTINGS)
+def test_squeeze_repeated_lines_properties(spark, lines, junk):
+    """X168 algebraic contract over generated line lists plus unicode
+    junk: (1) total — never throws; (2) IDEMPOTENT — a squeezed text
+    has no adjacent duplicate lines left, so a second pass is identity
+    (safe at any pipeline stage); (3) matches the obvious sequential
+    reference; (4) the fraction is exactly dropped/total and lands in
+    [0, 1)."""
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import (
+        repeated_line_fraction,
+        squeeze_repeated_lines,
+    )
+
+    text = "\n".join(lines) if lines else junk
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        squeeze_repeated_lines("text").alias("s"),
+        repeated_line_fraction("text").alias("f"),
+    ).collect()[0]
+
+    src = text.split("\n")
+    ref = [ln for i, ln in enumerate(src) if i == 0 or ln != src[i - 1]]
+    assert row["s"] == "\n".join(ref)
+    assert abs(row["f"] - (len(src) - len(ref)) / len(src)) < 1e-12
+    assert 0.0 <= row["f"] < 1.0
+
+    again = (
+        df.select(squeeze_repeated_lines("text").alias("s"))
+        .select(squeeze_repeated_lines("s").alias("s2"))
+        .collect()[0]["s2"]
+    )
+    assert again == row["s"]
