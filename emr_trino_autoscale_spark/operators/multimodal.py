@@ -402,13 +402,14 @@ def _png_rgb(payload: bytes):
     aspect/8, 1.0] — identical to :func:`decode_ppm_image`, pinned by
     a same-pixels cross-decoder test).
 
-    Supported: bit depths 8 and 16 (16-bit reduces to 8 by high byte
-    — the probe contract is 8-bit features), color types 0 (gray), 2
-    (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both non-interlaced
-    and Adam7-interlaced (round 10: seven independently-filtered
-    reduced images on the spec 8.2 pass grid). Sub-8-bit depths raise
-    (``sniffing_decoder`` falls back to the stub rather than silently
-    mis-decoding — the PPM maxval rule)."""
+    Supported: bit depths 1/2/4 (round 11 — packed MSB-first samples,
+    gray or palette, filter distance one byte per spec 9.2, exact
+    255/(2^d-1) gray expansion), 8 and 16 (16-bit reduces to 8 by high
+    byte — the probe contract is 8-bit features), color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (round 10: seven
+    independently-filtered reduced images on the spec 8.2 pass grid;
+    sub-byte passes unfilter at their own byte strides)."""
     import struct
     import zlib
 
@@ -437,7 +438,7 @@ def _png_rgb(payload: bytes):
             break
     if width is None:
         raise ValueError("PNG: no IHDR")
-    if bit_depth not in (8, 16):
+    if bit_depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"PNG: bit depth {bit_depth} unsupported")
     if interlace not in (0, 1):
         raise ValueError(f"PNG: interlace method {interlace} unknown")
@@ -446,25 +447,63 @@ def _png_rgb(payload: bytes):
         raise ValueError(f"PNG: color type {color_type} unsupported")
     if bit_depth == 16 and color_type == 3:
         raise ValueError("PNG: 16-bit palette images are illegal")
-    sb = bit_depth // 8
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("PNG: sub-8-bit depth is gray/palette only")
     raw = zlib.decompress(bytes(idat))
-    if interlace == 0:
-        px, _ = _png_unfilter(raw, width, height, channels, sb)
-    else:
-        # Adam7 (round 10): seven independently-filtered reduced
-        # images, scattered back on the pass grid; empty passes (a
-        # dimension rounds to zero) contribute no bytes at all.
-        import numpy as np
+    if bit_depth < 8:
+        # packed sub-byte samples (round 11): filtering operates on the
+        # PACKED bytes with a filter distance of one byte (spec 9.2),
+        # so each (sub-)image unfilters at its byte stride and then
+        # unpacks MSB-first into one sample per pixel. Gray scales by
+        # the exact expansion 255/(2^d - 1) (an integer for d=1/2/4);
+        # palette indices are used as-is.
+        def _unpack(sub_bytes, pw):
+            a = sub_bytes[..., 0]
+            bits_ = np.unpackbits(a, axis=1)
+            if bit_depth == 1:
+                vals = bits_
+            else:
+                g = bits_.reshape(a.shape[0], -1, bit_depth)
+                weights = 1 << np.arange(bit_depth - 1, -1, -1)
+                vals = (g * weights).sum(axis=2)
+            return vals[:, :pw][..., None].astype(np.uint8)
 
-        px = np.zeros((height, width, channels * sb), dtype=np.uint8)
-        pos2 = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (width - x0 + dx - 1) // dx
-            ph = (height - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue
-            sub, pos2 = _png_unfilter(raw, pw, ph, channels, sb, pos2)
-            px[y0::dy, x0::dx] = sub
+        if interlace == 0:
+            wb = (width * bit_depth + 7) // 8
+            pxb, _ = _png_unfilter(raw, wb, height, 1, 1)
+            px = _unpack(pxb, width)
+        else:
+            px = np.zeros((height, width, 1), dtype=np.uint8)
+            pos2 = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                wb = (pw * bit_depth + 7) // 8
+                sub, pos2 = _png_unfilter(raw, wb, ph, 1, 1, pos2)
+                px[y0::dy, x0::dx] = _unpack(sub, pw)
+        if color_type == 0:
+            px = (px.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))
+                  ).astype(np.uint8)
+        sb = 1
+    else:
+        sb = bit_depth // 8
+        if interlace == 0:
+            px, _ = _png_unfilter(raw, width, height, channels, sb)
+        else:
+            # Adam7 (round 10): seven independently-filtered reduced
+            # images, scattered back on the pass grid; empty passes (a
+            # dimension rounds to zero) contribute no bytes at all.
+            px = np.zeros((height, width, channels * sb), dtype=np.uint8)
+            pos2 = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, pos2 = _png_unfilter(raw, pw, ph, channels, sb, pos2)
+                px[y0::dy, x0::dx] = sub
     if sb == 2:
         # 16-bit samples are big-endian; the feature/signature probe
         # reduces to 8-bit by the high byte (floor(v / 257) differs by
@@ -503,15 +542,82 @@ def decode_png_image(payload: bytes) -> list[float]:
 
 
 
+def _bmp_rle_indices(payload, data_offset, width, height, rle4):
+    """Decode a BI_RLE8/BI_RLE4 stream into an (height, width) palette
+    index grid in FILE row order (bottom-up; caller flips). Escapes
+    per the public DIB spec: (n>0, v) = run of n pixels (RLE4
+    alternates v's high/low nibbles); (0,0) = end of line; (0,1) = end
+    of bitmap; (0,2,dx,dy) = delta; (0,n>=3) = absolute mode (n literal
+    pixels, storage word-aligned). Unwritten pixels stay index 0."""
+    import numpy as np
+
+    idx = np.zeros((height, width), dtype=np.uint8)
+    pos = data_offset
+    x = y = 0
+    end = len(payload)
+    while pos + 2 <= end:
+        c, v = payload[pos], payload[pos + 1]
+        pos += 2
+        if c > 0:  # encoded run
+            if y >= height:
+                raise ValueError("BMP: RLE run outside image")
+            n = min(c, width - x)
+            if rle4:
+                pair = np.array([v >> 4, v & 0x0F], dtype=np.uint8)
+                idx[y, x:x + n] = np.tile(pair, (c + 1) // 2 + 1)[:n]
+            else:
+                idx[y, x:x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return idx
+        elif v == 2:  # delta
+            if pos + 2 > end:
+                raise ValueError("BMP: truncated RLE delta")
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("BMP: RLE delta outside image")
+        else:  # absolute mode: v literal pixels, word-aligned storage
+            if y >= height:
+                raise ValueError("BMP: RLE absolute run outside image")
+            nbytes = (v + 1) // 2 if rle4 else v
+            nbytes += nbytes & 1  # pad to 16-bit boundary
+            raw = payload[pos:pos + nbytes]
+            if len(raw) != nbytes:
+                raise ValueError("BMP: truncated RLE absolute run")
+            pos += nbytes
+            if rle4:
+                a = np.frombuffer(raw, dtype=np.uint8)
+                vals = np.empty(a.size * 2, dtype=np.uint8)
+                vals[0::2] = a >> 4
+                vals[1::2] = a & 0x0F
+                vals = vals[:v]
+            else:
+                vals = np.frombuffer(raw, dtype=np.uint8)[:v]
+            n = min(v, width - x)
+            idx[y, x:x + n] = vals[:n]
+            x += n
+    raise ValueError("BMP: RLE stream missing end-of-bitmap")
+
+
 def _bmp_rgb(payload: bytes):
-    """REAL decoder for uncompressed BMP (Windows DIB, public): 24/32-bit
-    BI_RGB, plus 32-bit BI_BITFIELDS with byte-aligned channel masks
-    (the BITMAPV4/V5 form every screenshot tool emits) — fixed headers,
-    BGR(A) samples, 4-byte row padding, bottom-up (or top-down via
-    negative height) row order. Same 8-float feature contract as
+    """REAL decoder for BMP (Windows DIB, public): 24/32-bit BI_RGB,
+    32-bit BI_BITFIELDS with byte-aligned channel masks (the
+    BITMAPV4/V5 form every screenshot tool emits), 8-bit palette, and
+    — round 11 — BI_RLE8/BI_RLE4 run-length palette images (run,
+    absolute, end-of-line, delta and end-of-bitmap escapes; skipped
+    pixels read as palette index 0, matching the common
+    implementations' zero-fill of the undefined-by-spec gaps) — fixed
+    headers, BGR(A) samples, 4-byte row padding, bottom-up (or
+    top-down via negative height; RLE is bottom-up only per spec) row
+    order. Same 8-float feature contract as
     :func:`decode_ppm_image`/:func:`decode_png_image` (cross-pinned on
-    identical pixels). RLE compression, palettes, and non-byte-aligned
-    masks raise; ``sniffing_decoder`` falls back to the stub."""
+    identical pixels). 1/2/4-bit uncompressed, 16-bit, and
+    non-byte-aligned masks raise; ``sniffing_decoder`` falls back to
+    the stub."""
     import struct
 
     import numpy as np
@@ -527,6 +633,29 @@ def _bmp_rgb(payload: bytes):
     width, height = struct.unpack("<ii", payload[18:26])
     bpp = struct.unpack("<H", payload[28:30])[0]
     compression = struct.unpack("<I", payload[30:34])[0]
+    clr_used = struct.unpack("<I", payload[46:50])[0]
+
+    def _palette():
+        n = clr_used or (1 << bpp)
+        raw = payload[14 + hdr_size:14 + hdr_size + 4 * n]
+        if len(raw) != 4 * n:
+            raise ValueError("BMP: truncated color table")
+        # BGRA entries -> RGB table, padded to full index range
+        tbl = np.zeros((1 << bpp, 3), dtype=np.uint8)
+        ent = np.frombuffer(raw, dtype=np.uint8).reshape(n, 4)
+        tbl[:n] = ent[:, [2, 1, 0]]
+        return tbl
+
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+        if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
+            raise ValueError("BMP: RLE compression/bit-depth mismatch")
+        if height < 0:
+            raise ValueError("BMP: top-down RLE is illegal")
+        idx = _bmp_rle_indices(
+            payload, data_offset, width, height, rle4=compression == 2
+        )
+        return _palette()[idx[::-1]].astype(np.float64)
+
     chan_order = "bgr"  # BI_RGB little-endian sample order
     if compression == 3:
         # BI_BITFIELDS (V4/V5 headers carry RGB masks right after the
@@ -543,6 +672,18 @@ def _bmp_rgb(payload: bytes):
         chan_order = shifts  # byte index per R,G,B
     elif compression != 0:
         raise ValueError(f"BMP: compression {compression} unsupported")
+    if bpp == 8:  # uncompressed palette (round 11)
+        top_down = height < 0
+        height = abs(height)
+        stride = (width + 3) & ~3
+        if len(payload) < data_offset + stride * height:
+            raise ValueError("BMP: truncated pixel data")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)[:, :width]
+        if not top_down:
+            rows = rows[::-1]
+        return _palette()[rows].astype(np.float64)
     if bpp not in (24, 32):
         raise ValueError(f"BMP: {bpp}-bit unsupported")
     top_down = height < 0

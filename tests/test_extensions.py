@@ -4122,31 +4122,55 @@ def _encode_png(arr, color_type, filters=None, palette=None,
 
     h, w = arr.shape[0], arr.shape[1]
     channels = arr.shape[2] if arr.ndim == 3 else 1
-    if bit_depth == 16:
-        # big-endian sample bytes
-        a16 = arr.astype(np.uint16).reshape(h, w, channels)
-        by = np.zeros((h, w, channels * 2), dtype=np.uint8)
-        by[..., 0::2] = (a16 >> 8).astype(np.uint8)
-        by[..., 1::2] = (a16 & 0xFF).astype(np.uint8)
-        pix = by
-    else:
-        pix = arr.reshape(h, w, channels).astype(np.uint8)
-    bpp = channels * (bit_depth // 8)
     filters = filters or [0]
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    if bit_depth in (1, 2, 4):
+        # packed MSB-first sub-byte samples; filter distance is 1 byte
+        samp = arr.reshape(h, w).astype(np.uint8)
 
-    raw = bytearray()
-    if not interlace:
-        raw = _png_filter_rows(pix.reshape(h, -1), bpp, filters)
+        def pack_rows(sub):
+            ph, pw = sub.shape
+            per = 8 // bit_depth
+            padw = -(-pw // per) * per
+            padded = np.zeros((ph, padw), dtype=np.uint8)
+            padded[:, :pw] = sub
+            g = padded.reshape(ph, padw // per, per).astype(np.uint16)
+            shifts = np.arange(per - 1, -1, -1) * bit_depth
+            return (g << shifts).sum(axis=2).astype(np.uint8)
+
+        if not interlace:
+            raw = _png_filter_rows(pack_rows(samp), 1, filters)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in passes:
+                sub = samp[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                raw.extend(_png_filter_rows(pack_rows(sub), 1, filters))
     else:
-        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
-                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
-        for x0, y0, dx, dy in passes:
-            sub = pix[y0::dy, x0::dx]
-            if sub.shape[0] == 0 or sub.shape[1] == 0:
-                continue
-            raw.extend(_png_filter_rows(
-                sub.reshape(sub.shape[0], -1), bpp, filters
-            ))
+        if bit_depth == 16:
+            # big-endian sample bytes
+            a16 = arr.astype(np.uint16).reshape(h, w, channels)
+            by = np.zeros((h, w, channels * 2), dtype=np.uint8)
+            by[..., 0::2] = (a16 >> 8).astype(np.uint8)
+            by[..., 1::2] = (a16 & 0xFF).astype(np.uint8)
+            pix = by
+        else:
+            pix = arr.reshape(h, w, channels).astype(np.uint8)
+        bpp = channels * (bit_depth // 8)
+
+        if not interlace:
+            raw = _png_filter_rows(pix.reshape(h, -1), bpp, filters)
+        else:
+            raw = bytearray()
+            for x0, y0, dx, dy in passes:
+                sub = pix[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                raw.extend(_png_filter_rows(
+                    sub.reshape(sub.shape[0], -1), bpp, filters
+                ))
 
     def chunk(ctype, data):
         c = struct.pack(">I", len(data)) + ctype + data
@@ -5617,11 +5641,14 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
         "ppm": b"P6\n11 9\n255\n" + rgb.tobytes(),
         "png": _encode_png(rgb, color_type=2, interlace=True,
                            filters=[0, 1, 2, 3, 4]),
+        "png4": _encode_png(idx.astype(np.uint8) % 16, color_type=0,
+                            bit_depth=4, filters=[0, 1, 2, 3, 4]),
         "gif": _encode_gif_animation((11, 9), pal, [{"idx": idx}]),
         "jpeg": _encode_jpeg(rgb),
         "jpeg_prog": _encode_jpeg_progressive(rgb, ac_al=1),
         "jpeg_lossless": _encode_jpeg_lossless(rgb, predictor=4),
         "jpeg12": _encode_jpeg12(rgb.astype(np.float64) * 16.0),
+        "bmp_rle8": _encode_bmp_rle(idx.astype(np.uint8), pal),
         "wav": buf.getvalue(),
         "flac": _encode_flac(pcm, 8000, frame_size=256,
                              plan=lambda ch, fi: {"kind": ("fixed", 2)}),
@@ -7701,3 +7728,180 @@ def test_aiff_corrupt_comm_exception_contract():
             _parse_aiff(bytes(bad))
     samples, rate, bits = _parse_aiff(bytes(good))
     assert rate == 44100 and bits == 16 and samples.shape == (64, 1)
+
+
+def test_png_sub8bit_depths():
+    """PNG 1/2/4-bit (round 11): gray expands by the exact
+    255/(2^d - 1) factor, so a d-bit gray PNG is feature-IDENTICAL to
+    the 8-bit PNG of the expanded pixels; palette indices pack the
+    same way; Adam7-interlaced sub-byte passes unfilter at their own
+    byte strides and match the sequential decode bit-exactly; odd
+    widths exercise the partial final byte."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _png_rgb,
+        decode_png_image,
+    )
+
+    rng = np.random.RandomState(13)
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        for w in (9, 16, 23):  # odd widths: partial trailing byte
+            samp = rng.randint(0, maxv + 1, size=(11, w)).astype(np.uint8)
+            png_d = _encode_png(samp, color_type=0, bit_depth=d,
+                                filters=[0, 1, 2, 3, 4])
+            png_8 = _encode_png(samp * (255 // maxv), color_type=0,
+                                filters=[2, 4])
+            assert decode_png_image(png_d) == decode_png_image(png_8), (d, w)
+            inter = _encode_png(samp, color_type=0, bit_depth=d,
+                                interlace=True, filters=[0, 1, 2, 3, 4])
+            assert np.array_equal(_png_rgb(inter), _png_rgb(png_d)), (d, w)
+
+    # 4-bit palette == 8-bit palette of the same indices
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(10, 13)).astype(np.uint8)
+    p4 = _encode_png(idx, color_type=3, bit_depth=4, palette=pal,
+                     filters=[0, 1])
+    p8 = _encode_png(idx, color_type=3, palette=pal, filters=[0, 1])
+    assert decode_png_image(p4) == decode_png_image(p8)
+
+
+def _encode_bmp_rle(idx, pal, rle4=False, absolute_from=3, use_delta=None):
+    """Test-side BI_RLE8/BI_RLE4 BMP writer: rows bottom-up, runs of
+    equal pixels as encoded mode, runs shorter than ``absolute_from``
+    grouped into absolute mode (word-aligned), optional (0,2,dx,dy)
+    delta escape at ``use_delta`` = (row, col) — skipped pixels are
+    index 0 for both sides of the contract."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    out = bytearray()
+    for fy in range(h):  # file order = bottom-up
+        row = idx[h - 1 - fy]
+        x = 0
+        on_delta_row = use_delta and (h - 1 - fy) == use_delta[0]
+        while x < w:
+            if on_delta_row and x == use_delta[1]:
+                out += bytes([0, 2, use_delta[2], use_delta[3]])
+                x += use_delta[2]
+                continue
+            # never run past the pending delta column
+            limit = use_delta[1] if on_delta_row and x < use_delta[1] else w
+            run = 1
+            while x + run < limit and row[x + run] == row[x] and run < 250:
+                run += 1
+            if run >= absolute_from:
+                if rle4:
+                    v = (int(row[x]) << 4) | int(row[x])
+                else:
+                    v = int(row[x])
+                out += bytes([run, v])
+                x += run
+            else:
+                n = min(max(run, 3), limit - x)
+                if n < 3:  # absolute mode needs >= 3 (below are escapes)
+                    for v_ in row[x:x + n]:
+                        if rle4:
+                            out += bytes([1, int(v_) << 4])
+                        else:
+                            out += bytes([1, int(v_)])
+                    x += n
+                    continue
+                vals = [int(v_) for v_ in row[x:x + n]]
+                if rle4:
+                    raw = bytearray()
+                    for i in range(0, len(vals), 2):
+                        hi = vals[i] << 4
+                        lo = vals[i + 1] if i + 1 < len(vals) else 0
+                        raw.append(hi | lo)
+                else:
+                    raw = bytearray(vals)
+                if len(raw) & 1:
+                    raw.append(0)
+                out += bytes([0, len(vals)]) + bytes(raw)
+                x += n
+        out += bytes([0, 0])  # EOL
+    out += bytes([0, 1])  # EOF
+
+    npal = pal.shape[0]
+    table = bytearray()
+    for r_, g_, b_ in pal:
+        table += bytes([int(b_), int(g_), int(r_), 0])
+    bpp = 4 if rle4 else 8
+    comp = 2 if rle4 else 1
+    data_offset = 14 + 40 + 4 * npal
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                       len(out), 2835, 2835, npal, 0)
+    filesz = data_offset + len(out)
+    hdr = b"BM" + struct.pack("<IHHI", filesz, 0, 0, data_offset)
+    return hdr + info + bytes(table) + bytes(out)
+
+
+def test_bmp_rle_and_palette():
+    """BI_RLE8/BI_RLE4 and uncompressed 8-bit palette BMPs decode to
+    the palette-mapped pixels exactly (cross-pinned against the PPM of
+    the same RGB); absolute/encoded mode mix round-trips; the delta
+    escape zero-fills skipped pixels; top-down RLE raises."""
+    import struct
+
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _bmp_rgb,
+        decode_bmp_image,
+        decode_ppm_image,
+    )
+    import pytest as _pytest
+
+    rng = np.random.RandomState(17)
+    pal8 = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    # runs + noise: exercises both encoded and absolute modes
+    idx = np.where(
+        rng.rand(13, 21) < 0.5,
+        rng.randint(0, 256, size=(13, 21)),
+        7,
+    ).astype(np.uint8)
+    bmp = _encode_bmp_rle(idx, pal8)
+    want_rgb = pal8[idx]
+    assert np.array_equal(_bmp_rgb(bmp), want_rgb.astype(np.float64))
+    ppm = (b"P6\n21 13\n255\n" + want_rgb.tobytes())
+    assert decode_bmp_image(bmp) == decode_ppm_image(ppm)
+
+    pal4 = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx4 = np.where(
+        rng.rand(9, 14) < 0.5, rng.randint(0, 16, size=(9, 14)), 3
+    ).astype(np.uint8)
+    bmp4 = _encode_bmp_rle(idx4, pal4, rle4=True)
+    assert np.array_equal(_bmp_rgb(bmp4), pal4[idx4].astype(np.float64))
+
+    # delta escape: skip 4 pixels on one row -> they read as index 0
+    idxd = idx.copy()
+    bmp_d = _encode_bmp_rle(idx, pal8, use_delta=(5, 8, 4, 0))
+    idxd[5, 8:12] = 0
+    assert np.array_equal(_bmp_rgb(bmp_d), pal8[idxd].astype(np.float64))
+
+    # uncompressed 8-bit palette: same pixels, same features
+    stride = (21 + 3) & ~3
+    rows = bytearray()
+    for fy in range(13):
+        r = bytes(int(v) for v in idx[12 - fy]) + b"\x00" * (stride - 21)
+        rows += r
+    data_offset = 14 + 40 + 4 * 256
+    info = struct.pack("<IiiHHIIiiII", 40, 21, 13, 1, 8, 0,
+                       len(rows), 2835, 2835, 256, 0)
+    table = bytearray()
+    for r_, g_, b_ in pal8:
+        table += bytes([int(b_), int(g_), int(r_), 0])
+    flat = (b"BM" + struct.pack("<IHHI", data_offset + len(rows), 0, 0,
+                                data_offset) + info + bytes(table)
+            + bytes(rows))
+    assert np.array_equal(_bmp_rgb(flat), want_rgb.astype(np.float64))
+
+    # top-down RLE is illegal
+    bad = bytearray(bmp)
+    bad[22:26] = struct.pack("<i", -13)
+    with _pytest.raises(ValueError, match="top-down RLE"):
+        _bmp_rgb(bytes(bad))
