@@ -490,6 +490,13 @@ BROADCAST_ALLOW = {
         "packed",
         # 1-row matvec norm / Rayleigh quotient (corr_top_eigen X149)
         "norm", "ray",
+        # benchmark-suite-sized frames (embedding_decontaminate X170 —
+        # a benchmark is model-sized by definition, 10^3-10^5 rows):
+        # b = raw benchmark, bn(.select) = its normed projection,
+        # bsig.* = its (bench_id, band, bucket) signature index
+        "bn",
+        "bn.select('bench_id', F.col('__v').alias('__bv'), F.col('__norm').alias('__bn'))",
+        "bsig.withColumnRenamed('band', 'bband').withColumnRenamed('bucket', 'bbucket')",
     },  # query set (×n_probes), k centroids (ce: k-center seeds), a: bounded anchor set (hard_negatives), qcodes: bounded query-code set (pq_sdc_topk), packed: #groups-row (means, stds) stat arrays (standardize_vectors)
     # sq: 1-row squared-frequency sum per field; model: 1-row packed
     # u-probability frame (fs_match_weights) — everything else in
