@@ -2417,3 +2417,52 @@ def encoding_qa_stats(
             "control_rate"
         ),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """X172 (round 11) — per-group tokenizer-fertility audit: pieces
+    per word under a learned BPE merge list, grouped by language (or
+    any group key). Fertility is the standard multilingual-tokenizer
+    equity signal — a vocabulary induced on one language segments the
+    others into many more pieces, silently inflating their compute
+    cost per character and shrinking their effective context; the
+    audit is how a mixture designer sees that before training.
+
+    Composition (X45 machinery, one new rollup): the merge folds
+    segment the distinct-word VOCABULARY once (never the corpus), the
+    corpus scans once through a (word -> n_pieces) lookup join, and
+    ONE hash agg per group key emits exact-integer totals plus the
+    derived ratios — fertility = pieces/words, and pieces per 100
+    chars (the length-normalized form that compares across scripts
+    with different word lengths). The lookup join is left to AQE (the
+    bpe_encode rule: vocabularies grow with the corpus, so no
+    unconditional broadcast hint)."""
+    seg = bpe_word_segments(docs, merges, text_col).select("w", "n_pieces")
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    return (
+        toks.join(seg, "w")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_pieces",
+            "n_chars",
+            F.round(F.col("n_pieces") / F.col("n_words"), 4).alias("fertility"),
+            F.round(F.col("n_pieces") * 100.0 / F.col("n_chars"), 4).alias(
+                "pieces_per_100_chars"
+            ),
+        )
+    )

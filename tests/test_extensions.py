@@ -7905,3 +7905,33 @@ def test_bmp_rle_and_palette():
     bad[22:26] = struct.pack("<i", -13)
     with _pytest.raises(ValueError, match="top-down RLE"):
         _bmp_rgb(bytes(bad))
+
+
+def test_tokenizer_fertility(spark):
+    """X172: under a merge list learned from English-like words, the
+    English-like group segments into fewer pieces per word than the
+    out-of-distribution group (the multilingual equity signal); totals
+    match a hand count; per-group ratios are exact-integer divisions."""
+    from emr_trino_autoscale_spark.operators.text import (
+        bpe_learn,
+        tokenizer_fertility,
+    )
+
+    en_rows = [("en", "the cat sat on the mat the cat ran")] * 6
+    xx_rows = [("xx", "zq vw kj zq pf gx")] * 6
+    df = spark.createDataFrame(en_rows + xx_rows, "lang string, text string")
+    merges = [
+        (m["left"], m["right"])
+        for m in bpe_learn(
+            df.filter("lang = 'en'"), n_merges=8, text_col="text"
+        ).collect()
+    ]
+    got = {r["lang"]: r for r in tokenizer_fertility(df, merges).collect()}
+    assert set(got) == {"en", "xx"}
+    # hand count: en corpus = 9 words x 6 docs; xx = 6 x 6
+    assert got["en"]["n_words"] == 54 and got["xx"]["n_words"] == 36
+    # merges learned on en compress en below character-level; xx words
+    # (disjoint bigrams) stay at ~1 piece per char
+    assert got["en"]["fertility"] < float(got["xx"]["fertility"])
+    assert float(got["xx"]["pieces_per_100_chars"]) == 100.0
+    assert got["en"]["n_chars"] == 6 * len("the cat sat on the mat the cat ran".replace(" ", ""))
