@@ -2511,8 +2511,12 @@ def embedding_decontaminate(
     (band, bucket) signature index — the emitted set is a SUBSET of
     the exact result (every row re-verified with the exact cosine at
     the shared 4-decimal rounding); recall is the band-geometry knob,
-    and identical vectors (cosine 1) collide with certainty. Choose
-    'banded' only when the benchmark is too large to broadcast-scan.
+    and identical vectors (cosine 1) collide with certainty. Scale
+    guidance: the exact scan costs n_corpus x n_bench dots — right for
+    spot audits, bounded corpora, or the Arrow-GEMM vectorized form on
+    a real cluster; at full 100 TB corpus scale 'banded' is the
+    default (candidate volume, not the cross product, drives cost),
+    with the exact scan as its recall reference on samples.
     """
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__ce"))
     b = benchmark.select(
