@@ -960,16 +960,25 @@ def _tiff_rgb(payload: bytes):
     sw = depth // 8  # bytes per sample
     if planar not in (1, 2):
         raise ValueError(f"TIFF: reserved planar configuration {planar}")
-    if compression == 7:
-        # new-style JPEG-in-TIFF (TIFF Technical Note 2, round 11):
-        # each strip/tile is an SOI..EOI JPEG stream, optionally
-        # abbreviated with shared tables in tag 347 (JPEGTables). The
-        # JPEG stream self-describes depth/sampling, so the honest
-        # envelope is: 8-bit, chunky, no predictor, photometric
-        # grayscale (0/1) or YCbCr (6 — the JFIF transform
-        # decode_jpeg_rgb already applies). Photometric 2 (RGB-coded
-        # JPEG) raises: the stream would still look 3-component and
-        # silently get the YCbCr matrix (the PPM-maxval rule).
+    if compression in (6, 7):
+        # JPEG-in-TIFF (round 11). Compression 7 is the TechNote-2
+        # new-style form: each strip/tile an SOI..EOI JPEG stream,
+        # optionally abbreviated with shared tables in tag 347
+        # (JPEGTables). Compression 6 is the deprecated old-style
+        # form whose tag soup (JPEGProc/JPEGQTables/...) this decoder
+        # does NOT interpret — but the dominant surviving old-style
+        # files (early libtiff) store one self-contained JFIF stream
+        # per strip, which _tiff_jpeg_rgb verifies by requiring SOI at
+        # every segment start; anything else raises to the stub
+        # rather than mis-decoding. The JPEG stream self-describes
+        # depth/sampling, so the honest envelope is: 8-bit, chunky, no
+        # predictor, photometric grayscale (0/1) or YCbCr (6 — the
+        # JFIF transform decode_jpeg_rgb already applies). Photometric
+        # 2 (RGB-coded JPEG) raises: the stream would still look
+        # 3-component and silently get the YCbCr matrix (the
+        # PPM-maxval rule).
+        if compression == 6 and 347 in tags:
+            raise ValueError("TIFF: old-style JPEG with JPEGTables unsupported")
         return _tiff_jpeg_rgb(
             payload, tags, e, width, height, photometric, planar,
             predictor, depth, tiled=322 in tags or 323 in tags,

@@ -7489,20 +7489,31 @@ def test_tiff_jpeg_compression():
 
     with _pytest.raises(ValueError, match="photometric 2"):
         _tiff_rgb(_encode_tiff_jpeg(rgb, rows_per_strip=8, photometric=2))
-    oldstyle = bytearray(_encode_tiff_jpeg(rgb, rows_per_strip=8))
-    # flip compression tag value 7 -> 6 (old-style, deliberately out)
+
     import struct as _struct
 
-    n = _struct.unpack("<H", oldstyle[8:10])[0]
-    for i in range(n):
-        off = 10 + 12 * i
-        if _struct.unpack("<H", oldstyle[off:off + 2])[0] == 259:
-            oldstyle[off + 8] = 6
-    with _pytest.raises(ValueError, match="compression 6"):
-        _tiff_rgb(bytes(oldstyle))
-    # sniffer: undecodable variant degrades to stub, good one decodes
-    assert sniffing_decoder(bytes(oldstyle), "image") == _decode_stub(
-        bytes(oldstyle), "image"
+    def _set_compression(buf, val):
+        n = _struct.unpack("<H", buf[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if _struct.unpack("<H", buf[off:off + 2])[0] == 259:
+                buf[off + 8] = val
+        return buf
+
+    # old-style (compression 6) with self-contained per-strip JFIF
+    # streams decodes identically to the new-style form
+    oldstyle = _set_compression(bytearray(_encode_tiff_jpeg(
+        rgb, rows_per_strip=8)), 6)
+    assert np.array_equal(_tiff_rgb(bytes(oldstyle)), dec)
+    # old-style combined with shared JPEGTables is the tag-soup form
+    # this decoder refuses
+    old_tables = _set_compression(bytearray(_encode_tiff_jpeg(
+        rgb, rows_per_strip=8, shared_tables=True)), 6)
+    with _pytest.raises(ValueError, match="old-style"):
+        _tiff_rgb(bytes(old_tables))
+    # sniffer: the refused variant degrades to stub, good one decodes
+    assert sniffing_decoder(bytes(old_tables), "image") == _decode_stub(
+        bytes(old_tables), "image"
     )
     feats = sniffing_decoder(strip, "image")
     assert len(feats) == 8 and feats[7] == 1.0

@@ -1078,3 +1078,39 @@ def test_squeeze_repeated_lines_properties(spark, lines, junk):
         .collect()[0]["s2"]
     )
     assert again == row["s"]
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from([
+            "# h", "## hh", "plain prose", "- item", "1. numbered",
+            "> quote", "```\ncode block\n```", "`inline`", "*em*",
+            "**strong**", "~~struck~~", "[label](http://u.rl/x?a=1)",
+            "![alt](i.png)", "[ref][1]", "[1]: http://d.ef",
+            "| a | b |", "|---|---|", "***", "<b>html</b>",
+            "<!-- comment -->", "<https://auto.link>", "snake_case_id",
+        ]),
+        max_size=12,
+    ),
+    junk=st.text(max_size=30),
+)
+@settings(**SETTINGS)
+def test_markdown_to_text_properties(spark, parts, junk):
+    """X167 algebraic contract over a markdown grammar plus unicode
+    junk: (1) total — never throws on any input; (2) structurally
+    clean output — no fenced-code backticks, table pipes, or
+    charge-marker residue ('*', '~~', backtick) survives; (3)
+    whitespace is fully squeezed (no doubles, no leading/trailing);
+    (4) plain prose with no markdown is a fixed point."""
+    from emr_trino_autoscale_spark.operators.text import markdown_to_text
+
+    text = "\n".join(parts + ([junk] if junk else []))
+    df = spark.createDataFrame([(text,), ("no markdown at all",)],
+                               "text string")
+    rows = df.select(markdown_to_text("text").alias("t")).collect()
+    out = rows[0]["t"]
+    assert out is not None
+    assert "```" not in out and "|" not in out and "*" not in out
+    assert "~~" not in out
+    assert "  " not in out and out == out.strip()
+    assert rows[1]["t"] == "no markdown at all"
