@@ -2466,3 +2466,55 @@ def tokenizer_fertility(
             ),
         )
     )
+
+
+# --- X173: template fingerprint + template-farm rollup (round 11).
+# Near-dup (X2/X32) catches documents with shared CONTENT; template
+# farms are the opposite failure — thousands of pages with identical
+# STRUCTURE and different fillings (scraper chaff, SEO spam, listing
+# pages), each pair far apart in shingle space. The fingerprint
+# erases the content and keeps the structure, so one exact groupBy
+# finds the farms.
+
+
+def template_fingerprint(text_col: str | Column = "text") -> Column:
+    """Structure-only digest of a document: letter runs collapse to
+    'w', digit runs to 'd', whitespace runs to one space — punctuation,
+    markup, and layout survive verbatim — then md5. Two pages from the
+    same template collide exactly; content similarity is irrelevant.
+    RE2-replayable chain (no backreferences), zero shuffle. The
+    Unicode \\p{L} class keeps non-Latin scripts from leaking content
+    into the fingerprint as 'punctuation'."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.regexp_replace(t, r"\p{L}+", "w")
+    t = F.regexp_replace(t, r"\d+", "d")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.md5(F.trim(t))
+
+
+def template_farm_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Template groups with at least ``min_docs`` members: (template
+    md5, n_docs, n_distinct_texts, min doc id as the representative).
+    ONE narrow fingerprint projection + one hash agg on the digest key
+    — the text never rides the shuffle; n_distinct_texts > 1
+    distinguishes a true farm (same skeleton, varied filling) from an
+    exact-duplicate cluster X1 already catches."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        template_fingerprint(text_col).alias("template"),
+        F.md5(F.col(text_col)).alias("__digest"),
+    )
+    return (
+        base.groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("__digest").cast("bigint").alias("n_distinct_texts"),
+            F.min("id").alias("representative_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

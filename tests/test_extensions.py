@@ -7946,3 +7946,39 @@ def test_tokenizer_fertility(spark):
     assert got["en"]["fertility"] < float(got["xx"]["fertility"])
     assert float(got["xx"]["pieces_per_100_chars"]) == 100.0
     assert got["en"]["n_chars"] == 6 * len("the cat sat on the mat the cat ran".replace(" ", ""))
+
+
+def test_template_fingerprint_and_farm_stats(spark):
+    """X173: same-template pages with different fillings (words,
+    numbers, any script) collide; structurally different pages don't;
+    the rollup separates true farms (varied filling) from exact-dup
+    clusters and hand-counts match."""
+    from emr_trino_autoscale_spark.operators.text import (
+        template_farm_stats,
+        template_fingerprint,
+    )
+
+    farm = [
+        (i, f"<li>Item {i}: widget-{i * 7} costs ${i}.99 (stock: {i})</li>")
+        for i in range(1, 6)
+    ]
+    cyr = [(100, "<li>Товар 4: штука-28 costs $4.99 (stock: 4)</li>")]
+    exact = [(200, "identical page"), (201, "identical page"),
+             (202, "identical page")]
+    other = [(300, "a completely different layout!")]
+    df = spark.createDataFrame(farm + cyr + exact + other,
+                               "doc_id long, text string")
+
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", template_fingerprint("text").alias("fp")).collect()}
+    assert len({fps[i] for i, _ in farm}) == 1       # farm collides
+    assert fps[100] == fps[1]                        # script-agnostic
+    assert fps[300] != fps[1] and fps[200] != fps[1]
+
+    got = {r["template"]: r for r in template_farm_stats(df).collect()}
+    assert len(got) == 2
+    farm_row = got[fps[1]]
+    assert farm_row["n_docs"] == 6 and farm_row["n_distinct_texts"] == 6
+    assert farm_row["representative_id"] == 1
+    dup_row = got[fps[200]]
+    assert dup_row["n_docs"] == 3 and dup_row["n_distinct_texts"] == 1
