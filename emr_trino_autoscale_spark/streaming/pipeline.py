@@ -1455,3 +1455,64 @@ def decontamination_stream(
         .filter(F.col("cosine") >= threshold)
         .select("id", "bench_id", "cosine")
     )
+
+
+def make_template_farm_maintainer(
+    text_col: str = "text", id_col: str = "doc_id", lg_config_k: int = 12
+):
+    """X174 (round 11) — streaming template-farm watch, the live twin
+    of :func:`..operators.text.template_farm_stats` (X173): a crawl
+    delivers template chaff in bursts, and the farm picture (which
+    skeletons are exploding, with how much filling variety) should
+    update per micro-batch, not nightly. Merge algebra per template
+    key: n_docs by ADDITION (X142/X157 shape), distinct filled texts
+    by HLL register-MAX (X158 shape — the merged sketch IS the sketch
+    of the union, so re-crawled duplicates split across epochs do not
+    double-count), representative id by MIN. One narrow fingerprint
+    projection + one template-key hash agg per batch; only the
+    fixed-size counter/sketch row rides the merge. Returned pair
+    (maintain, stats): ``stats(state, min_docs)`` applies the farm
+    threshold at read time (state keeps every template so a skeleton
+    crossing the threshold later never loses its history)."""
+    from ..operators.text import template_fingerprint
+
+    def _partial(batch):
+        base = batch.select(
+            F.col(id_col).alias("id"),
+            template_fingerprint(text_col).alias("template"),
+            F.md5(F.col(text_col)).alias("__digest"),
+        )
+        return base.groupBy("template").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.hll_sketch_agg("__digest", F.lit(lg_config_k)).alias("__sk"),
+            F.min("id").alias("representative_id"),
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        return (
+            state.unionByName(part)
+            .groupBy("template")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.hll_union_agg("__sk", F.lit(False)).alias("__sk"),
+                F.min("representative_id").alias("representative_id"),
+            )
+        )
+
+    def stats(state, min_docs: int = 3):
+        return (
+            state.filter(F.col("n_docs") >= min_docs)
+            .select(
+                "template",
+                "n_docs",
+                F.hll_sketch_estimate("__sk")
+                .cast("bigint")
+                .alias("n_distinct_texts_est"),
+                "representative_id",
+            )
+        )
+
+    return maintain, stats

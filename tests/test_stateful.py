@@ -1827,3 +1827,77 @@ def test_decontamination_stream_matches_batch(spark, tmp_path):
     assert set(got) == set(batch) == {100, 101, 102}
     for k in got:
         assert got[k] == batch[k], k
+
+
+def test_template_farm_stream_matches_batch(spark, tmp_path):
+    """X174: template-farm counters folded over two streamed epochs
+    equal the batch template_farm_stats on the union — exact for
+    n_docs/representative (ADD/MIN merges), HLL-exact for distinct
+    fillings at these cardinalities — with one farm split ACROSS the
+    epochs and re-crawled duplicate pages appearing in both (the case
+    register-MAX merge must not double-count)."""
+    import os
+
+    from emr_trino_autoscale_spark.operators.text import template_farm_stats
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_template_farm_maintainer,
+    )
+
+    page = "<li>Item {}: widget-{} costs ${}.99</li>"
+    e1 = [(i, page.format(i, i * 7, i)) for i in range(1, 5)] + [
+        (50, "one-off page layout")
+    ]
+    # epoch 2: more of the same farm, plus EXACT re-crawls of two
+    # epoch-1 pages (same text, new ids) and a second farm
+    e2 = (
+        [(i, page.format(i, i * 7, i)) for i in range(5, 8)]
+        + [(61, page.format(1, 7, 1)), (62, page.format(2, 14, 2))]
+        + [(i, f"<h1>Profile {i}</h1><p>bio {i * 3}</p>") for i in (70, 71, 72)]
+    )
+    df1 = spark.createDataFrame(e1, "doc_id long, text string")
+    df2 = spark.createDataFrame(e2, "doc_id long, text string")
+
+    src = str(tmp_path / "tf_src")
+    out = str(tmp_path / "tf_state")
+    chk = str(tmp_path / "tf_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain, stats = make_template_farm_maintainer()
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {
+        r["template"]: r
+        for r in stats(spark.read.parquet(out), min_docs=3).collect()
+    }
+    batch = {
+        r["template"]: r
+        for r in template_farm_stats(df1.unionByName(df2), min_docs=3).collect()
+    }
+    assert set(streamed) == set(batch) and len(batch) == 2
+    for k in batch:
+        assert streamed[k]["n_docs"] == batch[k]["n_docs"]
+        assert (streamed[k]["representative_id"]
+                == batch[k]["representative_id"])
+        # HLL exact at these cardinalities; the re-crawled duplicates
+        # split across epochs must NOT double-count
+        assert (streamed[k]["n_distinct_texts_est"]
+                == batch[k]["n_distinct_texts"])
+    big = max(batch.values(), key=lambda r: r["n_docs"])
+    assert big["n_docs"] == 9 and big["n_distinct_texts"] == 7
