@@ -4218,80 +4218,20 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
-# Round-8 rotation (VERDICT r7 task 1): q103-q114 have NEVER appeared in a
-# driver signal file (declared mid-round 7, outside the r7 window) — declare
-# those 12 FIRST, then q66-q67 (last driver-hashed r05, the stalest green
-# set), then fill positions 15-50 with 36 of the r6-driver-green block
-# (q01-q28 + q34-q41).  The tail (q29-q33, q42-q65, q68-q102) is all
-# driver-green in r05-r07 and stays covered by the in-repo mirror
-# (tests/test_queries_oracle.py), which runs all 114 queries against the
-# same DuckDB oracle every pytest run.  After this rotation every declared
-# query has a driver signal within the last 3 rounds.
-# History: r04-r05 window was q51-q67 + q01-q33; r06 window was q34-q50 +
-# q68-q72 + q01-q28; r07 window was q73-q102 + q29-q33 + q51-q65.  The
-# window is pinned by
-# tests/test_queries_oracle.py::test_driver_window_pinned and documented in
-# README section "Verification coverage map".
+# Round-12 rotation (VERDICT r11 task 1, per the forced schedule at README
+# 'Verification coverage map'): q66-q67 + q01-q28 + q34-q41 (38, last
+# driver-hashed r8 — the staleness guard's literal backlog) + q189-q193
+# (5, declared r11 — their FIRST driver hash) + q115-q121 (7, oldest
+# r9-hashed).  Every entry outside the window carries a driver hash from
+# r9-r11; the in-repo mirror (tests/test_queries_oracle.py) still runs ALL
+# declared queries against the same DuckDB oracle every pytest run.
+# History: r04-r05 window was q51-q67 + q01-q33; r06 was q34-q50 + q68-q72
+# + q01-q28; r07 was q73-q102 + q29-q33 + q51-q65; r08 was q103-q114 +
+# q66-q67 + q01-q28 + q34-q41; r11 was q58-q65 + q73-q114.  The window is
+# pinned by tests/test_queries_oracle.py::test_driver_window_pinned and
+# documented in README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-11 driver window (positions 1-50), per the forced
-    # rotation schedule (README 'Verification coverage map', VERDICT r10
-    # task 1): q58-q65 + q73-q102 (38, last driver-hashed r7 — the
-    # staleness guard's literal backlog) + q103-q114 (12, r8-hashed).
-    # tests/test_queries_oracle.py pins this order.
-    "q58_ivf_multiprobe": q58,
-    "q59_contamination": q59,
-    "q60_ngram_novelty": q60,
-    "q61_incremental_dedup": q61,
-    "q62_boilerplate_strip": q62,
-    "q63_memorization_risk": q63,
-    "q64_cluster_profile": q64,
-    "q65_cluster_balanced_sample": q65,
-    "q73_cosine_neardup_lsh": q73,
-    "q74_token_chunking": q74,
-    "q75_unigram_logloss": q75,
-    "q76_leakage_safe_split": q76,
-    "q77_dsir_importance": q77,
-    "q78_bigram_stats": q78,
-    "q79_quality_classifier": q79,
-    "q80_perplexity_gate": q80,
-    "q81_winsorized_stats": q81,
-    "q82_duplicated_spans": q82,
-    "q83_bm25_topk": q83,
-    "q84_source_js_divergence": q84,
-    "q85_bpe_learn": q85,
-    "q86_bpe_pair_stats": q86,
-    "q87_split_leakage": q87,
-    "q88_hard_negatives": q88,
-    "q89_cms_heavy_hitters": q89,
-    "q90_jl_projection_topk": q90,
-    "q91_neyman_sampling": q91,
-    "q92_ols_trend": q92,
-    "q93_rolling_zscore": q93,
-    "q94_constraint_audit": q94,
-    "q95_scd2_history": q95,
-    "q96_tfidf_cosine_join": q96,
-    "q97_zorder_layout": q97,
-    "q98_pq_sdc_topk": q98,
-    "q99_ranking_metrics": q99,
-    "q100_dp_histogram": q100,
-    "q101_sequence_funnel": q101,
-    "q102_cohort_retention": q102,
-    "q103_image_ahash_pairs": q103,
-    "q104_semantic_dedup": q104,
-    "q105_entity_resolution": q105,
-    "q106_weighted_sample": q106,
-    "q107_column_profile": q107,
-    "q108_source_concentration": q108,
-    "q109_snapshot_diff": q109,
-    "q110_psi_drift": q110,
-    "q111_minhash_lsh": q111,
-    "q112_entity_multi_pass": q112,
-    "q113_normalized_dedup": q113,
-    "q114_embedding_dim_stats": q114,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r12 window candidates first: q66-q67/q01-q28/q34-q41 (38, last
-    # driver-hashed r8) + q189-q193 (5, declared r11) + q115-q121 (7,
-    # oldest r9-hashed):
+    # --- round-12 driver window (positions 1-50) ---
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
     "q01_json_projection": q01,
@@ -4330,9 +4270,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_interval_join": q39,
     "q40_distinct_aggs": q40,
     "q41_range_window": q41,
-    # q189-q193 declared round 11 (first window slot: r12, per the
-    # README rotation schedule — appended after position 50 per the
-    # window-pin rule):
     "q189_stream_bh_fdr": q189,
     "q190_stream_reservoir": q190,
     "q191_stream_rule_audit": q191,
@@ -4345,12 +4282,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_robust_dim_stats": q119,
     "q120_mmr_select": q120,
     "q121_distinct_rollup": q121,
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r13 window candidates first: q122-q126 + q127-q164 (43, r9-hashed,
+    # stale at r13) plus any round-12 declarations:
     "q122_image_phash_pairs": q122,
     "q123_audio_fp_pairs": q123,
     "q124_cube_grouping": q124,
     "q125_decile_bands": q125,
     "q126_interval_join_binned": q126,
-    # r13 window candidates (q127-q164 r9-hashed remainder):
     "q127_overlap_join_binned": q127,
     "q128_purged_time_split": q128,
     "q129_zipf_fit": q129,
@@ -4389,8 +4328,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_seasonal_decompose": q162,
     "q163_transition_matrix": q163,
     "q164_cusum_changepoint": q164,
-    # freshest last — the round-10 window block (driver-hashed r10,
-    # stale at r14), in its r10 window order:
+    # r14 window candidates — the round-10 window block (driver-hashed
+    # r10, stale at r14), in its r10 window order:
     "q165_kcore": q165,
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
@@ -4441,6 +4380,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_repetition_filter": q55,
     "q56_mixing_weights": q56,
     "q57_lsh_multiprobe": q57,
+    # freshest last — the round-11 window block (driver-hashed r11,
+    # stale at r15), in its r11 window order:
+    "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
+    "q60_ngram_novelty": q60,
+    "q61_incremental_dedup": q61,
+    "q62_boilerplate_strip": q62,
+    "q63_memorization_risk": q63,
+    "q64_cluster_profile": q64,
+    "q65_cluster_balanced_sample": q65,
+    "q73_cosine_neardup_lsh": q73,
+    "q74_token_chunking": q74,
+    "q75_unigram_logloss": q75,
+    "q76_leakage_safe_split": q76,
+    "q77_dsir_importance": q77,
+    "q78_bigram_stats": q78,
+    "q79_quality_classifier": q79,
+    "q80_perplexity_gate": q80,
+    "q81_winsorized_stats": q81,
+    "q82_duplicated_spans": q82,
+    "q83_bm25_topk": q83,
+    "q84_source_js_divergence": q84,
+    "q85_bpe_learn": q85,
+    "q86_bpe_pair_stats": q86,
+    "q87_split_leakage": q87,
+    "q88_hard_negatives": q88,
+    "q89_cms_heavy_hitters": q89,
+    "q90_jl_projection_topk": q90,
+    "q91_neyman_sampling": q91,
+    "q92_ols_trend": q92,
+    "q93_rolling_zscore": q93,
+    "q94_constraint_audit": q94,
+    "q95_scd2_history": q95,
+    "q96_tfidf_cosine_join": q96,
+    "q97_zorder_layout": q97,
+    "q98_pq_sdc_topk": q98,
+    "q99_ranking_metrics": q99,
+    "q100_dp_histogram": q100,
+    "q101_sequence_funnel": q101,
+    "q102_cohort_retention": q102,
+    "q103_image_ahash_pairs": q103,
+    "q104_semantic_dedup": q104,
+    "q105_entity_resolution": q105,
+    "q106_weighted_sample": q106,
+    "q107_column_profile": q107,
+    "q108_source_concentration": q108,
+    "q109_snapshot_diff": q109,
+    "q110_psi_drift": q110,
+    "q111_minhash_lsh": q111,
+    "q112_entity_multi_pass": q112,
+    "q113_normalized_dedup": q113,
+    "q114_embedding_dim_stats": q114,
 }
 
 

@@ -29,19 +29,23 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-11 rotation (VERDICT r10 task 1, per the forced schedule at
-    README 'Verification coverage map'): q58-q65 + q73-q102 (38, last
-    driver-hashed r7 — the staleness guard's literal backlog) +
-    q103-q114 (12, r8-hashed). Steady-state capacity: 50-slot window x
-    4-round re-hash period = 200 declared queries max (see the README
-    capacity ledger and test_declaration_capacity below)."""
-    # r12 rotation (pre-written; README schedule): positions 1-50 =
-    # q66-q67 + q01-q28 + q34-q41 (38, r8-hashed) + q189-q193 (5,
-    # declared r11, first hashable window) + q115-q121 (7, r9-hashed).
+    Round-12 rotation (VERDICT r11 task 1, per the forced schedule at
+    README 'Verification coverage map'): q66-q67 + q01-q28 + q34-q41
+    (38, last driver-hashed r8 — the staleness guard's literal backlog)
+    + q189-q193 (5, declared r11 — first driver hash) + q115-q121 (7,
+    oldest r9-hashed). Steady-state capacity: 50-slot window x 4-round
+    re-hash period = 200 declared queries max (see the README capacity
+    ledger and test_declaration_capacity below)."""
+    # r13 rotation (pre-written; README schedule): positions 1-50 =
+    # q122-q126 + q127-q164 (43, r9-hashed, stale at r13) + q194-q196
+    # (3, declared r12, first hashable window) + q165-q168 (4, oldest
+    # r10-hashed).
     expected = (
-        [f"q{i}" for i in range(58, 66)]
-        + [f"q{i}" for i in range(73, 103)]
-        + [f"q{i}" for i in range(103, 115)]
+        ["q66", "q67"]
+        + [f"q{i:02d}" for i in range(1, 29)]
+        + [f"q{i}" for i in range(34, 42)]
+        + [f"q{i}" for i in range(189, 194)]
+        + [f"q{i}" for i in range(115, 122)]
     )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
