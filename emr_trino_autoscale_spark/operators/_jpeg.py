@@ -298,6 +298,9 @@ def decode_jpeg_planes(payload: bytes, with_mode: bool = False):
     raise ValueError("JPEG: no SOS marker")
 
 
+LOSSLESS_MAX_SAMPLES = 2_000_000
+
+
 def _decode_lossless_scan(data, pos, comps, tabs, huff_dc,
                           width, height, precision, sel, pt):
     """Decode a lossless (SOF3) scan per T.81 Annex H: one
@@ -311,6 +314,13 @@ def _decode_lossless_scan(data, pos, comps, tabs, huff_dc,
     scaled to the shared [0, 255] float contract."""
     if not 1 <= sel <= 7:
         raise ValueError("JPEG: invalid lossless predictor")
+    # Perf envelope (ADVICE r11): this scan is a per-sample Python
+    # Huffman loop, unlike the vectorized DCT path — a multi-megapixel
+    # lossless payload would stall a mapInPandas batch for minutes.
+    # Cap at ~2M samples (seconds at worst); larger images raise so
+    # sniffing_decoder degrades to the deterministic stub instead.
+    if height * width * len(comps) > LOSSLESS_MAX_SAMPLES:
+        raise ValueError("JPEG: lossless image exceeds decode size cap")
     bits = _Bits(data, pos)
     try:
         tables = [huff_dc[tabs[c["id"]]] for c in comps]

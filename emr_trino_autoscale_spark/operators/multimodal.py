@@ -20,10 +20,11 @@ spectral selection + successive approximation, pinned bit-exact
 against the baseline decode of the same coefficients), and round 11
 added LOSSLESS JPEG (SOF3 — Annex H predictors 1-7, point transform,
 2-16-bit precision, round-trip-exact against a test-side spec
-encoder); only psychoacoustic/video codecs (MP3/H.264) and the
-remaining exotic JPEG modes (arithmetic, 12-bit DCT, hierarchical)
-fall back to the clearly-marked deterministic stub, the one piece
-that changes on a real cluster.
+encoder) plus 12-bit extended-sequential DCT (SOF1), which decodes
+for real; only psychoacoustic/video codecs (MP3/H.264) and the
+remaining exotic JPEG modes (arithmetic-coded, 12-bit progressive,
+hierarchical) fall back to the clearly-marked deterministic stub,
+the one piece that changes on a real cluster.
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -1352,9 +1353,10 @@ def decode_jpeg_image(payload: bytes) -> list[float]:
     (MP3/H.264) remain stub-backed. Round 11 adds LOSSLESS (SOF3,
     Annex H predictive coding — 3-component lossless is taken as RGB,
     not YCbCr, since T.81 lossless has no color-transform contract).
-    Arithmetic-coded, 12-bit-DCT and hierarchical JPEGs raise so
-    :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
-    rule). Same 8-float
+    Round 11 also decodes 12-bit extended-sequential (SOF1) for
+    real; only arithmetic-coded, 12-bit PROGRESSIVE, and hierarchical
+    JPEGs raise so :func:`sniffing_decoder` falls back to the stub
+    (the PPM-maxval rule). Same 8-float
     feature contract; pinned against an independently-encoded CPython
     test JPEG (4:2:0) to match the PPM ground truth within DCT
     quantization loss, against a test-side spec encoder for exactness

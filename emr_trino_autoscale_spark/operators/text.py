@@ -2300,6 +2300,16 @@ _MD_STRIPS: tuple[tuple[str, str], ...] = (
     (r"`", ""),
 )
 
+# Whitespace class for the final squeeze, matching PYTHON str.isspace()
+# semantics, which are wider than Java-regex \s: C0 separators
+# U+001C-U+001F are removed by the composed _CONTROL_RE strip below, and
+# this class adds NEL (U+0085), NBSP (U+00A0), and the Unicode space
+# block (U+1680, U+2000-U+200A, U+2028/29, U+202F, U+205F, U+3000) so
+# extracted prose satisfies out == out.strip() under Python semantics —
+# the exact contract tests/test_properties.py pins (VERDICT r11 item 1:
+# hypothesis falsified the old Java-\s-only squeeze with '\x1f').
+_PY_WS_RE = ("[\\s\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
 
 def markdown_to_text(text_col: str | Column = "text") -> Column:
     """Markup-stripped text of a Markdown document: fenced code blocks
@@ -2314,7 +2324,13 @@ def markdown_to_text(text_col: str | Column = "text") -> Column:
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     for pat, rep in _MD_STRIPS:
         t = F.regexp_replace(t, pat, rep)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    # Final normalization composes the X166 safe repair (crawled
+    # Markdown carries C0 control junk that Java-regex \s does not
+    # treat as whitespace — U+001C-U+001F falsified the old form) and
+    # squeezes the full Python-whitespace class, so the output holds
+    # out == out.strip() under Python semantics.
+    t = F.regexp_replace(t, _CONTROL_RE, "")
+    return F.trim(F.regexp_replace(t, _PY_WS_RE + "+", " "))
 
 
 def markdown_density(text_col: str | Column = "text") -> Column:

@@ -5,14 +5,19 @@ generated rows (hypothesis drives the data, Spark evaluates in bulk)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
 from emr_trino_autoscale_spark.functions import distribute_alloc, step_expand, step_shrink
 from emr_trino_autoscale_spark.operators import dedup, events as ev_ops
 
-SETTINGS = dict(max_examples=8, deadline=None)
+# derandomize=True (VERDICT r11 item 2): the builder, driver, and judge
+# must all draw the SAME example sequence — a red that only one party's
+# random draw finds (the X167 '\x1f' falsifier) is a process failure,
+# not a test. Regressions previously caught by random draws are pinned
+# as explicit @example cases instead.
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
 
 
 @given(
@@ -1094,6 +1099,16 @@ def test_squeeze_repeated_lines_properties(spark, lines, junk):
     ),
     junk=st.text(max_size=30),
 )
+# Pinned falsifiers of the round-11 Java-\s-only squeeze (VERDICT r11
+# item 1): C0 separator controls, NEL, and NBSP are Python whitespace
+# but not Java-regex whitespace, so out.strip() disagreed with the
+# operator's trim until the final normalization composed the X166
+# control strip + the full Python-whitespace squeeze class.
+@example(parts=[], junk="\x1f")
+@example(parts=["plain prose"], junk="\x1cmid\x1d junk\x1e")
+@example(parts=["# h"], junk="\x85")
+@example(parts=[], junk="\xa0 nbsp\xa0")
+@example(parts=["*em*"], junk="\u2028 line sep\u3000")
 @settings(**SETTINGS)
 def test_markdown_to_text_properties(spark, parts, junk):
     """X167 algebraic contract over a markdown grammar plus unicode
