@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import ci_eq, dec4, fmt_ts, host_from_uri, md5_long60, sign_dispatch
-from .io import load_table
+from .io import ingest_documents, load_table
 from .operators import dedup, events as ev_ops, graph, metric_store as ms, registry, similarity, skew, stats, text
 from .queries_common import (
     _PACK_BUDGET,
@@ -36,6 +36,8 @@ from .queries_common import (
     _Q123_SIGS_PATH,
     _Q169_PROF_PATH,
     _Q184_SIGS_PATH,
+    _Q194_DEST,
+    _Q194_SRC,
 )
 from .queries_sql import SQL as _ORACLE_SQL
 from .operators.scaling import IG_POLICY, cpu_load_classify, guard_rails, plan_action, allocate
@@ -4215,6 +4217,173 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q194 — X160: the raw-corpus ingest edge, oracle-checkable end to end
+# (declared round 12 from queries_staging). The builder round-trips the
+# documents table through the REAL ingest path: JSON-encode each row to
+# newline-delimited text shards with a deterministically corrupted
+# subset (doc_id % 37 == 0: closing brace truncated, malformed JSON),
+# then run io.ingest_documents (explicit-schema PERMISSIVE read,
+# corrupt-line quarantine, digest/n_chars canonicalization, compacted
+# parquet landing) and report, per landing status, the row count plus
+# content fingerprints read back OFF THE LANDED PARQUET (bit_xor of the
+# 60-bit digest prefix — order-insensitive, overflow-free — plus the
+# recomputed n_chars sum). The oracle replays from the ORIGINAL
+# documents view, so the hash match proves the full round trip is
+# lossless on clean rows and quarantines exactly the corrupted ones.
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 — the ingest edge: every step is the production path (text
+    shards the shape a real corpus delivery has, the explicit-schema
+    PERMISSIVE reader, the compacted landing writer)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+    shards = d.withColumn("__line", line).select(
+        F.when(
+            F.pmod("doc_id", F.lit(37)) == 0,
+            F.expr("substring(__line, 1, length(__line) - 1)"),
+        )
+        .otherwise(F.col("__line"))
+        .alias("value")
+    )
+    shards.write.mode("overwrite").text(_Q194_SRC)
+    ingest_documents(spark, _Q194_SRC, _Q194_DEST, fmt="jsonl")
+
+    landed = spark.read.parquet(_Q194_DEST)
+    clean_row = landed.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr(
+            "bit_xor(cast(conv(substring(digest, 1, 15), 16, 10) as bigint))"
+        )
+        .cast("bigint")
+        .alias("digest_xor"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_sum"),
+    ).select(
+        F.lit("landed").alias("status"), "n_rows", "digest_xor", "n_chars_sum"
+    )
+    quar_row = (
+        spark.read.parquet(_Q194_DEST + "_quarantine")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            F.lit("quarantined").alias("status"),
+            "n_rows",
+            F.lit(None).cast("bigint").alias("digest_xor"),
+            F.lit(None).cast("bigint").alias("n_chars_sum"),
+        )
+    )
+    return clean_row.unionByName(quar_row).orderBy("status")
+
+
+# Q195 — X162/X163: URL canonicalization + per-domain curation rollup
+# (declared round 12 from queries_staging) over a deterministic
+# messy-URL synthesis (documents has no URL column, so the query builds
+# one per doc from doc_id/source with every normalization hazard:
+# mixed case, userinfo, default and non-default ports, empty paths,
+# tracking params in shuffled positions, fragments, a malformed class).
+# The oracle derives the EXPECTED canonical form from the same
+# components from first principles — it never reimplements the parser.
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162/X163 — canonicalize/rollup; hash match proves the
+    canonicalizer strips/sorts/defaults exactly right, including the
+    variant collisions n_canonical counts."""
+    did = F.col("doc_id")
+    s = did.cast("string")
+    scheme = F.when(did % 3 == 1, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.concat(
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Ex"),
+        (did % 4).cast("string"),
+        F.lit(".COM"),
+    )
+    userinfo = F.when(did % 9 == 0, F.lit("u:pw@")).otherwise(F.lit(""))
+    port = (
+        F.when(did % 5 == 0, F.lit(":443"))
+        .when(did % 5 == 1, F.lit(":80"))
+        .when(did % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(did % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), (did % 11).cast("string"))
+    )
+    q = (
+        F.when(
+            did % 6 == 0,
+            F.concat(F.lit("?utm_source=news&b="), (did % 13).cast("string"),
+                     F.lit("&a=1")),
+        )
+        .when(did % 6 == 1,
+              F.concat(F.lit("?a=1&b="), (did % 13).cast("string")))
+        .when(did % 6 == 2, F.concat(F.lit("?gclid="), s))
+        .when(did % 6 == 4,
+              F.concat(F.lit("?z="), (did % 3).cast("string"),
+                       F.lit("&utm_medium=email")))
+        .when(did % 6 == 5, F.lit("?ref=home"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 8 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.when(did % 17 == 0, F.concat(F.lit("junk "), s)).otherwise(
+        F.concat(scheme, F.lit("://"), userinfo, host, port, path, q, frag)
+    )
+    urls = load_table(spark, sf_dir, "documents").select(url.alias("url"))
+    return text.domain_curation_stats(
+        urls, "url", quota=100, with_sample=True
+    ).orderBy("domain")
+
+
+# Q196 — X164: HTML->text extraction, oracle-checkable (declared round
+# 12 from queries_staging): documents has no markup column, so the
+# query wraps each doc's text in a deterministic markup synthesis
+# exercising every stripper stage (script/style blocks with nested fake
+# tags, comments, attribute tags, all six entities incl. the &amp;-last
+# double-decode hazard), extracts with the X164 chain, and reports
+# per-bucket counts, raw/extracted length sums, and an
+# order-insensitive content fingerprint (bit_xor of the md5-prefix of
+# each EXTRACTED text — the q194 convention), so the hash match proves
+# per-document equality of the extraction, not just aggregate lengths.
+# The oracle replays each regexp literally — the X164 patterns are
+# RE2-compatible by design (no backreferences/lookaround), which is
+# exactly the property this query turns into driver-grade evidence.
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 — HTML extraction fingerprints per synthesis bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.col("text")
+    html = (
+        F.when(did % 5 == 0, F.concat(
+            F.lit("<script>var x = '<p>not text</p>';</script><P class='a'>"),
+            t, F.lit("</p>")))
+        .when(did % 5 == 1, F.concat(
+            F.lit("<!-- note <b> -->"), t,
+            F.lit("<br/><a href='/x?a=1&b=2'>more</a>")))
+        .when(did % 5 == 2, F.concat(
+            F.lit("<div><H2>T</h2> "), t, F.lit(" &amp;lt; tail &lt;ok&gt;")))
+        .when(did % 5 == 3, F.concat(
+            F.lit("<STYLE type='c'>.x{color:red}</style>"), t,
+            F.lit("&nbsp;&quot;q&quot; &#39;s&#39;")))
+        .otherwise(t)
+    )
+    return (
+        d.select(
+            (did % 5).cast("bigint").alias("bucket"),
+            html.alias("__h"),
+            text.html_to_text(html).alias("__x"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("__h")).cast("bigint").alias("raw_len_sum"),
+            F.sum(F.length("__x")).cast("bigint").alias("text_len_sum"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(__x), 1, 15), 16, 10)"
+                " as bigint))"
+            ).cast("bigint").alias("text_digest_xor"),
+        )
+        .orderBy("bucket")
+    )
+
+
+
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
@@ -4328,6 +4497,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_seasonal_decompose": q162,
     "q163_transition_matrix": q163,
     "q164_cusum_changepoint": q164,
+    # declared round 12 (from queries_staging; first window slot r13):
+    "q194_raw_ingest": q194,
+    "q195_domain_curation": q195,
+    "q196_html_extract": q196,
     # r14 window candidates — the round-10 window block (driver-hashed
     # r10, stale at r14), in its r10 window order:
     "q165_kcore": q165,

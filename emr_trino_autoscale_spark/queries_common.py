@@ -52,3 +52,15 @@ _Q184_SIGS_PATH = _os.path.join(
     "spark-warehouse",
     "q184_media_dhash",
 )
+
+_Q194_SRC = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q194_raw_jsonl",
+)
+
+_Q194_DEST = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "spark-warehouse",
+    "q194_landing",
+)

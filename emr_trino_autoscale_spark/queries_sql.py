@@ -3765,6 +3765,115 @@ FROM p GROUP BY "column" ORDER BY "column"
 """
 
 
+# --- round-12 declarations (moved from queries_staging) ---
+
+# Replays from the ORIGINAL documents view: landed == the non-corrupted
+# partition with md5/length recomputed from the source text.
+Q194_SQL = """
+WITH clean AS (
+  SELECT text FROM documents WHERE doc_id % 37 <> 0),
+bad AS (
+  SELECT 1 FROM documents WHERE doc_id % 37 = 0),
+u AS (
+  SELECT 'landed' AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+              AS BIGINT) AS digest_xor,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
+  FROM clean
+  UNION ALL
+  SELECT 'quarantined', CAST(COUNT(*) AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM bad)
+SELECT * FROM u ORDER BY status
+"""
+
+# First-principles canonical derivation (never a parser replay): the
+# oracle rebuilds the canonical URL from the synthesis components —
+# lowercase host, userinfo/fragment gone, default port dropped per the
+# ACTUAL scheme, '' path -> '/', tracking params gone and the
+# survivors in sorted order (a=1 < b=N < z=K byte order).
+Q195_SQL = """
+WITH comp AS (
+  SELECT doc_id,
+         doc_id % 17 = 0 AS malformed,
+         CASE WHEN doc_id % 3 = 1 THEN 'http' ELSE 'https' END AS scheme,
+         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+           || source || '.ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' AS host,
+         CASE WHEN doc_id % 5 = 2 THEN ':8080'
+              WHEN doc_id % 5 = 1 AND doc_id % 3 <> 1 THEN ':80'
+              WHEN doc_id % 5 = 0 AND doc_id % 3 = 1 THEN ':443'
+              ELSE '' END AS portpart,
+         CASE WHEN doc_id % 7 = 0 THEN '/'
+              ELSE '/p/' || CAST(doc_id % 11 AS VARCHAR) END AS path,
+         CASE WHEN doc_id % 6 IN (0, 1)
+                THEN '?a=1&b=' || CAST(doc_id % 13 AS VARCHAR)
+              WHEN doc_id % 6 = 4 THEN '?z=' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE '' END AS q
+  FROM documents),
+canon AS (
+  SELECT CASE WHEN malformed THEN NULL
+              ELSE scheme || '://' || host || portpart || path || q END AS c,
+         CASE WHEN malformed THEN NULL
+              ELSE 'ex' || CAST(doc_id % 4 AS VARCHAR) || '.com' END AS d
+  FROM comp)
+SELECT d AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_canonical,
+       CAST(LEAST(COUNT(DISTINCT c), 100) AS BIGINT) AS n_kept_under_quota,
+       MIN(c) AS sample_url
+FROM canon GROUP BY d ORDER BY d
+"""
+
+# Literal replay of the X164 chain — sanctioned for this operator
+# family: the patterns are RE2-compatible BY DESIGN (inline (?is)
+# flags, no backreferences), so DuckDB running the same chain is an
+# independent engine executing the same public spec, like the md5
+# convention elsewhere. Entity order matters: &amp; LAST; the quote
+# and ampersand literals go through chr() to keep the SQL readable.
+Q196_SQL = """
+WITH h AS (
+  SELECT doc_id % 5 AS bucket,
+         CASE doc_id % 5
+           WHEN 0 THEN '<script>var x = ' || chr(39) || '<p>not text</p>'
+                       || chr(39) || ';</script><P class=' || chr(39) || 'a'
+                       || chr(39) || '>' || text || '</p>'
+           WHEN 1 THEN '<!-- note <b> -->' || text
+                       || '<br/><a href=' || chr(39) || '/x?a=1&b=2'
+                       || chr(39) || '>more</a>'
+           WHEN 2 THEN '<div><H2>T</h2> ' || text || ' &amp;lt; tail &lt;ok&gt;'
+           WHEN 3 THEN '<STYLE type=' || chr(39) || 'c' || chr(39)
+                       || '>.x{color:red}</style>' || text
+                       || '&nbsp;&quot;q&quot; &#39;s&#39;'
+           ELSE text END AS html
+  FROM documents),
+x AS (
+  SELECT bucket, html,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '<[^>]*>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        chr(38) || 'nbsp;', ' '), chr(38) || 'amp;', chr(38)),
+      '\\s+', ' ', 'g')) AS extracted
+  FROM h)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(html)) AS BIGINT) AS raw_len_sum,
+       CAST(SUM(length(extracted)) AS BIGINT) AS text_len_sum,
+       CAST(bit_xor(CAST('0x' || substr(md5(extracted), 1, 15) AS BIGINT))
+            AS BIGINT) AS text_digest_xor
+FROM x GROUP BY bucket ORDER BY bucket
+"""
+
+
 SQL: dict[str, str] = {
     "q01_json_projection": Q01_SQL,
     "q02_registry_filter": Q02_SQL,
@@ -3957,4 +4066,7 @@ SQL: dict[str, str] = {
     "q191_stream_rule_audit": Q191_SQL,
     "q192_stream_hll_distinct": Q192_SQL,
     "q193_stream_profile": Q193_SQL,
+    "q194_raw_ingest": Q194_SQL,
+    "q195_domain_curation": Q195_SQL,
+    "q196_html_extract": Q196_SQL,
 }

@@ -145,6 +145,7 @@ def test_driver_staleness_guard():
     declared_round = {f"q{i}": 7 for i in range(103, 115)}
     declared_round.update({f"q{i}": 8 for i in range(115, 189)})
     declared_round.update({f"q{i}": 11 for i in range(189, 194)})
+    declared_round.update({f"q{i}": 12 for i in range(194, 197)})
 
     window = set(list(QUERIES)[:50])
     stale = []
@@ -169,18 +170,36 @@ def test_driver_staleness_guard():
     )
 
 
+# Successor policy at the capacity ceiling (VERDICT r11 task 5, README
+# 'Capacity ledger'): each retired hash-twin buys ONE extra declaration
+# slot. Retire order is fixed; a name counts as retired only once it is
+# actually gone from QUERIES. Operators/pytests behind a retired query
+# stay — only the declaration slot is reclaimed.
+RETIRE_LIST = (
+    "q86_bpe_pair_stats",      # twin of q85 (golden-pinned) — r7/r11 hashes stay
+    "q71_pq_literal",          # twin of q70/q72 — q72 keeps PQ-code evidence
+    "q127_overlap_join_binned",  # twin of q126's binned-interval shape
+    "q122_image_phash_pairs",  # q103 aHash + q184 dHash keep the family
+)
+
+
 def test_declaration_capacity():
     """Capacity ledger (VERDICT r10 task 5): a query outside the window
     must carry a driver hash from within the last 3 completed rounds,
     so every declared query must re-enter the 50-slot window at least
     every 4 rounds — steady-state capacity is 50 x 4 = 200 declared
-    queries. This fails any declaration that would overrun the horizon;
-    the README capacity ledger lists the sanctioned escape hatches
-    (retire a hash-twin per new declaration, widen the window with
-    driver sign-off, or lengthen the horizon) — never declare past it."""
+    queries. Past that, the ONLY sanctioned moves (README 'Capacity
+    ledger' successor policy, in order) are: retire a hash-twin from
+    RETIRE_LIST per extra declaration (encoded here — each retirement
+    raises the ceiling by one), widen the window with observed driver
+    sign-off (>50 rows in a CORRECTNESS file), or lengthen the horizon
+    with a judge-visible note. Never silently declare past it."""
     window_slots, horizon_rounds = 50, 4
-    assert len(QUERIES) <= window_slots * horizon_rounds, (
+    retired = [name for name in RETIRE_LIST if name not in QUERIES]
+    ceiling = window_slots * horizon_rounds + len(retired)
+    assert len(QUERIES) <= ceiling, (
         f"{len(QUERIES)} declared queries exceed the "
-        f"{window_slots}x{horizon_rounds}=200 rotation capacity — see "
+        f"{window_slots}x{horizon_rounds}+{len(retired)}retired={ceiling} "
+        "rotation capacity — retire the next RETIRE_LIST twin or see "
         "README 'Capacity ledger'"
     )

@@ -7,8 +7,9 @@ SQL over the same parquet tables, then compares row count, schema
 non-zero and prints per-query diffs on mismatch.
 
 Usage: python tools/check_oracle.py [--sf /root/testdata/sf0.01] [--only q09,...]
-       python tools/check_oracle.py --staged   # round-11 candidates
-                                               # (queries_staging.py)
+       python tools/check_oracle.py --staged   # next-round candidates
+                                               # (queries_staging.py,
+                                               # absent when none staged)
 """
 
 from __future__ import annotations
