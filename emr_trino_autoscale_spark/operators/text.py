@@ -2096,11 +2096,14 @@ def url_canonicalize(
 
 def url_domain(url_col: str | Column = "url") -> Column:
     """Last-two-labels domain of the canonical host (site.com from
-    www.site.com). A real crawl pipeline swaps in the public-suffix
-    list (co.uk-style suffixes need the table; shipping a partial copy
-    would silently mis-group — the PPM-maxval rule applied to text);
-    the two-label heuristic is the deterministic, dependency-free
-    default and is explicit in the name of every downstream column."""
+    www.site.com). FALLBACK ONLY: co.uk-style multi-label suffixes
+    need the public-suffix list, which this Column-level form cannot
+    join (shipping a partial copy would silently mis-group — the
+    PPM-maxval rule applied to text). Pipelines that have the PSL
+    should use :func:`with_url_domain` / pass ``psl_df`` to
+    :func:`domain_curation_stats`, which do longest-suffix matching
+    against the caller-supplied table and fall back to this heuristic
+    only for hosts no rule covers."""
     canon = url_canonicalize(url_col)
     host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1)
     return F.when(
@@ -2108,9 +2111,76 @@ def url_domain(url_col: str | Column = "url") -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
+def with_url_domain(
+    df: DataFrame,
+    psl_df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Registrable domain (PSL rules) as a new column, from a
+    CALLER-SUPPLIED public-suffix table — the engine bundles no data
+    (VERDICT r11 task 6). ``psl_df`` has one string column ``suffix``:
+    plain rules from the public suffix list (lowercase, no leading
+    dot, e.g. 'com', 'co.uk', 'com.au'); wildcard ('*.ck') and
+    exception ('!www.ck') rules are caller-preprocessing — expand or
+    drop them before the call.
+
+    Longest-match-wins semantics: the host's trailing i labels
+    (i = ``max_suffix_labels`` .. 1 — the real PSL's longest plain
+    rule has 4) are each matched against the rules having EXACTLY i
+    labels, and the domain is the matched suffix plus one more label.
+    A host that IS a public suffix (nothing registrable) yields NULL;
+    a host matching no rule falls back to the :func:`url_domain`
+    two-label heuristic, so a partial PSL degrades gracefully instead
+    of silently flipping grouping semantics.
+
+    Scale shape: ``max_suffix_labels`` BROADCAST hash joins against
+    label-count slices of the (few-thousand-row) PSL table — a narrow
+    per-row pipeline, no shuffle, no explode; the URL column never
+    fans out."""
+    canon = url_canonicalize(url_col)
+    host = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1)
+    labels = F.split(host, r"\.")
+
+    out = df.withColumn("__labels", F.when(canon.isNotNull(), labels))
+    n = F.size("__labels")
+    psl = psl_df.select(F.lower(F.col("suffix")).alias("__sfx")).withColumn(
+        "__sfx_labels", F.size(F.split("__sfx", r"\."))
+    )
+    for i in range(max_suffix_labels, 0, -1):
+        rules_i = psl.filter(F.col("__sfx_labels") == i).select(
+            F.col("__sfx").alias(f"__sfx{i}"),
+        ).distinct()
+        cand = F.when(
+            n >= i, F.array_join(F.slice("__labels", n - i + 1, i), ".")
+        )
+        out = out.withColumn(f"__cand{i}", cand).join(
+            F.broadcast(rules_i),
+            F.col(f"__cand{i}") == F.col(f"__sfx{i}"),
+            "left",
+        )
+    # longest matched suffix wins; suffix == host -> NULL (nothing
+    # registrable); no rule matched -> two-label heuristic fallback
+    best = F.coalesce(*[
+        F.when(F.col(f"__sfx{i}").isNotNull(), F.lit(i))
+        for i in range(max_suffix_labels, 0, -1)
+    ])
+    domain = F.when(
+        best.isNotNull() & (n > best),
+        F.array_join(F.slice("__labels", n - best, best + 1), "."),
+    )
+    result = F.when(best.isNotNull(), domain).otherwise(
+        F.when(F.col("__labels").isNotNull(), url_domain(url_col))
+    )
+    drop = ["__labels"] + [f"__cand{i}" for i in range(1, max_suffix_labels + 1)]
+    drop += [f"__sfx{i}" for i in range(1, max_suffix_labels + 1)]
+    return out.withColumn(out_col, result).drop(*drop)
+
+
 def domain_curation_stats(
     df: DataFrame, url_col: str = "url", quota: int = 0,
-    with_sample: bool = False,
+    with_sample: bool = False, psl_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-domain curation rollup over a URL column: raw URL count,
     distinct canonical URLs (URL-level dup rate is raw/distinct), NULL
@@ -2118,13 +2188,24 @@ def domain_curation_stats(
     quota would keep (the domain-cap sampling every web corpus applies
     so megasites don't dominate the mixture), and with ``with_sample``
     the lexicographically-first canonical URL as an inspectable
-    exemplar. ONE hash aggregation on the domain key; canonicalization
-    is a narrow projection, so the shuffle carries only (domain,
-    canonical digest) — never the page payload."""
-    base = df.select(
-        url_domain(url_col).alias("domain"),
-        url_canonicalize(url_col).alias("canonical_url"),
-    )
+    exemplar. With ``psl_df`` (a caller-supplied public-suffix table,
+    see :func:`with_url_domain`) the grouping key is the PSL
+    registrable domain — co.uk/com.au sites group correctly — at the
+    cost of ``max_suffix_labels`` extra BROADCAST joins; without it
+    the key is the two-label :func:`url_domain` heuristic (the
+    documented fallback). ONE hash aggregation on the domain key
+    either way; canonicalization is a narrow projection, so the
+    shuffle carries only (domain, canonical digest) — never the page
+    payload."""
+    if psl_df is not None:
+        base = with_url_domain(df, psl_df, url_col, "domain").select(
+            "domain", url_canonicalize(url_col).alias("canonical_url")
+        )
+    else:
+        base = df.select(
+            url_domain(url_col).alias("domain"),
+            url_canonicalize(url_col).alias("canonical_url"),
+        )
     aggs = [
         F.count("*").cast("bigint").alias("n_urls"),
         F.count("canonical_url").cast("bigint").alias("n_parsed"),

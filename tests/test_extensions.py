@@ -6678,6 +6678,59 @@ def test_domain_curation_stats(spark):
     assert got[None]["n_malformed"] == 1 and got[None]["n_canonical"] == 0
 
 
+def test_url_domain_with_psl(spark):
+    """X162 PSL opt-in (VERDICT r11 task 6): a caller-supplied
+    public-suffix table fixes the co.uk/com.au mis-grouping — longest
+    rule wins, a host that IS a suffix yields NULL, unknown TLDs fall
+    back to the two-label heuristic, and duplicate PSL rows don't fan
+    rows out."""
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import (
+        domain_curation_stats,
+        with_url_domain,
+    )
+
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("com.au",), ("co.uk",)],
+        "suffix string",
+    )
+    rows = [
+        ("https://www.example.co.uk/p",),     # PSL: example.co.uk
+        ("https://other.example.co.uk/q",),   # same registrable domain
+        ("https://news.bbc.CO.UK/x",),        # case-folded host
+        ("http://shop.example.com.au/y",),    # com.au rule
+        ("https://plain.example.com/z",),     # 1-label rule
+        ("https://co.uk/",),                  # host IS a suffix -> NULL
+        ("https://x.unknowntld/p",),          # no rule -> 2-label fallback
+        ("garbage",),                         # malformed -> NULL
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = with_url_domain(df, psl, "url", "domain")
+    assert out.count() == len(rows)  # broadcast joins never fan out
+    got = {r["url"]: r["domain"] for r in out.collect()}
+    assert got["https://www.example.co.uk/p"] == "example.co.uk"
+    assert got["https://other.example.co.uk/q"] == "example.co.uk"
+    assert got["https://news.bbc.CO.UK/x"] == "bbc.co.uk"
+    assert got["http://shop.example.com.au/y"] == "example.com.au"
+    assert got["https://plain.example.com/z"] == "example.com"
+    assert got["https://co.uk/"] is None
+    assert got["https://x.unknowntld/p"] == "x.unknowntld"
+    assert got["garbage"] is None
+
+    # the rollup twin: co.uk sites no longer merge into one 'co.uk'
+    stats = {
+        r["domain"]: r["n_urls"]
+        for r in domain_curation_stats(df, "url", psl_df=psl).collect()
+    }
+    assert stats["example.co.uk"] == 2
+    assert stats["bbc.co.uk"] == 1
+    # and the joins stay broadcast (no shuffle introduced by the PSL)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_tiff_palette_matches_rgb_twin():
     """Round-11 TIFF extensions, part 3: palette-color (photometric 3,
     ColorMap tag 320 with the 16-bit v*257 expansion) decodes to the
