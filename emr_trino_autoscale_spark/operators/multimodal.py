@@ -21,10 +21,13 @@ against the baseline decode of the same coefficients), and round 11
 added LOSSLESS JPEG (SOF3 — Annex H predictors 1-7, point transform,
 2-16-bit precision, round-trip-exact against a test-side spec
 encoder) plus 12-bit extended-sequential DCT (SOF1), which decodes
-for real; only psychoacoustic/video codecs (MP3/H.264) and the
+for real. Round 12 added CCITT GROUP 4 bilevel TIFF (compression 4,
+ITU-T T.6 via :mod:`._ccitt` — the scanned-document corpus
+encoding); only psychoacoustic/video codecs (MP3/H.264) and the
 remaining exotic JPEG modes (arithmetic-coded, 12-bit progressive,
 hierarchical) fall back to the clearly-marked deterministic stub,
-the one piece that changes on a real cluster.
+the one piece that changes on a real cluster (final per-format
+disposition: SURVEY.md §2.10 codec stub ledger).
 
 Scale design: media rows are huge, so the pipeline uses
 ``mapInPandas`` (Arrow batches, bounded memory via
@@ -881,6 +884,72 @@ def _tiff_jpeg_rgb(payload, tags, e, width, height, photometric,
     return img.astype(np.float64)
 
 
+def _tiff_g4_rgb(payload, tags, width, height, photometric, bits, spp,
+                 planar, predictor):
+    """CCITT Group 4 strips/tiles -> the shared RGB float contract
+    (round 12). Each strip/tile is an independently-coded T.6 block
+    (TIFF 6.0 section 11); FillOrder 2 streams are bit-reversed before
+    decode; T6Options uncompressed mode (tag 293 bit 1) raises to the
+    stub boundary, as do G4 files that are not plain 1-bit bilevel.
+    Ink bits map through PhotometricInterpretation: 0 (WhiteIsZero,
+    the fax convention) displays ink as black; 1 inverts."""
+    import numpy as np
+
+    from ._ccitt import g4_decode, reverse_fill_order
+
+    if bits != [1] or spp != 1:
+        raise ValueError("TIFF: G4 requires 1-bit single-sample data")
+    if photometric not in (0, 1):
+        raise ValueError("TIFF: G4 photometric must be bilevel (0/1)")
+    if planar != 1:
+        raise ValueError("TIFF: G4 with separate planes unsupported")
+    if predictor != 1:
+        raise ValueError("TIFF: G4 with a predictor unsupported")
+    if tags.get(293, [0])[0] & 2:
+        raise ValueError("TIFF: G4 uncompressed mode unsupported")
+    fill = tags.get(266, [1])[0]
+    if fill not in (1, 2):
+        raise ValueError("TIFF: reserved FillOrder")
+
+    def block(off, cnt, w, r):
+        seg = payload[off:off + cnt]
+        if len(seg) != cnt:
+            raise ValueError("TIFF: truncated strip/tile")
+        if fill == 2:
+            seg = reverse_fill_order(seg)
+        return g4_decode(seg, w, r)
+
+    ink = np.zeros((height, width), dtype=np.uint8)
+    if 322 in tags or 323 in tags:
+        tw, th = tags[322][0], tags[323][0]
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing tile layout")
+        ta, td = -(-width // tw), -(-height // th)
+        if len(offsets) != ta * td:
+            raise ValueError("TIFF: tile count mismatch")
+        for t in range(len(offsets)):
+            tile = block(offsets[t], counts[t], tw, th)
+            ty, tx = divmod(t, ta)
+            y0, x0 = ty * th, tx * tw
+            ys, xs = min(th, height - y0), min(tw, width - x0)
+            ink[y0:y0 + ys, x0:x0 + xs] = tile[:ys, :xs]
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: missing strip layout")
+        rps = tags.get(278, [height])[0]
+        if rps <= 0 or len(offsets) != -(-height // rps):
+            raise ValueError("TIFF: strip count mismatch")
+        for s in range(len(offsets)):
+            y0 = s * rps
+            r = min(rps, height - y0)
+            ink[y0:y0 + r] = block(offsets[s], counts[s], width, r)
+    g = (255 - ink * 255) if photometric == 0 else ink * 255
+    return np.repeat(g[..., None], 3, axis=2).astype(np.float64)
+
+
+
 def _tiff_rgb(payload: bytes):
     """REAL decoder for TIFF (TIFF 6.0, public spec): both byte orders
     (II little / MM big), first IFD, 8- and 16-bit gray
@@ -897,10 +966,11 @@ def _tiff_rgb(payload: bytes):
     10). Palette-color (photometric 3, 8-bit indices, the ColorMap's
     16-bit values reduced v>>8) decodes for real too (round 11), and
     so does new-style JPEG-in-TIFF (compression 7 incl. shared
-    JPEGTables — :func:`_tiff_jpeg_rgb`, round 11); old-style JPEG
-    (compression 6) and other depths raise so
-    :func:`sniffing_decoder` falls back to the stub (the PPM-maxval
-    rule)."""
+    JPEGTables — :func:`_tiff_jpeg_rgb`, round 11) and CCITT GROUP 4
+    bilevel (compression 4, T.6 — :func:`_tiff_g4_rgb`, round 12);
+    old-style JPEG (compression 6) tag-soup forms, G3, and other
+    depths raise so :func:`sniffing_decoder` falls back to the stub
+    (the PPM-maxval rule)."""
     import struct
 
     import numpy as np
@@ -955,6 +1025,21 @@ def _tiff_rgb(payload: bytes):
     bits = tags.get(258, [8] * spp)
     planar = one(284, 1)
     predictor = one(317, 1)
+    if compression == 4:
+        # CCITT Group 4 (T.6) bilevel — the scanned-document corpus
+        # encoding (round 12, from-spec _ccitt module); G3
+        # (compressions 2/3) stays an honest raise below.
+        return _tiff_g4_rgb(
+            payload, tags, width, height, photometric, bits, spp, planar,
+            predictor,
+        )
+    if compression in (2, 3):
+        # CCITT G3 (1D MH / T.4 2D) — deliberately stubbed: archival
+        # fax corpora are overwhelmingly G4 (SURVEY §2.10 ledger);
+        # raise with the honest reason instead of the bits message
+        raise ValueError(
+            f"TIFF: CCITT G3 (compression {compression}) unsupported"
+        )
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise ValueError(f"TIFF: only uniform 8/16-bit samples (got {bits})")
     depth = bits[0]
@@ -1595,7 +1680,12 @@ def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
     payload is a pure function of ``media_id``, so Spark and any
     re-reader regenerate byte-identical images. Built executor-side via
     ``mapInPandas`` over ``spark.range`` — no driver-side byte blobs,
-    the generation distributes like any other scan."""
+    the generation distributes like any other scan. The range is
+    pinned to 8 partitions: at the fixed evidence size (n=96, ~12 KB
+    payloads) the default 32 slices mean 32 Python-worker invocations
+    for milliseconds of real work per stage — measured 2-5x suite
+    noise from worker churn (round 12); real corpora enter from
+    parquet and keep their own partitioning."""
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
@@ -1625,7 +1715,7 @@ def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
                 {"media_id": ids, "payload": [_ppm(int(i)) for i in ids]}
             )
 
-    return spark.range(n).mapInPandas(batches, schema=out_schema)
+    return spark.range(0, n, 1, 8).mapInPandas(batches, schema=out_schema)
 
 
 def ahash64_ppm(payload: bytes) -> int | None:
@@ -2379,7 +2469,8 @@ def synthetic_audio_corpus(spark, n: int = 96) -> DataFrame:
     deterministic third tone 40 dB down), variants 2/3 audibly distinct
     (transposed chord / different chord shape). Payloads are pure
     functions of ``media_id`` — byte-identical on regeneration,
-    executor-side via ``mapInPandas``."""
+    executor-side via ``mapInPandas`` (8-partition range: the
+    synthetic_image_corpus worker-churn note applies)."""
     out_schema = StructType(
         [StructField("media_id", LongType()), StructField("payload", BinaryType())]
     )
@@ -2417,7 +2508,7 @@ def synthetic_audio_corpus(spark, n: int = 96) -> DataFrame:
                 {"media_id": ids, "payload": [_wav(int(i)) for i in ids]}
             )
 
-    return spark.range(n).mapInPandas(batches, schema=out_schema)
+    return spark.range(0, n, 1, 8).mapInPandas(batches, schema=out_schema)
 
 
 def afp64_wav(payload: bytes) -> int | None:
@@ -2522,7 +2613,7 @@ def synthetic_padded_audio_corpus(spark, n: int = 64) -> DataFrame:
             w.writeframes(pcm.tobytes())
         return buf.getvalue()
 
-    ids = spark.range(n).select(F.col("id").alias("media_id"))
+    ids = spark.range(0, n, 1, 8).select(F.col("id").alias("media_id"))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -5664,6 +5664,8 @@ def test_sniffing_decoder_corrupt_payload_fuzz(spark=None):
             predictor=2),
         "tiff_jpeg": _encode_tiff_jpeg(rgb, rows_per_strip=4,
                                        shared_tables=True),
+        "tiff_g4": _encode_tiff_g4((rgb[..., 0] > 128).astype(np.uint8),
+                                   rows_per_strip=3),
     }
     for name, good in payloads.items():
         kind = "audio" if name in ("wav", "flac") else "image"
@@ -8070,3 +8072,355 @@ def test_template_fingerprint_and_farm_stats(spark):
     assert farm_row["representative_id"] == 1
     dup_row = got[fps[200]]
     assert dup_row["n_docs"] == 3 and dup_row["n_distinct_texts"] == 1
+
+
+# --- round-12: CCITT Group 4 (ITU-T T.6) — test-side spec encoder +
+# TIFF wrapper, so the product decoder is exercised against
+# independently-constructed payloads (the JPEG/FLAC convention).
+
+_G4_VERT = {0: "1", 1: "011", -1: "010", 2: "000011", -2: "000010",
+            3: "0000011", -3: "0000010"}
+
+# T.4 run-length tables, run -> code string, typed from the published
+# tables (independent of the decoder module's code -> run maps).
+_G4_WHITE_ENC = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100", 64: "11011", 128: "10010", 192: "010111",
+    256: "0110111", 320: "00110110", 384: "00110111", 448: "01100100",
+    512: "01100101", 576: "01101000", 640: "01100111",
+    704: "011001100", 768: "011001101", 832: "011010010",
+    896: "011010011", 960: "011010100", 1024: "011010101",
+    1088: "011010110", 1152: "011010111", 1216: "011011000",
+    1280: "011011001", 1344: "011011010", 1408: "011011011",
+    1472: "010011000", 1536: "010011001", 1600: "010011010",
+    1664: "011000", 1728: "010011011",
+}
+_G4_BLACK_ENC = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111", 64: "0000001111", 128: "000011001000",
+    192: "000011001001", 256: "000001011011", 320: "000000110011",
+    384: "000000110100", 448: "000000110101", 512: "0000001101100",
+    576: "0000001101101", 640: "0000001001010", 704: "0000001001011",
+    768: "0000001001100", 832: "0000001001101", 896: "0000001110010",
+    960: "0000001110011", 1024: "0000001110100", 1088: "0000001110101",
+    1152: "0000001110110", 1216: "0000001110111", 1280: "0000001010010",
+    1344: "0000001010011", 1408: "0000001010100", 1472: "0000001010101",
+    1536: "0000001011010", 1600: "0000001011011", 1664: "0000001100100",
+    1728: "0000001100101",
+}
+_G4_EXT_ENC = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _g4_runcode(run, black):
+    """One T.4 run: greedy makeup codes (extended first), then the
+    terminating code."""
+    table = dict(_G4_BLACK_ENC if black else _G4_WHITE_ENC)
+    table.update(_G4_EXT_ENC)
+    parts = []
+    while run >= 64:
+        mk = min(2560, (run // 64) * 64)
+        while mk not in table:
+            mk -= 64
+        parts.append(table[mk])
+        run -= mk
+    parts.append(table[run])
+    return "".join(parts)
+
+
+def _g4_encode_block(ink):
+    """T.6-encode one (rows, width) {0,1} block: canonical mode choice
+    (pass when b2 < a1, vertical within +-3, horizontal otherwise),
+    EOFB terminator, zero-padded to a byte boundary."""
+    rows, width = ink.shape
+    bits = []
+
+    def transitions(line):
+        t = []
+        prev = 0
+        for x in range(width):
+            if line[x] != prev:
+                t.append(x)
+                prev = line[x]
+        return t
+
+    ref = []
+    for y in range(rows):
+        cur = transitions(ink[y])
+        a0, color, ci = -1, 0, 0
+        while a0 < width:
+            a1 = cur[ci] if ci < len(cur) else width
+            ri = color
+            while ri < len(ref) and ref[ri] <= a0:
+                ri += 2
+            b1 = ref[ri] if ri < len(ref) else width
+            b2 = ref[ri + 1] if ri + 1 < len(ref) else width
+            if b2 < a1:
+                bits.append("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                bits.append(_G4_VERT[a1 - b1])
+                a0, color, ci = a1, color ^ 1, ci + 1
+            else:
+                a2 = cur[ci + 1] if ci + 1 < len(cur) else width
+                start = a0 if a0 > 0 else 0
+                bits.append("001")
+                bits.append(_g4_runcode(a1 - start, bool(color)))
+                bits.append(_g4_runcode(a2 - a1, not color))
+                a0, ci = a2, ci + 2
+        ref = cur
+    bits.append("000000000001" * 2)  # EOFB
+    s = "".join(bits)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _encode_tiff_g4(ink, rows_per_strip=None, tiles=None, photometric=0,
+                    fill_order=1, t6_options=None, big_endian=False):
+    """Minimal TIFF 6.0 wrapper around G4-coded strips/tiles (the
+    _encode_tiff layout conventions, bilevel edition)."""
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    h, w = ink.shape
+    segments = []
+    if tiles:
+        tw, th = tiles
+        for y0 in range(0, -(-h // th) * th, th):
+            for x0 in range(0, -(-w // tw) * tw, tw):
+                block = np.zeros((th, tw), dtype=np.uint8)
+                blk = ink[y0:y0 + th, x0:x0 + tw]
+                block[:blk.shape[0], :blk.shape[1]] = blk
+                segments.append(_g4_encode_block(block))
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            segments.append(_g4_encode_block(ink[y0:y0 + rps]))
+    if fill_order == 2:
+        rev = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+        segments = [bytes(rev[c] for c in s) for s in segments]
+
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [1]), (259, 3, [4]),
+        (262, 3, [photometric]), (277, 3, [1]), (284, 3, [1]),
+    ]
+    if fill_order != 1:
+        entries.append((266, 3, [fill_order]))
+    if t6_options is not None:
+        entries.append((293, 4, [t6_options]))
+    if tiles:
+        entries.append((322, 3, [tiles[0]]))
+        entries.append((323, 3, [tiles[1]]))
+    else:
+        entries.append((278, 3, [rows_per_strip or h]))
+    return _assemble_tiff(e, entries, segments, tiles)
+
+
+def _assemble_tiff(e, entries, segments, tiles):
+    """Two-pass IFD assembly (sizes first, then offsets) shared by the
+    G4 wrapper: avoids the offset-of-offsets chicken-and-egg."""
+    import struct
+
+    counts = [len(s) for s in segments]
+    count_tag, offset_tag = (325, 324) if tiles else (279, 273)
+    all_entries = entries + [(count_tag, 4, counts), (offset_tag, 4, [0] * len(segments))]
+    n = len(all_entries)
+    ifd_off = 8
+    sizes = {3: 2, 4: 4}
+    # pass 1: blob layout
+    val_off = ifd_off + 2 + 12 * n + 4
+    blob_sizes = []
+    for tag, typ, values in all_entries:
+        sz = sizes[typ] * len(values)
+        if sz > 4:
+            blob_sizes.append(sz)
+    seg_start = val_off + sum(blob_sizes)
+    offs, cur = [], seg_start
+    for c in counts:
+        offs.append(cur)
+        cur += c
+    all_entries[-1] = (offset_tag, 4, offs)
+    # pass 2: serialize
+    blobs = []
+    body = []
+    voff = val_off
+    for tag, typ, values in sorted(all_entries):
+        code = {3: "H", 4: "I"}[typ] * len(values)
+        raw = struct.pack(e + code, *values)
+        if len(raw) <= 4:
+            body.append(struct.pack(e + "HHI", tag, typ, len(values))
+                        + raw + b"\x00" * (4 - len(raw)))
+        else:
+            blobs.append(raw)
+            body.append(struct.pack(e + "HHII", tag, typ, len(values), voff))
+            voff += len(raw)
+    out = (b"MM" if e == ">" else b"II") + struct.pack(e + "HI", 42, ifd_off)
+    out += struct.pack(e + "H", n) + b"".join(body) + struct.pack(e + "I", 0)
+    out += b"".join(blobs) + b"".join(segments)
+    return out
+
+
+def test_g4_roundtrip_layout_matrix():
+    """CCITT G4 (round 12): random bilevel images — the worst case for
+    a transition coder — round-trip bit-exactly through _tiff_rgb in
+    every layout: single strip, multi-strip, tiles (with edge padding),
+    MM byte order, FillOrder 2, and both bilevel photometrics."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators.multimodal import _tiff_rgb
+
+    rng = np.random.RandomState(12)
+    ink = (rng.rand(21, 37) < 0.35).astype(np.uint8)
+    white0 = np.repeat(((1 - ink) * 255)[..., None], 3, axis=2).astype(float)
+    for kwargs in (
+        {},
+        {"rows_per_strip": 4},
+        {"tiles": (16, 8)},
+        {"big_endian": True, "rows_per_strip": 7},
+        {"fill_order": 2},
+        {"tiles": (8, 16), "fill_order": 2, "big_endian": True},
+    ):
+        got = _tiff_rgb(_encode_tiff_g4(ink, **kwargs))
+        assert np.array_equal(got, white0), kwargs
+    # photometric 1 inverts the display sense
+    got = _tiff_rgb(_encode_tiff_g4(ink, photometric=1))
+    assert np.array_equal(got, np.repeat((ink * 255)[..., None], 3,
+                                         axis=2).astype(float))
+
+
+def test_g4_mode_and_run_coverage():
+    """Structured cases that force every T.6 mode and T.4 code class:
+    all-white and all-black pages (vertical + horizontal with 0-runs),
+    text-like rows (horizontal), shifted copies (vertical +-1..3),
+    vanishing marks (pass mode), and a 6000-px-wide line whose black
+    run needs extended + regular makeup codes chained."""
+    import numpy as np
+
+    from emr_trino_autoscale_spark.operators._ccitt import g4_decode
+    from emr_trino_autoscale_spark.operators.multimodal import _tiff_rgb
+
+    cases = []
+    cases.append(np.zeros((5, 64), dtype=np.uint8))           # all white
+    cases.append(np.ones((5, 64), dtype=np.uint8))            # all black
+    text = np.zeros((8, 80), dtype=np.uint8)
+    for y, (s, e) in enumerate([(3, 9), (4, 10), (6, 13), (3, 9),
+                                (40, 77), (41, 76), (44, 79), (2, 80)]):
+        text[y, s:e] = 1                                      # vert/horiz
+    cases.append(text)
+    passy = np.zeros((3, 40), dtype=np.uint8)
+    passy[0, 5:10] = 1
+    passy[0, 20:30] = 1
+    passy[1, 5:10] = 1          # second mark vanishes -> pass mode
+    cases.append(passy)
+    wide = np.zeros((2, 6000), dtype=np.uint8)
+    wide[0, 10:5900] = 1        # run 5890 = 2560+2560+704+66 -> chained
+    wide[1, :] = 1
+    cases.append(wide)
+    for ink in cases:
+        dec = g4_decode(_g4_encode_block(ink), ink.shape[1], ink.shape[0])
+        assert np.array_equal(dec, ink)
+    # and through the TIFF layer with strips
+    ink = cases[2]
+    got = _tiff_rgb(_encode_tiff_g4(ink, rows_per_strip=3))
+    assert np.array_equal(
+        got, np.repeat(((1 - ink) * 255)[..., None], 3, axis=2))
+
+
+def test_g4_error_contracts_and_sniffer_parity():
+    """Envelope: T6Options uncompressed mode, G3 compressions, and
+    non-bilevel G4 all raise (the PPM-maxval rule — sniffer degrades
+    to the stub, never mis-decodes); a G4 page produces IDENTICAL
+    8-float features to the P6 PPM of the same pixels (lossless
+    ground-truth twin, the SOF3 convention)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.multimodal import (
+        _tiff_rgb,
+        sniffing_decoder,
+    )
+
+    rng = np.random.RandomState(3)
+    ink = (rng.rand(16, 16) < 0.3).astype(np.uint8)
+
+    with _pytest.raises(ValueError, match="uncompressed"):
+        _tiff_rgb(_encode_tiff_g4(ink, t6_options=2))
+    good = _encode_tiff_g4(ink)
+    g3 = bytearray(good)
+    i = g3.find(b"\x03\x01\x03\x00\x01\x00\x00\x00\x04")  # tag 259 (II)
+    assert i > 0
+    g3[i + 8] = 3  # claim T.4 (compression 3)
+    with _pytest.raises(ValueError, match="G3"):
+        _tiff_rgb(bytes(g3))
+    depth8 = bytearray(good)
+    j = depth8.find(b"\x02\x01\x03\x00\x01\x00\x00\x00\x01")  # tag 258
+    assert j > 0
+    depth8[j + 8] = 8
+    with _pytest.raises(ValueError, match="1-bit"):
+        _tiff_rgb(bytes(depth8))
+
+    gray = ((1 - ink) * 255).astype(np.uint8)
+    rgb = np.repeat(gray[..., None], 3, axis=2)
+    ppm = b"P6\n16 16\n255\n" + rgb.tobytes()
+    assert sniffing_decoder(good, "image") == sniffing_decoder(ppm, "image")
+    # the raising variants degrade to the stub at the sniffer boundary
+    for bad in (bytes(g3), bytes(depth8), _encode_tiff_g4(ink, t6_options=2)):
+        out = sniffing_decoder(bad, "image")
+        assert isinstance(out, list) and len(out) == 8
+
+
+def test_g4_tables_prefix_free():
+    """Transcription canary for the T.4 tables in the PRODUCT decoder:
+    each color class (with the shared extended makeups) must be
+    prefix-free and complete (64 terminating + 27 makeup + 13
+    extended), or some valid stream would mis-parse."""
+    from emr_trino_autoscale_spark.operators import _ccitt
+
+    for table in (_ccitt._WHITE_CODES, _ccitt._BLACK_CODES):
+        runs = sorted(table.values())
+        assert runs == sorted(
+            list(range(64)) + [64 * k for k in range(1, 28)]
+            + [1792 + 64 * k for k in range(13)]
+        )
+        codes = {f"{code:0{ln}b}" for (ln, code) in table}
+        assert len(codes) == len(table)
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a), (a, b)
