@@ -2271,6 +2271,231 @@ def markup_density(text_col: str | Column = "text") -> Column:
                   ).otherwise(F.lit(0.0))
 
 
+# --- X175: typographic entity decoding (round 12). html_to_text
+# (X164) deliberately decodes only the six ubiquitous named entities;
+# VERDICT r11 flagged the residue — real pages carry typographic
+# references (&#8217; / &#x2019; / &rsquo;) that survive extraction,
+# inflate token counts, and split words at quote boundaries. Decoding
+# the FULL entity table needs char() codepoint arithmetic plain-SQL
+# replay can't mirror (the PPM-maxval rule), but the head of the
+# distribution is tiny: a bounded, documented table of the common
+# typographic/currency/letter entities in ALL THREE spellings (named,
+# decimal, hex — case-insensitive) covers the overwhelming share of
+# body-text references in web corpora. One chained, codegen'd
+# regexp_replace per TARGET character; the residue counter measures
+# honestly what the bounded table did not decode.
+
+_TYPO_ENTITIES: tuple[tuple[str, str], ...] = (
+    (r"(?i)(&rsquo;|&#8217;|&#x2019;|&apos;)", "'"),
+    (r"(?i)(&lsquo;|&#8216;|&#x2018;)", "'"),
+    (r"(?i)(&rdquo;|&#8221;|&#x201d;)", '"'),
+    (r"(?i)(&ldquo;|&#8220;|&#x201c;)", '"'),
+    (r"(?i)(&mdash;|&#8212;|&#x2014;)", "\u2014"),
+    (r"(?i)(&ndash;|&#8211;|&#x2013;)", "\u2013"),
+    (r"(?i)(&hellip;|&#8230;|&#x2026;)", "\u2026"),
+    (r"(?i)(&bull;|&#8226;|&#x2022;)", "\u2022"),
+    (r"(?i)(&middot;|&#183;|&#xb7;)", "\u00b7"),
+    (r"(?i)(&laquo;|&#171;|&#xab;)", "\u00ab"),
+    (r"(?i)(&raquo;|&#187;|&#xbb;)", "\u00bb"),
+    (r"(?i)(&deg;|&#176;|&#xb0;)", "\u00b0"),
+    (r"(?i)(&plusmn;|&#177;|&#xb1;)", "\u00b1"),
+    (r"(?i)(&times;|&#215;|&#xd7;)", "\u00d7"),
+    (r"(?i)(&divide;|&#247;|&#xf7;)", "\u00f7"),
+    (r"(?i)(&frac12;|&#189;|&#xbd;)", "\u00bd"),
+    (r"(?i)(&frac14;|&#188;|&#xbc;)", "\u00bc"),
+    (r"(?i)(&frac34;|&#190;|&#xbe;)", "\u00be"),
+    (r"(?i)(&trade;|&#8482;|&#x2122;)", "\u2122"),
+    (r"(?i)(&copy;|&#169;|&#xa9;)", "\u00a9"),
+    (r"(?i)(&reg;|&#174;|&#xae;)", "\u00ae"),
+    (r"(?i)(&euro;|&#8364;|&#x20ac;)", "\u20ac"),
+    (r"(?i)(&pound;|&#163;|&#xa3;)", "\u00a3"),
+    (r"(?i)(&yen;|&#165;|&#xa5;)", "\u00a5"),
+    (r"(?i)(&cent;|&#162;|&#xa2;)", "\u00a2"),
+    (r"(?i)(&sect;|&#167;|&#xa7;)", "\u00a7"),
+    (r"(?i)(&para;|&#182;|&#xb6;)", "\u00b6"),
+    (r"(?i)(&dagger;|&#8224;|&#x2020;)", "\u2020"),
+    (r"(?i)(&permil;|&#8240;|&#x2030;)", "\u2030"),
+    (r"(?i)(&prime;|&#8242;|&#x2032;)", "\u2032"),
+    # the numeric twins of the X164 named six (pages mix freely)
+    (r"(?i)(&#160;|&#xa0;)", "\u00a0"),
+    (r"(?i)(&#34;|&#x22;)", '"'),
+    (r"(?i)(&#60;|&#x3c;)", "<"),
+    (r"(?i)(&#62;|&#x3e;)", ">"),
+    # common accented letters (the Latin-1 head of body-text usage)
+    (r"(?i)(&eacute;|&#233;|&#xe9;)", "\u00e9"),
+    (r"(?i)(&egrave;|&#232;|&#xe8;)", "\u00e8"),
+    (r"(?i)(&agrave;|&#224;|&#xe0;)", "\u00e0"),
+    (r"(?i)(&ccedil;|&#231;|&#xe7;)", "\u00e7"),
+    (r"(?i)(&ntilde;|&#241;|&#xf1;)", "\u00f1"),
+    (r"(?i)(&auml;|&#228;|&#xe4;)", "\u00e4"),
+    (r"(?i)(&ouml;|&#246;|&#xf6;)", "\u00f6"),
+    (r"(?i)(&uuml;|&#252;|&#xfc;)", "\u00fc"),
+    (r"(?i)(&szlig;|&#223;|&#xdf;)", "\u00df"),
+    # invisible/format junk decodes to NOTHING (pollutes tokenizers)
+    (r"(?i)(&shy;|&#173;|&#xad;)", ""),
+    (r"(?i)(&zwnj;|&#8204;|&#x200c;)", ""),
+    (r"(?i)(&#8203;|&#x200b;)", ""),
+    # ampersand LAST (the X164 double-decode hazard, numeric twins)
+    (r"(?i)(&#38;|&#x26;)", "&"),
+)
+
+_ENTITY_RESIDUE_RE = (
+    "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,31});"
+)
+
+
+def decode_typographic_entities(text_col: str | Column = "text") -> Column:
+    """Text with the bounded common-typography entity table decoded —
+    each target character in all three spellings (named, decimal
+    &#NNNN;, hex &#xHHHH;, case-insensitive). Designed to compose
+    AFTER :func:`html_to_text` (which decodes &amp; last, so
+    double-encoded &amp;#8217; becomes &#8217; and lands here). The
+    long tail stays undecoded by design — full coverage needs char()
+    codepoint arithmetic plain SQL can't replay — and is measured by
+    :func:`entity_residue_count` instead of silently guessed at."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, rep in _TYPO_ENTITIES:
+        t = F.regexp_replace(t, pat, rep)
+    return t
+
+
+def entity_residue_count(text_col: str | Column = "text") -> Column:
+    """How many character-reference-shaped tokens remain (named,
+    decimal, or hex form) — the honest gap meter for the bounded
+    X175 table: route high-residue documents to a library-backed
+    re-extract instead of pretending the table was complete."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(
+        F.regexp_extract_all(t, F.lit(_ENTITY_RESIDUE_RE), 0)
+    ).cast("bigint")
+
+
+# --- X176: code-corpus quality signals (round 12). Code is the other
+# half of a modern training mixture, and its curation filters are
+# published and simple (the Codex-paper / BigCode-pipeline heuristics:
+# line-length caps, alphanumeric fraction, autogenerated markers,
+# embedded data blobs, comment density) — all row-local string math,
+# so the whole family is one whole-stage-codegen narrow projection:
+# zero shuffle, zero Python, runs over all 100 TB like X39.
+
+_CODE_COMMENT_RE = r"^\s*(//|#|;|--|\*|/\*)"
+_AUTOGEN_RE = r"(?i)(auto[- ]?generated|generated by|do not edit)"
+_BASE64_BLOB_RE = r"[A-Za-z0-9+/=]{64,}"
+
+
+def code_quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    max_line_cap: int = 1000,
+    mean_line_cap: float = 100.0,
+    min_alnum_frac: float = 0.25,
+) -> DataFrame:
+    """X176 — per-file code-quality signals and the standard keep
+    verdict (defaults are the published Codex-paper thresholds: max
+    line <= 1000, mean line <= 100, alphanumeric fraction >= 0.25, no
+    autogenerated marker): line geometry, alphanumeric fraction,
+    language-agnostic comment-line fraction (lines opening with
+    ``// # ; -- * /*``), autogenerated-file marker, and embedded
+    base64-blob detection (64+ chars of [A-Za-z0-9+/=] — minified
+    bundles and inlined assets, the classic code-corpus pollutant).
+    The line array is materialized ONCE as a column before any
+    higher-order function touches it (HOF lambda bodies re-evaluate
+    per element — the shingles_of lesson)."""
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    out = df.withColumn("__lines", F.split(t, "\n"))
+    n_lines = F.size("__lines")
+    max_line_len = F.array_max(
+        F.transform("__lines", lambda ln: F.length(ln))
+    )
+    # chars net of the n-1 separators, over lines (exact mean)
+    mean_line_len = (
+        (F.length(t) - (n_lines - F.lit(1))) / n_lines.cast("double")
+    )
+    frac_alnum = (
+        F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("double")
+        / n_chars
+    )
+    comment_frac = (
+        F.size(F.filter("__lines", lambda ln: ln.rlike(_CODE_COMMENT_RE)))
+        .cast("double") / n_lines
+    )
+    autogen = t.rlike(_AUTOGEN_RE)
+    blob = t.rlike(_BASE64_BLOB_RE)
+    keep = (
+        (max_line_len <= max_line_cap)
+        & (mean_line_len <= mean_line_cap)
+        & (frac_alnum >= min_alnum_frac)
+        & ~autogen
+    )
+    return out.select(
+        *df.columns,
+        n_lines.cast("bigint").alias("n_lines"),
+        max_line_len.cast("bigint").alias("max_line_len"),
+        mean_line_len.alias("mean_line_len"),
+        frac_alnum.alias("frac_alnum"),
+        comment_frac.alias("comment_line_frac"),
+        autogen.alias("has_autogen_marker"),
+        blob.alias("has_base64_blob"),
+        keep.alias("code_keep"),
+    )
+
+
+# --- X177: Unicode script profile (round 12). Language-ID (X31) is a
+# trained-ish n-gram heuristic; the SCRIPT mix is the cheaper, exact
+# upstream signal (a "French" doc that is 40% CJK is mislabeled or
+# mixed, and CJK token budgets differ 3-4x from Latin). Nine block
+# counters, each one codegen regexp pass; dominant script via a
+# struct-array max — row-local, zero shuffle, SQL-replayable blocks.
+
+_SCRIPT_BLOCKS: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-z\u00c0-\u024f]"),
+    ("cyrillic", "[\u0400-\u04ff]"),
+    ("greek", "[\u0370-\u03ff]"),
+    ("arabic", "[\u0600-\u06ff]"),
+    ("hebrew", "[\u0590-\u05ff]"),
+    ("devanagari", "[\u0900-\u097f]"),
+    ("cjk", "[\u4e00-\u9fff]"),
+    ("hangul", "[\uac00-\ud7af]"),
+    ("kana", "[\u3040-\u30ff]"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X177 — per-document Unicode-script mix: one ``frac_<script>``
+    column per block (fraction of SCRIPT-letter mass, so punctuation/
+    digits/whitespace don't dilute the signal), ``script_letter_frac``
+    (script letters over all chars — near 0 means symbol soup), and
+    ``dominant_script`` (max letter mass; ``none`` when no script
+    letter appears; ties break lexicographically-last via the struct
+    compare, deterministically)."""
+    t = F.col(text_col)
+    counts = {
+        name: F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+        for name, pat in _SCRIPT_BLOCKS
+    }
+    total_letters = None
+    for c in counts.values():
+        total_letters = c if total_letters is None else total_letters + c
+    denom = F.greatest(total_letters, F.lit(1)).cast("double")
+    best = F.array_max(F.array(*[
+        F.struct(c.alias("n"), F.lit(name).alias("s"))
+        for name, c in counts.items()
+    ]))
+    return df.select(
+        *df.columns,
+        *[
+            (counts[name] / denom).alias(f"frac_{name}")
+            for name, _ in _SCRIPT_BLOCKS
+        ],
+        (total_letters / F.greatest(F.length(t), F.lit(1)).cast("double"))
+        .alias("script_letter_frac"),
+        F.when(total_letters > 0, best.getField("s"))
+        .otherwise(F.lit("none"))
+        .alias("dominant_script"),
+    )
+
+
 # --- X166: encoding QA (round 11). Double-encoding (UTF-8 bytes
 # decoded as Latin-1/cp1252) is the most common corpus corruption
 # after truncation. Detect, never repair — repair needs the byte

@@ -8424,3 +8424,117 @@ def test_g4_tables_prefix_free():
         for a in codes:
             for b in codes:
                 assert a == b or not b.startswith(a), (a, b)
+
+
+def test_decode_typographic_entities(spark):
+    """X175: the bounded common-typography entity table decodes all
+    three spellings (named/decimal/hex, case-insensitive), composes
+    after html_to_text (&amp;-double-encoding lands here), strips
+    invisible format junk, leaves the long tail intact, and the
+    residue counter measures exactly what remains."""
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import (
+        decode_typographic_entities,
+        entity_residue_count,
+        html_to_text,
+    )
+
+    rows = [
+        # the VERDICT r11 example: numeric right-single-quote
+        (0, "it&#8217;s here", "it's here"),
+        (1, "it&#x2019;s HEX", "it's HEX"),
+        (2, "it&rsquo;s named", "it's named"),
+        (3, "A&mdash;B &ndash; C&hellip;", "A—B – C…"),
+        (4, "caf&eacute; &#233; &#XE9;", "café é é"),
+        (5, "&copy; 2026 &euro;5 &frac12;", "© 2026 €5 ½"),
+        (6, "soft&shy;hyphen zero&#8203;width", "softhyphen zerowidth"),
+        # long tail stays (honestly undecoded)
+        (7, "&alpha; &#1234; stays", "&alpha; &#1234; stays"),
+        (8, "AT&T not an entity; x & y", "AT&T not an entity; x & y"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows],
+                               "i long, text string")
+    got = {r["i"]: r for r in df.select(
+        "i",
+        decode_typographic_entities("text").alias("t"),
+        entity_residue_count(decode_typographic_entities("text")).alias("n"),
+    ).collect()}
+    for i, _, want in rows:
+        assert got[i]["t"] == want, (i, got[i]["t"])
+    assert got[7]["n"] == 2 and got[0]["n"] == 0 and got[8]["n"] == 0
+
+    # composition: html_to_text decodes &amp; LAST, so double-encoded
+    # &amp;#8217; becomes &#8217; and this operator finishes the job
+    comp = spark.createDataFrame(
+        [("<p>it&amp;#8217;s</p>",)], "text string"
+    ).select(
+        decode_typographic_entities(html_to_text("text")).alias("t")
+    ).collect()[0]["t"]
+    assert comp == "it's"
+
+    # idempotence on already-decoded text
+    twice = df.select(decode_typographic_entities(
+        decode_typographic_entities("text")).alias("t")).collect()
+    assert [r["t"] for r in twice] == [got[i]["t"] for i, _, _ in rows]
+
+
+def test_code_quality_signals(spark):
+    """X176: the published code-filter heuristics — line geometry,
+    alphanumeric fraction, comment density, autogenerated marker,
+    base64 blob — and the standard keep verdict on hand-built files."""
+    from emr_trino_autoscale_spark.operators.text import code_quality_signals
+
+    good = "def f(x):\n    # doubles\n    return x * 2\n\nprint(f(21))"
+    minified = "var a=" + "Zm9vYmFyYmF6cXV4" * 8 + ";x=1;" + "y" * 1200
+    autogen = "// AUTO-GENERATED by protoc. DO NOT EDIT\nint x = 1;"
+    symbols = "@@@@ $$$$ %%%% ^^^^ &&&& !!!! ???? ~~~~ ||||"
+    comments = "# a\n# b\n# c\ncode()"
+    df = spark.createDataFrame(
+        [(0, good), (1, minified), (2, autogen), (3, symbols),
+         (4, comments)],
+        "i long, text string",
+    )
+    got = {r["i"]: r for r in code_quality_signals(df).collect()}
+    assert got[0]["code_keep"] and not got[0]["has_autogen_marker"]
+    assert got[0]["n_lines"] == 5 and got[0]["max_line_len"] == 16
+    assert not got[1]["code_keep"]        # 1200-char line over the cap
+    assert got[1]["has_base64_blob"]
+    assert not got[2]["code_keep"] and got[2]["has_autogen_marker"]
+    assert not got[3]["code_keep"]        # alnum fraction ~0
+    assert got[3]["frac_alnum"] < 0.25
+    assert abs(got[4]["comment_line_frac"] - 0.75) < 1e-12
+    # exact mean-line-length arithmetic (chars net of separators)
+    assert abs(got[0]["mean_line_len"]
+               - (len(good) - 4) / 5.0) < 1e-12
+
+
+def test_script_profile(spark):
+    """X177: script-letter fractions, dominant script, and the
+    symbol-soup/none edge cases on mixed-script documents."""
+    from emr_trino_autoscale_spark.operators.text import script_profile
+
+    rows = [
+        (0, "plain english text"),
+        (1, "Привет мир"),                      # cyrillic
+        (2, "日本語のテキストです"),               # kana + cjk
+        (3, "mixed: hello Привет 你好"),
+        (4, "1234 @@@ !!!"),                    # no script letters
+        (5, "한국어 문서"),                      # hangul
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r for r in script_profile(df).collect()}
+    assert got[0]["dominant_script"] == "latin"
+    assert got[0]["frac_latin"] == 1.0
+    assert got[1]["dominant_script"] == "cyrillic"
+    assert got[2]["dominant_script"] in ("kana", "cjk")
+    assert got[2]["frac_kana"] + got[2]["frac_cjk"] == 1.0
+    assert got[3]["dominant_script"] == "latin"   # 10 latin > 6 cyr > 2 cjk
+    assert 0 < got[3]["frac_cyrillic"] < got[3]["frac_latin"]
+    assert got[4]["dominant_script"] == "none"
+    assert got[4]["script_letter_frac"] == 0.0
+    assert got[5]["dominant_script"] == "hangul"
+    # fractions are over LETTER mass: punctuation/digits don't dilute
+    assert abs(sum(got[3][f"frac_{s}"] for s in (
+        "latin", "cyrillic", "greek", "arabic", "hebrew",
+        "devanagari", "cjk", "hangul", "kana")) - 1.0) < 1e-12

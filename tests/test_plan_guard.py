@@ -459,6 +459,10 @@ BROADCAST_ALLOW = {
         "vocab.withColumn('__in', F.lit(1))", "dfreq", "stats",
         # (V+1)-row bucketed corpus distribution + its 1-row total
         "corpus", "corpus_tot",
+        # per-label-count slice of the caller-supplied public-suffix
+        # table (X162 PSL opt-in): bounded by the PSL itself (~10k
+        # rows for the full published list), corpus-size independent
+        "rules_i",
         # d*w-row CMS counter table (constant size by construction)
         "sketch",
         # |phrases|-row anchor table (blocklist_matches) and
