@@ -424,6 +424,20 @@ def _warmup(spark, sf_dir: str) -> None:
         except Exception:  # noqa: BLE001 — warmup must never abort the bench
             pass
     release_caches()
+    # Post-warmup settle (round 12): the 50-query head pre-run leaves a
+    # driver-GC-triggered backlog — ContextCleaner shuffle/broadcast
+    # removals and accumulated driver garbage fire on the NEXT major
+    # GC, which otherwise lands a few queries INTO the timed pass.
+    # Measured: positions 2-16 ran 2-10x their anchors in the r11
+    # driver bench AND the r12 standalone (peak q10 13.4 s vs 1.34
+    # anchor) while the SAME queries --ab'd flat at steady state.
+    # Force the GC now and give the cleaner a moment, so cleanup cost
+    # stays in warmup where the methodology puts one-time costs.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — py4j hiccup must not abort
+        pass
+    time.sleep(3.0)
 
 
 def compact_line(
