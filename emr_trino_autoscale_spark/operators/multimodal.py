@@ -921,7 +921,11 @@ def _tiff_g4_rgb(payload, tags, width, height, photometric, bits, spp,
 
     ink = np.zeros((height, width), dtype=np.uint8)
     if 322 in tags or 323 in tags:
+        if 322 not in tags or 323 not in tags:
+            raise ValueError("TIFF: incomplete tile geometry")
         tw, th = tags[322][0], tags[323][0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("TIFF: non-positive tile geometry")
         offsets, counts = tags.get(324), tags.get(325)
         if not offsets or not counts or len(offsets) != len(counts):
             raise ValueError("TIFF: missing tile layout")

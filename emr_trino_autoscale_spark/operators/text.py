@@ -2256,7 +2256,10 @@ def html_to_text(text_col: str | Column = "text") -> Column:
     for ent, rep in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
                      ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")):
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    # explicit whitespace class instead of \s: Java \s includes
+    # vertical tab, RE2 (the DuckDB oracle) does not — the literal
+    # class is the one squeeze both engines execute identically
+    return F.trim(F.regexp_replace(t, r"[ \t\n\r\f\x0b]+", " "))
 
 
 def markup_density(text_col: str | Column = "text") -> Column:
@@ -2378,7 +2381,9 @@ def entity_residue_count(text_col: str | Column = "text") -> Column:
 # so the whole family is one whole-stage-codegen narrow projection:
 # zero shuffle, zero Python, runs over all 100 TB like X39.
 
-_CODE_COMMENT_RE = r"^\s*(//|#|;|--|\*|/\*)"
+# explicit leading-whitespace class (not \s): Java \s includes
+# vertical tab, RE2 (the q197 oracle) does not
+_CODE_COMMENT_RE = r"^[ \t\r\f\x0b]*(//|#|;|--|\*|/\*)"
 _AUTOGEN_RE = r"(?i)(auto[- ]?generated|generated by|do not edit)"
 _BASE64_BLOB_RE = r"[A-Za-z0-9+/=]{64,}"
 
@@ -2449,7 +2454,7 @@ def code_quality_signals(
 # struct-array max — row-local, zero shuffle, SQL-replayable blocks.
 
 _SCRIPT_BLOCKS: tuple[tuple[str, str], ...] = (
-    ("latin", "[A-Za-z\u00c0-\u024f]"),
+    ("latin", "[A-Za-z\u00c0-\u00d6\u00d8-\u00f6\u00f8-\u024f]"),
     ("cyrillic", "[\u0400-\u04ff]"),
     ("greek", "[\u0370-\u03ff]"),
     ("arabic", "[\u0600-\u06ff]"),
@@ -2488,6 +2493,7 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             (counts[name] / denom).alias(f"frac_{name}")
             for name, _ in _SCRIPT_BLOCKS
         ],
+        total_letters.cast("bigint").alias("script_letters"),
         (total_letters / F.greatest(F.length(t), F.lit(1)).cast("double"))
         .alias("script_letter_frac"),
         F.when(total_letters > 0, best.getField("s"))
@@ -2614,7 +2620,16 @@ _MD_STRIPS: tuple[tuple[str, str], ...] = (
 # extracted prose satisfies out == out.strip() under Python semantics —
 # the exact contract tests/test_properties.py pins (VERDICT r11 item 1:
 # hypothesis falsified the old Java-\s-only squeeze with '\x1f').
-_PY_WS_RE = ("[\\s\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+_PY_WS_RE = (
+    "[\\s\x1c-\x1f\x85\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
+# True junk controls deleted by the extractor: C0 EXCLUDING every
+# character that is whitespace in Java or Python (\t\n\x0b\x0c\r
+# squeeze via \s; \x1c-\x1f squeeze via the class above) - deleting
+# a whitespace-class character would merge the words around it
+# (round-12 review finding: "page one\x0cpage two" must keep its
+# word boundary).
+_MD_JUNK_RE = "[\x00-\x08\x0e-\x1b\x7f]"
 
 
 def markdown_to_text(text_col: str | Column = "text") -> Column:
@@ -2630,12 +2645,13 @@ def markdown_to_text(text_col: str | Column = "text") -> Column:
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     for pat, rep in _MD_STRIPS:
         t = F.regexp_replace(t, pat, rep)
-    # Final normalization composes the X166 safe repair (crawled
-    # Markdown carries C0 control junk that Java-regex \s does not
-    # treat as whitespace — U+001C-U+001F falsified the old form) and
-    # squeezes the full Python-whitespace class, so the output holds
+    # Final normalization: delete true junk controls (never the
+    # whitespace-class ones — that would merge words), then squeeze
+    # the FULL Python-whitespace class (Java \s plus C0 separators
+    # U+001C-U+001F, NEL, NBSP, the Unicode space block — U+001C-U+001F
+    # falsified the old Java-\s-only form), so the output holds
     # out == out.strip() under Python semantics.
-    t = F.regexp_replace(t, _CONTROL_RE, "")
+    t = F.regexp_replace(t, _MD_JUNK_RE, "")
     return F.trim(F.regexp_replace(t, _PY_WS_RE + "+", " "))
 
 

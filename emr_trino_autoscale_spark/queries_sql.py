@@ -3862,7 +3862,7 @@ x AS (
           '<[^>]*>', ' ', 'g'),
         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
         chr(38) || 'nbsp;', ' '), chr(38) || 'amp;', chr(38)),
-      '\\s+', ' ', 'g')) AS extracted
+      '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS extracted
   FROM h)
 SELECT bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -8533,8 +8533,23 @@ def test_script_profile(spark):
     assert 0 < got[3]["frac_cyrillic"] < got[3]["frac_latin"]
     assert got[4]["dominant_script"] == "none"
     assert got[4]["script_letter_frac"] == 0.0
+    assert got[1]["script_letters"] == 9  # integer letter mass exposed
     assert got[5]["dominant_script"] == "hangul"
     # fractions are over LETTER mass: punctuation/digits don't dilute
     assert abs(sum(got[3][f"frac_{s}"] for s in (
         "latin", "cyrillic", "greek", "arabic", "hebrew",
         "devanagari", "cjk", "hangul", "kana")) - 1.0) < 1e-12
+
+
+def test_script_profile_math_symbols_are_not_letters(spark):
+    """Round-12 review finding: the Latin-1 block contains the math
+    symbols U+00D7/U+00F7 — a dimension table like '3 x 4 / 2' written
+    with real multiply/divide signs must read as symbol soup, not as
+    latin prose."""
+    from emr_trino_autoscale_spark.operators.text import script_profile
+
+    df = spark.createDataFrame([(0, "3 \u00d7 4 \u00f7 2 \u00d7 8")],
+                               "i long, text string")
+    r = script_profile(df).collect()[0]
+    assert r["dominant_script"] == "none"
+    assert r["script_letters"] == 0 and r["script_letter_frac"] == 0.0

@@ -1109,6 +1109,7 @@ def test_squeeze_repeated_lines_properties(spark, lines, junk):
 @example(parts=["# h"], junk="\x85")
 @example(parts=[], junk="\xa0 nbsp\xa0")
 @example(parts=["*em*"], junk="\u2028 line sep\u3000")
+@example(parts=[], junk="page one\x0cpage two")
 @settings(**SETTINGS)
 def test_markdown_to_text_properties(spark, parts, junk):
     """X167 algebraic contract over a markdown grammar plus unicode
@@ -1129,3 +1130,7 @@ def test_markdown_to_text_properties(spark, parts, junk):
     assert "~~" not in out
     assert "  " not in out and out == out.strip()
     assert rows[1]["t"] == "no markdown at all"
+    # whitespace-class controls separate words, they never merge them
+    # (round-12 review: deleting \x0c glued "page one\x0cpage two")
+    if junk == "page one\x0cpage two" and not parts:
+        assert out == "page one page two"
