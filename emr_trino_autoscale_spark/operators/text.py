@@ -2502,6 +2502,134 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- X178: availability-capped mixture allocation (round 12). The
+# X14 mixing weights assume every source can supply its target share;
+# real mixtures can't (the high-quality source is the SMALL one), so
+# production pipelines solve the capped allocation: waterfill the
+# token budget over target weights, cap each source at max_epochs x
+# its availability, and redistribute the excess over the uncapped
+# remainder. Deterministic, terminates in <= n_sources rounds.
+# Scale shape: the per-source frame is bounded by construction
+# (sources are a curated list, not corpus-scale), so the solve is a
+# sanctioned driver-side loop on collected counts — the same
+# model-state contract as the k-means/PQ trainers; corpus rows are
+# touched only by the upstream count aggregation the caller provides.
+
+
+def mixture_allocation(
+    available: DataFrame,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    max_epochs: float = 1.0,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Waterfilled token allocation per source: each round gives every
+    ACTIVE source its renormalized target share of the remaining
+    budget; sources that would exceed ``max_epochs x available`` are
+    frozen at their cap and their demand is redistributed. Returns
+    (source, available, target_weight, allocated, epochs, capped) —
+    ``allocated`` sums to ``total_tokens`` unless the whole corpus
+    caps out first (then it sums to the total capacity and every row
+    is capped: the caller's signal to lower the budget or raise
+    max_epochs). Sources absent from ``target_weights`` get weight 0
+    and allocate nothing (kept in the output so the mixture report is
+    complete)."""
+    rows = available.select(
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("double").alias("avail"),
+    ).collect()
+    if total_tokens < 0 or max_epochs <= 0:
+        raise ValueError("total_tokens must be >= 0 and max_epochs > 0")
+    avail = {r["source"]: float(r["avail"]) for r in rows}
+    cap = {s: max_epochs * a for s, a in avail.items()}
+    w = {s: float(target_weights.get(s, 0.0)) for s in avail}
+    if any(x < 0 for x in w.values()):
+        raise ValueError("target weights must be non-negative")
+
+    alloc = {s: 0.0 for s in avail}
+    active = {s for s in avail if w[s] > 0}
+    remaining = float(total_tokens)
+    while remaining > 1e-9 and active:
+        wsum = sum(w[s] for s in active)
+        want = {s: remaining * w[s] / wsum for s in active}
+        over = {s for s in active if alloc[s] + want[s] >= cap[s] - 1e-9}
+        if not over:
+            for s in active:
+                alloc[s] += want[s]
+            break
+        for s in over:
+            remaining -= cap[s] - alloc[s]
+            alloc[s] = cap[s]
+        active -= over
+    spark = available.sparkSession
+    out = [
+        (
+            s,
+            int(avail[s]),
+            w[s],
+            int(round(alloc[s])),
+            (alloc[s] / avail[s]) if avail[s] > 0 else 0.0,
+            bool(abs(alloc[s] - cap[s]) <= 1e-6 and w[s] > 0),
+        )
+        for s in sorted(avail)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, available bigint, target_weight double, "
+        "allocated bigint, epochs double, capped boolean",
+    )
+
+
+# --- X179: robots-meta directives (round 12). Web-corpus compliance
+# filtering: pages that declare <meta name=robots content=noindex>
+# (or x-robots variants in markup) are excluded from indexes and most
+# curated corpora honor the same signal. Extraction heuristic, not a
+# parser: both attribute orders, any quote style, case-insensitive —
+# all RE2-compatible alternations, zero shuffle.
+
+_META_ROBOTS_RES = (
+    # name=robots ... content="VALUE" (quoted: value may hold spaces)
+    "(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*"
+    "content\s*=\s*[\"']([^\"'>]*)",
+    # content="VALUE" ... name=robots
+    "(?i)<meta[^>]*content\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+    "name\s*=\s*[\"']?robots",
+    # unquoted content values (legal HTML: content=noindex) — the
+    # value char class excludes quotes, so quoted tags never
+    # double-match these
+    "(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*"
+    "content\s*=\s*([^\s\"'>]+)",
+    "(?i)<meta[^>]*content\s*=\s*([^\s\"'>]+)[^>]*"
+    "name\s*=\s*[\"']?robots",
+)
+
+
+def html_meta_robots(text_col: str | Column = "text") -> Column:
+    """Sorted distinct lowercase robots directives from every robots
+    meta tag in the document (both attribute orders) — empty array
+    when none. Trimmed on comma boundaries, so 'NOINDEX, nofollow'
+    yields ['nofollow', 'noindex']."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    parts = F.concat(
+        *[F.regexp_extract_all(t, F.lit(pat), 1) for pat in _META_ROBOTS_RES]
+    )
+    toks = F.flatten(
+        F.transform(parts, lambda v: F.split(F.lower(v), ","))
+    )
+    cleaned = F.array_compact(
+        F.transform(toks, lambda x: F.nullif(F.trim(x), F.lit("")))
+    )
+    return F.array_sort(F.array_distinct(cleaned))
+
+
+def is_noindex(text_col: str | Column = "text") -> Column:
+    """Keep/drop convenience: does any robots meta directive say
+    noindex or none (the 'none' directive implies noindex+nofollow)?"""
+    d = html_meta_robots(text_col)
+    return F.arrays_overlap(d, F.array(F.lit("noindex"), F.lit("none")))
+
+
 # --- X166: encoding QA (round 11). Double-encoding (UTF-8 bytes
 # decoded as Latin-1/cp1252) is the most common corpus corruption
 # after truncation. Detect, never repair — repair needs the byte

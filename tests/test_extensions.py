@@ -8553,3 +8553,73 @@ def test_script_profile_math_symbols_are_not_letters(spark):
     r = script_profile(df).collect()[0]
     assert r["dominant_script"] == "none"
     assert r["script_letters"] == 0 and r["script_letter_frac"] == 0.0
+
+
+def test_mixture_allocation_waterfill(spark):
+    """X178: capped waterfilling — a small high-weight source caps at
+    max_epochs x availability and its demand redistributes over the
+    uncapped remainder; allocation conserves the budget exactly when
+    capacity allows and degrades to total capacity when it doesn't."""
+    import pytest as _pytest
+
+    from emr_trino_autoscale_spark.operators.text import mixture_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 100), ("c", 1000), ("d", 500)],
+        "source string, n_tokens long",
+    )
+    got = {r["source"]: r for r in mixture_allocation(
+        df, {"a": 0.5, "b": 0.3, "c": 0.2}, total_tokens=1000
+    ).collect()}
+    # a wants 500 -> caps at 100; b (renormalized) wants 540 -> caps at
+    # 100; c takes the remaining 800 (under its 1000 cap)
+    assert got["a"]["allocated"] == 100 and got["a"]["capped"]
+    assert got["b"]["allocated"] == 100 and got["b"]["capped"]
+    assert got["c"]["allocated"] == 800 and not got["c"]["capped"]
+    assert got["d"]["allocated"] == 0 and got["d"]["target_weight"] == 0.0
+    assert sum(r["allocated"] for r in got.values()) == 1000
+    assert abs(got["a"]["epochs"] - 1.0) < 1e-9
+    assert abs(got["c"]["epochs"] - 0.8) < 1e-9
+
+    # budget exceeds capacity: everything caps, allocation = capacity
+    over = {r["source"]: r for r in mixture_allocation(
+        df, {"a": 0.6, "b": 0.4}, total_tokens=10_000, max_epochs=2.0
+    ).collect()}
+    assert over["a"]["allocated"] == 200 and over["b"]["allocated"] == 200
+    assert over["a"]["capped"] and over["b"]["capped"]
+
+    with _pytest.raises(ValueError, match="max_epochs"):
+        mixture_allocation(df, {"a": 1.0}, 10, max_epochs=0)
+    with _pytest.raises(ValueError, match="non-negative"):
+        mixture_allocation(df, {"a": -0.1}, 10)
+
+
+def test_html_meta_robots(spark):
+    """X179: both attribute orders, any quote style, case folding,
+    comma trimming, the 'none' implication, and no false positives on
+    description metas or prose mentioning robots."""
+    from emr_trino_autoscale_spark.operators.text import (
+        html_meta_robots,
+        is_noindex,
+    )
+
+    rows = [
+        (0, "<meta name='robots' content='NOINDEX, nofollow'><p>x</p>"),
+        (1, '<META CONTENT="none" NAME="ROBOTS"><p>y</p>'),
+        (2, "<meta name=robots content=noarchive>"),
+        (3, "<meta name='description' content='robots are great'>"),
+        (4, "robots everywhere but no meta tag"),
+        (5, "<meta name='robots' content='index, follow'>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r for r in df.select(
+        "i",
+        html_meta_robots("text").alias("d"),
+        is_noindex("text").alias("no"),
+    ).collect()}
+    assert got[0]["d"] == ["nofollow", "noindex"] and got[0]["no"]
+    assert got[1]["d"] == ["none"] and got[1]["no"]
+    assert got[2]["d"] == ["noarchive"] and not got[2]["no"]
+    assert got[3]["d"] == [] and not got[3]["no"]
+    assert got[4]["d"] == [] and not got[4]["no"]
+    assert got[5]["d"] == ["follow", "index"] and not got[5]["no"]
