@@ -2630,6 +2630,56 @@ def is_noindex(text_col: str | Column = "text") -> Column:
     return F.arrays_overlap(d, F.array(F.lit("noindex"), F.lit("none")))
 
 
+# --- X180: readability scores (round 12). The classic curation
+# signal family (Flesch reading ease / Flesch-Kincaid grade): cheap,
+# language-gated (the syllable heuristic is English-specific and says
+# so), and a strong separator between prose and listings/boilerplate.
+# Sentence and syllable counting are REGEX HEURISTICS with documented
+# bias (abbreviations over-split sentences; silent-e and diphthongs
+# are approximated the standard way: vowel groups minus trailing e),
+# which is exactly how production quality filters compute them — the
+# score feeds a threshold, not a citation. Row-local, zero shuffle.
+
+_SENTENCE_END_RE = "[.!?]+[\s)\"']|[.!?]+$"
+_VOWEL_GROUP_RE = "(?i)[aeiouy]+"
+_SILENT_E_RE = "(?i)[a-z]e\\b"
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per document, plus
+    the raw n_sentences / n_words / n_syllables counters (so callers
+    can re-derive any formula in the family). Empty/degenerate docs
+    (no words) score NULL rather than dividing by zero. English-biased
+    by construction — gate on the X31 language id before thresholding
+    non-English corpora."""
+    t = F.col(text_col)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(_SENTENCE_END_RE), 0)),
+        F.lit(1),
+    )
+    words = F.filter(F.split(t, "\\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    vowel_groups = F.size(F.regexp_extract_all(t, F.lit(_VOWEL_GROUP_RE), 0))
+    silent_e = F.size(F.regexp_extract_all(t, F.lit(_SILENT_E_RE), 0))
+    # every word has at least one syllable; vowel-groups minus
+    # word-final silent e, floored at the word count
+    n_syll = F.greatest(vowel_groups - silent_e, n_words)
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1))
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        *df.columns,
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.when(n_words > 0, ease).alias("flesch_ease"),
+        F.when(n_words > 0, grade).alias("fk_grade"),
+    )
+
+
 # --- X166: encoding QA (round 11). Double-encoding (UTF-8 bytes
 # decoded as Latin-1/cp1252) is the most common corpus corruption
 # after truncation. Detect, never repair — repair needs the byte

@@ -8623,3 +8623,35 @@ def test_html_meta_robots(spark):
     assert got[3]["d"] == [] and not got[3]["no"]
     assert got[4]["d"] == [] and not got[4]["no"]
     assert got[5]["d"] == ["follow", "index"] and not got[5]["no"]
+
+
+def test_readability_scores(spark):
+    """X180: counters on hand-counted prose, formula arithmetic against
+    a manual computation, monotonicity (simple prose scores easier than
+    academic run-ons), and the degenerate-doc NULL contract."""
+    from emr_trino_autoscale_spark.operators.text import readability_scores
+
+    simple = "The cat sat. The dog ran. We had fun."
+    dense = ("Notwithstanding considerable organizational heterogeneity, "
+             "interdepartmental prioritization methodologies necessitate "
+             "comprehensive stakeholder realignment initiatives.")
+    rows = [(0, simple), (1, dense), (2, ""), (3, "word")]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r for r in readability_scores(df).collect()}
+
+    assert got[0]["n_sentences"] == 3 and got[0]["n_words"] == 9
+    # hand count: the(1) cat(1) sat(1) the(1) dog(1) ran(1) we(1)
+    # had(1) fun(1) = 9 syllables (every vowel group single, no
+    # silent e)
+    assert got[0]["n_syllables"] == 9
+    wps, spw = 9 / 3, 9 / 9
+    assert abs(got[0]["flesch_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-9
+    assert abs(got[0]["fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+    # academic run-on reads much harder on both scales
+    assert got[1]["flesch_ease"] < got[0]["flesch_ease"] - 50
+    assert got[1]["fk_grade"] > got[0]["fk_grade"] + 5
+    # degenerate docs: no words -> NULL scores, never a divide-by-zero
+    assert got[2]["flesch_ease"] is None and got[2]["fk_grade"] is None
+    assert got[2]["n_words"] == 0
+    # single word without terminal punctuation still counts a sentence
+    assert got[3]["n_sentences"] == 1 and got[3]["n_words"] == 1
