@@ -3,15 +3,16 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 193 declared
-queries as of round 11 (189 with oracles; the iterative trainers q68,
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 196 declared
+queries as of round 12 (192 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
-FIRST 50 entries; round 11 rotated q58-q65 + q73-q102 + q103-q114
-into that window per the forced schedule and declared q189-q193 (the
-X155-X159 streaming maintainers, staged + oracle-tested since round
-10) at tail positions — see README "Verification coverage map" for
-the rotation schedule and the 200-query capacity ledger.
+FIRST 50 entries; round 12 rotated q66-q67 + q01-q28 + q34-q41 +
+q189-q193 + q115-q121 into that window per the forced schedule and
+declared q194-q196 (ingest round trip, domain curation, HTML
+extraction — staged + oracle-tested since round 11) at tail positions
+— see README "Verification coverage map" for the rotation schedule
+and the 196/200 capacity ledger (successor policy: RETIRE_LIST).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).
