@@ -1457,6 +1457,65 @@ def decontamination_stream(
     )
 
 
+def make_code_quality_maintainer(text_col: str = "text",
+                                 key_col: str = "source"):
+    """X181 (round 12) — streaming code-corpus quality gate, the live
+    twin of the X176 signals: a code-corpus delivery (repo dumps land
+    in bursts) needs the per-source keep/autogen/blob picture while
+    shards arrive, so a minified-bundle or generated-code feed is
+    flagged after one micro-batch. Every statistic is a plain
+    SUM/COUNT — all merges are ADDITION (the X169 shape), so epoch
+    boundaries cannot change any number; each micro-batch costs the
+    X176 codegen projection (zero shuffle) + one hash agg on the
+    source key, and only the fixed-width counter row rides the merge.
+    Returned pair (maintain, stats); parity pinned by
+    tests/test_stateful.py::test_code_quality_stream_matches_batch."""
+    from ..operators.text import code_quality_signals
+
+    _COUNTERS = ("n_docs", "n_keep", "n_autogen", "n_blob", "total_lines")
+
+    def _partial(batch):
+        s = code_quality_signals(batch.select(key_col, text_col),
+                                 text_col=text_col)
+        return s.groupBy(key_col).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("code_keep").cast("bigint"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum(F.col("has_autogen_marker").cast("bigint"))
+            .cast("bigint")
+            .alias("n_autogen"),
+            F.sum(F.col("has_base64_blob").cast("bigint"))
+            .cast("bigint")
+            .alias("n_blob"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+        )
+
+    def maintain(state, batch):
+        part = _partial(batch)
+        if state is None:
+            return part
+        return (
+            state.unionByName(part)
+            .groupBy(key_col)
+            .agg(*[F.sum(c).cast("bigint").alias(c) for c in _COUNTERS])
+        )
+
+    def stats(state):
+        return state.select(
+            key_col,
+            *_COUNTERS,
+            (F.col("n_keep") / F.col("n_docs").cast("double")).alias(
+                "keep_rate"
+            ),
+            (F.col("n_autogen") / F.col("n_docs").cast("double")).alias(
+                "autogen_rate"
+            ),
+        )
+
+    return maintain, stats
+
+
 def make_template_farm_maintainer(
     text_col: str = "text", id_col: str = "doc_id", lg_config_k: int = 12
 ):

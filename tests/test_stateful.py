@@ -1901,3 +1901,72 @@ def test_template_farm_stream_matches_batch(spark, tmp_path):
                 == batch[k]["n_distinct_texts"])
     big = max(batch.values(), key=lambda r: r["n_docs"])
     assert big["n_docs"] == 9 and big["n_distinct_texts"] == 7
+
+
+def test_code_quality_stream_matches_batch(spark, tmp_path):
+    """X181: code-quality counters folded over two streamed epochs
+    equal the batch X176 rollup on the union exactly (every merge is
+    addition), with a generated-code burst split ACROSS epochs and a
+    clean-source keep rate that must stay 1.0."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from emr_trino_autoscale_spark.operators.text import code_quality_signals
+    from emr_trino_autoscale_spark.streaming.pipeline import (
+        make_code_quality_maintainer,
+    )
+
+    autogen = "// AUTO-GENERATED. DO NOT EDIT\nint x = 1;"
+    minified = "var a=1;" + "y" * 1500
+    good = "def f():\n    return 1"
+    e1 = [("dump", autogen)] * 2 + [("dump", good)] + [("clean", good)] * 3
+    e2 = [("dump", autogen)] + [("dump", minified)] * 2 + [("clean", good)]
+    df1 = spark.createDataFrame(e1, "source string, text string")
+    df2 = spark.createDataFrame(e2, "source string, text string")
+
+    src = str(tmp_path / "cq_src")
+    out = str(tmp_path / "cq_state")
+    chk = str(tmp_path / "cq_chk")
+    df1.repartition(1).write.parquet(src)
+    maintain, stats = make_code_quality_maintainer()
+
+    def sink(batch, epoch_id):
+        state = spark.read.parquet(out) if os.path.isdir(out) else None
+        new_state = maintain(state, batch)
+        rows_ = new_state.collect()
+        spark.createDataFrame(rows_, new_state.schema).write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(df1.schema).parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    df2.repartition(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = {r["source"]: r for r in stats(spark.read.parquet(out)).collect()}
+    both = df1.unionByName(df2)
+    batch = {
+        r["source"]: r
+        for r in code_quality_signals(both).groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("code_keep").cast("bigint")).cast("bigint").alias("n_keep"),
+            F.sum(F.col("has_autogen_marker").cast("bigint")).cast("bigint").alias("n_autogen"),
+            F.sum(F.col("has_base64_blob").cast("bigint")).cast("bigint").alias("n_blob"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+        ).collect()
+    }
+    assert set(streamed) == set(batch) == {"dump", "clean"}
+    for k in ("dump", "clean"):
+        for c in ("n_docs", "n_keep", "n_autogen", "n_blob", "total_lines"):
+            assert streamed[k][c] == batch[k][c], (k, c)
+    assert streamed["clean"]["keep_rate"] == 1.0
+    assert streamed["dump"]["n_autogen"] == 3
+    assert streamed["dump"]["n_keep"] == 1  # only the one good file
+    assert abs(streamed["dump"]["autogen_rate"] - 0.5) < 1e-12
