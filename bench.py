@@ -75,6 +75,13 @@ def main() -> None:
     # a single query aborted the bench with rc=1 and no numbers at all).
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # (round 12: a periodic System.gc() every 25 queries was tried
+    # here and REVERTED — forcing major collections mid-suite cost
+    # more than the cleaner backlog it flushed: 329 s/median 1.33 vs
+    # 304 s/median 1.15 without it, and the random >2x tail set just
+    # moved. The one-time post-warmup settle in _warmup stays — it
+    # fixed the SYSTEMATIC head transient; random late variance is
+    # box state and belongs to the --ab adjudication protocol.)
     for name, fn in QUERIES.items():
         t0 = time.time()
         try:
