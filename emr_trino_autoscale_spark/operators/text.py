@@ -2405,17 +2405,25 @@ def code_quality_signals(
     bundles and inlined assets, the classic code-corpus pollutant).
     The line array is materialized ONCE as a column before any
     higher-order function touches it (HOF lambda bodies re-evaluate
-    per element — the shingles_of lesson)."""
+    per element — the shingles_of lesson). Lines split on \\r?\\n so
+    CRLF corpora don't count the trailing \\r in the line geometry
+    (the mean is integer-exact: summed line lengths over lines, not
+    total-chars-minus-separators, which would be wrong once
+    separators are 2 chars wide)."""
     t = F.col(text_col)
     n_chars = F.greatest(F.length(t), F.lit(1))
-    out = df.withColumn("__lines", F.split(t, "\n"))
+    out = df.withColumn("__lines", F.split(t, r"\r?\n"))
     n_lines = F.size("__lines")
     max_line_len = F.array_max(
         F.transform("__lines", lambda ln: F.length(ln))
     )
-    # chars net of the n-1 separators, over lines (exact mean)
     mean_line_len = (
-        (F.length(t) - (n_lines - F.lit(1))) / n_lines.cast("double")
+        F.aggregate(
+            "__lines",
+            F.lit(0).cast("bigint"),
+            lambda acc, ln: acc + F.length(ln),
+        )
+        / n_lines.cast("double")
     )
     frac_alnum = (
         F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", "")).cast("double")
@@ -2589,19 +2597,26 @@ def mixture_allocation(
 # all RE2-compatible alternations, zero shuffle.
 
 _META_ROBOTS_RES = (
-    # name=robots ... content="VALUE" (quoted: value may hold spaces)
-    "(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*"
-    "content\s*=\s*[\"']([^\"'>]*)",
-    # content="VALUE" ... name=robots
-    "(?i)<meta[^>]*content\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
-    "name\s*=\s*[\"']?robots",
+    # name=robots ... content="VALUE" (quoted: value may hold spaces).
+    # The [\"'\s] boundary after robots rejects name=robots-custom /
+    # name=robotsxyz prefixes (quoted names close with a quote,
+    # unquoted legal HTML values end at whitespace); name-first
+    # patterns deliberately exclude > from the boundary class so a
+    # match can never leak across the tag's closing > into a
+    # neighboring meta tag's content attribute.
+    r"(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"'\s][^>]*"
+    r"content\s*=\s*[\"']([^\"'>]*)",
+    # content="VALUE" ... name=robots (name last: the boundary also
+    # admits the tag terminators > and /)
+    r"(?i)<meta[^>]*content\s*=\s*[\"']([^\"'>]*)[\"'][^>]*"
+    r"name\s*=\s*[\"']?robots[\"'\s/>]",
     # unquoted content values (legal HTML: content=noindex) — the
     # value char class excludes quotes, so quoted tags never
     # double-match these
-    "(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"']?[^>]*"
-    "content\s*=\s*([^\s\"'>]+)",
-    "(?i)<meta[^>]*content\s*=\s*([^\s\"'>]+)[^>]*"
-    "name\s*=\s*[\"']?robots",
+    r"(?i)<meta[^>]*name\s*=\s*[\"']?robots[\"'\s][^>]*"
+    r"content\s*=\s*([^\s\"'>]+)",
+    r"(?i)<meta[^>]*content\s*=\s*([^\s\"'>]+)[^>]*"
+    r"name\s*=\s*[\"']?robots[\"'\s/>]",
 )
 
 
@@ -2640,7 +2655,7 @@ def is_noindex(text_col: str | Column = "text") -> Column:
 # which is exactly how production quality filters compute them — the
 # score feeds a threshold, not a citation. Row-local, zero shuffle.
 
-_SENTENCE_END_RE = "[.!?]+[\s)\"']|[.!?]+$"
+_SENTENCE_END_RE = r"[.!?]+[\s)\"']|[.!?]+$"
 _VOWEL_GROUP_RE = "(?i)[aeiouy]+"
 _SILENT_E_RE = "(?i)[a-z]e\\b"
 

@@ -8490,12 +8490,17 @@ def test_code_quality_signals(spark):
     autogen = "// AUTO-GENERATED by protoc. DO NOT EDIT\nint x = 1;"
     symbols = "@@@@ $$$$ %%%% ^^^^ &&&& !!!! ???? ~~~~ ||||"
     comments = "# a\n# b\n# c\ncode()"
+    crlf = "int a = 1;\r\n// win\r\nint b = 2;"
     df = spark.createDataFrame(
         [(0, good), (1, minified), (2, autogen), (3, symbols),
-         (4, comments)],
+         (4, comments), (5, crlf)],
         "i long, text string",
     )
     got = {r["i"]: r for r in code_quality_signals(df).collect()}
+    # CRLF corpora: the trailing \r never rides the line geometry
+    assert got[5]["n_lines"] == 3 and got[5]["max_line_len"] == 10
+    assert abs(got[5]["mean_line_len"] - 26 / 3.0) < 1e-12
+    assert abs(got[5]["comment_line_frac"] - 1 / 3.0) < 1e-12
     assert got[0]["code_keep"] and not got[0]["has_autogen_marker"]
     assert got[0]["n_lines"] == 5 and got[0]["max_line_len"] == 16
     assert not got[1]["code_keep"]        # 1200-char line over the cap
@@ -8610,6 +8615,11 @@ def test_html_meta_robots(spark):
         (3, "<meta name='description' content='robots are great'>"),
         (4, "robots everywhere but no meta tag"),
         (5, "<meta name='robots' content='index, follow'>"),
+        # unquoted-name boundary: robots must not match as a bare
+        # prefix of a longer attribute value (ADVICE r12)
+        (6, '<meta content="noindex" name=robotsxyz>'),
+        (7, "<meta name=robots-custom content=noindex>"),
+        (8, '<meta content="noindex" name=robots>'),
     ]
     df = spark.createDataFrame(rows, "i long, text string")
     got = {r["i"]: r for r in df.select(
@@ -8623,6 +8633,9 @@ def test_html_meta_robots(spark):
     assert got[3]["d"] == [] and not got[3]["no"]
     assert got[4]["d"] == [] and not got[4]["no"]
     assert got[5]["d"] == ["follow", "index"] and not got[5]["no"]
+    assert got[6]["d"] == [] and not got[6]["no"]
+    assert got[7]["d"] == [] and not got[7]["no"]
+    assert got[8]["d"] == ["noindex"] and got[8]["no"]
 
 
 def test_readability_scores(spark):
