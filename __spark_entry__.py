@@ -3,16 +3,16 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash -> CORRECTNESS_r{N}.json). 196 declared
-queries as of round 12 (192 with oracles; the iterative trainers q68,
+order-insensitive value-hash -> CORRECTNESS_r{N}.json). 198 declared
+queries as of round 13 (194 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
-FIRST 50 entries; round 12 rotated q66-q67 + q01-q28 + q34-q41 +
-q189-q193 + q115-q121 into that window per the forced schedule and
-declared q194-q196 (ingest round trip, domain curation, HTML
-extraction — staged + oracle-tested since round 11) at tail positions
-— see README "Verification coverage map" for the rotation schedule
-and the 196/200 capacity ledger (successor policy: RETIRE_LIST).
+FIRST 50 entries; round 13 rotated q122-q164 + q194-q196 + q165-q168
+into that window per the forced schedule and declared q197-q198
+(code-quality signals, Unicode script mix — staged + oracle-tested
+since round 12) at tail positions — see README "Verification coverage
+map" for the rotation schedule and the 198/200 capacity ledger
+(successor policy: RETIRE_LIST).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

@@ -4383,77 +4383,81 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q197 — X176: code-quality signals rolled up per source (declared
+# round 13 from queries_staging): the full signal projection (line
+# geometry, alphanumeric fraction, comment density, autogenerated
+# marker, base64 blob, keep verdict) over the documents table, rolled
+# up per source so the result is bounded — the oracle replays every
+# signal with DuckDB list lambdas and the same regexps (all
+# RE2-compatible by design). Counters are bigint char/line sums, so
+# no float-rounding hazards ride the hash.
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 — code-quality signals rolled up per source."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    s = text.code_quality_signals(d)
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("code_keep").cast("bigint"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum(F.col("has_autogen_marker").cast("bigint"))
+            .cast("bigint")
+            .alias("n_autogen"),
+            F.sum(F.col("has_base64_blob").cast("bigint"))
+            .cast("bigint")
+            .alias("n_blob"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("max_line_len").cast("bigint").alias("sum_max_line"),
+            F.sum(
+                (F.col("comment_line_frac") > 0.5).cast("bigint")
+            ).cast("bigint").alias("n_comment_heavy"),
+        )
+        .orderBy("source")
+    )
+
+
+# Q198 — X177: Unicode script profile (declared round 13 from
+# queries_staging): per-(lang, dominant_script) document counts plus
+# per-group script-letter char mass — the dominant-script argmax is
+# replayed in SQL through the same struct-compare semantics (list_max
+# over (n, script) pairs, ties to the lexicographically-last script
+# name on equal mass, which both engines share).
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 — per-(lang, dominant_script) counts + script-letter mass."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    s = text.script_profile(d)
+    return (
+        s.groupBy("lang", "dominant_script")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("script_letters").cast("bigint").alias("script_letters"),
+        )
+        .orderBy("lang", "dominant_script")
+    )
+
 
 # Declaration order is load-bearing: the driver's correctness snapshot hashes
 # the FIRST 50 entries of this dict (CORRECTNESS_r{N}.json caps at 50).
 #
-# Round-12 rotation (VERDICT r11 task 1, per the forced schedule at README
-# 'Verification coverage map'): q66-q67 + q01-q28 + q34-q41 (38, last
-# driver-hashed r8 — the staleness guard's literal backlog) + q189-q193
-# (5, declared r11 — their FIRST driver hash) + q115-q121 (7, oldest
-# r9-hashed).  Every entry outside the window carries a driver hash from
-# r9-r11; the in-repo mirror (tests/test_queries_oracle.py) still runs ALL
-# declared queries against the same DuckDB oracle every pytest run.
+# Round-13 rotation (VERDICT r12 task 1, per the forced schedule at README
+# 'Verification coverage map'): q122-q164 (43, last driver-hashed r9 — the
+# staleness guard's literal red list) + q194-q196 (3, declared r12 — their
+# FIRST driver hash) + q165-q168 (4, oldest r10-hashed).  Every entry
+# outside the window carries a driver hash from r10-r12 or is a round-13
+# declaration (q197/q198, first window slot r14); the in-repo mirror
+# (tests/test_queries_oracle.py) still runs ALL declared queries against
+# the same DuckDB oracle every pytest run.
 # History: r04-r05 window was q51-q67 + q01-q33; r06 was q34-q50 + q68-q72
 # + q01-q28; r07 was q73-q102 + q29-q33 + q51-q65; r08 was q103-q114 +
-# q66-q67 + q01-q28 + q34-q41; r11 was q58-q65 + q73-q114.  The window is
+# q66-q67 + q01-q28 + q34-q41; r09 was q122-q164 + others; r10 was
+# q165-q188 + q42-q57/q68-q72/q29-q33; r11 was q58-q65 + q73-q114; r12 was
+# q66-q67 + q01-q28 + q34-q41 + q189-q193 + q115-q121.  The window is
 # pinned by tests/test_queries_oracle.py::test_driver_window_pinned and
 # documented in README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-12 driver window (positions 1-50) ---
-    "q66_top_duplicated_passages": q66,
-    "q67_curation_funnel": q67,
-    "q01_json_projection": q01,
-    "q02_registry_filter": q02,
-    "q03_json_path_groupcount": q03,
-    "q04_map_explode_fanout": q04,
-    "q05_regex_host_extract": q05,
-    "q06_semi_join_running": q06,
-    "q07_anti_join_excluded": q07,
-    "q08_ci_join_containment": q08,
-    "q09_window_avg_zero_fill": q09,
-    "q10_quorum_predicates": q10,
-    "q11_capacity_sums": q11,
-    "q12_last_snapshot": q12,
-    "q13_distinct_first_name": q13,
-    "q14_distribute_allocator": q14,
-    "q15_suspension_carry_forward": q15,
-    "q16_tumbling_idle": q16,
-    "q17_cooldown_gate": q17,
-    "q18_step_clamp": q18,
-    "q19_epoch_roundtrip": q19,
-    "q20_full_classifier": q20,
-    "q21_exact_dedup": q21,
-    "q22_minhash_near_dup": q22,
-    "q23_cosine_topk": q23,
-    "q24_token_stats": q24,
-    "q25_sessionize": q25,
-    "q26_simhash_clusters": q26,
-    "q27_ngram_jaccard_pairs": q27,
-    "q28_embedding_near_dup": q28,
-    "q34_asof_join": q34,
-    "q35_percentiles": q35,
-    "q36_topk_per_segment": q36,
-    "q37_multimodal_meta": q37,
-    "q38_full_outer_calendar": q38,
-    "q39_interval_join": q39,
-    "q40_distinct_aggs": q40,
-    "q41_range_window": q41,
-    "q189_stream_bh_fdr": q189,
-    "q190_stream_reservoir": q190,
-    "q191_stream_rule_audit": q191,
-    "q192_stream_hll_distinct": q192,
-    "q193_stream_profile": q193,
-    "q115_substring_search": q115,
-    "q116_blocklist_filter": q116,
-    "q117_pmi_cooccurrence": q117,
-    "q118_containment_pairs": q118,
-    "q119_robust_dim_stats": q119,
-    "q120_mmr_select": q120,
-    "q121_distinct_rollup": q121,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r13 window candidates first: q122-q126 + q127-q164 (43, r9-hashed,
-    # stale at r13) plus any round-12 declarations:
+    # --- round-13 driver window (positions 1-50) ---
     "q122_image_phash_pairs": q122,
     "q123_audio_fp_pairs": q123,
     "q124_cube_grouping": q124,
@@ -4497,16 +4501,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_seasonal_decompose": q162,
     "q163_transition_matrix": q163,
     "q164_cusum_changepoint": q164,
-    # declared round 12 (from queries_staging; first window slot r13):
     "q194_raw_ingest": q194,
     "q195_domain_curation": q195,
     "q196_html_extract": q196,
-    # r14 window candidates — the round-10 window block (driver-hashed
-    # r10, stale at r14), in its r10 window order:
     "q165_kcore": q165,
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
     "q168_linear_resample": q168,
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r14 window candidates first — the rest of the round-10-hashed
+    # block (46, stale at r14, in its r10 window order):
     "q169_audio_profile": q169,
     "q170_textrank_keywords": q170,
     "q171_stratified_split": q171,
@@ -4553,8 +4557,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_repetition_filter": q55,
     "q56_mixing_weights": q56,
     "q57_lsh_multiprobe": q57,
-    # freshest last — the round-11 window block (driver-hashed r11,
-    # stale at r15), in its r11 window order:
+    # declared round 13 (from queries_staging; first window slot r14):
+    "q197_code_signals": q197,
+    "q198_script_mix": q198,
+    # r15 window candidates — the round-11 window block (driver-hashed
+    # r11, stale at r15), in its r11 window order:
     "q58_ivf_multiprobe": q58,
     "q59_contamination": q59,
     "q60_ngram_novelty": q60,
@@ -4605,6 +4612,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_entity_multi_pass": q112,
     "q113_normalized_dedup": q113,
     "q114_embedding_dim_stats": q114,
+    # freshest last — the round-12 window block (driver-hashed r12,
+    # stale at r16), in its r12 window order:
+    "q66_top_duplicated_passages": q66,
+    "q67_curation_funnel": q67,
+    "q01_json_projection": q01,
+    "q02_registry_filter": q02,
+    "q03_json_path_groupcount": q03,
+    "q04_map_explode_fanout": q04,
+    "q05_regex_host_extract": q05,
+    "q06_semi_join_running": q06,
+    "q07_anti_join_excluded": q07,
+    "q08_ci_join_containment": q08,
+    "q09_window_avg_zero_fill": q09,
+    "q10_quorum_predicates": q10,
+    "q11_capacity_sums": q11,
+    "q12_last_snapshot": q12,
+    "q13_distinct_first_name": q13,
+    "q14_distribute_allocator": q14,
+    "q15_suspension_carry_forward": q15,
+    "q16_tumbling_idle": q16,
+    "q17_cooldown_gate": q17,
+    "q18_step_clamp": q18,
+    "q19_epoch_roundtrip": q19,
+    "q20_full_classifier": q20,
+    "q21_exact_dedup": q21,
+    "q22_minhash_near_dup": q22,
+    "q23_cosine_topk": q23,
+    "q24_token_stats": q24,
+    "q25_sessionize": q25,
+    "q26_simhash_clusters": q26,
+    "q27_ngram_jaccard_pairs": q27,
+    "q28_embedding_near_dup": q28,
+    "q34_asof_join": q34,
+    "q35_percentiles": q35,
+    "q36_topk_per_segment": q36,
+    "q37_multimodal_meta": q37,
+    "q38_full_outer_calendar": q38,
+    "q39_interval_join": q39,
+    "q40_distinct_aggs": q40,
+    "q41_range_window": q41,
+    "q189_stream_bh_fdr": q189,
+    "q190_stream_reservoir": q190,
+    "q191_stream_rule_audit": q191,
+    "q192_stream_hll_distinct": q192,
+    "q193_stream_profile": q193,
+    "q115_substring_search": q115,
+    "q116_blocklist_filter": q116,
+    "q117_pmi_cooccurrence": q117,
+    "q118_containment_pairs": q118,
+    "q119_robust_dim_stats": q119,
+    "q120_mmr_select": q120,
+    "q121_distinct_rollup": q121,
 }
 
 

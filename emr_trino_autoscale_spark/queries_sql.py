@@ -15,6 +15,7 @@ fragments: _Q09_FILLED_SQL, _Q47_PAIR_CTES, _QC_FEATS, ...).
 
 from __future__ import annotations
 
+from .operators import text as _text_ops  # Q198 shares _SCRIPT_BLOCKS
 from .queries_common import (  # noqa: F401 — embedded in f-strings below
     _PACK_BUDGET,
     _PLANES,
@@ -3874,6 +3875,84 @@ FROM x GROUP BY bucket ORDER BY bucket
 """
 
 
+# --- round-13 declarations (moved from queries_staging) ---
+
+# Q197 replays the X176 signal chain with DuckDB list lambdas and the
+# same RE2-compatible regexps the operator uses. Lines split on \r?\n
+# (the CRLF fix, ADVICE r12) and the exact mean is summed line lengths
+# over lines on BOTH sides.
+Q197_SQL = """
+WITH sig AS (
+  SELECT source,
+         text,
+         regexp_split_to_array(text, '\\r?\\n') AS lines
+  FROM documents),
+feat AS (
+  SELECT source,
+         len(lines) AS n_lines,
+         list_max(list_transform(lines, x -> length(x))) AS max_line_len,
+         list_sum(list_transform(lines, x -> length(x)))
+           / CAST(len(lines) AS DOUBLE) AS mean_line_len,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+           / CAST(greatest(length(text), 1) AS DOUBLE) AS frac_alnum,
+         len(list_filter(lines,
+             x -> regexp_matches(x, '^[ \\t\\r\\f\\x0b]*(//|#|;|--|\\*|/\\*)')))
+           / CAST(len(lines) AS DOUBLE) AS comment_line_frac,
+         regexp_matches(text,
+             '(?i)(auto[- ]?generated|generated by|do not edit)')
+           AS has_autogen_marker,
+         regexp_matches(text, '[A-Za-z0-9+/=]{64,}') AS has_base64_blob
+  FROM sig)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN max_line_len <= 1000 AND mean_line_len <= 100
+                      AND frac_alnum >= 0.25 AND NOT has_autogen_marker
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN has_autogen_marker THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_autogen,
+       CAST(SUM(CASE WHEN has_base64_blob THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blob,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+       CAST(SUM(max_line_len) AS BIGINT) AS sum_max_line,
+       CAST(SUM(CASE WHEN comment_line_frac > 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_comment_heavy
+FROM feat GROUP BY source ORDER BY source
+"""
+
+# Q198's replay uses the OPERATOR's own block patterns (real
+# characters, not \\uXXXX escapes — RE2 lacks \\u, and one shared
+# table means the oracle can never drift from the operator).
+_Q198_BLOCKS = tuple(sorted(_text_ops._SCRIPT_BLOCKS))
+
+_Q198_COUNTS = ",\n".join(
+    f"         length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+    f" AS c_{name}"
+    for name, pat in _Q198_BLOCKS
+)
+_Q198_STRUCTS = ", ".join(
+    f"{{'n': c_{name}, 's': '{name}'}}" for name, _ in _Q198_BLOCKS
+)
+_Q198_TOTAL = " + ".join(f"c_{name}" for name, _ in _Q198_BLOCKS)
+
+Q198_SQL = f"""
+WITH cnt AS (
+  SELECT lang, text,
+{_Q198_COUNTS}
+  FROM documents),
+dom AS (
+  SELECT lang,
+         {_Q198_TOTAL} AS letters,
+         CASE WHEN {_Q198_TOTAL} > 0
+              THEN list_max([{_Q198_STRUCTS}]).s
+              ELSE 'none' END AS dominant_script
+  FROM cnt)
+SELECT lang, dominant_script,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(letters) AS BIGINT) AS script_letters
+FROM dom GROUP BY lang, dominant_script ORDER BY lang, dominant_script
+"""
+
+
 SQL: dict[str, str] = {
     "q01_json_projection": Q01_SQL,
     "q02_registry_filter": Q02_SQL,
@@ -4069,4 +4148,6 @@ SQL: dict[str, str] = {
     "q194_raw_ingest": Q194_SQL,
     "q195_domain_curation": Q195_SQL,
     "q196_html_extract": Q196_SQL,
+    "q197_code_signals": Q197_SQL,
+    "q198_script_mix": Q198_SQL,
 }

@@ -62,6 +62,22 @@ r10 bench under the new window order ran 254.9 s with ZERO per-query
 overruns against the OLD anchors (docs/SCALE.md round 10). The ratchet
 rule stands: re-anchor only downward or on a structural methodology
 change, never to absorb drift.
+
+Round-13 additions: q197/q198 (declared r13) carry builder-captured
+warm medians at declaration (1.32 s / 1.42 s, 3-rep median after one
+warm run on the idle box — the q189-q196 convention); they switch to
+driver provenance when a driver bench first records them.
+
+Round-13 robustness fix (VERDICT r12 task 2): the guard previously
+sampled load1 ONCE at test start, so a box that was hot in a way the
+1-minute average missed (tail-of-suite JVM/page-cache heat, a
+co-tenant spinning up mid-bench) could red the test with zero code
+signal — observed r12: in-suite FAIL, isolated PASS 13 minutes later.
+Every failure path now re-probes the box with a fresh interleaved
+q21-vs-q21 subprocess (``_skip_if_box_hot``) and SKIPS loudly when the
+warm control is inflated past the ``_deflate`` clamp; loadavg is
+deliberately not re-sampled mid-test because our own just-finished
+bench subprocess dominates it.
 """
 
 from __future__ import annotations
@@ -81,6 +97,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # +0.75 s — sub-second queries jitter more than 50% on a shared box,
 # and the guard is for real regressions, not scheduler noise.
 RATIO, FLOOR_S = 1.5, 0.75
+
+# A q21 control running at >= this ratio vs its anchor means the box is
+# hot beyond what _deflate's clamp (1.4) can absorb — wall-clock budgets
+# are meaningless in that environment and the guard skips loudly instead
+# of failing with zero code signal (VERDICT r12 task 2: the in-suite red
+# that passed isolated 13 minutes later was exactly this regime, and the
+# one-shot load1 sample at test start cannot see it).
+HOT_CONTROL_RATIO = 1.4
 
 
 def _run_bench() -> dict:
@@ -166,6 +190,26 @@ def _overruns(times: dict, base: dict) -> dict:
     }
 
 
+def _skip_if_box_hot(stage: str, base_ctl: float) -> float:
+    """Probe the environment the way the bench measures it: a fresh
+    interleaved q21-vs-q21 subprocess run (loadavg cannot answer this
+    mid-test — our own just-finished bench subprocess IS most of the
+    1-minute load). If the warm control median is inflated past the
+    _deflate clamp, nothing in this test can separate code from box —
+    skip loudly; a real regression re-presents on the next quiet run.
+    Returns the measured inflation when the box is quiet enough to
+    keep judging."""
+    verdict = _run_ab("q21_exact_dedup")
+    infl = verdict["control_median"] / base_ctl
+    if infl >= HOT_CONTROL_RATIO:
+        pytest.skip(
+            f"box hot at {stage}: q21 control "
+            f"{verdict['control_median']:.2f}s = {infl:.2f}x its anchor — "
+            "wall-clock budgets not meaningful (rerun on a quiet box)"
+        )
+    return infl
+
+
 @pytest.mark.slow
 def test_per_query_bench_budget():
     if not os.path.isdir(SF_DIR):
@@ -207,18 +251,34 @@ def test_per_query_bench_budget():
         # does not. Only the CONTROL-DEFLATED median may clear the
         # budget (deflation never below 1x, so a genuinely slow query
         # can't hide behind a fast control); more than 4 residual
-        # overruns is a code-regression pattern and fails outright.
+        # overruns is a code-regression pattern — but first probe the
+        # box (a hot tail-of-suite environment inflates MANY queries
+        # at once past the _deflate clamp, the exact in-suite-red /
+        # isolated-green signature of VERDICT r12 task 2).
+        base_ctl = base["q21_exact_dedup"]
+        if len(over) > 4:
+            _skip_if_box_hot(f"{len(over)} simultaneous overruns", base_ctl)
         assert len(over) <= 4, (
-            f"{len(over)} queries over budget after two runs — "
+            f"{len(over)} queries over budget after two runs on a "
+            f"quiet box (q21 control probe under {HOT_CONTROL_RATIO}x) — "
             f"not load, investigate: {over}"
         )
-        base_ctl = base["q21_exact_dedup"]
+        ctl_infls = []
         for name, (t_min, b) in list(over.items()):
             verdict = _run_ab(name)
-            infl = max(1.0, verdict["control_median"] / base_ctl)
+            ctl_infls.append(verdict["control_median"] / base_ctl)
+            infl = max(1.0, ctl_infls[-1])
             steady = min(t_min, verdict["target_median"] / infl)
             if steady <= max(RATIO * b, b + FLOOR_S):
                 del over[name]
+        # every residual overrun's OWN interleaved control ran hot:
+        # that's the box again, not code — same skip, stronger evidence
+        if over and ctl_infls and min(ctl_infls) >= HOT_CONTROL_RATIO:
+            pytest.skip(
+                f"box hot during A/B adjudication (all controls >= "
+                f"{min(ctl_infls):.2f}x anchor) — residual overruns "
+                f"{sorted(over)} unjudgeable; rerun on a quiet box"
+            )
     assert not over, (
         "per-query bench regression >1.5x vs baseline in two consecutive "
         "runs AND surviving control-deflated interleaved A/B "
@@ -230,8 +290,14 @@ def test_per_query_bench_budget():
     # outlier hunt, but a global slowdown is exactly what this ceiling
     # exists to catch — deflating here would blind it
     total = sum(out["queries"].values())
+    if total > RATIO * total_base:
+        # same box-vs-code question as the per-query path: probe before
+        # failing (a global slowdown that disappears on a quiet box was
+        # heat; one that survives the probe is code)
+        _skip_if_box_hot("suite-total check", base["q21_exact_dedup"])
     assert total <= RATIO * total_base, (
-        f"suite total regressed: {total:.1f}s vs baseline {total_base:.1f}s"
+        f"suite total regressed on a quiet box: {total:.1f}s vs "
+        f"baseline {total_base:.1f}s"
     )
 
 

@@ -29,23 +29,21 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-12 rotation (VERDICT r11 task 1, per the forced schedule at
-    README 'Verification coverage map'): q66-q67 + q01-q28 + q34-q41
-    (38, last driver-hashed r8 — the staleness guard's literal backlog)
-    + q189-q193 (5, declared r11 — first driver hash) + q115-q121 (7,
-    oldest r9-hashed). Steady-state capacity: 50-slot window x 4-round
+    Round-13 rotation (VERDICT r12 task 1, per the forced schedule at
+    README 'Verification coverage map'): q122-q164 (43, last
+    driver-hashed r9 — the staleness guard's literal red list) +
+    q194-q196 (3, declared r12 — first driver hash) + q165-q168 (4,
+    oldest r10-hashed). Steady-state capacity: 50-slot window x 4-round
     re-hash period = 200 declared queries max (see the README capacity
     ledger and test_declaration_capacity below)."""
-    # r13 rotation (pre-written; README schedule): positions 1-50 =
-    # q122-q126 + q127-q164 (43, r9-hashed, stale at r13) + q194-q196
-    # (3, declared r12, first hashable window) + q165-q168 (4, oldest
-    # r10-hashed).
+    # r14 rotation (pre-written; README schedule): positions 1-50 =
+    # q169-q188 + q42-q50 + q68-q72 + q29-q33 + q51-q57 (46, r10-hashed,
+    # stale at r14) + q197/q198 (2, declared r13, first hashable window)
+    # + q58-q59 (2, oldest r11-hashed).
     expected = (
-        ["q66", "q67"]
-        + [f"q{i:02d}" for i in range(1, 29)]
-        + [f"q{i}" for i in range(34, 42)]
-        + [f"q{i}" for i in range(189, 194)]
-        + [f"q{i}" for i in range(115, 122)]
+        [f"q{i}" for i in range(122, 165)]
+        + [f"q{i}" for i in range(194, 197)]
+        + [f"q{i}" for i in range(165, 169)]
     )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
@@ -116,6 +114,22 @@ def test_q85_bpe_merge_sequence_golden(spark):
     ]
 
 
+def test_q197_q198_not_vacuous(spark):
+    """The round-13 declarations must exercise their interesting legs
+    on the smoke fixture: q197 must see at least one kept and one
+    dropped doc (all-keep or all-drop would make the verdict leg
+    vacuous); q198's latin mass must be positive and latin must
+    dominate at least one group (prose corpus)."""
+    rows197 = QUERIES["q197_code_signals"](spark, SF_SMOKE).collect()
+    total = sum(r["n_docs"] for r in rows197)
+    kept = sum(r["n_keep"] for r in rows197)
+    assert 0 < kept < total, (kept, total)
+
+    rows198 = QUERIES["q198_script_mix"](spark, SF_SMOKE).collect()
+    assert sum(r["script_letters"] for r in rows198) > 0
+    assert any(r["dominant_script"] == "latin" for r in rows198)
+
+
 def test_driver_staleness_guard():
     """Self-enforcing rotation discipline (VERDICT r7 task 7): every
     oracle-bearing declared query must carry a driver correctness signal
@@ -146,6 +160,7 @@ def test_driver_staleness_guard():
     declared_round.update({f"q{i}": 8 for i in range(115, 189)})
     declared_round.update({f"q{i}": 11 for i in range(189, 194)})
     declared_round.update({f"q{i}": 12 for i in range(194, 197)})
+    declared_round.update({f"q{i}": 13 for i in range(197, 199)})
 
     window = set(list(QUERIES)[:50])
     stale = []
