@@ -53,7 +53,17 @@ from emr_trino_autoscale_spark.session import get_spark  # noqa: E402
 # timed at steady state. Measured cost: ~+80 s of untimed warmup at
 # sf0.1 — bounded, and it buys rotation-proof like-for-like numbers
 # for every driver-hashed position.
-WARM_HEAD_N = 50
+# Round 13 widened 50 -> 100: the rotation scheme ALWAYS parks the
+# just-relocated stalest block (next round's window candidates) at
+# positions 51-~100, and that block's anchors are warm-deep-tail
+# captures — the seam recurred every rotation (q170/q174 r9,
+# q169-q188 r13: the WHOLE block timed 1.3-2.7x its own r12
+# deep-tail numbers at positions 51-70 while --ab'ing flat at steady
+# state, docs/SCALE.md round 13). Warming positions 1-100 covers the
+# window AND the relocated block structurally; positions 101+ sit at
+# the same depth every round, so their regime never moves. Measured
+# cost: ~+40 s of untimed warmup at sf0.1.
+WARM_HEAD_N = 100
 
 
 def main() -> None:
