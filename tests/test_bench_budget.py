@@ -57,7 +57,8 @@ inflation the driver's r9 bench paid is IN them), and the r10 rotation
 moves those queries back to tail positions where their r8 anchors were
 captured; re-anchoring would ratchet budgets up by exactly the drift
 bench.py's head-block warmup (pre-running positions 1-15 in round
-10, widened to the full 50-slot window in round 11) removes. Empirical check: the first standalone
+10, widened to the full 50-slot window in round 11 and to 100 — the
+window plus the relocated next-window block — in round 13) removes. Empirical check: the first standalone
 r10 bench under the new window order ran 254.9 s with ZERO per-query
 overruns against the OLD anchors (docs/SCALE.md round 10). The ratchet
 rule stands: re-anchor only downward or on a structural methodology
