@@ -705,10 +705,20 @@ def near_dup_pairs_lsh(
         vb = corpus.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
         )
+        # asNondeterministic: the Arrow verify is semantically
+        # deterministic, but Catalyst inlines deterministic expressions
+        # into the pushed-down threshold filter AND the final projection
+        # separately — the executed plan then carries TWO ArrowEvalPython
+        # nodes and runs pair_cosine twice over the full candidate set
+        # (measured r13 at sf0.1: 1.3M candidates, ~2x verify wall). The
+        # flag only blocks that duplication; values are unchanged.
         scored = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
-            .withColumn("cosine", pair_cosine(F.col("va"), F.col("vb")))
+            .withColumn(
+                "cosine",
+                pair_cosine.asNondeterministic()(F.col("va"), F.col("vb")),
+            )
         )
     else:
         n = with_norm(corpus, vec_col)
