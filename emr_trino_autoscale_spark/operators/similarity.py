@@ -617,6 +617,7 @@ def near_dup_pairs_lsh(
     vec_col: str = "embedding",
     vectorized: bool = False,
     group_col: str | None = None,
+    persist_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, sub-quadratic — the LSH-banded
     100 TB path of :func:`near_dup_pairs` (same output contract: every
@@ -681,6 +682,16 @@ def near_dup_pairs_lsh(
         "id",
         F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
     )
+    # The signature frame feeds BOTH sides of the candidate self-join;
+    # unpersisted, each side recomputes the corpus scan plus all
+    # n_bands SRP passes (the executed plan carried two ArrowEvalPython
+    # bucket nodes — measured ~15-20% of q73 at sf0.1, and at corpus
+    # scale it is a full second signature pass). persist_fn follows the
+    # _persist.py contract: declared queries pass _cache_scoped,
+    # bare calls self-register for release_caches() to drain.
+    if persist_fn is None:
+        persist_fn = default_persist
+    sig = persist_fn(sig)
 
     a, b = sig.alias("a"), sig.alias("b")
     same_bucket = (
@@ -1780,6 +1791,12 @@ def semantic_dedup(
             vec_col=vec_col,
             vectorized=True,
             group_col="assigned",
+            # NOT the caller's persist_fn: _cache_scoped releases prior
+            # caches on entry, so a second scoped call here would evict
+            # the `assigned` frame above before it materializes. The
+            # default registry persists AND is drained by the same
+            # release_caches() the scoped route uses.
+            persist_fn=default_persist,
         )
     else:
         pairs = near_dup_pairs_blocked(

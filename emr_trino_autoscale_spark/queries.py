@@ -1768,7 +1768,8 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return (
         similarity.near_dup_pairs_lsh(
-            e, _PLANES24, n_bands=8, threshold=0.4, vectorized=True
+            e, _PLANES24, n_bands=8, threshold=0.4, vectorized=True,
+            persist_fn=_cache_scoped,
         )
         .withColumn("cosine", F.col("cosine").cast("string"))
         .orderBy("id_a", "id_b")
