@@ -654,3 +654,56 @@ def test_sequence_funnel_exchange_count_linear_in_stages(spark):
     assert per_stage_b <= per_stage_a + 1, (e4, e7, e10)
     # and the absolute count stays in the linear envelope
     assert e10 <= e4 + 6 * (per_stage_a + 1), (e4, e7, e10)
+
+
+def test_no_duplicated_python_eval_nodes(spark):
+    """Round-13 guard: a deterministic scalar Python UDF referenced by
+    both a projection and a pushed-down filter gets INLINED INTO BOTH
+    by Catalyst — the executed plan then carries two ArrowEvalPython
+    nodes running the same UDF over the same rows (found on q73: the
+    pair_cosine verify ran twice over the 1.3M-row candidate set,
+    docs/SCALE.md round 13; fixed with asNondeterministic at the call
+    site). Scan EVERY declared query's executed plan and fail on any
+    UDF name appearing in more than one Python-eval node. Subtrees
+    under InMemoryTableScan are excluded: a cached frame's lineage is
+    PRINTED at every scan site but executes once."""
+    import re
+
+    from emr_trino_autoscale_spark.queries import release_caches
+
+    from conftest import SF_SMOKE
+
+    def visible_eval_names(plan: str) -> list[str]:
+        names: list[str] = []
+        skip_indent = None
+        for line in plan.splitlines():
+            stripped = line.lstrip(" :+-*")
+            indent = len(line) - len(stripped)
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if stripped.startswith("InMemoryTableScan"):
+                skip_indent = indent
+                continue
+            m = re.match(
+                r"(?:ArrowEvalPython|BatchEvalPython) \[(\w+)\(", stripped
+            )
+            if m:
+                names.append(m.group(1))
+        return names
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        release_caches()
+        evals = visible_eval_names(plan)
+        dupes = {u: evals.count(u) for u in set(evals) if evals.count(u) > 1}
+        if dupes:
+            offenders[name] = dupes
+    assert not offenders, (
+        "duplicated Python-eval nodes (same UDF evaluated in multiple "
+        "ArrowEvalPython/BatchEvalPython operators — usually a "
+        "deterministic UDF inlined into a pushed filter AND the "
+        f"projection; see q73's asNondeterministic fix): {offenders}"
+    )
