@@ -4,15 +4,15 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json). 198 declared
-queries as of round 13 (194 with oracles; the iterative trainers q68,
+queries as of round 14 (194 with oracles; the iterative trainers q68,
 q70, q85 and q120 are rows-only — q71/q86 are hash-verified twins and
 q120's pick sequence is golden-pinned in-repo). The driver hashes the
-FIRST 50 entries; round 13 rotated q122-q164 + q194-q196 + q165-q168
-into that window per the forced schedule and declared q197-q198
-(code-quality signals, Unicode script mix — staged + oracle-tested
-since round 12) at tail positions — see README "Verification coverage
-map" for the rotation schedule and the 198/200 capacity ledger
-(successor policy: RETIRE_LIST).
+FIRST 50 entries; round 14 rotated q169-q188 + q42-q50 + q68-q72 +
+q29-q33 + q51-q57 + q197/q198 + q58/q59 into that window per the
+forced schedule — expected outcome 48/50 hash-green + 2 no_oracle
+rows (q68/q70 are the window's by-design rows-only trainers). See
+README "Verification coverage map" for the rotation schedule and the
+198/200 capacity ledger (successor policy: RETIRE_LIST).
 
 Implementation lives in ``emr_trino_autoscale_spark`` (SURVEY.md §2 is
 the inventory; queries are declared in emr_trino_autoscale_spark/queries.py).

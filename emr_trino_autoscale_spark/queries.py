@@ -4458,7 +4458,165 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned by tests/test_queries_oracle.py::test_driver_window_pinned and
 # documented in README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-13 driver window (positions 1-50) ---
+    # --- round-14 driver window (positions 1-50): the round-10-hashed
+    # remainder (46, stale at r14, in its r10 window order) + q197/q198
+    # (declared r13, first hashable window) + q58/q59 (oldest r11-hashed).
+    "q169_audio_profile": q169,
+    "q170_textrank_keywords": q170,
+    "q171_stratified_split": q171,
+    "q172_sketch_intersection": q172,
+    "q173_ivm_merge": q173,
+    "q174_bh_fdr": q174,
+    "q175_transition_latency": q175,
+    "q176_unpivot_melt": q176,
+    "q177_cms_join_size": q177,
+    "q178_session_paths": q178,
+    "q179_outlier_days": q179,
+    "q180_ctfidf_terms": q180,
+    "q181_rrf_fusion": q181,
+    "q182_corr_top_eigen": q182,
+    "q183_quantile_normalize": q183,
+    "q184_image_dhash_pairs": q184,
+    "q185_langid_confusion": q185,
+    "q186_dataset_card": q186,
+    "q187_partition_layout": q187,
+    "q188_spearman_corr": q188,
+    "q42_pandas_udf_vowels": q42,
+    "q43_approx_sketches": q43,
+    "q44_pivot_counts": q44,
+    "q45_map_roundtrip": q45,
+    "q46_revenue_join": q46,
+    "q47_simhash_hamming": q47,
+    "q48_train_test_split": q48,
+    "q49_dedup_components": q49,
+    "q50_tfidf_top_terms": q50,
+    "q68_kmeans_quantizer": q68,
+    "q69_vocab_coverage": q69,
+    "q70_pq_topk": q70,
+    "q71_pq_literal": q71,
+    "q72_pq_code_dedup": q72,
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
+    "q197_code_signals": q197,
+    "q198_script_mix": q198,
+    "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r15 window candidates first — the round-11-hashed block remainder
+    # (48, stale at r15, in its r11 window order):
+    "q60_ngram_novelty": q60,
+    "q61_incremental_dedup": q61,
+    "q62_boilerplate_strip": q62,
+    "q63_memorization_risk": q63,
+    "q64_cluster_profile": q64,
+    "q65_cluster_balanced_sample": q65,
+    "q73_cosine_neardup_lsh": q73,
+    "q74_token_chunking": q74,
+    "q75_unigram_logloss": q75,
+    "q76_leakage_safe_split": q76,
+    "q77_dsir_importance": q77,
+    "q78_bigram_stats": q78,
+    "q79_quality_classifier": q79,
+    "q80_perplexity_gate": q80,
+    "q81_winsorized_stats": q81,
+    "q82_duplicated_spans": q82,
+    "q83_bm25_topk": q83,
+    "q84_source_js_divergence": q84,
+    "q85_bpe_learn": q85,
+    "q86_bpe_pair_stats": q86,
+    "q87_split_leakage": q87,
+    "q88_hard_negatives": q88,
+    "q89_cms_heavy_hitters": q89,
+    "q90_jl_projection_topk": q90,
+    "q91_neyman_sampling": q91,
+    "q92_ols_trend": q92,
+    "q93_rolling_zscore": q93,
+    "q94_constraint_audit": q94,
+    "q95_scd2_history": q95,
+    "q96_tfidf_cosine_join": q96,
+    "q97_zorder_layout": q97,
+    "q98_pq_sdc_topk": q98,
+    "q99_ranking_metrics": q99,
+    "q100_dp_histogram": q100,
+    "q101_sequence_funnel": q101,
+    "q102_cohort_retention": q102,
+    "q103_image_ahash_pairs": q103,
+    "q104_semantic_dedup": q104,
+    "q105_entity_resolution": q105,
+    "q106_weighted_sample": q106,
+    "q107_column_profile": q107,
+    "q108_source_concentration": q108,
+    "q109_snapshot_diff": q109,
+    "q110_psi_drift": q110,
+    "q111_minhash_lsh": q111,
+    "q112_entity_multi_pass": q112,
+    "q113_normalized_dedup": q113,
+    "q114_embedding_dim_stats": q114,
+    # q66/q67 (r12-hashed) complete the 50-slot r15 window:
+    "q66_top_duplicated_passages": q66,
+    "q67_curation_funnel": q67,
+    # r16 candidates — the rest of the round-12 window block
+    # (driver-hashed r12, stale at r16), in its r12 window order:
+    "q01_json_projection": q01,
+    "q02_registry_filter": q02,
+    "q03_json_path_groupcount": q03,
+    "q04_map_explode_fanout": q04,
+    "q05_regex_host_extract": q05,
+    "q06_semi_join_running": q06,
+    "q07_anti_join_excluded": q07,
+    "q08_ci_join_containment": q08,
+    "q09_window_avg_zero_fill": q09,
+    "q10_quorum_predicates": q10,
+    "q11_capacity_sums": q11,
+    "q12_last_snapshot": q12,
+    "q13_distinct_first_name": q13,
+    "q14_distribute_allocator": q14,
+    "q15_suspension_carry_forward": q15,
+    "q16_tumbling_idle": q16,
+    "q17_cooldown_gate": q17,
+    "q18_step_clamp": q18,
+    "q19_epoch_roundtrip": q19,
+    "q20_full_classifier": q20,
+    "q21_exact_dedup": q21,
+    "q22_minhash_near_dup": q22,
+    "q23_cosine_topk": q23,
+    "q24_token_stats": q24,
+    "q25_sessionize": q25,
+    "q26_simhash_clusters": q26,
+    "q27_ngram_jaccard_pairs": q27,
+    "q28_embedding_near_dup": q28,
+    "q34_asof_join": q34,
+    "q35_percentiles": q35,
+    "q36_topk_per_segment": q36,
+    "q37_multimodal_meta": q37,
+    "q38_full_outer_calendar": q38,
+    "q39_interval_join": q39,
+    "q40_distinct_aggs": q40,
+    "q41_range_window": q41,
+    "q189_stream_bh_fdr": q189,
+    "q190_stream_reservoir": q190,
+    "q191_stream_rule_audit": q191,
+    "q192_stream_hll_distinct": q192,
+    "q193_stream_profile": q193,
+    "q115_substring_search": q115,
+    "q116_blocklist_filter": q116,
+    "q117_pmi_cooccurrence": q117,
+    "q118_containment_pairs": q118,
+    "q119_robust_dim_stats": q119,
+    "q120_mmr_select": q120,
+    "q121_distinct_rollup": q121,
+    # freshest last — the round-13 window block (driver-hashed r13,
+    # stale at r17), in its r13 window order:
     "q122_image_phash_pairs": q122,
     "q123_audio_fp_pairs": q123,
     "q124_cube_grouping": q124,
@@ -4509,162 +4667,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
     "q168_linear_resample": q168,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r14 window candidates first — the rest of the round-10-hashed
-    # block (46, stale at r14, in its r10 window order):
-    "q169_audio_profile": q169,
-    "q170_textrank_keywords": q170,
-    "q171_stratified_split": q171,
-    "q172_sketch_intersection": q172,
-    "q173_ivm_merge": q173,
-    "q174_bh_fdr": q174,
-    "q175_transition_latency": q175,
-    "q176_unpivot_melt": q176,
-    "q177_cms_join_size": q177,
-    "q178_session_paths": q178,
-    "q179_outlier_days": q179,
-    "q180_ctfidf_terms": q180,
-    "q181_rrf_fusion": q181,
-    "q182_corr_top_eigen": q182,
-    "q183_quantile_normalize": q183,
-    "q184_image_dhash_pairs": q184,
-    "q185_langid_confusion": q185,
-    "q186_dataset_card": q186,
-    "q187_partition_layout": q187,
-    "q188_spearman_corr": q188,
-    "q42_pandas_udf_vowels": q42,
-    "q43_approx_sketches": q43,
-    "q44_pivot_counts": q44,
-    "q45_map_roundtrip": q45,
-    "q46_revenue_join": q46,
-    "q47_simhash_hamming": q47,
-    "q48_train_test_split": q48,
-    "q49_dedup_components": q49,
-    "q50_tfidf_top_terms": q50,
-    "q68_kmeans_quantizer": q68,
-    "q69_vocab_coverage": q69,
-    "q70_pq_topk": q70,
-    "q71_pq_literal": q71,
-    "q72_pq_code_dedup": q72,
-    "q29_lsh_topk": q29,
-    "q30_ivf_topk": q30,
-    "q31_langid_quality": q31,
-    "q32_fingerprint_tokens": q32,
-    "q33_rollup_stats": q33,
-    "q51_value_histogram": q51,
-    "q52_pii_scrub": q52,
-    "q53_quality_topk_per_lang": q53,
-    "q54_token_packing": q54,
-    "q55_repetition_filter": q55,
-    "q56_mixing_weights": q56,
-    "q57_lsh_multiprobe": q57,
-    # declared round 13 (from queries_staging; first window slot r14):
-    "q197_code_signals": q197,
-    "q198_script_mix": q198,
-    # r15 window candidates — the round-11 window block (driver-hashed
-    # r11, stale at r15), in its r11 window order:
-    "q58_ivf_multiprobe": q58,
-    "q59_contamination": q59,
-    "q60_ngram_novelty": q60,
-    "q61_incremental_dedup": q61,
-    "q62_boilerplate_strip": q62,
-    "q63_memorization_risk": q63,
-    "q64_cluster_profile": q64,
-    "q65_cluster_balanced_sample": q65,
-    "q73_cosine_neardup_lsh": q73,
-    "q74_token_chunking": q74,
-    "q75_unigram_logloss": q75,
-    "q76_leakage_safe_split": q76,
-    "q77_dsir_importance": q77,
-    "q78_bigram_stats": q78,
-    "q79_quality_classifier": q79,
-    "q80_perplexity_gate": q80,
-    "q81_winsorized_stats": q81,
-    "q82_duplicated_spans": q82,
-    "q83_bm25_topk": q83,
-    "q84_source_js_divergence": q84,
-    "q85_bpe_learn": q85,
-    "q86_bpe_pair_stats": q86,
-    "q87_split_leakage": q87,
-    "q88_hard_negatives": q88,
-    "q89_cms_heavy_hitters": q89,
-    "q90_jl_projection_topk": q90,
-    "q91_neyman_sampling": q91,
-    "q92_ols_trend": q92,
-    "q93_rolling_zscore": q93,
-    "q94_constraint_audit": q94,
-    "q95_scd2_history": q95,
-    "q96_tfidf_cosine_join": q96,
-    "q97_zorder_layout": q97,
-    "q98_pq_sdc_topk": q98,
-    "q99_ranking_metrics": q99,
-    "q100_dp_histogram": q100,
-    "q101_sequence_funnel": q101,
-    "q102_cohort_retention": q102,
-    "q103_image_ahash_pairs": q103,
-    "q104_semantic_dedup": q104,
-    "q105_entity_resolution": q105,
-    "q106_weighted_sample": q106,
-    "q107_column_profile": q107,
-    "q108_source_concentration": q108,
-    "q109_snapshot_diff": q109,
-    "q110_psi_drift": q110,
-    "q111_minhash_lsh": q111,
-    "q112_entity_multi_pass": q112,
-    "q113_normalized_dedup": q113,
-    "q114_embedding_dim_stats": q114,
-    # freshest last — the round-12 window block (driver-hashed r12,
-    # stale at r16), in its r12 window order:
-    "q66_top_duplicated_passages": q66,
-    "q67_curation_funnel": q67,
-    "q01_json_projection": q01,
-    "q02_registry_filter": q02,
-    "q03_json_path_groupcount": q03,
-    "q04_map_explode_fanout": q04,
-    "q05_regex_host_extract": q05,
-    "q06_semi_join_running": q06,
-    "q07_anti_join_excluded": q07,
-    "q08_ci_join_containment": q08,
-    "q09_window_avg_zero_fill": q09,
-    "q10_quorum_predicates": q10,
-    "q11_capacity_sums": q11,
-    "q12_last_snapshot": q12,
-    "q13_distinct_first_name": q13,
-    "q14_distribute_allocator": q14,
-    "q15_suspension_carry_forward": q15,
-    "q16_tumbling_idle": q16,
-    "q17_cooldown_gate": q17,
-    "q18_step_clamp": q18,
-    "q19_epoch_roundtrip": q19,
-    "q20_full_classifier": q20,
-    "q21_exact_dedup": q21,
-    "q22_minhash_near_dup": q22,
-    "q23_cosine_topk": q23,
-    "q24_token_stats": q24,
-    "q25_sessionize": q25,
-    "q26_simhash_clusters": q26,
-    "q27_ngram_jaccard_pairs": q27,
-    "q28_embedding_near_dup": q28,
-    "q34_asof_join": q34,
-    "q35_percentiles": q35,
-    "q36_topk_per_segment": q36,
-    "q37_multimodal_meta": q37,
-    "q38_full_outer_calendar": q38,
-    "q39_interval_join": q39,
-    "q40_distinct_aggs": q40,
-    "q41_range_window": q41,
-    "q189_stream_bh_fdr": q189,
-    "q190_stream_reservoir": q190,
-    "q191_stream_rule_audit": q191,
-    "q192_stream_hll_distinct": q192,
-    "q193_stream_profile": q193,
-    "q115_substring_search": q115,
-    "q116_blocklist_filter": q116,
-    "q117_pmi_cooccurrence": q117,
-    "q118_containment_pairs": q118,
-    "q119_robust_dim_stats": q119,
-    "q120_mmr_select": q120,
-    "q121_distinct_rollup": q121,
 }
 
 
