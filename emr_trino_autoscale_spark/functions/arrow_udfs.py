@@ -85,28 +85,55 @@ def nearest_centroid_vectorized(c_ids, c_mat, ret_type="long"):
     return assign
 
 
-@pandas_udf("double")
-def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Arrow-batched cosine between two vector COLUMNS (one dot per
-    candidate pair row, batched into a single NumPy elementwise-product
-    row-sum). The verify step of LSH near-dup emits millions of
-    candidate rows per task; the interpreted HOF cosine fold there
-    measured ~10x slower at sf0.1 (the same interpreted-lambda wall as
-    every other hot fold in this module). Raw double out — callers
-    apply the shared ROUND(, 4) Spark-side so the fold and Arrow forms
-    round identically (q28 precedent: NumPy float64 dots match DuckDB's
-    list_inner_product at 4-decimal rounding)."""
-    import numpy as np
+def _make_pair_cosine():
+    # The kernel is a CLOSURE, not a module attribute, on purpose:
+    # cloudpickle serializes module-level functions by reference, which
+    # would make every executor import this module — and the
+    # module-scope pandas_udf(...) calls need an active SparkSession
+    # the workers don't have. A closure pickles by value.
+    @pandas_udf("double")
+    def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+        """Arrow-batched cosine between two vector COLUMNS (one dot per
+        candidate pair row, batched into a single NumPy
+        elementwise-product row-sum). The verify step of LSH near-dup
+        emits millions of candidate rows per task; the interpreted HOF
+        cosine fold there measured ~10x slower at sf0.1 (the same
+        interpreted-lambda wall as every other hot fold in this
+        module). Raw double out — callers apply the shared ROUND(, 4)
+        Spark-side so the fold and Arrow forms round identically (q28
+        precedent: NumPy float64 dots match DuckDB's
+        list_inner_product at 4-decimal rounding)."""
+        import numpy as np
 
-    if len(va) == 0:
-        return pd.Series([], dtype="float64")
-    a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
-    b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
-    an = np.linalg.norm(a, axis=1)
-    bn = np.linalg.norm(b, axis=1)
-    an[an == 0.0] = 1.0
-    bn[bn == 0.0] = 1.0
-    return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        an = np.linalg.norm(a, axis=1)
+        bn = np.linalg.norm(b, axis=1)
+        an[an == 0.0] = 1.0
+        bn[bn == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", a, b) / (an * bn))
+
+    return pair_cosine
+
+
+pair_cosine = _make_pair_cosine()
+
+# Dedicated NONDETERMINISTIC instance for call sites that filter on the
+# UDF's own result (the LSH verify): Catalyst inlines a DETERMINISTIC
+# scalar UDF into both the pushed-down filter and the projection, so the
+# executed plan would run it twice over the full candidate set.
+# wrapper.asNondeterministic() MUTATES the shared underlying
+# UserDefinedFunction in place (verified on pyspark 4.1.2: after
+# `g = f.asNondeterministic()`, a fresh `f(col)` expression analyzes
+# deterministic=False too), so calling it on pair_cosine at a use site —
+# or even aliasing at module scope — would silently make every other
+# pair_cosine plan in the session nondeterministic (order-dependent
+# plan shapes and perf anchors). A second, independent UDF instance
+# over the same kernel is the only isolation that holds
+# (tests/test_plan_guard.py::test_pair_cosine_stays_deterministic_after_lsh_build).
+pair_cosine_nd = _make_pair_cosine().asNondeterministic()
 
 
 def cosine_cost_vectorized(center):

@@ -708,7 +708,7 @@ def near_dup_pairs_lsh(
     )
 
     if vectorized:
-        from ..functions.arrow_udfs import pair_cosine
+        from ..functions.arrow_udfs import pair_cosine_nd
 
         va = corpus.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -716,19 +716,22 @@ def near_dup_pairs_lsh(
         vb = corpus.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
         )
-        # asNondeterministic: the Arrow verify is semantically
-        # deterministic, but Catalyst inlines deterministic expressions
-        # into the pushed-down threshold filter AND the final projection
+        # pair_cosine_nd: the Arrow verify is semantically deterministic,
+        # but Catalyst inlines deterministic expressions into the
+        # pushed-down threshold filter AND the final projection
         # separately — the executed plan then carries TWO ArrowEvalPython
         # nodes and runs pair_cosine twice over the full candidate set
         # (measured r13 at sf0.1: 1.3M candidates, ~2x verify wall). The
-        # flag only blocks that duplication; values are unchanged.
+        # nondeterministic INSTANCE (not .asNondeterministic() here —
+        # that mutates the shared UDF in place and would flip every
+        # other pair_cosine plan in the session) only blocks that
+        # duplication; values are unchanged.
         scored = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
             .withColumn(
                 "cosine",
-                pair_cosine.asNondeterministic()(F.col("va"), F.col("vb")),
+                pair_cosine_nd(F.col("va"), F.col("vb")),
             )
         )
     else:

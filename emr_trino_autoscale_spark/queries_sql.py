@@ -3924,6 +3924,16 @@ FROM feat GROUP BY source ORDER BY source
 # table means the oracle can never drift from the operator).
 _Q198_BLOCKS = tuple(sorted(_text_ops._SCRIPT_BLOCKS))
 
+# The patterns/names are interpolated raw into single-quoted SQL
+# literals and bare identifiers below; fail at import time — not with
+# silently corrupted SQL — if a future block entry would break either
+# form (ADVICE r13).
+for _name, _pat in _Q198_BLOCKS:
+    assert _name.isidentifier() and "'" not in _pat, (
+        "q198 script-block entry not SQL-literal-safe: "
+        f"({_name!r}, {_pat!r})"
+    )
+
 _Q198_COUNTS = ",\n".join(
     f"         length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
     f" AS c_{name}"

@@ -9,6 +9,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from emr_trino_autoscale_spark.session import get_spark  # noqa: E402
 
+# REPO-WIDE hypothesis policy (VERDICT r11 item 2 / ADVICE r13): every
+# property test in this suite must be DERANDOMIZED — builder, driver,
+# and judge must all draw the same example sequence, so a red is
+# reproducible by every party. Registered + loaded here in conftest
+# (not in test_properties.py at module import) so the profile applies
+# identically regardless of module import order, and the global effect
+# is explicit rather than a side effect of collecting one module.
+# test_properties.py's meta-test asserts every @given resolves
+# derandomize=True under this profile.
+from hypothesis import settings as _hyp_settings  # noqa: E402
+
+_hyp_settings.register_profile(
+    "engine-derandomized", max_examples=8, deadline=None, derandomize=True
+)
+_hyp_settings.load_profile("engine-derandomized")
+
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 
 

@@ -687,10 +687,24 @@ def test_no_duplicated_python_eval_nodes(spark):
                 skip_indent = indent
                 continue
             m = re.match(
-                r"(?:ArrowEvalPython|BatchEvalPython) \[(\w+)\(", stripped
+                r"(?:ArrowEvalPython|BatchEvalPython) \[([^\]]*)\]", stripped
             )
             if m:
-                names.append(m.group(1))
+                # Walk the node's FULL bracketed UDF list — a single
+                # leading-name capture would hide a duplicated
+                # non-leading UDF in [udf_a(...), udf_b(...)] (ADVICE
+                # r13). Only paren-depth-0 call names are UDFs; deeper
+                # ones are expressions inside their args (cast, round —
+                # those legitimately repeat across nodes).
+                depth = 0
+                for tok in re.finditer(r"(\w+)?([()])", m.group(1)):
+                    word, paren = tok.group(1), tok.group(2)
+                    if paren == "(":
+                        if depth == 0 and word:
+                            names.append(word)
+                        depth += 1
+                    else:
+                        depth -= 1
         return names
 
     offenders = {}
@@ -706,4 +720,54 @@ def test_no_duplicated_python_eval_nodes(spark):
         "ArrowEvalPython/BatchEvalPython operators — usually a "
         "deterministic UDF inlined into a pushed filter AND the "
         f"projection; see q73's asNondeterministic fix): {offenders}"
+    )
+
+
+def test_pair_cosine_stays_deterministic_after_lsh_build(spark):
+    """Round-14 guard (ADVICE r13): wrapper.asNondeterministic()
+    MUTATES the shared underlying UserDefinedFunction in place, so the
+    old call-site fix (pair_cosine.asNondeterministic() inside the LSH
+    verify) silently flipped every OTHER pair_cosine plan in the
+    session — the exact benchmark-cosine scorer's plan shape became
+    dependent on whether q73 had been built earlier. The fix is a
+    dedicated independent instance (arrow_udfs.pair_cosine_nd); this
+    pins the isolation: building the LSH verify plan must leave the
+    shared pair_cosine deterministic."""
+    import pyspark.sql.functions as F
+
+    from emr_trino_autoscale_spark.functions import arrow_udfs
+    from emr_trino_autoscale_spark.operators import similarity
+
+    def top_level_det(df) -> list[bool]:
+        exprs = df._jdf.queryExecution().analyzed().expressions()
+        it = exprs.iterator()
+        out = []
+        while it.hasNext():
+            out.append(it.next().deterministic())
+        return out
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    # build (and execute) the vectorized LSH path — the site that needs
+    # the nondeterministic instance
+    similarity.near_dup_pairs_lsh(
+        corpus, planes, n_bands=1, threshold=0.0, vectorized=True
+    ).collect()
+
+    probe = corpus.select(
+        arrow_udfs.pair_cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    )
+    assert all(top_level_det(probe)), (
+        "shared pair_cosine became nondeterministic after the LSH build "
+        "— a call site mutated the shared UDF instead of using "
+        "pair_cosine_nd"
+    )
+    nd_probe = corpus.select(
+        arrow_udfs.pair_cosine_nd(F.col("embedding"), F.col("embedding")).alias("c")
+    )
+    assert not all(top_level_det(nd_probe)), (
+        "pair_cosine_nd lost its nondeterministic flag"
     )
