@@ -107,6 +107,29 @@ RATIO, FLOOR_S = 1.5, 0.75
 # one-shot load1 sample at test start cannot see it).
 HOT_CONTROL_RATIO = 1.4
 
+# Auditable skip ledger (VERDICT r13 task 3): the guard's hot-box skip
+# paths are each individually justified, but their combined effect is
+# that a real regression co-occurring with a hot box is invisible to
+# the suite until the next quiet run. Every skip therefore appends one
+# JSON line (which path fired, the queries involved, the measured
+# ratios) to this TRACKED file — a skip streak is then visible at round
+# close instead of silent, and the round summary can cite it.
+SKIP_LOG = os.path.join(REPO, "docs", "bench_skip_log.jsonl")
+
+
+def _log_skip(path: str, **detail) -> None:
+    import datetime
+
+    rec = {
+        "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "path": path,
+        **detail,
+    }
+    with open(SKIP_LOG, "a") as f:
+        f.write(json.dumps(rec, sort_keys=True) + "\n")
+
 
 def _run_bench() -> dict:
     proc = subprocess.run(
@@ -216,6 +239,12 @@ def _skip_if_box_hot(stage: str, base_ctl: float) -> float:
     verdict = _run_ab("q21_exact_dedup")
     infl = verdict["control_median"] / base_ctl
     if infl >= HOT_CONTROL_RATIO:
+        _log_skip(
+            "fresh-control-probe",
+            stage=stage,
+            control_median_s=verdict["control_median"],
+            control_inflation=round(infl, 3),
+        )
         pytest.skip(
             f"box hot at {stage}: q21 control "
             f"{verdict['control_median']:.2f}s = {infl:.2f}x its anchor — "
@@ -227,6 +256,7 @@ def _skip_if_box_hot(stage: str, base_ctl: float) -> float:
 @pytest.mark.slow
 def test_per_query_bench_budget():
     if not os.path.isdir(SF_DIR):
+        _log_skip("sf-dir-missing", sf_dir=SF_DIR)
         pytest.skip(f"{SF_DIR} missing")
     # A loaded box (e.g. the rest of the suite just pinned 8 cores, or
     # the host's noisy co-tenant is active) inflates wall-clock 2-5x and
@@ -234,6 +264,7 @@ def test_per_query_bench_budget():
     # only meaningful quiet; skip loudly otherwise.
     load1 = os.getloadavg()[0]
     if load1 > 4.0:
+        _log_skip("pre-bench-load-probe", load1=round(load1, 2))
         pytest.skip(f"box too loaded for wall-clock budgets (load1={load1:.1f})")
     with open(BASELINE) as f:
         base = json.load(f)
@@ -280,6 +311,13 @@ def test_per_query_bench_budget():
             # --ab subprocess)
             infls = [_suite_inflation(dict(r["queries"]), base) for r in runs]
             if min(infls) >= HOT_CONTROL_RATIO:
+                _log_skip(
+                    "suite-wide-inflation",
+                    suite_inflations=[round(x, 3) for x in infls],
+                    overruns={
+                        n: [round(t, 2), b] for n, (t, b) in sorted(over.items())
+                    },
+                )
                 pytest.skip(
                     f"suite-wide median inflation {min(infls):.2f}x "
                     f"across {len(runs)} run(s) — deflate clamp "
@@ -305,6 +343,15 @@ def test_per_query_bench_budget():
         # evidence. A residual with a cool control still FAILS below.
         residual_infls = [ctl_infl_by_name[n] for n in over]
         if over and min(residual_infls) >= HOT_CONTROL_RATIO:
+            _log_skip(
+                "ab-residual-controls-hot",
+                residual_overruns={
+                    n: [round(t, 2), b] for n, (t, b) in sorted(over.items())
+                },
+                control_inflations={
+                    n: round(ctl_infl_by_name[n], 3) for n in sorted(over)
+                },
+            )
             pytest.skip(
                 f"box hot during A/B adjudication (every residual "
                 f"overrun's control >= {min(residual_infls):.2f}x "
@@ -373,3 +420,32 @@ def test_driver_tail_line_capacity():
         f"{len(QUERIES)} queries — the driver parser would record no "
         "per-query times for a still-green run"
     )
+
+
+def test_every_skip_path_is_logged():
+    """VERDICT r13 task 3 meta-guard: the budget guard's hot-box skip
+    semantics are right, but silent skips are the risk — a real
+    regression co-occurring with a hot box must leave a visible trace.
+    Assert structurally that EVERY pytest.skip call in this module is
+    immediately preceded by a _log_skip append (within the same
+    statement block), and that the ledger file is tracked/appendable."""
+    import inspect
+
+    src = inspect.getsource(sys.modules[__name__])
+    lines = src.splitlines()
+    needle = "pytest." + "skip("  # split so this function's own source doesn't match
+    skip_lines = [i for i, l in enumerate(lines) if needle in l]
+    assert skip_lines, "no skip sites found — did the guard move?"
+    for i in skip_lines:
+        window = "\n".join(lines[max(0, i - 16): i])
+        assert "_log_skip(" in window, (
+            f"pytest.skip at line {i + 1} has no _log_skip within the "
+            "preceding 16 lines — every skip must land in the ledger"
+        )
+    # the ledger is appendable and every existing line parses
+    assert os.path.exists(SKIP_LOG), SKIP_LOG
+    with open(SKIP_LOG) as f:
+        for ln in f:
+            if ln.strip():
+                rec = json.loads(ln)
+                assert {"ts", "path"} <= set(rec), rec
