@@ -2001,11 +2001,22 @@ def mmr_select(
     penalty): k rounds, each ONE distributed argmax over the corpus
     followed by a 1-row collect (the BPE-trainer convention —
     driver state is the k picked (id, vector) pairs, model-sized by
-    construction). The selected set enters each round as literal
-    vectors inside the scoring expression (k * dim literals, plan-
+    construction). The penalty term max_{s in selected} cos(v, s) is
+    maintained INCREMENTALLY as a running-max column: round i adds
+    only the cosine against the ONE vector picked in round i-1 and
+    folds it into the carried max (max is associative, and each sim
+    is rounded to 6 decimals BEFORE the fold exactly as the re-scan
+    form rounded each sim before ``greatest``, so scores are
+    bit-identical). The r14 optimization-round rewrite: the original
+    form re-scored the full selected set every round — O(k) HOF
+    cosine folds per row per round, O(k^2) total; this form is O(1)
+    per round, O(k) total. A non-eager ``localCheckpoint`` after each
+    fold keeps round i's lineage from replaying rounds 1..i-1's
+    cosines (the X7 iterative-loop rule). The newly picked vector
+    enters as dim literals inside the scoring expression (plan-
     sized), so the corpus is never joined against itself and each
-    round is one codegen projection + one reduce. Cosines round to 6
-    decimals with id-ascending tie-break — fully deterministic, the
+    round stays one codegen projection + one reduce. Cosines round to
+    6 decimals with id-ascending tie-break — fully deterministic, the
     sequence is golden-pinned in-repo (no SQL oracle: iterative
     trainer, the q68/q85 class).
 
@@ -2032,31 +2043,21 @@ def mmr_select(
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     picked: list[tuple] = []
-    sel_vecs: list[tuple[list[float], float]] = []
-    remaining = base
+    # running max-similarity-to-selected column. NULL for the empty set
+    # — NOT 0.0: cosines can be negative, and the re-scan form's
+    # ``greatest`` ranged over selected sims only, so seeding the fold
+    # with 0.0 would clip a negative max. ``greatest`` skips NULLs, so
+    # the first fold yields exactly sim_1; the scoring expression
+    # coalesces NULL to the empty-set neutral 0.0 the old form used.
+    remaining = base.withColumn("ms", F.lit(None).cast("double"))
     for step in range(1, k + 1):
-        if sel_vecs:
-            sims = [
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("v"),
-                            F.array(*[F.lit(float(x)) for x in sv]),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    / (F.col("nr") * F.lit(sn)),
-                    6,
-                )
-                for sv, sn in sel_vecs
-            ]
-            max_sim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-        else:
-            max_sim = F.lit(0.0)
         scored = remaining.withColumn(
-            "mmr", F.round(F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * max_sim, 6)
+            "mmr",
+            F.round(
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.coalesce(F.col("ms"), F.lit(0.0)),
+                6,
+            ),
         )
         top = scored.orderBy(F.col("mmr").desc(), F.col("id").asc()).limit(1).collect()
         if not top:
@@ -2065,8 +2066,27 @@ def mmr_select(
         picked.append((step, r["id"], float(r["rel"]), float(r["mmr"])))
         vlist = [float(x) for x in r["v"]]
         vnorm = float(sum(x * x for x in vlist) ** 0.5) or 1.0
-        sel_vecs.append((vlist, vnorm))
-        remaining = remaining.filter(F.col("id") != F.lit(r["id"]))
+        new_sim = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in vlist]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (F.col("nr") * F.lit(vnorm)),
+            6,
+        )
+        remaining = (
+            remaining.filter(F.col("id") != F.lit(r["id"]))
+            .withColumn("ms", F.greatest(F.col("ms"), new_sim))
+            # truncate lineage: without this, round i's argmax job
+            # replays every earlier round's cosine fold (non-eager —
+            # materializes inside the next round's job)
+            .localCheckpoint(eager=False)
+        )
     base.unpersist()
     spark = corpus.sparkSession
     return spark.createDataFrame(

@@ -1587,8 +1587,13 @@ def pmi_cooccurrence(
 
     Plan shape: pair AND unigram events are built ROW-LOCALLY in one
     combined stream — for each offset d in 1..window, zip the token
-    array against itself shifted by d (pure HOF transform, no
-    posexplode self-join on doc_id), concatenated with the unigram
+    array against itself shifted by d (native ``slice`` +
+    ``arrays_zip`` — NOT a per-element HOF ``transform`` lambda, which
+    Spark interprets element-by-element with two ``element_at`` probes
+    and a least/greatest per element; the r14 optimization round moved
+    the canonicalization into the post-explode codegen projection,
+    where it runs whole-stage-compiled once per emitted event), no
+    posexplode self-join on doc_id, concatenated with the unigram
     stream (b = NULL marker), then ONE explode feeds ONE hash agg on
     the (a, b) key. That single vocabulary-sized counts frame is
     persisted (``persist_fn``, the ppjoin convention) and every
@@ -1602,41 +1607,37 @@ def pmi_cooccurrence(
     toks = df.select(F.split(F.col(text_col), " ").alias("__toks"))
 
     def _pairs_at(d: int) -> Column:
-        # 1-arg lambda closing over the Python int d — a 2-arg HOF
-        # lambda would be interpreted as (element, index) and silently
-        # rebind d to the array index. Guard the short-doc case: Spark's
-        # sequence(1, 0) yields the DESCENDING [1, 0], not empty.
-        seq = F.sequence(F.lit(1), F.size("__toks") - d)
-        return F.when(
-            F.size("__toks") > d,
-            F.transform(
-                seq,
-                lambda i: F.struct(
-                    F.least(
-                        F.element_at("__toks", i),
-                        F.element_at("__toks", i + F.lit(d)),
-                    ).alias("a"),
-                    F.greatest(
-                        F.element_at("__toks", i),
-                        F.element_at("__toks", i + F.lit(d)),
-                    ).alias("b"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        # zip the array against its d-shifted self with native slice +
+        # arrays_zip (one JVM call per ROW, not one interpreted lambda
+        # per element). slice length clamps to 0 for short docs, which
+        # arrays_zip turns into the empty array. Canonicalization
+        # (least/greatest) happens post-explode in codegen.
+        n = F.greatest(F.size("__toks") - d, F.lit(0))
+        return F.arrays_zip(
+            F.slice("__toks", 1, n), F.slice("__toks", 1 + d, n)
+        ).cast("array<struct<x:string,y:string>>")
 
     pair_arrays = [_pairs_at(d) for d in range(1, window + 1)]
-    # unigram events ride the same stream with a NULL b-marker, so one
+    # unigram events ride the same stream with a NULL y-marker, so one
     # explode + one hash agg covers pairs AND unigrams in a single
     # corpus pass
-    unigrams = F.transform(
+    unigrams = F.arrays_zip(
         F.col("__toks"),
-        lambda t: F.struct(
-            t.alias("a"), F.lit(None).cast("string").alias("b")
-        ),
-    )
+        F.array_repeat(F.lit(None).cast("string"), F.size("__toks")),
+    ).cast("array<struct<x:string,y:string>>")
     events = toks.select(
         F.explode(F.concat(*pair_arrays, unigrams)).alias("__p")
-    ).select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
+    ).select(
+        # canonical (tok_a <= tok_b) built HERE, whole-stage-compiled
+        # once per emitted event; unigram events keep their NULL marker
+        # (least/greatest would otherwise swallow it)
+        F.when(
+            F.col("__p.y").isNull(), F.col("__p.x")
+        ).otherwise(F.least("__p.x", "__p.y")).alias("tok_a"),
+        F.when(
+            F.col("__p.y").isNull(), F.lit(None).cast("string")
+        ).otherwise(F.greatest("__p.x", "__p.y")).alias("tok_b"),
+    )
     counts = events.groupBy("tok_a", "tok_b").agg(
         F.count("*").alias("__n")
     )
