@@ -149,10 +149,18 @@ def triangle_stats(
     fwd = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
     )
-    o = ed.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
-        F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    # o feeds THREE subtrees (both wedge sides + the closing-edge
+    # probe); without its own persist each one replays the ce->deg
+    # double join (r14 plan read: the orientation subtree appeared
+    # three times in the executed plan). default_persist, NOT the
+    # caller's persist_fn: _cache_scoped releases prior caches on
+    # entry and would evict ce (the r13 q73 lesson).
+    o = default_persist(
+        ed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(fwd, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+        )
     )
     o1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("__dv").alias("__d1"))
     o2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("__dv").alias("__d2"))
