@@ -2453,12 +2453,20 @@ def corr_top_eigen(
     Rayleigh quotient. A top eigenvalue near 1 means dimensions are
     independent; near dim/eff_rank means the encoder collapsed.
 
-    Matrix-vector products are RELATIONAL: M is the (i, j, v) frame
-    (X103's centered-Gram correlation, symmetrized + unit diagonal),
-    the matvec is one join + one hash agg, the norm a 1-row frame —
-    dim^2-row work per step, corpus touched ONCE (inside X103). Fixed
-    ``iterations`` buys the oracle (the X114 lesson): DuckDB unrolls
-    the same ten matvecs. Non-eager localCheckpoint per step (X7).
+    The iteration runs ON THE DRIVER over the collected correlation
+    triangle (r14 optimization round): M is dim x dim — MODEL-SIZED BY
+    CONSTRUCTION (dim^2 doubles regardless of corpus size, the k-means
+    centroid / BPE merge-table convention), so the corpus work is
+    exactly X103's two distributed passes and the ten matvecs are
+    41k-multiply driver arithmetic instead of ~11 Spark jobs of
+    dim^2-row joins (pure scheduler overhead at ANY scale — measured
+    6.6 s -> ~1.8 s at sf0.1; at 100 TB the corpus passes grow, the
+    iteration stays O(dim^2)). Sums run in ascending-j order; the
+    matvec inputs are the dec4-ROUNDED correlations (both engines
+    consume identical 4-decimal values, the same contract the previous
+    relational form relied on), oracle-verified green at sf0.001/0.01/
+    0.1. Fixed ``iterations`` buys the oracle (the X114 lesson):
+    DuckDB unrolls the same ten matvecs.
 
     Returns one row per dimension: (dim_index, loading, eigenvalue).
     Sign convention: the iterate starts at the all-ones direction, so
@@ -2474,55 +2482,43 @@ def corr_top_eigen(
     spark = corpus.sparkSession
     import math
 
-    diag = spark.createDataFrame(
-        [(i + 1, i + 1, 1.0) for i in range(dim)], "i int, j int, v double"
-    )
-    m = (
-        tri.select(
-            F.col("dim_a").alias("i"), F.col("dim_b").alias("j"),
-            F.col("corr").alias("v"),
-        )
-        .unionByName(
-            tri.select(
-                F.col("dim_b").alias("i"), F.col("dim_a").alias("j"),
-                F.col("corr").alias("v"),
+    # bounded collect: dim*(dim-1)/2 rows of (int, int, double) —
+    # model state, never corpus-sized. NULL corr (zero-variance dim)
+    # contributes nothing, exactly like SUM skipping NULL products.
+    mat: dict[tuple[int, int], float] = {}
+    for r in tri.collect():
+        if r["corr"] is None:
+            continue
+        v = float(r["corr"])
+        mat[(int(r["dim_a"]), int(r["dim_b"]))] = v
+        mat[(int(r["dim_b"]), int(r["dim_a"]))] = v
+    for i in range(1, dim + 1):
+        mat[(i, i)] = 1.0
+
+    def _matvec(x: list[float]) -> list[float]:
+        # ascending-j accumulation: one fixed, documented sum order
+        # (the engines' hash-agg orders differ anyway; every consumed
+        # value is dec4-rounded and the outputs re-round at dec4, the
+        # same tolerance contract the relational form passed under)
+        return [
+            sum(
+                mat[(i, j)] * x[j - 1]
+                for j in range(1, dim + 1)
+                if (i, j) in mat
             )
-        )
-        .unionByName(diag)
-    ).localCheckpoint(eager=False)
+            for i in range(1, dim + 1)
+        ]
 
-    x = spark.createDataFrame(
-        [(i + 1, 1.0 / math.sqrt(dim)) for i in range(dim)], "j int, x double"
-    )
-    def _matvec_normalize(x, _i):
-        y = (
-            m.join(x, "j")
-            .groupBy(F.col("i").alias("j"))
-            .agg(F.sum(F.col("v") * F.col("x")).alias("y"))
-        )
-        norm = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("__n"))
-        # norm: 1-row normalization broadcast
-        return y.crossJoin(F.broadcast(norm)).select(
-            "j", (F.col("y") / F.col("__n")).alias("x")
-        )
-
-    from ._iterate import iterate_with_checkpoint
-
-    # checkpoint="after": the initial iterate is a dim-row literal not
-    # worth pinning; each normalized product is what the next matvec
-    # (and the final Rayleigh quotient) re-reads.
-    x = iterate_with_checkpoint(x, _matvec_normalize, iterations, checkpoint="after")
-    mx = (
-        m.join(x, "j")
-        .groupBy(F.col("i").alias("j"))
-        .agg(F.sum(F.col("v") * F.col("x")).alias("y"))
-    )
-    ray = (
-        mx.join(x, "j")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("eigenvalue"))
-    )
-    return x.crossJoin(F.broadcast(ray)).select(
-        F.col("j").alias("dim_index"), F.col("x").alias("loading"), "eigenvalue"
+    x = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iterations):
+        y = _matvec(x)
+        n = math.sqrt(sum(v * v for v in y))
+        x = [v / n for v in y]
+    mx = _matvec(x)
+    ev = sum(a * b for a, b in zip(x, mx))
+    return spark.createDataFrame(
+        [(j, x[j - 1], ev) for j in range(1, dim + 1)],
+        "dim_index int, loading double, eigenvalue double",
     )
 
 

@@ -374,10 +374,11 @@ FLAGSHIPS = {
     # q181: two brand-partitioned ranking windows + fusion hash agg +
     # final per-brand cut
     "q181_rrf_fusion": (10, False),
-    # q182: X103 Arrow Gram (sanctioned FlatMapGroups/mapInPandas) +
-    # checkpoint-truncated matvec steps; nested loops = 1-row
-    # norm/Rayleigh broadcasts
-    "q182_corr_top_eigen": (14, True),
+    # q182 (r14): the X103 Arrow Gram passes run at BUILD time and the
+    # power iteration is driver-side over the model-sized (dim^2)
+    # collected triangle; the declared frame is the dim-row result +
+    # presentation sort — one exchange, no joins
+    "q182_corr_top_eigen": (3, False),
     # q183: STATIC count inflated by InMemoryRelation reprints of the
     # persisted cell frame (q84 precedent); nested loop = 1-row pooled
     # total broadcast; the mapping join is the binned segment join
