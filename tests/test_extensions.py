@@ -644,7 +644,11 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
-    comps = dedup.connected_components(pairs, max_iter=10)
+    # driver_edge_cap=0 forces the distributed loop (the thing whose
+    # convergence this test pins); the driver union-find path is
+    # covered by test_connected_components_transitive_closure and the
+    # parity property test
+    comps = dedup.connected_components(pairs, max_iter=10, driver_edge_cap=0)
     assert comps.filter(F.col("comp") != 0).count() == 0
     assert comps.count() == 65
 

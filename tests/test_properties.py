@@ -183,8 +183,21 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(
         [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
     )
-    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    # both paths must match the reference: the forced distributed loop
+    # (driver_edge_cap=0) and the size-gated driver union-find (which
+    # these tiny graphs always take on the default cap)
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, driver_edge_cap=0).collect()
+    }
     assert got == expected
+    stats: dict = {}
+    via_driver = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, stats=stats).collect()
+    }
+    assert stats.get("driver_path") is True
+    assert via_driver == expected
 
 
 @given(
@@ -329,7 +342,9 @@ def test_connected_components_chain_converges_logarithmically(spark):
     )
     budget = int(2 * math.log2(n)) + 2
     stats = {}
-    labels = dedup.connected_components(pairs, max_iter=budget, stats=stats)
+    labels = dedup.connected_components(
+        pairs, max_iter=budget, stats=stats, driver_edge_cap=0
+    )
     assert labels.filter(F.col("comp") != 0).count() == 0
     assert labels.count() == n
     assert stats["rounds"] <= budget
