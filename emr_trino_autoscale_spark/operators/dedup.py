@@ -478,7 +478,13 @@ def ngram_jaccard_pairs_prefix(
     dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    pref = (
+    # The prefix frame feeds BOTH sides of the candidate self-join;
+    # without a persist each side recomputes the dfreq aggregate + the
+    # per-doc window sort (two Window subtrees in the executed plan —
+    # the q73 signature-frame lesson). default_persist, not the
+    # caller's scoped persist_fn: that one released prior caches on
+    # entry and must keep scoping only the docs frame.
+    pref = default_persist(
         ex.join(dfreq, "s")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
