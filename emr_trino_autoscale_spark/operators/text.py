@@ -1430,13 +1430,23 @@ def substring_search(
     qgrams = qdf.select(
         "query", F.explode(char_trigrams(F.col("query"))).alias("g")
     )
+    # Both posting-list consumers (the gram-df agg and the candidate
+    # join) only ever touch grams that occur in a QUERY — a bounded
+    # literal set by contract — so prune the corpus explode to the
+    # query-gram universe before anything else. A broadcast semi-join
+    # against the Spark-derived query grams (not a Python-side isin
+    # list) guarantees the pruned set uses the exact same gram
+    # semantics as the probe frame. Lossless for the gram dfs (a kept
+    # gram's count is unchanged by dropping other grams) and for
+    # candidates (they only ever join on probe grams). This turns the
+    # persisted frame from corpus-grams-sized into matches-sized.
     posting = df.select(
         F.col(id_col).alias("__id"),
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
-    )
-    # the posting list feeds the gram-df agg AND the candidate join;
-    # persist it (ppjoin convention, caller-scoped) so the trigram
-    # explode runs once
+    ).join(F.broadcast(qgrams.select("g").distinct()), "g", "left_semi")
+    # the pruned posting list still feeds the gram-df agg AND the
+    # candidate join; persist it (ppjoin convention, caller-scoped) so
+    # the corpus-wide trigram explode runs once
     if persist_fn is None:
         persist_fn = default_persist  # registered; released via release_default_persists
     posting = persist_fn(posting)

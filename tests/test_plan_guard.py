@@ -191,8 +191,12 @@ FLAGSHIPS = {
     # q115: the _cache_scoped'd posting list's subtree reprints under
     # its InMemoryRelation references (the q84 static-count effect);
     # runtime = one trigram explode + df agg + probe window + AND-count
-    # agg + contains-verify join
-    "q115_substring_search": (16, False),
+    # agg + contains-verify join. Re-audited r14 after the query-gram
+    # semi-join prune: 22 textual = 9 BroadcastExchange (the tiny
+    # qgram-set subtree, reprinted under every cached reference) + 6
+    # real shuffles (the one addition is the ~30-row qgram distinct);
+    # real corpus-sized shuffles unchanged at 5
+    "q115_substring_search": (22, False),
     # q116: one anchor-df agg (bounded collect) + posexplode +
     # broadcast anchor join + distinct
     "q116_blocklist_filter": (6, False),
