@@ -1399,25 +1399,47 @@ def association_rules(
     still inflated the support denominator; a NULL basket id joins
     nothing. Both are upstream data bugs — the operator sees neither.
     """
-    bi = (
+    # ONE basket-keyed shuffle does both the (basket, item) dedup and
+    # the basket materialization: collect_set dedups items within the
+    # basket, so the old [distinct shuffle + two-sided basket self-join
+    # + pair agg] (three corpus-sized exchanges over the cached cell
+    # frame) collapses to [groupBy(b) + row-local pair expansion + pair
+    # agg] (one corpus-sized exchange + one pair-sized one). The sorted
+    # array makes pair order deterministic and (x < y) positional, so
+    # pair counts are identical to the join form; per-basket work is
+    # C(|basket|, 2) exactly as before — the degenerate-giant-basket
+    # skew axis moves from join fan-out to a row-local lambda, same
+    # width-cap-upstream caveat.
+    bk = (
         baskets.filter(
             F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
         )
         .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
-        .distinct()
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_set("i")).alias("__items"))
     )
-    # bi feeds the basket total, the item counts and BOTH pair-join
-    # sides — persist once (caller-owned persist_fn convention).
+    # bk feeds the basket total, the item counts and the pair explode —
+    # persist once (caller-owned persist_fn convention).
     if persist_fn is None:
         persist_fn = default_persist  # registered; released via release_default_persists
-    bi = persist_fn(bi)
-    n_row = bi.agg(F.count_distinct("b").cast("double").alias("__n"))
-    icnt = bi.groupBy(F.col("i")).agg(F.count("*").alias("__ic"))
-    a = bi.select(F.col("b"), F.col("i").alias("item_a"))
-    b = bi.select(F.col("b"), F.col("i").alias("item_b"))
+    bk = persist_fn(bk)
+    n_row = bk.agg(F.count("*").cast("double").alias("__n"))
+    icnt = bk.select(F.explode("__items").alias("i")).groupBy(F.col("i")).agg(
+        F.count("*").alias("__ic")
+    )
     pairs = (
-        a.join(b, "b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (x, k) ->"
+                    " transform(slice(__items, k + 2, size(__items)),"
+                    " y -> struct(x, y))))"
+                )
+            ).alias("__pr")
+        )
+        .select(
+            F.col("__pr.x").alias("item_a"), F.col("__pr.y").alias("item_b")
+        )
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_support)
