@@ -1198,14 +1198,23 @@ def kmeans_fit(
                 [vec for _, vec in cent_rows],
                 ret_type="int",
             )
-            asg = corpus.select(
-                F.col(id_col), quantize(F.col(vec_col)).alias("assigned")
+            # the quantizer is a projection over the corpus row itself,
+            # so the vector rides along — re-joining the assignment
+            # back to the corpus on the id (a corpus self-join: two
+            # scans + an id shuffle per Lloyd round) is pure overhead
+            assigned_vec = corpus.select(
+                quantize(F.col(vec_col)).alias("assigned"), F.col(vec_col)
             )
         else:
             cents = spark.createDataFrame(cent_rows, schema)
             asg = coarse_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+            # coarse_assign contracts to (id, assigned) through its
+            # max_by agg — this branch still needs the id join
+            assigned_vec = corpus.join(asg, id_col).select(
+                "assigned", F.col(vec_col)
+            )
         means = (
-            corpus.join(asg, id_col)
+            assigned_vec
             .select("assigned", F.posexplode(as_double(F.col(vec_col))).alias("pos", "v"))
             .groupBy("assigned", "pos")
             .agg(F.avg("v").alias("m"))
