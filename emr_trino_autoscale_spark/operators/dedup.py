@@ -1389,13 +1389,23 @@ def minhash_lsh_pairs(
         F.conv(F.substring("__d", 1, 7), 16, 10).cast("long").alias("__h1"),
         F.conv(F.substring("__d", 17, 7), 16, 10).cast("long").alias("__h2"),
     )
-    sig = grams.groupBy("id").agg(
-        *[
-            F.min(
-                F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(km_p))
-            ).alias(f"__m{i}")
-            for i in range(n_perms)
-        ]
+    # The signature matrix feeds BOTH sides of the banded candidate
+    # self-join (via the band posexplode); unpersisted, the gram
+    # explode + n_perms-min aggregation recomputes per side (two full
+    # subtree copies in the executed plan — the q73/q27 class).
+    # Persist at the narrowest point: one row of n_perms longs per doc;
+    # the per-side posexplode is a row-local rehydrate from the cache.
+    # default_persist (inner intermediate), not the caller's scoped
+    # persist_fn, which must keep scoping only the base gram arrays.
+    sig = default_persist(
+        grams.groupBy("id").agg(
+            *[
+                F.min(
+                    F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(km_p))
+                ).alias(f"__m{i}")
+                for i in range(n_perms)
+            ]
+        )
     )
     band_keys = F.array(
         *[
