@@ -1079,6 +1079,52 @@ def bpe_learn(
     )
     cur = words.withColumn("__sym", _char_symbols(F.col("w"))).select("wc", "__sym")
     cur = cur.localCheckpoint(eager=False)
+    spark = df.sparkSession
+    out_schema = "rank int, left string, right string, pair_count bigint"
+    # Size-gated driver path (the q49 connected-components dispatch
+    # rule): the merge loop operates on the corpus-CONTRACTED word
+    # histogram, so after the one corpus pass the remaining work is
+    # n_merges rounds of jobs over a vocabulary-sized frame — pure
+    # scheduler overhead when the vocabulary is small. Under the cap
+    # (``$SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP`` distinct words, default
+    # 100k, 0 disables) collect the symbolized histogram once (the
+    # count materializes the checkpoint) and run the identical greedy
+    # loop in Python: same pair weighting, same (count desc, left asc,
+    # right asc) argmax (UTF-8 byte order == Python code-point order),
+    # same left-to-right fold as _merge_fold. Above the cap — a 100 TB
+    # corpus's long-tail vocabulary — the distributed loop below runs
+    # unchanged.
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", 100_000))
+    if cap > 0 and cur.count() <= cap:
+        vocab = [[int(r["wc"]), list(r["__sym"])] for r in cur.collect()]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts: dict = {}
+            for wc, sym in vocab:
+                for i in range(len(sym) - 1):
+                    key = (sym[i], sym[i + 1])
+                    counts[key] = counts.get(key, 0) + wc
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, int(cnt)))
+            joined = left + right
+            for entry in vocab:
+                sym = entry[1]
+                if len(sym) < 2:
+                    continue
+                acc: list = []
+                for s in sym:
+                    if acc and acc[-1] == left and s == right:
+                        acc[-1] = joined
+                    else:
+                        acc.append(s)
+                entry[1] = acc
+        return spark.createDataFrame(merges, out_schema)
     merges = []
     for rank in range(1, n_merges + 1):
         n = F.size("__sym")
@@ -1105,10 +1151,7 @@ def bpe_learn(
         merges.append((rank, left, right, cnt))
         merged = _merge_fold(F.col("__sym"), left, right)
         cur = cur.select("wc", merged.alias("__sym")).localCheckpoint(eager=False)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
-    )
+    return spark.createDataFrame(merges, out_schema)
 
 
 def bm25_model(

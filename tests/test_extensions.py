@@ -1224,6 +1224,17 @@ def test_bpe_learn_merge_order_and_greedy_apply(spark):
     assert len(mm) == 1 and (mm[0]["left"], mm[0]["right"]) == ("x", "y")
 
 
+def test_bpe_learn_driver_and_distributed_paths_agree(spark, monkeypatch):
+    # the size-gated driver merge loop must reproduce the distributed
+    # loop's merge sequence exactly (same weighting, argmax tie-break,
+    # and greedy fold); overlapping runs and ties exercise the fold
+    d = docs(spark, ["aaab aaab abab", "cac cac caca", "bbbb"])
+    via_driver = [tuple(r) for r in text.bpe_learn(d, n_merges=4).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", "0")
+    via_loop = [tuple(r) for r in text.bpe_learn(d, n_merges=4).collect()]
+    assert via_driver == via_loop and len(via_driver) >= 3
+
+
 def test_bpe_pair_stats_weights_by_word_count(spark):
     d = docs(spark, ["zz zz zz", "zq"])
     out = {(r["left"], r["right"]): r["pair_count"]
