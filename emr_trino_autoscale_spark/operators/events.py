@@ -1048,14 +1048,6 @@ def transition_latency_quantiles(
         .withColumn("pair", F.concat_ws("->", "a", "b"))
         .withColumn("__one", F.lit(1.0))
     )
-    # lat feeds the quantile machinery AND the per-pair transition
-    # count; unpersisted, the per-user lag window (shuffle + sort over
-    # the event stream) runs once per consumer. default_persist — the
-    # caller's scoped persist_fn is forwarded to weighted_quantile for
-    # its cell frame and must not be double-applied.
-    from ._persist import default_persist
-
-    lat = default_persist(lat)
     q = weighted_quantile(
         lat, ["pair"], "lat_us", "__one",
         quantiles=quantiles, bucket_width=float(1 << 26),
