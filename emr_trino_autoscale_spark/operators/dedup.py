@@ -1192,7 +1192,11 @@ def tfidf_cosine_pairs(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     bound_sq = (threshold / 2.0) ** 2
-    prefix = (
+    # prefix feeds BOTH candidate-join sides and the budget-guard bound
+    # count — three computations of the per-doc reverse-mass window over
+    # the cached u without a persist (the q27 prefix-frame class).
+    # default_persist: the caller's persist_fn already scopes u.
+    prefix = default_persist(
         u.withColumn("__rev_sq", F.sum(F.col("__uw") * F.col("__uw")).over(w_rev))
         .filter(F.col("__rev_sq") >= F.lit(bound_sq))
         .select("id", "tok")
@@ -1209,6 +1213,7 @@ def tfidf_cosine_pairs(
             .collect()[0]["__pairs"]
         )
         if bound is not None and bound > candidate_budget:
+            prefix.unpersist()
             if _owned:
                 # eager cleanup on the abort path; the registry's later
                 # duplicate unpersist is a no-op
