@@ -1000,14 +1000,21 @@ def duplicated_spans(
     span, strictly fewer rows than the gram hits it consumed.
     """
     d = df.withColumn("__toks", F.split(F.col(text_col), " "))
-    g = d.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                shingles_of(F.col("__toks"), k),
-                md5_long60,
-            )
-        ).alias("pos", "gram"),
+    # g feeds the gram-frequency agg AND the hit probe side; without a
+    # persist the tokenize + shingle + per-gram md5 explode runs twice
+    # (unlike q149's cheap substring grams, the md5 digesting here is
+    # expensive enough to beat the cache write — interleaved A/B at
+    # sf0.1: 4.26 s -> 2.78 s median).
+    g = default_persist(
+        d.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    shingles_of(F.col("__toks"), k),
+                    md5_long60,
+                )
+            ).alias("pos", "gram"),
+        )
     )
     freq = g.groupBy("gram").agg(F.count("*").alias("__c"))
     hits = g.join(freq.filter(F.col("__c") >= min_count).select("gram"), "gram")
