@@ -474,6 +474,11 @@ BROADCAST_ALLOW = {
         # |queries| x max_probe_grams probe frame (substring_search) —
         # bounded literal sets by contract
         "adf", "probes",
+        # distinct query-gram universe (substring_search posting-list
+        # prune, round 14): <= |queries| x (max query length) trigrams
+        # — derived from the caller's literal query set, corpus-size
+        # independent
+        "qgrams.select('g').distinct()",
         # |distinct phrase tokens|-row vocab frame (blocklist anchor
         # df pre-count) — bounded literal set by contract
         "vdf",
