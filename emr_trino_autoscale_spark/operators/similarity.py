@@ -640,27 +640,40 @@ def near_dup_pairs_lsh(
     probability 1 - theta/pi per bit). Candidates are verified with the
     exact cosine before emission.
 
-    Scale shape (vs the blocked-GEMM exact op, which replicates every
-    row sqrt(P) times): one narrow (id, band, bucket) signature frame —
-    vectors do NOT ride the candidate shuffle — self-joined on the
-    (band, bucket) int key, DISTINCT pairs, then two id-keyed joins
-    rehydrate just the candidate vectors for the verify. Shuffle volume
-    is n_rows x n_bands narrow rows plus the (near-dup-rate-sized)
-    candidate set. Mega-bucket skew is the knob the caller owns: bucket
-    population halves per extra plane per band (2^r buckets/band), so r
-    rises with corpus size; recall is then recovered by adding bands,
-    never by widening buckets.
+    Scale shape: two forms. The fold form (``vectorized=False``) keeps
+    the round-7 design — one narrow (id, band, bucket) signature frame
+    self-joined on the (band, bucket) int key, DISTINCT pairs, then two
+    id-keyed joins rehydrate candidate vectors for the verify — so the
+    whole plan stays pure fold-SQL for plan-shape tests. Mega-bucket
+    skew is the knob the caller owns in both forms: bucket population
+    halves per extra plane per band (2^r buckets/band), so r rises with
+    corpus size; recall is then recovered by adding bands, never by
+    widening buckets.
 
-    ``vectorized=True`` computes each band's corpus bucket with the
-    Arrow/NumPy GEMM (`arrow_udfs.srp_bucket_vectorized`) AND scores
-    the candidate verify with the Arrow pair-cosine
-    (`arrow_udfs.pair_cosine` — the verify is the hot path: millions
-    of candidate rows x one 64-dim dot each; the interpreted HOF fold
-    measured ~10x slower at sf0.1). Both halves round exactly like the
-    fold form (6-decimal sign test, 4-decimal cosine), so the
-    oracle-declared q73 runs vectorized and still hash-matches DuckDB
-    (q28's blocked-GEMM precedent). ``vectorized=False`` keeps the
-    whole plan pure fold-SQL for plan-shape tests.
+    ``vectorized=True`` (round 14, the corpus path) verifies candidates
+    IN-BUCKET: the signature explode carries the vector, and one
+    Arrow `applyInPandas` per (band, bucket) group generates the
+    group's candidate pairs AND their exact cosines in a single NumPy
+    pass. The candidate pairs themselves never ride a shuffle: the
+    round-13 shape materialized the (band,bucket) self-join (sum over
+    buckets of C(n,2) rows), DISTINCTed it, re-joined both vector
+    sides, and shipped 2 x |candidates| full vectors through a scalar
+    Arrow projection — measured at sf0.1 the Arrow pair transfer alone
+    was ~5 s of q73's ~11 s (1.3M candidate pairs x two 64-float
+    arrays ~ 660 MB through the JVM-Python boundary; the pair dots are
+    ~0.3 s of NumPy). In-bucket, the boundary carries n_bands x corpus
+    vectors ONCE (< 2 x |candidates| vectors whenever buckets average
+    more than ~4 members, i.e. any recall-oriented geometry) and per
+    group emits only pairs within 1e-4 of the threshold — strictly
+    below the round-to-4-decimals survival boundary, so the
+    Spark-side ROUND(,4) >= threshold filter sees every survivor the
+    score-everything form saw. Per-pair arithmetic is unchanged
+    (float64 row dot / norm product, the exact `pair_cosine` kernel),
+    duplicates across bands collapse on the ROUNDED decimal, and the
+    oracle-declared q73 hash-matches DuckDB at all SFs (q28's
+    blocked-GEMM precedent). Group compute is the same sum-over-
+    buckets C(n,2) dots the self-join already materialized as rows;
+    the triu expansion is chunked so task memory stays bounded.
     """
     if n_bands <= 0 or len(planes) % n_bands:
         raise ValueError(f"n_bands={n_bands} must evenly split {len(planes)} planes")
@@ -675,8 +688,75 @@ def near_dup_pairs_lsh(
         from ..functions.arrow_udfs import srp_bucket_vectorized
 
         bucket_cols = [srp_bucket_vectorized(bp)(F.col("__e")) for bp in bands]
-    else:
-        bucket_cols = [srp_bucket_literal(F.col("__e"), bp) for bp in bands]
+        # In-bucket verify (see docstring): the fat signature frame has
+        # exactly ONE consumer, so no persist — one corpus scan, one
+        # SRP pass, one (band,bucket)-keyed shuffle.
+        sig = src.select(
+            *(["__g"] if group_col else []),
+            "id",
+            "__e",
+            F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+        )
+        keys = (["__g"] if group_col else []) + ["band", "bucket"]
+        # Any cosine below threshold - 1e-4 rounds to at most
+        # threshold - 1e-4 at 4 decimals, so it can never pass the
+        # shared ROUND(,4) >= threshold output filter: pre-cutting here
+        # drops no survivor while keeping the emitted frame
+        # near-dup-rate-sized.
+        pre_cut = threshold - 1e-4
+
+        def score_bucket(pdf):
+            import numpy as np
+            import pandas as pd
+
+            order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+            ids = pdf["id"].to_numpy()[order]
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__e"].to_numpy()[order]]
+            )
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a, out_b, out_c = [], [], []
+            # chunk the pair expansion: task memory stays O(step), not
+            # O(C(bucket, 2)), whatever the bucket population
+            step = 2_000_000
+            for s in range(0, len(ia), step):
+                sa, sb = ia[s : s + step], ib[s : s + step]
+                # the exact pair_cosine arithmetic: float64 row dot over
+                # the raw vectors, divided by the norm product — per-pair
+                # values are bitwise the old scalar-UDF verify's
+                cos = np.einsum("ij,ij->i", m[sa], m[sb]) / (nrm[sa] * nrm[sb])
+                keep = cos >= pre_cut
+                out_a.append(ids[sa][keep])
+                out_b.append(ids[sb][keep])
+                out_c.append(cos[keep])
+            if out_a:
+                a = np.concatenate(out_a)
+                b = np.concatenate(out_b)
+                c = np.concatenate(out_c)
+            else:
+                a = np.array([], dtype=np.int64)
+                b = np.array([], dtype=np.int64)
+                c = np.array([], dtype=np.float64)
+            return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c})
+
+        pairs = sig.groupBy(*keys).applyInPandas(
+            score_bucket, schema="id_a long, id_b long, cosine double"
+        )
+        # duplicates across bands carry identical vectors, hence
+        # identical dots; collapsing on the ROUNDED decimal makes the
+        # dedup robust to any last-ulp wobble as well
+        return (
+            pairs.withColumn(
+                "cosine", F.round(F.col("cosine"), 4).cast("decimal(38,4)")
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .distinct()
+        )
+
+    bucket_cols = [srp_bucket_literal(F.col("__e"), bp) for bp in bands]
     sig = src.select(
         *(["__g"] if group_col else []),
         "id",
@@ -684,11 +764,10 @@ def near_dup_pairs_lsh(
     )
     # The signature frame feeds BOTH sides of the candidate self-join;
     # unpersisted, each side recomputes the corpus scan plus all
-    # n_bands SRP passes (the executed plan carried two ArrowEvalPython
-    # bucket nodes — measured ~15-20% of q73 at sf0.1, and at corpus
-    # scale it is a full second signature pass). persist_fn follows the
-    # _persist.py contract: declared queries pass _cache_scoped,
-    # bare calls self-register for release_caches() to drain.
+    # n_bands SRP passes (at corpus scale a full second signature
+    # pass). persist_fn follows the _persist.py contract: declared
+    # queries pass _cache_scoped, bare calls self-register for
+    # release_caches() to drain.
     if persist_fn is None:
         persist_fn = default_persist
     sig = persist_fn(sig)
@@ -707,52 +786,24 @@ def near_dup_pairs_lsh(
         .distinct()
     )
 
-    if vectorized:
-        from ..functions.arrow_udfs import pair_cosine_nd
-
-        va = corpus.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    n = with_norm(corpus, vec_col)
+    va = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__norm").alias("na"),
+    )
+    vb = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__norm").alias("nb"),
+    )
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
         )
-        vb = corpus.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-        )
-        # pair_cosine_nd: the Arrow verify is semantically deterministic,
-        # but Catalyst inlines deterministic expressions into the
-        # pushed-down threshold filter AND the final projection
-        # separately — the executed plan then carries TWO ArrowEvalPython
-        # nodes and runs pair_cosine twice over the full candidate set
-        # (measured r13 at sf0.1: 1.3M candidates, ~2x verify wall). The
-        # nondeterministic INSTANCE (not .asNondeterministic() here —
-        # that mutates the shared UDF in place and would flip every
-        # other pair_cosine plan in the session) only blocks that
-        # duplication; values are unchanged.
-        scored = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .withColumn(
-                "cosine",
-                pair_cosine_nd(F.col("va"), F.col("vb")),
-            )
-        )
-    else:
-        n = with_norm(corpus, vec_col)
-        va = n.select(
-            F.col(id_col).alias("id_a"),
-            F.col("__v").alias("va"),
-            F.col("__norm").alias("na"),
-        )
-        vb = n.select(
-            F.col(id_col).alias("id_b"),
-            F.col("__v").alias("vb"),
-            F.col("__norm").alias("nb"),
-        )
-        scored = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .withColumn(
-                "cosine", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-            )
-        )
+    )
     return (
         scored.withColumn(
             "cosine", F.round(F.col("cosine"), 4).cast("decimal(38,4)")
@@ -1803,12 +1854,6 @@ def semantic_dedup(
             vec_col=vec_col,
             vectorized=True,
             group_col="assigned",
-            # NOT the caller's persist_fn: _cache_scoped releases prior
-            # caches on entry, so a second scoped call here would evict
-            # the `assigned` frame above before it materializes. The
-            # default registry persists AND is drained by the same
-            # release_caches() the scoped route uses.
-            persist_fn=default_persist,
         )
     else:
         pairs = near_dup_pairs_blocked(

@@ -1766,10 +1766,12 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # r14: the vectorized path verifies in-bucket — single-consumer plan,
+    # nothing to persist (the r13 signature cache fed the self-join the
+    # in-bucket form no longer has)
     return (
         similarity.near_dup_pairs_lsh(
             e, _PLANES24, n_bands=8, threshold=0.4, vectorized=True,
-            persist_fn=_cache_scoped,
         )
         .withColumn("cosine", F.col("cosine").cast("string"))
         .orderBy("id_a", "id_b")

@@ -1073,6 +1073,46 @@ def test_near_dup_pairs_lsh_subset_recall_and_parity(spark, sf_dir):
     assert len(fold) / len(exact) >= 0.8
 
 
+def test_near_dup_lsh_in_bucket_precut_boundary(spark):
+    """r14 in-bucket verify edge cases: (1) the in-kernel pre-cut
+    (threshold - 1e-4) sits strictly below the ROUND(,4) survival
+    boundary, so a cosine of ~0.39996 (rounds to 0.4000) is still
+    emitted while ~0.39990 (rounds to 0.3999) is not; (2) a pair
+    colliding in EVERY band emits exactly one row (the post-filter
+    distinct collapses cross-band duplicates). The fold form is the
+    unchanged reference for both."""
+    import math
+
+    rows = []
+    for i, c in enumerate([1.0, 0.40002, 0.39996, 0.39990, 0.39980]):
+        th = math.acos(min(c, 1.0))
+        rows.append((i + 1, [math.cos(th), math.sin(th)] + [0.0] * 62))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one plane per band, both bands identical: every vector projects
+    # positive, so every pair collides in BOTH bands
+    planes = [[1.0] + [0.0] * 63] * 2
+
+    fold = sorted(
+        (r["id_a"], r["id_b"], str(r["cosine"]))
+        for r in similarity.near_dup_pairs_lsh(
+            corpus, planes, n_bands=2, threshold=0.4
+        ).collect()
+    )
+    vec = sorted(
+        (r["id_a"], r["id_b"], str(r["cosine"]))
+        for r in similarity.near_dup_pairs_lsh(
+            corpus, planes, n_bands=2, threshold=0.4, vectorized=True
+        ).collect()
+    )
+    assert vec == fold
+    pairs = [(a, b) for a, b, _ in vec]
+    assert len(pairs) == len(set(pairs)), "cross-band duplicate pair emitted"
+    assert (1, 2) in pairs          # 0.40002 — clears the threshold raw
+    assert (1, 3) in pairs          # 0.39996 — survives only via rounding
+    assert (1, 4) not in pairs      # 0.39990 — rounds to 0.3999
+    assert (1, 5) not in pairs      # 0.39980 — below the pre-cut
+
+
 def test_bigram_stats_counts_and_cond_prob(spark):
     # "a b", "a b a c" -> pairs: (a,b)x2, (b,a), (a,c); P(b|a)=2/3
     d = docs(spark, ["a b", "a b a c"])

@@ -95,10 +95,12 @@ FLAGSHIPS = {
     "q67_curation_funnel": (8, False),
     "q59_contamination": (8, False),
     "q60_ngram_novelty": (8, False),
-    # q73: 8-band signature explode + (band,bucket) self-join + distinct
-    # + two id-keyed vector rehydration joins; ArrowEvalPython (bucket
-    # GEMM + pair-cosine verify) is the sanctioned vectorized path
-    "q73_cosine_neardup_lsh": (10, False),
+    # q73 (r14 in-bucket verify): 8-band fat-signature explode +
+    # one (band,bucket) group shuffle into the applyInPandas scorer +
+    # the tiny post-filter pair distinct + presentation sort; the r13
+    # self-join/rehydration/pair-Arrow shape is gone (plan 6 textual
+    # exchanges, was 10)
+    "q73_cosine_neardup_lsh": (6, False),
     # q74 is row-local sequence/explode: the only exchanges are the
     # final presentation sort
     "q74_token_chunking": (2, False),
@@ -411,10 +413,11 @@ FLAGSHIPS = {
 # only for queries whose vectorized path is documented and measured.
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
 
-# q73's bucket GEMM + pair-cosine verify: Arrow projections measured
-# ~10x the interpreted HOF fold on the 1.3M-row candidate set
-# (docs/SCALE.md round-6 q73 note); parity with the fold form is
-# pytest-pinned (test_near_dup_pairs_lsh_subset_recall_and_parity)
+# q73's SRP bucket projection: one Arrow GEMM per batch replaces
+# n_planes interpreted HOF folds per row (docs/SCALE.md round-6 q73
+# note); the verify itself is applyInPandas (FlatMapGroupsInPandas,
+# sanctioned) since the r14 in-bucket rewrite. Parity with the fold
+# form is pytest-pinned (test_near_dup_pairs_lsh_subset_recall_and_parity)
 ARROW_EVAL_OK = {"q73_cosine_neardup_lsh"}
 
 
