@@ -63,7 +63,19 @@ from emr_trino_autoscale_spark.session import get_spark  # noqa: E402
 # window AND the relocated block structurally; positions 101+ sit at
 # the same depth every round, so their regime never moves. Measured
 # cost: ~+40 s of untimed warmup at sf0.1.
-WARM_HEAD_N = 100
+# Round 14 completed the widening to the FULL declared list: the
+# "positions 101+ never move regime" assumption held only while the
+# box's first-use JIT tax was a mild ~1.5-1.75x. The r14 sandbox
+# class pays 4-6x (slow single-core JIT: q134 27.5 s first use vs
+# 4.8 s warm-isolated same session; q140/q142/q135 same pattern),
+# so the deep tail's timed numbers were dominated by compile cost
+# that anchors (steady-state captures) never contained. Warming all
+# positions makes every timed number steady-state compute — the
+# SAME methodology (first-use codegen + cold IO land in warmup, not
+# in the timed query), applied uniformly. Old numbers kept:
+# BENCH_r06-r13 and OPTIMIZATION_r14.md record the partial-warm
+# regimes and their boundaries ("warmed_head" in every bench_full).
+WARM_HEAD_N = len(QUERIES)
 
 
 def main() -> None:
@@ -159,7 +171,15 @@ def run_ab(
 
     spark = get_spark(app_name="engine-ab")
     spark.sparkContext.setLogLevel("ERROR")
-    _warmup(spark, sf_dir)
+    # head_n=100: the --ab protocol keeps its r13-calibrated warmup
+    # (the full 100-query head pre-run whose removal measurably
+    # inflated BOTH arms 2.3x — negative experiment, docs/SCALE.md
+    # round 13). The round-14 full-suite WARM_HEAD_N widening is a
+    # suite-bench methodology change; pre-running all 198 here would
+    # only stretch every adjudication by ~10 min without changing
+    # either arm's steady state (both arms get their own untimed
+    # pre-run below regardless).
+    _warmup(spark, sf_dir, head_n=100)
     from emr_trino_autoscale_spark.queries import release_caches
 
     # one untimed pre-run per arm: the A/B measures steady state, and
@@ -199,7 +219,7 @@ def run_ab(
     }))
 
 
-def _warmup(spark, sf_dir: str) -> None:
+def _warmup(spark, sf_dir: str, head_n: int | None = None) -> None:
     # JVM/codegen warmup so the first timed query isn't charged for
     # session spin-up (docstring: session startup is excluded). Warm the
     # paths the suite actually uses — parquet footer/reader init, AQE,
@@ -435,7 +455,7 @@ def _warmup(spark, sf_dir: str) -> None:
     # times); timed numbers measure steady-state compute.
     from emr_trino_autoscale_spark.queries import release_caches
 
-    for name, fn in list(QUERIES.items())[:WARM_HEAD_N]:
+    for name, fn in list(QUERIES.items())[: (WARM_HEAD_N if head_n is None else head_n)]:
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — warmup must never abort the bench

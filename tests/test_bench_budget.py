@@ -132,11 +132,21 @@ def _log_skip(path: str, **detail) -> None:
 
 
 def _run_bench() -> dict:
+    # Timeout is a harness bound, not a perf budget: it must be slack
+    # enough that a slow-but-working box still produces numbers for the
+    # adjudication/skip paths below to judge. 1200 s was calibrated on
+    # the r6-r13 host class; the r14 sandbox class runs the bench wall
+    # at ~2x (per-job scheduler latency + 4-6x first-use JIT), and the
+    # full-suite warm head (bench.py round 14) adds the tail's untimed
+    # warmup pass — observed wall ~16 min standalone, more in-suite.
+    # A TimeoutExpired here bypasses every skip path and reds the suite
+    # with zero code signal; the real regression guards are the
+    # per-query budgets, which need the run to COMPLETE.
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=3000,
         cwd=REPO,
     )
     assert proc.returncode == 0, f"bench.py rc={proc.returncode}: {proc.stderr[-2000:]}"
@@ -176,7 +186,9 @@ def _run_ab(name: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"), "--ab", name],
         capture_output=True,
         text=True,
-        timeout=1200,
+        # harness bound, same reasoning as _run_bench: the --ab's own
+        # 100-query warmup runs ~2x wall on the r14 sandbox class
+        timeout=1800,
         cwd=REPO,
     )
     assert proc.returncode == 0, f"--ab {name} rc={proc.returncode}: {proc.stderr[-500:]}"
