@@ -106,6 +106,7 @@ def triangle_stats(
     src_col: str = "src",
     dst_col: str = "dst",
     persist_fn=None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """X122 — exact triangle counting by DEGREE-ORDERED orientation
     (Schank/Wagner 2005; the MapReduce form is Suri/Vassilvitskii WWW
@@ -124,20 +125,27 @@ def triangle_stats(
     from degree-quadratic to edge-3/2. The joins are plain equi-joins
     (wedge on the pivot, closure on the (v, w) pair); no windows.
     """
-    ce = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    ce = edges.select(
+        F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+        F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    # ``assume_canonical``: the caller asserts the input already holds
+    # each undirected edge exactly once with src < dst (and no self
+    # loops), so the canonicalizing ``distinct`` — a full shuffle of
+    # the edge frame, §2.4 "a distinct on data that is already
+    # unique" — is skipped (round 14; parity pinned by
+    # tests/test_extensions.py::test_triangle_stats_canonical_parity).
+    if not assume_canonical:
+        ce = ce.distinct()
     # ce feeds the degree agg and (via orientation) three join sides —
     # persist once (caller-owned persist_fn convention).
     if persist_fn is None:
         persist_fn = default_persist  # registered; released via release_default_persists
     ce = persist_fn(ce)
-    deg = (
+    # deg feeds BOTH orientation join sides AND the closing stats agg —
+    # without its own persist the union+hash-agg subtree executes three
+    # times (round-14 plan read; the q73 signature-frame class).
+    deg = default_persist(
         ce.select(F.col("a").alias("node"))
         .unionByName(ce.select(F.col("b").alias("node")))
         .groupBy("node")

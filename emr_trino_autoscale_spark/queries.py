@@ -3415,7 +3415,14 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    return graph.triangle_stats(edges, "src", "dst", persist_fn=_cache_scoped)
+    # assume_canonical: each (a, b) pair is generated exactly once
+    # (customer keys are unique, b ranges over a+1..a+30, the kept-pair
+    # hash is a function of (a, b)) with src < dst by construction, so
+    # the operator's canonicalizing distinct would shuffle an
+    # already-unique frame (round 14, guide §2.4).
+    return graph.triangle_stats(
+        edges, "src", "dst", persist_fn=_cache_scoped, assume_canonical=True
+    )
 
 
 # Q159 — X124: mutual information between event type and the value

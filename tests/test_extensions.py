@@ -3402,6 +3402,32 @@ def test_triangle_stats_hand_graphs(spark):
     assert r2.n_triangles == 2 and r2.n_edges == 6
 
 
+def test_triangle_stats_canonical_parity(spark):
+    """Round 14: ``assume_canonical=True`` skips the canonicalizing
+    distinct (guide §2.4 — a distinct on already-unique data is a free
+    shuffle). On a canonical edge list (unique, src < dst, no loops)
+    every output column must be identical to the default path; the
+    q158 generator produces exactly this shape."""
+    import random
+
+    from emr_trino_autoscale_spark.operators.graph import triangle_stats
+
+    rng = random.Random(158)
+    canon = sorted(
+        {
+            (a, b)
+            for a in range(1, 120)
+            for b in rng.sample(range(1, 120), 8)
+            if a < b
+        }
+    )
+    df = spark.createDataFrame(canon, "src long, dst long")
+    r_default = triangle_stats(df).collect()[0]
+    r_canon = triangle_stats(df, assume_canonical=True).collect()[0]
+    assert r_default == r_canon
+    assert r_default.n_edges == len(canon)
+
+
 def test_mutual_information_hand_case(spark):
     """X124: MI/H on a 2x2 with a perfectly dependent pair and an
     independent pair — hand entropies."""
