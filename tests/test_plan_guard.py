@@ -677,9 +677,20 @@ def test_no_duplicated_python_eval_nodes(spark):
     pair_cosine verify ran twice over the 1.3M-row candidate set,
     docs/SCALE.md round 13; fixed with asNondeterministic at the call
     site). Scan EVERY declared query's executed plan and fail on any
-    UDF name appearing in more than one Python-eval node. Subtrees
+    UDF RESULT ID appearing in more than one Python-eval node. Subtrees
     under InMemoryTableScan are excluded: a cached frame's lineage is
-    PRINTED at every scan site but executes once."""
+    PRINTED at every scan site but executes once.
+
+    The dedup key is ``name#resultId``, not the bare name (round 14):
+    Catalyst's inlined copies of ONE call carry the SAME result id
+    into every node (the guide's example shows ``looks_like_json(
+    body#2)#4`` verbatim in both BatchEvalPython nodes), while
+    DISTINCT UDF instances that merely share a Python function name —
+    q73's eight per-band ``bucket(__e#4)#6..#13`` SRP closures, all
+    evaluated once inside one ArrowEvalPython node — are different
+    ids and must not trip the guard (false positive found by this
+    test's own first full-suite run after the ADVICE r13 findall
+    strengthening)."""
     import re
 
     from emr_trino_autoscale_spark.queries import release_caches
@@ -708,16 +719,26 @@ def test_no_duplicated_python_eval_nodes(spark):
                 # non-leading UDF in [udf_a(...), udf_b(...)] (ADVICE
                 # r13). Only paren-depth-0 call names are UDFs; deeper
                 # ones are expressions inside their args (cast, round —
-                # those legitimately repeat across nodes).
+                # those legitimately repeat across nodes). Each depth-0
+                # call is keyed by its trailing #resultId (see
+                # docstring); a missing id degrades to the bare name.
+                s = m.group(1)
                 depth = 0
-                for tok in re.finditer(r"(\w+)?([()])", m.group(1)):
+                current = None
+                for tok in re.finditer(r"(\w+)?([()])", s):
                     word, paren = tok.group(1), tok.group(2)
                     if paren == "(":
                         if depth == 0 and word:
-                            names.append(word)
+                            current = word
                         depth += 1
                     else:
                         depth -= 1
+                        if depth == 0 and current is not None:
+                            rid = re.match(r"#(\d+)", s[tok.end():])
+                            names.append(
+                                f"{current}#{rid.group(1)}" if rid else current
+                            )
+                            current = None
         return names
 
     offenders = {}
