@@ -1098,13 +1098,41 @@ def split_gram_overlap(
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
-    a = g.select(F.col("__split").alias("split_a"), "gram")
-    b = g.select(F.col("__split").alias("split_b"), "gram")
+    # Round 14 (guide §2.1/§2.4): the original (split, gram) distinct +
+    # digest-keyed self-join fed BOTH join sides from the unpersisted
+    # gram frame — the whole explode + per-gram md5 subtree executed
+    # twice (the q73/q27/q111/q82 duplicated-subtree class), and the
+    # distinct + two join sides cost three gram-keyed exchanges. One
+    # groupBy(gram).collect_set(split) now does the dedup AND the
+    # set-building in a single exchange (partial aggregation bounds
+    # map-side sets at #splits, absorbing boilerplate-gram skew); the
+    # ordered split pairs expand ROW-LOCALLY from the set (y > x on
+    # the labels == the old split_a < split_b join filter; per-gram
+    # set semantics keep each gram contributing at most once per pair,
+    # exactly like the old distinct), so per-pair counts are
+    # identical. Split sets are #splits-bounded (tiny) arrays; the
+    # pair lambda is interpreted but O(#splits^2) per gram.
+    sa = g.groupBy("gram").agg(
+        F.sort_array(F.collect_set("__split")).alias("__ss")
+    )
+    pairs = sa.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("__ss"),
+                    lambda x: F.transform(
+                        F.filter(F.col("__ss"), lambda y: y > x),
+                        lambda y: F.struct(
+                            x.alias("split_a"), y.alias("split_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
     return (
-        a.join(b, "gram")
-        .filter(F.col("split_a") < F.col("split_b"))
+        pairs.select("__p.split_a", "__p.split_b")
         .groupBy("split_a", "split_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
     )

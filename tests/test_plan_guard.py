@@ -143,9 +143,10 @@ FLAGSHIPS = {
     "q85_bpe_learn": (2, False),
     # q86: word-histogram agg + pair agg + bounded two-phase top-20
     "q86_bpe_pair_stats": (6, False),
-    # q87: distinct (split, gram) frame + digest-keyed self-join +
-    # split-pair agg
-    "q87_split_leakage": (10, False),
+    # q87 (round 14): one gram-keyed collect_set exchange replaces the
+    # old distinct + digest-keyed self-join (10 -> 6: gram agg, pair
+    # agg, presentation sort + AQE reuse reprints)
+    "q87_split_leakage": (6, False),
     # q88's nested loop = the bounded broadcast anchor set with the
     # label-mismatch predicate in the join condition (q23 contract)
     "q88_hard_negatives": (6, True),
