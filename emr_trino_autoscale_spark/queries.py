@@ -4467,62 +4467,9 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned by tests/test_queries_oracle.py::test_driver_window_pinned and
 # documented in README section "Verification coverage map".
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-14 driver window (positions 1-50): the round-10-hashed
-    # remainder (46, stale at r14, in its r10 window order) + q197/q198
-    # (declared r13, first hashable window) + q58/q59 (oldest r11-hashed).
-    "q169_audio_profile": q169,
-    "q170_textrank_keywords": q170,
-    "q171_stratified_split": q171,
-    "q172_sketch_intersection": q172,
-    "q173_ivm_merge": q173,
-    "q174_bh_fdr": q174,
-    "q175_transition_latency": q175,
-    "q176_unpivot_melt": q176,
-    "q177_cms_join_size": q177,
-    "q178_session_paths": q178,
-    "q179_outlier_days": q179,
-    "q180_ctfidf_terms": q180,
-    "q181_rrf_fusion": q181,
-    "q182_corr_top_eigen": q182,
-    "q183_quantile_normalize": q183,
-    "q184_image_dhash_pairs": q184,
-    "q185_langid_confusion": q185,
-    "q186_dataset_card": q186,
-    "q187_partition_layout": q187,
-    "q188_spearman_corr": q188,
-    "q42_pandas_udf_vowels": q42,
-    "q43_approx_sketches": q43,
-    "q44_pivot_counts": q44,
-    "q45_map_roundtrip": q45,
-    "q46_revenue_join": q46,
-    "q47_simhash_hamming": q47,
-    "q48_train_test_split": q48,
-    "q49_dedup_components": q49,
-    "q50_tfidf_top_terms": q50,
-    "q68_kmeans_quantizer": q68,
-    "q69_vocab_coverage": q69,
-    "q70_pq_topk": q70,
-    "q71_pq_literal": q71,
-    "q72_pq_code_dedup": q72,
-    "q29_lsh_topk": q29,
-    "q30_ivf_topk": q30,
-    "q31_langid_quality": q31,
-    "q32_fingerprint_tokens": q32,
-    "q33_rollup_stats": q33,
-    "q51_value_histogram": q51,
-    "q52_pii_scrub": q52,
-    "q53_quality_topk_per_lang": q53,
-    "q54_token_packing": q54,
-    "q55_repetition_filter": q55,
-    "q56_mixing_weights": q56,
-    "q57_lsh_multiprobe": q57,
-    "q197_code_signals": q197,
-    "q198_script_mix": q198,
-    "q58_ivf_multiprobe": q58,
-    "q59_contamination": q59,
-    # --- tail positions 51+: ordered by the forced rotation schedule.
-    # r15 window candidates first — the round-11-hashed block remainder
-    # (48, stale at r15, in its r11 window order):
+    # --- round-15 driver window (positions 1-50): the round-11-hashed
+    # block remainder (48, stale at r15, in its r11 window order) +
+    # q66/q67 (oldest r12-hashed) — the VERDICT r14 task 6 rotation.
     "q60_ngram_novelty": q60,
     "q61_incremental_dedup": q61,
     "q62_boilerplate_strip": q62,
@@ -4574,8 +4521,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q66/q67 (r12-hashed) complete the 50-slot r15 window:
     "q66_top_duplicated_passages": q66,
     "q67_curation_funnel": q67,
-    # r16 candidates — the rest of the round-12 window block
-    # (driver-hashed r12, stale at r16), in its r12 window order:
+    # --- tail positions 51+: ordered by the forced rotation schedule.
+    # r16 window candidates first — the rest of the round-12 window
+    # block (driver-hashed r12, stale at r16), in its r12 window order:
     "q01_json_projection": q01,
     "q02_registry_filter": q02,
     "q03_json_path_groupcount": q03,
@@ -4624,8 +4572,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_robust_dim_stats": q119,
     "q120_mmr_select": q120,
     "q121_distinct_rollup": q121,
-    # freshest last — the round-13 window block (driver-hashed r13,
-    # stale at r17), in its r13 window order:
+    # the round-13 window block (driver-hashed r13, stale at r17), in
+    # its r13 window order:
     "q122_image_phash_pairs": q122,
     "q123_audio_fp_pairs": q123,
     "q124_cube_grouping": q124,
@@ -4676,6 +4624,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_grouping_sets": q166,
     "q167_theil_sen": q167,
     "q168_linear_resample": q168,
+    # freshest last — the round-14 window block (driver-hashed r14,
+    # stale at r18), in its r14 window order:
+    "q169_audio_profile": q169,
+    "q170_textrank_keywords": q170,
+    "q171_stratified_split": q171,
+    "q172_sketch_intersection": q172,
+    "q173_ivm_merge": q173,
+    "q174_bh_fdr": q174,
+    "q175_transition_latency": q175,
+    "q176_unpivot_melt": q176,
+    "q177_cms_join_size": q177,
+    "q178_session_paths": q178,
+    "q179_outlier_days": q179,
+    "q180_ctfidf_terms": q180,
+    "q181_rrf_fusion": q181,
+    "q182_corr_top_eigen": q182,
+    "q183_quantile_normalize": q183,
+    "q184_image_dhash_pairs": q184,
+    "q185_langid_confusion": q185,
+    "q186_dataset_card": q186,
+    "q187_partition_layout": q187,
+    "q188_spearman_corr": q188,
+    "q42_pandas_udf_vowels": q42,
+    "q43_approx_sketches": q43,
+    "q44_pivot_counts": q44,
+    "q45_map_roundtrip": q45,
+    "q46_revenue_join": q46,
+    "q47_simhash_hamming": q47,
+    "q48_train_test_split": q48,
+    "q49_dedup_components": q49,
+    "q50_tfidf_top_terms": q50,
+    "q68_kmeans_quantizer": q68,
+    "q69_vocab_coverage": q69,
+    "q70_pq_topk": q70,
+    "q71_pq_literal": q71,
+    "q72_pq_code_dedup": q72,
+    "q29_lsh_topk": q29,
+    "q30_ivf_topk": q30,
+    "q31_langid_quality": q31,
+    "q32_fingerprint_tokens": q32,
+    "q33_rollup_stats": q33,
+    "q51_value_histogram": q51,
+    "q52_pii_scrub": q52,
+    "q53_quality_topk_per_lang": q53,
+    "q54_token_packing": q54,
+    "q55_repetition_filter": q55,
+    "q56_mixing_weights": q56,
+    "q57_lsh_multiprobe": q57,
+    "q197_code_signals": q197,
+    "q198_script_mix": q198,
+    "q58_ivf_multiprobe": q58,
+    "q59_contamination": q59,
 }
 
 

@@ -29,25 +29,23 @@ def test_driver_window_pinned():
     """The external driver hashes the FIRST 50 entries of QUERIES
     (README "Verification coverage map"). Pin the exact window so adding
     or reordering an entry can never silently rotate the audited set.
-    Round-14 rotation (VERDICT r13 task 1, per the forced schedule at
-    README 'Verification coverage map'): q169-q188 + q42-q50 + q68-q72
-    + q29-q33 + q51-q57 (46, r10-hashed — the staleness guard's literal
-    red list) + q197/q198 (2, declared r13, first hashable window) +
-    q58/q59 (2, oldest r11-hashed). Expected driver outcome: 48/50
-    hash-green + 2 no_oracle rows (q68/q70 are the window's by-design
-    rows-only trainers). Steady-state capacity: 50-slot window x 4-round
-    re-hash period = 200 declared queries max (see the README capacity
-    ledger and test_declaration_capacity below)."""
-    # r15 rotation (pre-written; README schedule): positions 1-50 =
-    # q60-q65 + q73-q114 (48, r11-hashed, stale at r15) + q66/q67
-    # (2, oldest r12-hashed).
+    Round-15 rotation (VERDICT r14 task 6, per the forced schedule at
+    README 'Verification coverage map'): q60-q65 + q73-q114 (48,
+    r11-hashed — the staleness guard's literal red list at r15) +
+    q66/q67 (2, oldest r12-hashed). Expected driver outcome: 49/50
+    hash-green + 1 no_oracle row (q85 is the window's by-design
+    rows-only trainer; its merge sequence is golden-pinned in-repo and
+    q86 is its hash-verified twin). Steady-state capacity: 50-slot
+    window x 4-round re-hash period = 200 declared queries max (see the
+    README capacity ledger and test_declaration_capacity below)."""
+    # r16 rotation (pre-written; README schedule): positions 1-50 =
+    # q01-q28 + q34-q41 + q189-q193 + q115-q121 (48, r12-hashed, stale
+    # at r16) + the 2 oldest r13-hashed (q122/q123 — or their README
+    # retire-list successors if the capacity ledger consumed them).
     expected = (
-        [f"q{i}" for i in range(169, 189)]
-        + [f"q{i}" for i in range(42, 51)]
-        + [f"q{i}" for i in range(68, 73)]
-        + [f"q{i}" for i in range(29, 34)]
-        + [f"q{i}" for i in range(51, 58)]
-        + ["q197", "q198", "q58", "q59"]
+        [f"q{i}" for i in range(60, 66)]
+        + [f"q{i}" for i in range(73, 115)]
+        + ["q66", "q67"]
     )
     window = [name.split("_")[0] for name in list(QUERIES)[:50]]
     assert window == expected, (
