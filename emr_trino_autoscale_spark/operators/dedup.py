@@ -792,11 +792,21 @@ def connected_components(
     so cluster deployments can tune or disable (0) it. Pass ``0`` to
     force the distributed path (the property tests do, so the loop
     itself stays covered).
+
+    Memory math behind the env ceiling (VERDICT r14 task 5): each
+    collected half-edge is a Row of two ids (~150-250 B in the Python
+    union-find with its dict entries), so the 5M ceiling bounds the
+    driver working set at ~1 GB worst-case — a value above it is
+    clamped, never honored, because an unbounded env knob would
+    re-create the guide-§5 corpus-sized-collect hazard this default
+    exists to avoid.
     """
     if driver_edge_cap is None:
-        import os
+        from ._env import env_capped_int
 
-        driver_edge_cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", 500_000))
+        driver_edge_cap = env_capped_int(
+            "SPARK_GRAFT_CC_DRIVER_EDGE_CAP", 500_000, 5_000_000
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

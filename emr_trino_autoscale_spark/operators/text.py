@@ -1093,10 +1093,14 @@ def bpe_learn(
     # right asc) argmax (UTF-8 byte order == Python code-point order),
     # same left-to-right fold as _merge_fold. Above the cap — a 100 TB
     # corpus's long-tail vocabulary — the distributed loop below runs
-    # unchanged.
-    import os
+    # unchanged. Env ceiling math (VERDICT r14 task 5): a collected
+    # vocab row is a word's count + its symbol list (~300-600 B in
+    # Python), so the 2M ceiling bounds the driver histogram at ~1 GB
+    # worst-case; larger env values clamp rather than authorize a
+    # corpus-sized collect (guide §5).
+    from ._env import env_capped_int
 
-    cap = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", 100_000))
+    cap = env_capped_int("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", 100_000, 2_000_000)
     if cap > 0 and cur.count() <= cap:
         vocab = [[int(r["wc"]), list(r["__sym"])] for r in cur.collect()]
         merges = []

@@ -8749,3 +8749,37 @@ def test_readability_scores(spark):
     assert got[2]["n_words"] == 0
     # single word without terminal punctuation still counts a sentence
     assert got[3]["n_sentences"] == 1 and got[3]["n_words"] == 1
+
+
+def test_env_capped_int_clamps_driver_dispatch_knobs(monkeypatch):
+    """VERDICT r14 task 5: the driver-dispatch env caps must be
+    sanity-bounded — an oversized value re-creates the guide-§5
+    driver-collect hazard the defaults avoid. Unset -> default, 0 stays
+    0 (disable), in-range honored, above-ceiling clamps to the ceiling,
+    garbage/negative falls back to the default."""
+    from emr_trino_autoscale_spark.operators._env import env_capped_int
+
+    name = "SPARK_GRAFT_TEST_CAP"
+    monkeypatch.delenv(name, raising=False)
+    assert env_capped_int(name, 500, 5000) == 500
+    monkeypatch.setenv(name, "0")
+    assert env_capped_int(name, 500, 5000) == 0
+    monkeypatch.setenv(name, "1234")
+    assert env_capped_int(name, 500, 5000) == 1234
+    monkeypatch.setenv(name, "999999999")
+    assert env_capped_int(name, 500, 5000) == 5000
+    monkeypatch.setenv(name, "-7")
+    assert env_capped_int(name, 500, 5000) == 500
+    monkeypatch.setenv(name, "not-a-number")
+    assert env_capped_int(name, 500, 5000) == 500
+
+    # The two live knobs route through the clamp: a huge env value can
+    # never authorize an unbounded collect (ceilings documented at the
+    # call sites: 5M edges / 2M vocab rows ~ 1 GB driver worst-case).
+    import inspect
+
+    from emr_trino_autoscale_spark.operators import dedup as _dedup
+    from emr_trino_autoscale_spark.operators import text as _text
+
+    assert "env_capped_int" in inspect.getsource(_dedup.connected_components)
+    assert "env_capped_int" in inspect.getsource(_text.bpe_learn)
