@@ -36,44 +36,82 @@ def pagerank(
     Returns (node, rank) over all edge endpoints, sum(rank) == 1.
 
     Scale: the per-iteration work is one equi-join of the edge frame
-    with the node-cardinality rank frame (shuffle on src) and one
-    groupBy(dst) hash agg — the canonical Pregel-as-relational-ops
-    shape; the dangling and teleport terms are 1-row broadcasts. Each
-    iteration ends in a NON-EAGER ``localCheckpoint`` (the X7
-    connected-components precedent, operators/dedup.py) so iteration
-    k+1's two reads of rank_k (contribution join + dangling sum) replay
-    the lineage once, not 2^k times, and the plan never outgrows the
-    optimizer. Skew axis: a celebrity dst key concentrates the agg —
-    partial aggregation (map-side combine) absorbs it since the
-    combine is a plain SUM; no salting needed.
+    with the node-cardinality rank frame — contracted to (src, share)
+    doubles before the join, §2.3 — and one groupBy(dst) hash agg: the
+    canonical Pregel-as-relational-ops shape; the dangling and teleport
+    terms are 1-row broadcasts. The planner picks the join side by
+    size (locally the cached edge frame broadcasts; at scale both
+    sides shuffle on src — if the edge frame outgrows every broadcast
+    AND iterations are many, pre-partitioning e by src once would let
+    every iteration reuse that exchange, a deliberate non-change here
+    because the bench-scale plan broadcasts e and never shuffles it).
+    Setup derives the node universe and out-degrees in ONE union +
+    hash-agg pass over e (round 15 — previously nodes-distinct +
+    outdeg-groupBy + left join: three exchanges and two extra edge
+    passes for the same frame). Each iteration ends in a NON-EAGER
+    ``localCheckpoint`` (the X7 connected-components precedent,
+    operators/dedup.py) so iteration k+1's two reads of rank_k
+    (contribution join + dangling sum) replay the lineage once, not
+    2^k times, and the plan never outgrows the optimizer. Skew axis: a
+    celebrity dst key concentrates the agg — partial aggregation
+    (map-side combine) absorbs it since the combine is a plain SUM; no
+    salting needed.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    # e feeds nodes (twice), outdeg and every iteration's contribution
-    # join — persist once (caller-owned persist_fn convention).
+    # e feeds the node/degree derivation and every iteration's
+    # contribution join — persist once (caller-owned persist_fn
+    # convention).
     if persist_fn is None:
         persist_fn = default_persist  # registered; released via release_default_persists
     e = persist_fn(e)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # ONE edge pass derives the node universe AND the out-degrees
+    # together (round 15, §2.1/§2.4): src occurrences count toward the
+    # degree, dst occurrences only assert membership, so the old
+    # [nodes union+distinct] + [outdeg groupBy] + [left join] — three
+    # exchanges / two extra passes over e for the same frame — collapse
+    # into one union+hash-agg. Values are identical: sum of the 1-tags
+    # over a node's src rows == the old count(*) per src, and a
+    # dst-only (dangling) node's 0 maps back to the NULL the left join
+    # produced. base is node-sized (the rank state size) and feeds both
+    # the N count and the rank init — persist through default_persist
+    # (NOT the caller's scoped persist_fn, which would evict e).
+    base = default_persist(
+        e.select(F.col("src").alias("node"), F.lit(1).alias("__o"))
+        .unionByName(e.select(F.col("dst").alias("node"), F.lit(0).alias("__o")))
+        .groupBy("node")
+        .agg(F.sum("__o").alias("__so"))
+        .select(
+            "node",
+            F.when(F.col("__so") > 0, F.col("__so")).alias("__deg"),
+        )
     )
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("__deg")
-    )
-    base = nodes.join(outdeg, "node", "left")
     # 1-row N broadcast (sanctioned bounded nested loop)
-    n_row = nodes.agg(F.count("*").cast("double").alias("__n"))
+    n_row = base.agg(F.count("*").cast("double").alias("__n"))
     ranks = base.crossJoin(F.broadcast(n_row)).select(
         "node", "__deg", "__n", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     def _step(ranks, _i):
+        # Contract the rank frame to (src, share) BEFORE the
+        # contribution join (round 15, §2.3 shuffle/broadcast fewer
+        # bytes): the join only needs each source's rank/out-degree
+        # quotient, so ship one double per node instead of
+        # (__deg, rank), and compute the division once per node
+        # instead of once per edge row. The addend multiset per dst is
+        # unchanged (same rank/__deg double per src, replicated per
+        # edge by the same inner join), so the per-dst float sums the
+        # oracle replays see identical summands. Dangling rows
+        # (__deg NULL) never matched the inner join on src — filtering
+        # them out here drops no contribution.
+        shares = ranks.filter(F.col("__deg").isNotNull()).select(
+            F.col("node").alias("src"),
+            (F.col("rank") / F.col("__deg")).alias("__share"),
+        )
         contrib = (
-            e.join(ranks.select(F.col("node").alias("src"), "__deg", "rank"), "src")
+            e.join(shares, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .agg(F.sum("__share").alias("__in"))
         )
         dangling = ranks.filter(F.col("__deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")

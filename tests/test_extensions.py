@@ -8783,3 +8783,31 @@ def test_env_capped_int_clamps_driver_dispatch_knobs(monkeypatch):
 
     assert "env_capped_int" in inspect.getsource(_dedup.connected_components)
     assert "env_capped_int" in inspect.getsource(_text.bpe_learn)
+
+
+def test_pagerank_one_pass_degree_derivation(spark):
+    """Round 15: setup derives node universe + out-degrees in one
+    union+agg pass. Pin the edge cases that pass owns: duplicate edges
+    collapse via the distinct (a->b twice counts degree once), a node
+    appearing as BOTH src and dst gets its src-count (not the union
+    total), and a dst-only node stays dangling (NULL degree -> its mass
+    redistributes). Hand arithmetic, 1 iteration, damping 0.85."""
+    from emr_trino_autoscale_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank for r in pagerank(df, iterations=1, damping=0.85).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    third = 1.0 / 3.0
+    teleport = 0.15 / 3.0
+    dang = 0.85 * third / 3.0  # c is dangling (dst-only)
+    # a: fed by b (outdeg 1 -> full third)
+    assert abs(got["a"] - (teleport + dang + 0.85 * third)) < 1e-12
+    # b: fed by a (outdeg 2 -> half of a's third), the duplicate a->b
+    # edge must NOT double the contribution
+    assert abs(got["b"] - (teleport + dang + 0.85 * (third / 2.0))) < 1e-12
+    # c: fed by a's other half-share
+    assert abs(got["c"] - (teleport + dang + 0.85 * (third / 2.0))) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
