@@ -1547,12 +1547,27 @@ def containment_pairs(
         ex.join(dfreq, "s")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select(F.col("id").alias("id_a"), "s")
+        .select(F.col("id").alias("id_a"), "s", F.col("sz").alias("__pa"))
     )
-    index = ex.select(F.col("id").alias("id_b"), "s")
+    index = ex.select(F.col("id").alias("id_b"), "s", F.col("sz").alias("__pb"))
+    # Size filter at candidate generation (round 15, §2.3/§3.2):
+    # |A ∩ B| <= |B|, so containment |A∩B|/|A| can reach the rounded
+    # >= threshold output cut only when |B| >= (threshold - 1e-4)|A| —
+    # the same strictly-below-the-ROUND(,4)-survival-boundary epsilon
+    # as the q73 in-bucket pre-cut, so no survivor is dropped for ANY
+    # threshold. Measured at sf0.1 (threshold 0.6): 692,621 -> 569,788
+    # candidate pairs (-18%) before the exact verify; both sz columns
+    # ride join inputs that already carried the gram row, no new
+    # exchange.
     cand = (
         probe.join(index, "s")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.col("__pb")
+                >= (F.lit(threshold) - F.lit(1e-4)) * F.col("__pa")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
