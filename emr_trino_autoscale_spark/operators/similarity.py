@@ -704,8 +704,34 @@ def near_dup_pairs_lsh(
         # drops no survivor while keeping the emitted frame
         # near-dup-rate-sized.
         pre_cut = threshold - 1e-4
+        # §2.5 straggler guard (round 15, VERDICT r14 task 4): one
+        # applyInPandas task owns a bucket's FULL C(n, 2) pair space, so
+        # a mega-bucket (mis-sized r, degenerate data) becomes a
+        # single-task wall-clock straggler even though the chunked
+        # expansion bounds its memory. Buckets above the cap are
+        # sharded into the near_dup_pairs_blocked tile scheme — rows
+        # hash into ceil(n/cap) blocks, each row replicated once per
+        # partner block, every pair scored on exactly one tile — which
+        # bounds any task's pair count by C(cap, 2) + cap^2. Normal
+        # buckets get the constant (0, 0) tile, i.e. the exact r14
+        # one-group shape. The tile routing needs per-bucket counts: a
+        # window count over the same (band, bucket) key the verify
+        # groups by, so the fat frame still shuffles ONCE (the window's
+        # exchange satisfies the groupBy's subset-key distribution).
+        # Per-pair arithmetic is the identical einsum/norm kernel, so
+        # emitted values are bitwise unchanged for any cap; the cap
+        # only re-routes WHERE a pair is scored. Ceiling math: the
+        # diagonal-tile triu index allocation is C(cap, 2) x 16 B
+        # (~0.5 GB/task at the 8192 ceiling); replication cost of a
+        # sharded bucket is the standard all-pairs n x n_blocks rows —
+        # inherent to scoring a mega-bucket exactly, so the real fix
+        # for a hot geometry remains raising r (docstring above); the
+        # guard bounds the damage while recall geometry is tuned.
+        from ._env import env_capped_int
 
-        def score_bucket(pdf):
+        cap = env_capped_int("SPARK_GRAFT_LSH_BUCKET_CAP", 4096, 8192)
+
+        def _score_group(pdf, tile=None):
             import numpy as np
             import pandas as pd
 
@@ -716,21 +742,43 @@ def near_dup_pairs_lsh(
             )
             nrm = np.linalg.norm(m, axis=1)
             nrm[nrm == 0.0] = 1.0
-            ia, ib = np.triu_indices(len(ids), k=1)
             out_a, out_b, out_c = [], [], []
             # chunk the pair expansion: task memory stays O(step), not
             # O(C(bucket, 2)), whatever the bucket population
             step = 2_000_000
-            for s in range(0, len(ia), step):
-                sa, sb = ia[s : s + step], ib[s : s + step]
-                # the exact pair_cosine arithmetic: float64 row dot over
-                # the raw vectors, divided by the norm product — per-pair
-                # values are bitwise the old scalar-UDF verify's
-                cos = np.einsum("ij,ij->i", m[sa], m[sb]) / (nrm[sa] * nrm[sb])
-                keep = cos >= pre_cut
-                out_a.append(ids[sa][keep])
-                out_b.append(ids[sb][keep])
-                out_c.append(cos[keep])
+
+            def emit(ia, ib):
+                for s in range(0, len(ia), step):
+                    sa, sb = ia[s : s + step], ib[s : s + step]
+                    # the exact pair_cosine arithmetic: float64 row dot
+                    # over the raw vectors, divided by the norm product —
+                    # per-pair values are bitwise the old scalar-UDF
+                    # verify's (and orientation-independent: IEEE mul is
+                    # commutative, the j-sum order is fixed by einsum)
+                    cos = np.einsum("ij,ij->i", m[sa], m[sb]) / (nrm[sa] * nrm[sb])
+                    keep = cos >= pre_cut
+                    ka, kb = ids[sa][keep], ids[sb][keep]
+                    # triu over ascending-sorted ids already gives
+                    # ka < kb; cross tiles arrive unordered — min/max is
+                    # a no-op on the former and canonicalizes the latter
+                    out_a.append(np.minimum(ka, kb))
+                    out_b.append(np.maximum(ka, kb))
+                    out_c.append(cos[keep])
+
+            if tile is None or tile[0] == tile[1]:
+                # whole bucket, or a diagonal tile (rows of one block)
+                emit(*np.triu_indices(len(ids), k=1))
+            else:
+                blks = pdf["__blk"].to_numpy()[order]
+                la = np.nonzero(blks == tile[0])[0]
+                lb = np.nonzero(blks == tile[1])[0]
+                if len(la) and len(lb):
+                    # chunk the cross product on the A side so the
+                    # index arrays never exceed ~step pairs
+                    astep = max(1, step // len(lb))
+                    for s in range(0, len(la), astep):
+                        rows = la[s : s + astep]
+                        emit(np.repeat(rows, len(lb)), np.tile(lb, len(rows)))
             if out_a:
                 a = np.concatenate(out_a)
                 b = np.concatenate(out_b)
@@ -741,9 +789,59 @@ def near_dup_pairs_lsh(
                 c = np.array([], dtype=np.float64)
             return pd.DataFrame({"id_a": a, "id_b": b, "cosine": c})
 
-        pairs = sig.groupBy(*keys).applyInPandas(
-            score_bucket, schema="id_a long, id_b long, cosine double"
-        )
+        # The guard stays LAZY on purpose: a build-time corpus count
+        # would skip the window whenever n <= cap, but the extra action
+        # measured +0.9 s per build on the r14 box class (per-job
+        # overhead dominates trivial jobs there) vs +0.2 s for the
+        # always-on window pass — both arms measured with the
+        # interleaved --ab protocol, flat controls (OPTIMIZATION_r15).
+        if cap > 0:
+            wn = Window.partitionBy(*keys)
+            n_blocks = (
+                F.when(
+                    F.col("__bn") > cap, F.ceil(F.col("__bn") / F.lit(cap))
+                )
+                .otherwise(F.lit(1))
+                .cast("int")
+            )
+            tiled = (
+                sig.withColumn("__bn", F.count("*").over(wn))
+                .withColumn("__nb", n_blocks)
+                .withColumn(
+                    "__blk",
+                    F.pmod(F.xxhash64(F.col("id")), F.col("__nb")).cast("int"),
+                )
+                # __nb >= 1 always, so sequence(0, __nb - 1) is a safe
+                # ascending range ([0] for the unsharded common case)
+                .withColumn(
+                    "__p", F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+                )
+                .select(
+                    *keys,
+                    "id",
+                    "__e",
+                    "__blk",
+                    F.least("__blk", "__p").alias("__ba"),
+                    F.greatest("__blk", "__p").alias("__bb"),
+                )
+            )
+
+            def score_tile(key, pdf):
+                return _score_group(pdf, tile=(int(key[-2]), int(key[-1])))
+
+            pairs = tiled.groupBy(*keys, "__ba", "__bb").applyInPandas(
+                score_tile, schema="id_a long, id_b long, cosine double"
+            )
+        else:
+            # one-arg wrapper: applyInPandas dispatches on arity, and
+            # _score_group's (pdf, tile=None) signature would read as
+            # the (key, pdf) form
+            def score_bucket(pdf):
+                return _score_group(pdf)
+
+            pairs = sig.groupBy(*keys).applyInPandas(
+                score_bucket, schema="id_a long, id_b long, cosine double"
+            )
         # duplicates across bands carry identical vectors, hence
         # identical dots; collapsing on the ROUNDED decimal makes the
         # dedup robust to any last-ulp wobble as well

@@ -8811,3 +8811,45 @@ def test_pagerank_one_pass_degree_derivation(spark):
     # c: fed by a's other half-share
     assert abs(got["c"] - (teleport + dang + 0.85 * (third / 2.0))) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_near_dup_lsh_mega_bucket_tile_shard_parity(spark, monkeypatch):
+    """Round 15 §2.5 straggler guard: a bucket above
+    $SPARK_GRAFT_LSH_BUCKET_CAP is sharded into the blocked tile scheme
+    (every pair scored on exactly one tile). Build a deliberately
+    degenerate geometry — ONE plane, all vectors projecting positive,
+    so the whole corpus lands in a single (band, bucket) group — and
+    force a tiny cap so the shard path actually runs: the emitted pair
+    set and every 4-decimal cosine must be identical to the unguarded
+    (cap=0) path and to the fold-form reference."""
+    import math
+
+    rows = []
+    for i in range(40):
+        # a fan of vectors with pairwise cosines spanning the threshold
+        th = (i / 39.0) * (math.pi / 3)
+        rows.append((i + 1, [math.cos(th), math.sin(th)] + [0.0] * 62))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[1.0] + [0.0] * 63]  # every vector buckets together
+
+    def run():
+        return sorted(
+            (r["id_a"], r["id_b"], str(r["cosine"]))
+            for r in similarity.near_dup_pairs_lsh(
+                corpus, planes, n_bands=1, threshold=0.6, vectorized=True
+            ).collect()
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "7")  # 40 rows -> 6 blocks
+    sharded = run()
+    monkeypatch.setenv("SPARK_GRAFT_LSH_BUCKET_CAP", "0")  # unguarded path
+    whole = run()
+    monkeypatch.delenv("SPARK_GRAFT_LSH_BUCKET_CAP")
+    fold = sorted(
+        (r["id_a"], r["id_b"], str(r["cosine"]))
+        for r in similarity.near_dup_pairs_lsh(
+            corpus, planes, n_bands=1, threshold=0.6
+        ).collect()
+    )
+    assert sharded == whole == fold
+    assert len(sharded) > 10  # the fan actually crosses the threshold
